@@ -1,0 +1,105 @@
+"""Quadrature rules (host-side numpy tables, consumed as constants by kernels).
+
+Parity: reference element-type database & Gauss rules live in
+``src/el_elm_info.c`` (``elem_info``, ``find_stu:1615``, ``find_surf_st:1987``).
+Here rules are generated: tensor-product Gauss-Legendre for quad/hex/bar and
+standard symmetric rules for simplices (textbook tables, e.g. Dunavant/Keast).
+
+All tables are float64 numpy; they become compile-time constants inside jitted
+kernels, so precision here costs nothing at runtime.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def gauss_1d(n: int) -> tuple[np.ndarray, np.ndarray]:
+    """n-point Gauss-Legendre on [-1, 1]."""
+    x, w = np.polynomial.legendre.leggauss(n)
+    return x.astype(np.float64), w.astype(np.float64)
+
+
+def gauss_tensor(n: int, dim: int) -> tuple[np.ndarray, np.ndarray]:
+    """Tensor-product Gauss rule on [-1,1]^dim. Returns (pts (nq, dim), wts (nq,))."""
+    x1, w1 = gauss_1d(n)
+    grids = np.meshgrid(*([x1] * dim), indexing="ij")
+    pts = np.stack([g.ravel() for g in grids], axis=-1)
+    wg = np.meshgrid(*([w1] * dim), indexing="ij")
+    wts = np.ones(pts.shape[0])
+    for w in wg:
+        wts = wts * w.ravel()
+    return pts, wts
+
+
+# --- simplex rules: points in barycentric-free reference coords ---
+# triangle reference: {(r,s): r>=0, s>=0, r+s<=1}, area 1/2
+_TRI_RULES: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+
+def _init_tri_rules():
+    # degree 1: centroid
+    _TRI_RULES[1] = (np.array([[1 / 3, 1 / 3]]), np.array([0.5]))
+    # degree 2: 3-point
+    a = 1 / 6
+    _TRI_RULES[2] = (
+        np.array([[a, a], [2 / 3, a], [a, 2 / 3]]),
+        np.full(3, 1 / 6),
+    )
+    # degree 4: 6-point (Dunavant)
+    a1, w1 = 0.445948490915965, 0.223381589678011
+    a2, w2 = 0.091576213509771, 0.109951743655322
+    pts = []
+    wts = []
+    for a, w in ((a1, w1), (a2, w2)):
+        pts += [[a, a], [1 - 2 * a, a], [a, 1 - 2 * a]]
+        wts += [w / 2] * 3  # scale: Dunavant weights sum to 1 on unit-area tri
+    _TRI_RULES[4] = (np.array(pts), np.array(wts))
+    # degree 5: 7-point
+    pts = [[1 / 3, 1 / 3]]
+    wts = [0.225 / 2]
+    a1, w1 = 0.470142064105115, 0.132394152788506
+    a2, w2 = 0.101286507323456, 0.125939180544827
+    for a, w in ((a1, w1), (a2, w2)):
+        pts += [[a, a], [1 - 2 * a, a], [a, 1 - 2 * a]]
+        wts += [w / 2] * 3
+    _TRI_RULES[5] = (np.array(pts), np.array(wts))
+
+
+_init_tri_rules()
+
+# tetrahedron reference: {(r,s,t)>=0, r+s+t<=1}, volume 1/6
+_TET_RULES: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+
+def _init_tet_rules():
+    _TET_RULES[1] = (np.array([[0.25, 0.25, 0.25]]), np.array([1 / 6]))
+    # degree 2: 4-point
+    a = (5 - np.sqrt(5)) / 20
+    b = (5 + 3 * np.sqrt(5)) / 20
+    pts = np.array([[a, a, a], [b, a, a], [a, b, a], [a, a, b]])
+    _TET_RULES[2] = (pts, np.full(4, 1 / 24))
+    # degree 3: 5-point (Keast)
+    pts = [[0.25, 0.25, 0.25]]
+    wts = [-4 / 30]
+    a, b = 1 / 6, 0.5
+    pts += [[a, a, a], [b, a, a], [a, b, a], [a, a, b]]
+    wts += [9 / 120] * 4
+    _TET_RULES[3] = (np.array(pts), np.array(wts))
+
+
+_init_tet_rules()
+
+
+def tri_rule(degree: int) -> tuple[np.ndarray, np.ndarray]:
+    for d in sorted(_TRI_RULES):
+        if d >= degree:
+            return _TRI_RULES[d]
+    return _TRI_RULES[max(_TRI_RULES)]
+
+
+def tet_rule(degree: int) -> tuple[np.ndarray, np.ndarray]:
+    for d in sorted(_TET_RULES):
+        if d >= degree:
+            return _TET_RULES[d]
+    return _TET_RULES[max(_TET_RULES)]
