@@ -1,0 +1,413 @@
+"""Global residual + Jacobian assembly.
+
+Parity: the reference's assembly driver ``src/mm_fill.c`` (``matrix_fill_full
+:155`` element loop, ``matrix_fill:314`` per-element quadrature loop,
+``load_lec:4959`` scatter) — re-designed for TPU:
+
+- element loop -> ``vmap`` over all elements of a same-type block;
+- quadrature loop -> batched einsums with a static qp axis;
+- hand-coded ``lec->J`` -> ``jax.jacfwd`` of the per-element residual
+  (has_aux trick yields residual + exact Jacobian in one pass);
+- ``load_lec`` scatter-add -> ``segment_sum`` over precomputed index maps;
+- Dirichlet row surgery (``src/bc_dirich.c:44``) -> masked residual
+  ``R = x - x_bc`` and static row/diagonal masks on the CSR values;
+- integrated boundary conditions (``src/bc_integ.c:84``) -> face kernels
+  vmapped over side-set faces with per-face static basis tables.
+
+The whole assembly is one jitted function ``assemble(x, params) -> (R, vals)``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Callable
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from goma_tpu import config
+from goma_tpu.elements import element_type, eval_basis, face_rule, faces as elem_faces, geom_interp
+from goma_tpu.fem.dofmap import DofMap, build_dofmap
+from goma_tpu.fem.equations import Equation, FaceKernel, SurfaceVars
+from goma_tpu.fem.fields import (
+    MESH_VAR,
+    BlockTables,
+    build_block_tables,
+    eval_fieldvars,
+    _unpack,
+)
+from goma_tpu.fem.sparsity import CSRPattern, build_pattern, nnz_map_for_gather
+from goma_tpu.mesh.mesh import Mesh
+
+
+def eval_surfacevars(q_e, qdot_e, X_e, ftab, fwts, slots, dim, dtype) -> SurfaceVars:
+    """FieldVars at the quadrature points of one face of one element.
+
+    ``ftab`` holds per-face basis tables: "Ng"/"dNg" geometric, per-interp
+    "N:<interp>"/"dN:<interp>", and "refjac" (dim, dim-1).
+    """
+    u = _unpack(q_e, slots)
+    udot = _unpack(qdot_e, slots)
+    Xc = X_e
+    if MESH_VAR in u:
+        Xc = X_e + u[MESH_VAR].T
+
+    Ng, dNg = ftab["Ng"], ftab["dNg"]
+    Jmat = jnp.einsum("qnd,nk->qkd", dNg, Xc)
+    invJ = jnp.linalg.inv(Jmat)
+    T = jnp.einsum("qkd,dm->qkm", Jmat, ftab["refjac"])
+
+    fv = SurfaceVars()
+    fv.dim = dim
+    fv.invJ = invJ
+    fv.tangents = T
+    if dim == 2:
+        t = T[:, :, 0]
+        mag = jnp.linalg.norm(t, axis=1)
+        fv.normal = jnp.stack([t[:, 1], -t[:, 0]], axis=1) / mag[:, None]
+        fv.wdA = fwts * mag
+    else:
+        cr = jnp.cross(T[:, :, 0], T[:, :, 1])
+        mag = jnp.linalg.norm(cr, axis=1)
+        fv.normal = cr / mag[:, None]
+        fv.wdA = fwts * mag
+    fv.x = jnp.einsum("qn,nk->qk", Ng, Xc)
+    fv.detJ = jnp.linalg.det(Jmat)
+    fv.h_elem = 2.0 * jnp.abs(fv.detJ) ** (1.0 / dim)
+
+    gphi_cache = {}
+    for s in slots:
+        Ni = ftab[f"N:{s.interp}"]
+        dNi = ftab[f"dN:{s.interp}"]
+        if s.interp not in gphi_cache:
+            gphi_cache[s.interp] = jnp.einsum("qnd,qdk->qnk", dNi, invJ)
+        gp = gphi_cache[s.interp]
+        fv.phi[s.var] = Ni
+        fv.gphi[s.var] = gp
+        fv.val[s.var] = jnp.einsum("qn,cn->qc", Ni, u[s.var])
+        fv.grad[s.var] = jnp.einsum("qnk,cn->qck", gp, u[s.var])
+        fv.dot[s.var] = jnp.einsum("qn,cn->qc", Ni, udot[s.var])
+    return fv
+
+
+@dataclass
+class _FaceSet:
+    block_index: int
+    kernels: list[FaceKernel]
+    face_elems: np.ndarray  # (nf,) local element ids within block
+    ftabs: dict[str, np.ndarray]  # stacked per-face tables (nf, ...)
+    fwts: np.ndarray  # (nqf,)
+    name: str = ""
+
+
+class Problem:
+    """A coupled multiphysics problem on a mesh.
+
+    Parity: plays the role of the reference's problem-description + setup
+    (``src/rf_setup_problem.c:194``) and the assembly driver. Usage:
+
+        prob = Problem(mesh, equations=[...], materials={...})
+        prob.add_dirichlet("top", "velocity", 0, 1.0)
+        prob.add_face_kernel("free_surface", CapillaryBC(...))
+        prob.finalize()
+        R, vals = prob.assemble(x, prob.base_params())
+    """
+
+    def __init__(
+        self,
+        mesh: Mesh,
+        equations,
+        materials=None,
+        quad_order: int = 3,
+        dtype=None,
+    ):
+        self.mesh = mesh
+        if equations and isinstance(equations[0], Equation):
+            equations = [list(equations) for _ in mesh.blocks]
+        self.equations: list[list[Equation]] = equations
+        if materials is None:
+            materials = {}
+        if isinstance(materials, dict):
+            materials = [materials for _ in mesh.blocks]
+        self.materials: list[dict] = materials
+        self.quad_order = quad_order
+        self._dtype = dtype
+        self._dirichlet: list[tuple[str, str, int, Any]] = []
+        self._face_sets: list[tuple[str, FaceKernel]] = []
+        self._finalized = False
+
+    @property
+    def dtype(self):
+        return self._dtype or config.fp_dtype()
+
+    # ------------------------------------------------------------ setup API
+    def add_dirichlet(self, nodeset: str, var: str, comp: int, value):
+        """Strong Dirichlet on a node set. ``value``: scalar or callable
+        f(coords (n, dim)) -> (n,). Reference: DX/DY/UVW cards ->
+        ``put_dirichlet_in_matrix`` (``src/bc_dirich.c:44``)."""
+        self._dirichlet.append((nodeset, var, comp, value))
+
+    def add_face_kernel(self, sideset: str, kernel: FaceKernel):
+        self._face_sets.append((sideset, kernel))
+
+    # ------------------------------------------------------------- finalize
+    def finalize(self):
+        mesh = self.mesh
+        block_vars = [
+            [(eq.var, eq.ncomp, eq.interp) for eq in eqs] for eqs in self.equations
+        ]
+        self.dofmap: DofMap = build_dofmap(mesh, block_vars)
+        self.pattern: CSRPattern = build_pattern(
+            self.dofmap.n_dof, [b.gather for b in self.dofmap.blocks]
+        )
+        self._nnz_maps = [nnz_map_for_gather(self.pattern, b.gather) for b in self.dofmap.blocks]
+
+        # volume tables
+        self.tables: list[BlockTables] = []
+        for bd, blk in zip(self.dofmap.blocks, mesh.blocks):
+            interps = {s.interp for s in bd.slots}
+            self.tables.append(build_block_tables(blk.elem_type, interps, self.quad_order))
+
+        # Dirichlet arrays
+        dofs, vals = [], []
+        for nodeset, var, comp, value in self._dirichlet:
+            if nodeset.startswith("sideset:"):
+                nodes = mesh.sideset_nodes(nodeset.split(":", 1)[1])
+            else:
+                nodes = mesh.nodesets[nodeset]
+            d = self.dofmap.dof_of_node_svar[nodes, self.dofmap.svar(var, comp)]
+            ok = d >= 0
+            d = d[ok]
+            x = mesh.coords[nodes[ok]]
+            v = value(x) if callable(value) else np.full(d.shape, float(value))
+            dofs.append(d)
+            vals.append(np.asarray(v, dtype=np.float64))
+        if dofs:
+            dd = np.concatenate(dofs).astype(np.int64)
+            vv = np.concatenate(vals)
+            # later specs override earlier on conflicts (reference resolves
+            # BC duplicates in src/mm_bc_conflict.c; we use last-wins)
+            _, last = np.unique(dd[::-1], return_index=True)
+            keep = dd.shape[0] - 1 - last
+            self.dirichlet_dofs = dd[np.sort(keep)]
+            self.dirichlet_vals = vv[np.sort(keep)]
+        else:
+            self.dirichlet_dofs = np.empty(0, dtype=np.int64)
+            self.dirichlet_vals = np.empty(0, dtype=np.float64)
+        dmask = np.zeros(self.dofmap.n_dof, dtype=bool)
+        dmask[self.dirichlet_dofs] = True
+        self._dir_mask = dmask
+        self._dir_nnz_keep = (~dmask[self.pattern.rows]).astype(np.float64)
+        self._dir_diag_pos = self.pattern.diag[self.dirichlet_dofs]
+
+        # face sets: group registered kernels by sideset
+        bysset: dict[str, list[FaceKernel]] = {}
+        for name, k in self._face_sets:
+            bysset.setdefault(name, []).append(k)
+        self.face_sets: list[_FaceSet] = []
+        for name, kernels in bysset.items():
+            self.face_sets.extend(self._build_face_set(name, kernels))
+
+        self._finalized = True
+        self._assemble_jit = jax.jit(self._assemble)
+        self._residual_jit = jax.jit(self._residual_only)
+
+    def _build_face_set(self, sideset_name: str, kernels: list[FaceKernel]) -> list["_FaceSet"]:
+        mesh = self.mesh
+        ss = mesh.sidesets[sideset_name]
+        # split faces by block
+        per_block: dict[int, list[tuple[int, int]]] = {}
+        for e, f in zip(ss.elems, ss.faces):
+            bi, le = mesh.global_elem_block(int(e))
+            per_block.setdefault(bi, []).append((le, int(f)))
+        out = []
+        for bi, lst in per_block.items():
+            blk = mesh.blocks[bi]
+            bd = self.dofmap.blocks[bi]
+            et = element_type(blk.elem_type)
+            gi = geom_interp(et)
+            fpts, fwts = face_rule(et.family, self.quad_order)
+            all_faces = elem_faces(et.family)
+            interps = {s.interp for s in bd.slots}
+            # per-face tables
+            Ngs, dNgs, refjacs = [], [], []
+            Ni: dict[str, list] = {i: [] for i in interps}
+            dNi: dict[str, list] = {i: [] for i in interps}
+            for le, f in lst:
+                face = all_faces[f]
+                epts = face.ref_map(fpts)
+                Ng, dNg = eval_basis(et.family, gi, epts)
+                Ngs.append(Ng)
+                dNgs.append(dNg)
+                refjacs.append(face.ref_jac)
+                for itp in interps:
+                    N, dN = eval_basis(et.family, itp, epts)
+                    Ni[itp].append(N)
+                    dNi[itp].append(dN)
+            ftabs = {
+                "Ng": np.stack(Ngs),
+                "dNg": np.stack(dNgs),
+                "refjac": np.stack(refjacs),
+            }
+            for itp in interps:
+                ftabs[f"N:{itp}"] = np.stack(Ni[itp])
+                ftabs[f"dN:{itp}"] = np.stack(dNi[itp])
+            out.append(
+                _FaceSet(
+                    block_index=bi,
+                    kernels=kernels,
+                    face_elems=np.array([le for le, _ in lst], dtype=np.int64),
+                    ftabs=ftabs,
+                    fwts=fwts,
+                    name=sideset_name,
+                )
+            )
+        return out
+
+    # ------------------------------------------------------------ parameters
+    def base_params(self, **extra) -> dict:
+        """Default parameter pytree: steady state, registered Dirichlet values."""
+        dt = self.dtype
+        p = {
+            "ct": jnp.zeros((), dtype=dt),  # d(qdot)/d(q) of the time scheme
+            "hist": jnp.zeros(self.dofmap.n_dof, dtype=dt),  # qdot = ct*x + hist
+            "dirichlet_val": jnp.asarray(self.dirichlet_vals, dtype=dt),
+            "time": jnp.zeros((), dtype=dt),
+        }
+        p.update(extra)
+        return p
+
+    # ------------------------------------------------------------- assembly
+    def _elem_residual_fn(self, bi: int) -> Callable:
+        bd = self.dofmap.blocks[bi]
+        tables = self.tables[bi]
+        eqs = self.equations[bi]
+        mat = self.materials[bi]
+        dtype = self.dtype
+
+        def elem_res(q_e, hist_e, X_e, params):
+            qdot_e = params["ct"] * q_e + hist_e
+            fv = eval_fieldvars(q_e, qdot_e, X_e, tables, bd.slots, dtype)
+            r = jnp.zeros((bd.n_ldof,), dtype=q_e.dtype)
+            for eq in eqs:
+                s = bd.slot(eq.var)
+                contrib = eq.residual(fv, mat, params)  # (nq, ncomp, nbf)
+                acc = jnp.einsum("q,qcn->cn", fv.wdetJ, contrib)
+                r = r.at[s.start : s.start + s.size].add(acc.reshape(-1))
+            return r, r
+
+        return elem_res
+
+    def _face_residual_fn(self, fs: _FaceSet) -> Callable:
+        bd = self.dofmap.blocks[fs.block_index]
+        mat = self.materials[fs.block_index]
+        dtype = self.dtype
+        dim = self.mesh.dim
+        fwts = jnp.asarray(fs.fwts, dtype=dtype)
+
+        def face_res(q_e, hist_e, X_e, ftab, params):
+            qdot_e = params["ct"] * q_e + hist_e
+            sfv = eval_surfacevars(q_e, qdot_e, X_e, ftab, fwts, bd.slots, dim, dtype)
+            r = jnp.zeros((bd.n_ldof,), dtype=q_e.dtype)
+            for k in fs.kernels:
+                s = bd.slot(k.var)
+                contrib = k.residual(sfv, mat, params)  # (nqf, ncomp, nbf)
+                acc = jnp.einsum("q,qcn->cn", sfv.wdA, contrib)
+                r = r.at[s.start : s.start + s.size].add(acc.reshape(-1))
+            return r, r
+
+        return face_res
+
+    def _assemble(self, x, params):
+        """Returns (R, vals): global residual and CSR Jacobian values, with
+        Dirichlet rows replaced (R_d = x_d - x_bc, row = e_d)."""
+        dtype = self.dtype
+        x = x.astype(dtype)
+        hist = params["hist"]
+        n = self.dofmap.n_dof
+        R = jnp.zeros(n, dtype=dtype)
+        vals = jnp.zeros(self.pattern.nnz, dtype=dtype)
+
+        for bi, (bd, blk) in enumerate(zip(self.dofmap.blocks, self.mesh.blocks)):
+            gather = jnp.asarray(bd.gather, dtype=jnp.int32)
+            Xref = jnp.asarray(self.mesh.coords[blk.conn], dtype=dtype)
+            q = x[gather]
+            h = hist[gather]
+            elem_res = self._elem_residual_fn(bi)
+            jac_fn = jax.jacfwd(elem_res, argnums=0, has_aux=True)
+            J, r = jax.vmap(jac_fn, in_axes=(0, 0, 0, None))(q, h, Xref, params)
+            R = R + jax.ops.segment_sum(r.reshape(-1), gather.reshape(-1), num_segments=n)
+            nmap = jnp.asarray(self._nnz_maps[bi])
+            vals = vals + jax.ops.segment_sum(
+                J.reshape(-1), nmap.reshape(-1), num_segments=self.pattern.nnz
+            )
+
+        for fs in self.face_sets:
+            bd = self.dofmap.blocks[fs.block_index]
+            blk = self.mesh.blocks[fs.block_index]
+            fe = fs.face_elems
+            gather = jnp.asarray(bd.gather[fe], dtype=jnp.int32)
+            Xref = jnp.asarray(self.mesh.coords[blk.conn[fe]], dtype=dtype)
+            q = x[gather]
+            h = hist[gather]
+            ftabs = {k: jnp.asarray(v, dtype=dtype) for k, v in fs.ftabs.items()}
+            face_res = self._face_residual_fn(fs)
+            jac_fn = jax.jacfwd(face_res, argnums=0, has_aux=True)
+            J, r = jax.vmap(jac_fn, in_axes=(0, 0, 0, 0, None))(q, h, Xref, ftabs, params)
+            R = R + jax.ops.segment_sum(r.reshape(-1), gather.reshape(-1), num_segments=n)
+            nmap = jnp.asarray(self._nnz_maps[fs.block_index][fe])
+            vals = vals + jax.ops.segment_sum(
+                J.reshape(-1), nmap.reshape(-1), num_segments=self.pattern.nnz
+            )
+
+        # Dirichlet row surgery
+        if self.dirichlet_dofs.size:
+            dmask = jnp.asarray(self._dir_mask)
+            dd = jnp.asarray(self.dirichlet_dofs)
+            xv = jnp.zeros(n, dtype=dtype).at[dd].set(params["dirichlet_val"])
+            R = jnp.where(dmask, x - xv, R)
+            vals = vals * jnp.asarray(self._dir_nnz_keep, dtype=dtype)
+            vals = vals.at[jnp.asarray(self._dir_diag_pos)].set(jnp.ones((), dtype=dtype))
+        return R, vals
+
+    def _residual_only(self, x, params):
+        dtype = self.dtype
+        x = x.astype(dtype)
+        hist = params["hist"]
+        n = self.dofmap.n_dof
+        R = jnp.zeros(n, dtype=dtype)
+        for bi, (bd, blk) in enumerate(zip(self.dofmap.blocks, self.mesh.blocks)):
+            gather = jnp.asarray(bd.gather, dtype=jnp.int32)
+            Xref = jnp.asarray(self.mesh.coords[blk.conn], dtype=dtype)
+            elem_res = self._elem_residual_fn(bi)
+            r, _ = jax.vmap(elem_res, in_axes=(0, 0, 0, None))(
+                x[gather], hist[gather], Xref, params
+            )
+            R = R + jax.ops.segment_sum(r.reshape(-1), gather.reshape(-1), num_segments=n)
+        for fs in self.face_sets:
+            bd = self.dofmap.blocks[fs.block_index]
+            blk = self.mesh.blocks[fs.block_index]
+            fe = fs.face_elems
+            gather = jnp.asarray(bd.gather[fe], dtype=jnp.int32)
+            Xref = jnp.asarray(self.mesh.coords[blk.conn[fe]], dtype=dtype)
+            ftabs = {k: jnp.asarray(v, dtype=dtype) for k, v in fs.ftabs.items()}
+            face_res = self._face_residual_fn(fs)
+            r, _ = jax.vmap(face_res, in_axes=(0, 0, 0, 0, None))(
+                x[gather], hist[gather], Xref, ftabs, params
+            )
+            R = R + jax.ops.segment_sum(r.reshape(-1), gather.reshape(-1), num_segments=n)
+        if self.dirichlet_dofs.size:
+            dmask = jnp.asarray(self._dir_mask)
+            dd = jnp.asarray(self.dirichlet_dofs)
+            xv = jnp.zeros(n, dtype=dtype).at[dd].set(params["dirichlet_val"])
+            R = jnp.where(dmask, x - xv, R)
+        return R
+
+    # public jitted entry points
+    def assemble(self, x, params):
+        return self._assemble_jit(x, params)
+
+    def residual(self, x, params):
+        return self._residual_jit(x, params)

@@ -1,0 +1,69 @@
+"""Equation base classes.
+
+Parity: each subclass corresponds to one of the reference's ``assemble_*``
+kernels (``src/mm_fill_momentum.c:98`` etc.), but emits only the *residual*
+integrand — the Jacobian is produced by ``jax.jacfwd`` of the whole element
+residual (replacing the reference's hand-coded ``lec->J`` sensitivities).
+
+An Equation instance is bound to one variable (its Galerkin test space) and
+declares the interpolation; ``residual`` returns the volume integrand per
+test function, shape (nq, ncomp, nbf), which the assembler contracts with
+``wdetJ``.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from goma_tpu.fem.fields import FieldVars
+
+
+class Equation:
+    var: str
+    ncomp: int
+    interp: str
+
+    def __init__(self, var: str, ncomp: int, interp: str):
+        self.var = var
+        self.ncomp = ncomp
+        self.interp = interp
+
+    def residual(self, fv: FieldVars, mat: dict, params: dict):
+        """Return integrand (nq, ncomp, nbf)."""
+        raise NotImplementedError
+
+
+class FaceKernel:
+    """Weak/integrated boundary term added on a side set.
+
+    Parity: reference ``src/bc_integ.c:84 apply_integrated_bc`` — surface
+    quadrature contributions into the parent element's equations. ``var``
+    names the equation (test space) receiving the term.
+    """
+
+    var: str
+    ncomp: int
+
+    def __init__(self, var: str, ncomp: int):
+        self.var = var
+        self.ncomp = ncomp
+
+    def residual(self, sfv: "SurfaceVars", mat: dict, params: dict):
+        """Return surface integrand (nq_f, ncomp, nbf) to be contracted with
+        the surface measure weights."""
+        raise NotImplementedError
+
+
+class SurfaceVars(FieldVars):
+    """FieldVars at face quadrature points, plus surface geometry.
+
+    Attributes added: ``normal (nq, dim)`` outward unit normal,
+    ``wdA (nq,)`` surface quadrature weight x surface Jacobian,
+    ``tangents (nq, dim, dim-1)``.
+    """
+
+    def __init__(self):
+        super().__init__()
+        self.normal = None
+        self.wdA = None
+        self.tangents = None

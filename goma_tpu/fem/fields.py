@@ -1,0 +1,147 @@
+"""Per-element field-variable evaluation at quadrature points.
+
+Parity: reference ``src/load_field_variables.c`` (``load_fv:127``,
+``load_fv_grads:2014``, ``load_fv_mesh_derivs:3754``) + the isoparametric map
+``beer_belly`` (``src/mm_fill_util.c:139``) + basis loading
+(``load_basis_functions:2607``).
+
+TPU-first redesign: everything is evaluated for *all* quadrature points of an
+element at once with batched einsums (leading axis = qp), inside a function
+that is `vmap`-ed over all elements of a block. Mesh-displacement
+sensitivities (the ALE core, hand-coded in the reference) come for free:
+coordinates are ``X_ref + d`` with ``d`` part of the differentiated unknowns,
+so ``jax.jacfwd`` of the residual includes all mesh derivatives exactly.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+import numpy as np
+import jax.numpy as jnp
+
+from goma_tpu.elements import element_type, eval_basis, geom_interp, interp_local_nodes
+from goma_tpu.fem.dofmap import BlockDofs, LocalSlot
+
+MESH_VAR = "mesh_displacement"
+
+
+@dataclass
+class BlockTables:
+    """Static (host numpy) basis tables for one block's volume quadrature."""
+
+    elem_type: str
+    dim: int
+    nq: int
+    qwts: np.ndarray  # (nq,)
+    Ng: np.ndarray  # (nq, n_geom_nodes) geometric basis
+    dNg: np.ndarray  # (nq, n_geom_nodes, dim)
+    N: dict[str, np.ndarray]  # interp -> (nq, nbf)
+    dN: dict[str, np.ndarray]  # interp -> (nq, nbf, dim) (reference coords)
+
+
+def build_block_tables(elem_type_name: str, interps: set[str], quad_order: int) -> BlockTables:
+    from goma_tpu.elements import volume_rule
+
+    et = element_type(elem_type_name)
+    qpts, qwts = volume_rule(et.family, quad_order)
+    gi = geom_interp(et)
+    Ng, dNg = eval_basis(et.family, gi, qpts)
+    N, dN = {}, {}
+    for itp in sorted(interps | {gi}):
+        N[itp], dN[itp] = eval_basis(et.family, itp, qpts)
+    return BlockTables(elem_type_name, et.dim, qpts.shape[0], qwts, Ng, dNg, N, dN)
+
+
+class FieldVars:
+    """Field values/gradients/time-derivatives at all quadrature points of one
+    element (shapes below have leading qp axis; vmapped over elements).
+
+    Attributes:
+      x        (nq, dim)        current (possibly displaced) position
+      detJ     (nq,)
+      wdetJ    (nq,)            quadrature weight x detJ
+      val[v]   (nq, ncomp)
+      grad[v]  (nq, ncomp, dim)
+      dot[v]   (nq, ncomp)      time derivative
+      phi[v]   (nq, nbf)        basis of v's interpolation
+      gphi[v]  (nq, nbf, dim)   physical gradient of basis
+      h_elem   (nq,)            element size measure (for SUPG/PSPG tau)
+    """
+
+    def __init__(self):
+        self.val: dict[str, Any] = {}
+        self.grad: dict[str, Any] = {}
+        self.dot: dict[str, Any] = {}
+        self.phi: dict[str, Any] = {}
+        self.gphi: dict[str, Any] = {}
+        self.x = None
+        self.detJ = None
+        self.wdetJ = None
+        self.h_elem = None
+        self.dim = None
+        self.invJ = None
+
+
+def _unpack(q_e, slots: list[LocalSlot]):
+    out = {}
+    for s in slots:
+        out[s.var] = q_e[s.start : s.start + s.size].reshape(s.ncomp, s.nbf)
+    return out
+
+
+def eval_fieldvars(
+    q_e: jnp.ndarray,
+    qdot_e: jnp.ndarray,
+    X_e: jnp.ndarray,
+    tables: BlockTables,
+    slots: list[LocalSlot],
+    dtype,
+) -> FieldVars:
+    """Build FieldVars for one element. All table constants are cast to the
+    working dtype at trace time."""
+    dim = tables.dim
+    u = _unpack(q_e, slots)
+    udot = _unpack(qdot_e, slots)
+
+    Ng = jnp.asarray(tables.Ng, dtype=dtype)
+    dNg = jnp.asarray(tables.dNg, dtype=dtype)
+    qwts = jnp.asarray(tables.qwts, dtype=dtype)
+
+    Xc = X_e
+    if MESH_VAR in u:
+        # ALE: displaced coordinates carry dofs -> AD sees mesh sensitivities
+        Xc = X_e + u[MESH_VAR].T
+
+    # isoparametric map: Jmat[q,k,d] = dx_k/dxi_d
+    Jmat = jnp.einsum("qnd,nk->qkd", dNg, Xc)
+    detJ = jnp.linalg.det(Jmat)
+    invJ = jnp.linalg.inv(Jmat)  # invJ[q,d,k] = dxi_d/dx_k ... see below
+
+    # note: inv(Jmat)[q] has shape (dim, dim) with [d', k'] meaning row index
+    # over the *second* axis of Jmat; since Jmat[q] maps d->k as x_k = J[k,d] xi_d,
+    # inv(Jmat)[q][d, k] = dxi_d/dx_k.  Physical basis gradient:
+    # dphi/dx_k = dphi/dxi_d * dxi_d/dx_k
+    fv = FieldVars()
+    fv.dim = dim
+    fv.invJ = invJ
+    fv.x = jnp.einsum("qn,nk->qk", Ng, Xc)
+    fv.detJ = detJ
+    fv.wdetJ = qwts * detJ
+    # element size: from map Jacobian at first qp (isotropic measure)
+    fv.h_elem = 2.0 * jnp.abs(detJ) ** (1.0 / dim)
+
+    gphi_cache: dict[str, jnp.ndarray] = {}
+    for s in slots:
+        Ni = jnp.asarray(tables.N[s.interp], dtype=dtype)
+        dNi = jnp.asarray(tables.dN[s.interp], dtype=dtype)
+        if s.interp not in gphi_cache:
+            gphi_cache[s.interp] = jnp.einsum("qnd,qdk->qnk", dNi, invJ)
+        gp = gphi_cache[s.interp]
+        fv.phi[s.var] = Ni
+        fv.gphi[s.var] = gp
+        fv.val[s.var] = jnp.einsum("qn,cn->qc", Ni, u[s.var])
+        fv.grad[s.var] = jnp.einsum("qnk,cn->qck", gp, u[s.var])
+        fv.dot[s.var] = jnp.einsum("qn,cn->qc", Ni, udot[s.var])
+    return fv

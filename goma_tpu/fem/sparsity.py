@@ -1,0 +1,102 @@
+"""CSR sparsity pattern, precomputed scatter maps, sparse ops.
+
+Parity: the reference builds the matrix graph from node-node connectivity
+filtered by the equation-variable coupling mask
+(``src/linalg/sparse_matrix.cpp:60 GomaSparseMatrix_SetProblemGraph``) and
+scatters per-element blocks with ``load_lec`` (``src/mm_fill.c:4959``).
+
+TPU-first redesign: the pattern is the union of per-block element dof
+cross-products, built once on host. Every element-local Jacobian entry
+(e, i, j) has a precomputed destination ``nnz_map[e, i, j]`` into the flat
+CSR value array, so device-side assembly is a single ``segment_sum`` over a
+static index map — no atomics, no pointer chasing. SpMV is gather +
+multiply + ``segment_sum`` (padded-row ELL kernels can replace this later
+without touching callers).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+@dataclass
+class CSRPattern:
+    n: int
+    indptr: np.ndarray  # (n+1,) int64
+    indices: np.ndarray  # (nnz,) int32 column ids, sorted within rows
+    rows: np.ndarray  # (nnz,) int32 row ids
+    keys: np.ndarray  # (nnz,) int64 sorted row*n+col keys (for lookups)
+    diag: np.ndarray  # (n,) int64 position of diagonal entry
+
+    @property
+    def nnz(self) -> int:
+        return self.indices.shape[0]
+
+    def find(self, rows: np.ndarray, cols: np.ndarray) -> np.ndarray:
+        """Positions of (row, col) entries; -1 where absent."""
+        k = rows.astype(np.int64) * self.n + cols.astype(np.int64)
+        pos = np.searchsorted(self.keys, k)
+        pos = np.clip(pos, 0, self.nnz - 1)
+        ok = self.keys[pos] == k
+        return np.where(ok, pos, -1)
+
+
+def build_pattern(n_dof: int, gathers: list[np.ndarray]) -> CSRPattern:
+    """Union of element-local dense couplings over all blocks + full diagonal."""
+    keys_parts = [np.arange(n_dof, dtype=np.int64) * n_dof + np.arange(n_dof)]
+    for g in gathers:
+        g64 = g.astype(np.int64)
+        ne, nl = g64.shape
+        rows = np.repeat(g64, nl, axis=1)  # (ne, nl*nl)
+        cols = np.tile(g64, (1, nl))
+        keys_parts.append((rows * n_dof + cols).ravel())
+    keys = np.unique(np.concatenate(keys_parts))
+    rows = (keys // n_dof).astype(np.int32)
+    cols = (keys % n_dof).astype(np.int32)
+    indptr = np.zeros(n_dof + 1, dtype=np.int64)
+    np.add.at(indptr, rows + 1, 1)
+    indptr = np.cumsum(indptr)
+    diag_keys = np.arange(n_dof, dtype=np.int64) * (n_dof + 1)
+    diag = np.searchsorted(keys, diag_keys)
+    return CSRPattern(n=n_dof, indptr=indptr, indices=cols, rows=rows, keys=keys, diag=diag)
+
+
+def nnz_map_for_gather(pat: CSRPattern, gather: np.ndarray) -> np.ndarray:
+    """(ne, nl, nl) destination positions for a block's local Jacobians."""
+    ne, nl = gather.shape
+    rows = np.repeat(gather, nl, axis=1).ravel()
+    cols = np.tile(gather, (1, nl)).ravel()
+    pos = pat.find(rows, cols)
+    if np.any(pos < 0):
+        raise RuntimeError("local Jacobian entry missing from pattern")
+    return pos.reshape(ne, nl, nl).astype(np.int64)
+
+
+# ------------------------------------------------------------- device ops
+def spmv(vals: jnp.ndarray, x: jnp.ndarray, rows: jnp.ndarray, cols: jnp.ndarray, n: int):
+    """CSR (COO-layout) sparse matvec: y = A @ x."""
+    return jax.ops.segment_sum(vals * x[cols], rows, num_segments=n)
+
+
+def row_sum_scale(vals, R, rows, n):
+    """Row-sum scaling (reference ``src/sl_matrix_util.c:442``):
+    scale rows of A and R by 1/sum_j |A_ij|. Returns scaled (vals, R, scale)."""
+    s = jax.ops.segment_sum(jnp.abs(vals), rows, num_segments=n)
+    s = jnp.where(s > 0, s, 1.0)
+    inv = 1.0 / s
+    return vals * inv[rows], R * inv, inv
+
+
+def make_spmv(pat: CSRPattern):
+    rows = jnp.asarray(pat.rows)
+    cols = jnp.asarray(pat.indices)
+    n = pat.n
+
+    def mv(vals, x):
+        return spmv(vals, x, rows, cols, n)
+
+    return mv

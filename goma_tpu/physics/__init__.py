@@ -1,0 +1,3 @@
+from goma_tpu.physics.fluid import Continuity, Momentum
+from goma_tpu.physics.scalar_transport import Energy, Species
+from goma_tpu.physics import materials
