@@ -1,0 +1,148 @@
+"""Benchmark: assembly+solve seconds per Newton iteration (BASELINE metric).
+
+Runs the lid-driven-cavity Navier-Stokes deck (BASELINE config #1) on the
+default JAX backend (TPU under the driver), measuring the per-iteration cost
+of the hot loop (assemble exact Jacobian + row scale + norms + GMRES solve),
+i.e. the reference's ``asmslv`` metric (``src/mm_sol_nonlinear.c`` assembly
+and solve timers).
+
+``vs_baseline`` is the per-element residual+Jacobian assembly speedup against
+a reference-style element-by-element numpy assembly loop on one host core
+(the north-star target is >= 20x).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def numpy_reference_assembly_per_elem(n_sample=60):
+    """Element-at-a-time numpy assembly of NS residual+Jacobian (Q2/Q1),
+    mimicking the reference's scalar element loop, timed per element."""
+    from goma_tpu.elements import eval_basis, volume_rule
+
+    qpts, qwts = volume_rule("quad", 3)
+    N2, dN2 = eval_basis("quad", "Q2", qpts)
+    N1, dN1 = eval_basis("quad", "Q1", qpts)
+    nq = qpts.shape[0]
+    rng = np.random.RandomState(0)
+    # one representative element geometry + state
+    X = np.array([[0, 0], [1, 0], [1, 1], [0, 1], [0.5, 0], [1, 0.5], [0.5, 1], [0, 0.5],
+                  [0.5, 0.5]], dtype=float) * 0.1
+    nldof = 22
+    mu, rho = 0.01, 1.0
+
+    def one_elem(q):
+        u = q[:18].reshape(2, 9)
+        p = q[18:]
+        r = np.zeros(nldof)
+        J = np.zeros((nldof, nldof))
+        for iq in range(nq):
+            Jm = dN2[iq].T @ X  # (2,2) with dim index first
+            det = Jm[0, 0] * Jm[1, 1] - Jm[0, 1] * Jm[1, 0]
+            inv = np.array([[Jm[1, 1], -Jm[0, 1]], [-Jm[1, 0], Jm[0, 0]]]) / det
+            g2 = dN2[iq] @ inv  # careful: mirror of device math, scalar style
+            g1 = dN1[iq] @ inv
+            w = qwts[iq] * det
+            uval = u @ N2[iq]
+            gu = u @ g2  # (2,2)
+            pval = p @ N1[iq]
+            conv = gu @ uval
+            tau = mu * (gu + gu.T)
+            sigma = tau - pval * np.eye(2)
+            for a in range(2):
+                r[a * 9 : (a + 1) * 9] += w * (rho * conv[a] * N2[iq] + g2 @ sigma[a])
+            r[18:] += w * np.trace(gu) * N1[iq]
+            # hand-rolled Jacobian entries (velocity-velocity only, dense loop —
+            # representative of the reference's per-entry lec->J writes)
+            for a in range(2):
+                for i in range(9):
+                    row = a * 9 + i
+                    for b in range(2):
+                        for jn in range(9):
+                            col = b * 9 + jn
+                            val = rho * N2[iq, i] * (
+                                (1 if a == b else 0) * (g2[jn] @ uval)
+                                + gu[a, b] * N2[iq, jn]
+                            )
+                            val += mu * (
+                                (1 if a == b else 0) * (g2[i] @ g2[jn])
+                                + g2[i, b] * g2[jn, a]
+                            )
+                            J[row, col] += w * val
+                    for jn in range(4):
+                        J[row, 18 + jn] += -w * g2[i, a] * N1[iq, jn]
+                        J[18 + jn, row] += w * N1[iq, jn] * g2[i, a]
+        return r, J
+
+    q = rng.rand(nldof)
+    one_elem(q)  # warm caches
+    t0 = time.perf_counter()
+    for _ in range(n_sample):
+        one_elem(q)
+    return (time.perf_counter() - t0) / n_sample
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _cavity_problem
+    from goma_tpu.solvers import NewtonOptions, NewtonSolver
+
+    n = 48  # 2304 Q2/Q1 elements, ~21k dofs
+    prob = _cavity_problem(n)
+    ne = prob.mesh.n_elem
+    solver = NewtonSolver(
+        prob,
+        NewtonOptions(max_iter=8, tol_residual=1e-6, linear_tol=1e-6, gmres_restart=60,
+                      linear_maxiter=600),
+    )
+    params = prob.base_params()
+    x = jnp.zeros(prob.dofmap.n_dof, dtype=prob.dtype)
+
+    # warmup (compile)
+    R, vals, norms = solver._prep(x, params)
+    jax.block_until_ready(R)
+    lr = solver._solve_gmres(vals, R)
+    jax.block_until_ready(lr.x)
+
+    # timed: assembly and solve separately
+    n_rep = 5
+    t0 = time.perf_counter()
+    for _ in range(n_rep):
+        R, vals, norms = solver._prep(x, params)
+    jax.block_until_ready(vals)
+    t_asm = (time.perf_counter() - t0) / n_rep
+
+    t0 = time.perf_counter()
+    for _ in range(n_rep):
+        lr = solver._solve_gmres(vals, R)
+    jax.block_until_ready(lr.x)
+    t_slv = (time.perf_counter() - t0) / n_rep
+
+    sec_per_iter = t_asm + t_slv
+
+    # baseline: reference-style scalar assembly per element on host
+    t_ref_per_elem = numpy_reference_assembly_per_elem()
+    t_ours_per_elem = t_asm / ne
+    speedup = t_ref_per_elem / t_ours_per_elem
+
+    print(
+        json.dumps(
+            {
+                "metric": "assembly+solve sec per Newton iter (NS cavity 48x48 Q2Q1, "
+                f"{prob.dofmap.n_dof} dof; assembly speedup vs 1-core reference-style loop)",
+                "value": round(sec_per_iter, 6),
+                "unit": "s/iter",
+                "vs_baseline": round(speedup, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -54,9 +54,11 @@ def eval_surfacevars(q_e, qdot_e, X_e, ftab, fwts, slots, dim, dtype) -> Surface
     if MESH_VAR in u:
         Xc = X_e + u[MESH_VAR].T
 
+    from goma_tpu.utils.la import det_and_inv
+
     Ng, dNg = ftab["Ng"], ftab["dNg"]
     Jmat = jnp.einsum("qnd,nk->qkd", dNg, Xc)
-    invJ = jnp.linalg.inv(Jmat)
+    detJ, invJ = det_and_inv(Jmat)
     T = jnp.einsum("qkd,dm->qkm", Jmat, ftab["refjac"])
 
     fv = SurfaceVars()
@@ -74,7 +76,7 @@ def eval_surfacevars(q_e, qdot_e, X_e, ftab, fwts, slots, dim, dtype) -> Surface
         fv.normal = cr / mag[:, None]
         fv.wdA = fwts * mag
     fv.x = jnp.einsum("qn,nk->qk", Ng, Xc)
-    fv.detJ = jnp.linalg.det(Jmat)
+    fv.detJ = detJ
     fv.h_elem = 2.0 * jnp.abs(fv.detJ) ** (1.0 / dim)
 
     gphi_cache = {}
@@ -320,6 +322,56 @@ class Problem:
 
         return face_res
 
+    def _block_contrib(self, bi, x, hist, params, gather, Xref, nmap, wmask=None):
+        """One block's (partial_R, partial_vals) from *array arguments*, so the
+        element dimension can be sharded by a caller (see parallel/sharding)."""
+        n = self.dofmap.n_dof
+        q = x[gather]
+        h = hist[gather]
+        elem_res = self._elem_residual_fn(bi)
+        jac_fn = jax.jacfwd(elem_res, argnums=0, has_aux=True)
+        J, r = jax.vmap(jac_fn, in_axes=(0, 0, 0, None))(q, h, Xref, params)
+        if wmask is not None:
+            r = r * wmask[:, None]
+            J = J * wmask[:, None, None]
+        R = jax.ops.segment_sum(r.reshape(-1), gather.reshape(-1), num_segments=n)
+        vals = jax.ops.segment_sum(
+            J.reshape(-1), nmap.reshape(-1), num_segments=self.pattern.nnz
+        )
+        return R, vals
+
+    def _face_contrib(self, fsi, x, hist, params, gather, Xref, ftabs, nmap, wmask=None):
+        fs = self.face_sets[fsi]
+        n = self.dofmap.n_dof
+        q = x[gather]
+        h = hist[gather]
+        face_res = self._face_residual_fn(fs)
+        jac_fn = jax.jacfwd(face_res, argnums=0, has_aux=True)
+        J, r = jax.vmap(jac_fn, in_axes=(0, 0, 0, 0, None))(q, h, Xref, ftabs, params)
+        if wmask is not None:
+            r = r * wmask[:, None]
+            J = J * wmask[:, None, None]
+        R = jax.ops.segment_sum(r.reshape(-1), gather.reshape(-1), num_segments=n)
+        vals = jax.ops.segment_sum(
+            J.reshape(-1), nmap.reshape(-1), num_segments=self.pattern.nnz
+        )
+        return R, vals
+
+    def _apply_dirichlet(self, x, R, vals, params):
+        n = self.dofmap.n_dof
+        dtype = R.dtype
+        if self.dirichlet_dofs.size:
+            dmask = jnp.asarray(self._dir_mask)
+            dd = jnp.asarray(self.dirichlet_dofs)
+            xv = jnp.zeros(n, dtype=dtype).at[dd].set(params["dirichlet_val"])
+            R = jnp.where(dmask, x - xv, R)
+            if vals is not None:
+                vals = vals * jnp.asarray(self._dir_nnz_keep, dtype=dtype)
+                vals = vals.at[jnp.asarray(self._dir_diag_pos)].set(
+                    jnp.ones((), dtype=dtype)
+                )
+        return R, vals
+
     def _assemble(self, x, params):
         """Returns (R, vals): global residual and CSR Jacobian values, with
         Dirichlet rows replaced (R_d = x_d - x_bc, row = e_d)."""
@@ -333,44 +385,24 @@ class Problem:
         for bi, (bd, blk) in enumerate(zip(self.dofmap.blocks, self.mesh.blocks)):
             gather = jnp.asarray(bd.gather, dtype=jnp.int32)
             Xref = jnp.asarray(self.mesh.coords[blk.conn], dtype=dtype)
-            q = x[gather]
-            h = hist[gather]
-            elem_res = self._elem_residual_fn(bi)
-            jac_fn = jax.jacfwd(elem_res, argnums=0, has_aux=True)
-            J, r = jax.vmap(jac_fn, in_axes=(0, 0, 0, None))(q, h, Xref, params)
-            R = R + jax.ops.segment_sum(r.reshape(-1), gather.reshape(-1), num_segments=n)
             nmap = jnp.asarray(self._nnz_maps[bi])
-            vals = vals + jax.ops.segment_sum(
-                J.reshape(-1), nmap.reshape(-1), num_segments=self.pattern.nnz
-            )
+            dR, dv = self._block_contrib(bi, x, hist, params, gather, Xref, nmap)
+            R = R + dR
+            vals = vals + dv
 
-        for fs in self.face_sets:
+        for fsi, fs in enumerate(self.face_sets):
             bd = self.dofmap.blocks[fs.block_index]
             blk = self.mesh.blocks[fs.block_index]
             fe = fs.face_elems
             gather = jnp.asarray(bd.gather[fe], dtype=jnp.int32)
             Xref = jnp.asarray(self.mesh.coords[blk.conn[fe]], dtype=dtype)
-            q = x[gather]
-            h = hist[gather]
             ftabs = {k: jnp.asarray(v, dtype=dtype) for k, v in fs.ftabs.items()}
-            face_res = self._face_residual_fn(fs)
-            jac_fn = jax.jacfwd(face_res, argnums=0, has_aux=True)
-            J, r = jax.vmap(jac_fn, in_axes=(0, 0, 0, 0, None))(q, h, Xref, ftabs, params)
-            R = R + jax.ops.segment_sum(r.reshape(-1), gather.reshape(-1), num_segments=n)
             nmap = jnp.asarray(self._nnz_maps[fs.block_index][fe])
-            vals = vals + jax.ops.segment_sum(
-                J.reshape(-1), nmap.reshape(-1), num_segments=self.pattern.nnz
-            )
+            dR, dv = self._face_contrib(fsi, x, hist, params, gather, Xref, ftabs, nmap)
+            R = R + dR
+            vals = vals + dv
 
-        # Dirichlet row surgery
-        if self.dirichlet_dofs.size:
-            dmask = jnp.asarray(self._dir_mask)
-            dd = jnp.asarray(self.dirichlet_dofs)
-            xv = jnp.zeros(n, dtype=dtype).at[dd].set(params["dirichlet_val"])
-            R = jnp.where(dmask, x - xv, R)
-            vals = vals * jnp.asarray(self._dir_nnz_keep, dtype=dtype)
-            vals = vals.at[jnp.asarray(self._dir_diag_pos)].set(jnp.ones((), dtype=dtype))
-        return R, vals
+        return self._apply_dirichlet(x, R, vals, params)
 
     def _residual_only(self, x, params):
         dtype = self.dtype

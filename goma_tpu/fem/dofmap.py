@@ -124,6 +124,13 @@ def build_dofmap(mesh: Mesh, block_vars: list[list[tuple[str, int, str]]]) -> Do
             rbv.append((name, ncomp, rint))
             if rint not in ("P0", "P1E"):
                 ln = interp_local_nodes(et.family, rint)
+                if max(ln) >= et.n_nodes:
+                    raise ValueError(
+                        f"variable '{name}': interpolation {rint} needs "
+                        f"{len(ln)} nodes but block '{blk.name}' has "
+                        f"{et.n_nodes}-node {blk.elem_type} elements; use a "
+                        f"higher-order mesh or a lower-order interpolation"
+                    )
                 nodes = blk.conn[:, list(ln)].ravel()
                 s0 = svar_offset[name]
                 active[nodes[:, None], np.arange(s0, s0 + ncomp)[None, :]] = True

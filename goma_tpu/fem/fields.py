@@ -115,9 +115,10 @@ def eval_fieldvars(
         Xc = X_e + u[MESH_VAR].T
 
     # isoparametric map: Jmat[q,k,d] = dx_k/dxi_d
+    from goma_tpu.utils.la import det_and_inv
+
     Jmat = jnp.einsum("qnd,nk->qkd", dNg, Xc)
-    detJ = jnp.linalg.det(Jmat)
-    invJ = jnp.linalg.inv(Jmat)  # invJ[q,d,k] = dxi_d/dx_k ... see below
+    detJ, invJ = det_and_inv(Jmat)  # invJ[q,d,k] = dxi_d/dx_k ... see below
 
     # note: inv(Jmat)[q] has shape (dim, dim) with [d', k'] meaning row index
     # over the *second* axis of Jmat; since Jmat[q] maps d->k as x_k = J[k,d] xi_d,
