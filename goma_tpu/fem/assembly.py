@@ -296,7 +296,8 @@ class Problem:
             for eq in eqs:
                 s = bd.slot(eq.var)
                 contrib = eq.residual(fv, mat, params)  # (nq, ncomp, nbf)
-                acc = jnp.einsum("q,qcn->cn", fv.wdetJ, contrib)
+                w = fv.wdetJ0 if eq.measure == "reference" else fv.wdetJ
+                acc = jnp.einsum("q,qcn->cn", w, contrib)
                 r = r.at[s.start : s.start + s.size].add(acc.reshape(-1))
             return r, r
 
@@ -443,3 +444,24 @@ class Problem:
 
     def residual(self, x, params):
         return self._residual_jit(x, params)
+
+    # ---------------------------------------------------------- field access
+    def set_nodal_field(self, x, var: str, comp: int, values) -> np.ndarray:
+        """Write per-node values (array over all mesh nodes, or callable of
+        coords) into the solution vector for (var, comp). Returns a copy."""
+        x = np.array(x, copy=True)
+        dofs = self.dofmap.dof_of_node_svar[:, self.dofmap.svar(var, comp)]
+        ok = dofs >= 0
+        v = values(self.mesh.coords) if callable(values) else np.asarray(values)
+        if np.ndim(v) == 0:
+            v = np.full(self.mesh.coords.shape[0], float(v))
+        x[dofs[ok]] = v[ok]
+        return x
+
+    def get_nodal_field(self, x, var: str, comp: int = 0, fill=np.nan) -> np.ndarray:
+        """Per-node values of (var, comp); inactive nodes get ``fill``."""
+        dofs = self.dofmap.dof_of_node_svar[:, self.dofmap.svar(var, comp)]
+        out = np.full(self.mesh.coords.shape[0], fill)
+        ok = dofs >= 0
+        out[ok] = np.asarray(x)[dofs[ok]]
+        return out

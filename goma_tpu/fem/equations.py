@@ -22,6 +22,9 @@ class Equation:
     var: str
     ncomp: int
     interp: str
+    # "current" -> integrand scaled by wdetJ (deformed measure);
+    # "reference" -> wdetJ0 (total-Lagrangian equations: mesh, solid)
+    measure: str = "current"
 
     def __init__(self, var: str, ncomp: int, interp: str):
         self.var = var

@@ -68,6 +68,15 @@ class FieldVars:
       phi[v]   (nq, nbf)        basis of v's interpolation
       gphi[v]  (nq, nbf, dim)   physical gradient of basis
       h_elem   (nq,)            element size measure (for SUPG/PSPG tau)
+
+    When a mesh-displacement variable is active (ALE), reference-configuration
+    quantities are also provided (for total-Lagrangian mesh/solid equations,
+    reference analog ``belly_flop`` deformation gradient, src/mm_fill_solid.c:77):
+      X0       (nq, dim)        undisplaced position
+      wdetJ0   (nq,)            reference measure
+      gphi0[v] (nq, nbf, dim)   basis gradient w.r.t. reference coords
+      grad0[v] (nq, ncomp, dim) field gradient w.r.t. reference coords
+      F        (nq, dim, dim)   deformation gradient dx/dX0
     """
 
     def __init__(self):
@@ -82,6 +91,11 @@ class FieldVars:
         self.h_elem = None
         self.dim = None
         self.invJ = None
+        self.X0 = None
+        self.wdetJ0 = None
+        self.gphi0: dict[str, Any] = {}
+        self.grad0: dict[str, Any] = {}
+        self.F = None
 
 
 def _unpack(q_e, slots: list[LocalSlot]):
@@ -133,7 +147,18 @@ def eval_fieldvars(
     # element size: from map Jacobian at first qp (isotropic measure)
     fv.h_elem = 2.0 * jnp.abs(detJ) ** (1.0 / dim)
 
+    ale = MESH_VAR in u
+    if ale:
+        Jmat0 = jnp.einsum("qnd,nk->qkd", dNg, X_e)
+        detJ0, invJ0 = det_and_inv(Jmat0)
+        fv.X0 = jnp.einsum("qn,nk->qk", Ng, X_e)
+        fv.wdetJ0 = qwts * detJ0
+        # deformation gradient F = dx/dX0 = Jmat . Jmat0^{-1} (in [k,d] layout:
+        # F[k,m] = dx_k/dxi_d dxi_d/dX0_m)
+        fv.F = jnp.einsum("qkd,qdm->qkm", Jmat, invJ0)
+
     gphi_cache: dict[str, jnp.ndarray] = {}
+    gphi0_cache: dict[str, jnp.ndarray] = {}
     for s in slots:
         Ni = jnp.asarray(tables.N[s.interp], dtype=dtype)
         dNi = jnp.asarray(tables.dN[s.interp], dtype=dtype)
@@ -145,4 +170,10 @@ def eval_fieldvars(
         fv.val[s.var] = jnp.einsum("qn,cn->qc", Ni, u[s.var])
         fv.grad[s.var] = jnp.einsum("qnk,cn->qck", gp, u[s.var])
         fv.dot[s.var] = jnp.einsum("qn,cn->qc", Ni, udot[s.var])
+        if ale:
+            if s.interp not in gphi0_cache:
+                gphi0_cache[s.interp] = jnp.einsum("qnd,qdk->qnk", dNi, invJ0)
+            gp0 = gphi0_cache[s.interp]
+            fv.gphi0[s.var] = gp0
+            fv.grad0[s.var] = jnp.einsum("qnk,cn->qck", gp0, u[s.var])
     return fv

@@ -26,6 +26,17 @@ def _as_nq(a, nq):
     return a
 
 
+def advective_velocity(fv, var: str = "velocity"):
+    """ALE advective velocity u - d_dot(mesh): the convection seen at a mesh
+    point (reference: x_dot subtraction throughout mm_fill_*.c for ALE)."""
+    from goma_tpu.fem.fields import MESH_VAR
+
+    u = fv.val[var]
+    if MESH_VAR in fv.dot:
+        return u - fv.dot[MESH_VAR]
+    return u
+
+
 class Momentum(Equation):
     """Navier-Stokes momentum.
 
@@ -66,7 +77,7 @@ class Momentum(Equation):
         if self.transient:
             inert = inert + fv.dot["velocity"]
         if self.convection:
-            inert = inert + jnp.einsum("qk,qak->qa", u, gu)
+            inert = inert + jnp.einsum("qk,qak->qa", advective_velocity(fv), gu)
         f = mat.get("body_force", None)
         if f is not None:
             fval = f(fv, mat, params) if callable(f) else jnp.broadcast_to(jnp.asarray(f), (nq, dim))

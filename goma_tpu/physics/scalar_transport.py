@@ -15,7 +15,7 @@ import jax.numpy as jnp
 
 from goma_tpu.fem.equations import Equation
 from goma_tpu.physics.materials import prop
-from goma_tpu.physics.fluid import _as_nq
+from goma_tpu.physics.fluid import _as_nq, advective_velocity
 
 
 class Energy(Equation):
@@ -36,8 +36,7 @@ class Energy(Equation):
         if self.transient:
             adv = adv + fv.dot["temperature"][:, 0]
         if self.convection and "velocity" in fv.val:
-            u = fv.val["velocity"]
-            adv = adv + jnp.einsum("qk,qk->q", u, gT)
+            adv = adv + jnp.einsum("qk,qk->q", advective_velocity(fv), gT)
         phi = fv.phi["temperature"]
         gphi = fv.gphi["temperature"]
         contrib = jnp.einsum("q,qi->qi", rho * Cp * adv, phi)
@@ -70,8 +69,7 @@ class Species(Equation):
         if self.transient:
             adv = adv + fv.dot["species"]
         if self.convection and "velocity" in fv.val:
-            u = fv.val["velocity"]
-            adv = adv + jnp.einsum("qk,qwk->qw", u, gc)
+            adv = adv + jnp.einsum("qk,qwk->qw", advective_velocity(fv), gc)
         phi = fv.phi["species"]
         gphi = fv.gphi["species"]
         contrib = jnp.einsum("qw,qi->qwi", adv, phi)
