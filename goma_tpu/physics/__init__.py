@@ -1,4 +1,13 @@
 from goma_tpu.physics.fluid import Continuity, Momentum
 from goma_tpu.physics.scalar_transport import Energy, Species
 from goma_tpu.physics.mesh_motion import EllipticMesh, LinearElasticMesh, PseudoSolidMesh
+from goma_tpu.physics.viscoelastic import VelocityGradientProjection, VEStress, stress_var
+from goma_tpu.physics.level_set import (
+    CSFSurfaceTension,
+    FillEquation,
+    LevelSetProperty,
+    delta,
+    heaviside,
+    renormalize,
+)
 from goma_tpu.physics import materials

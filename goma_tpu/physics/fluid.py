@@ -53,12 +53,16 @@ class Momentum(Equation):
         transient: bool = True,
         convection: bool = True,
         ve_stress_modes: int = 0,
+        devss_mu: float = 0.0,
     ):
         super().__init__("velocity", dim, interp)
         self.dim = dim
         self.transient = transient
         self.convection = convection
         self.ve_stress_modes = ve_stress_modes
+        # DEVSS stabilization 2*mu_d*(D(u) - sym(G)) with G the projected
+        # velocity gradient (reference: DEVSS/EVSS-F Fortin formulation)
+        self.devss_mu = devss_mu
 
     def residual(self, fv, mat, params):
         nq = fv.x.shape[0]
@@ -91,6 +95,11 @@ class Momentum(Equation):
             for m in range(self.ve_stress_modes):
                 S = _sym_expand(fv.val[f"stress{m}"], dim)  # (nq, dim, dim)
                 sigma = sigma + S
+        if self.devss_mu > 0.0 and "velocity_gradient" in fv.val:
+            G = fv.val["velocity_gradient"].reshape(-1, dim, dim)
+            Dg = 0.5 * (G + jnp.swapaxes(G, 1, 2))
+            Du = 0.5 * (gu + jnp.swapaxes(gu, 1, 2))
+            sigma = sigma + 2.0 * self.devss_mu * (Du - Dg)
         contrib = contrib + jnp.einsum("qak,qik->qai", sigma, gphi)
         return contrib
 
@@ -132,7 +141,7 @@ class Continuity(Equation):
             u = fv.val["velocity"]
             # Shakib-style tau (reference tau_momentum_shakib:143)
             h = fv.h_elem
-            unorm = jnp.linalg.norm(u, axis=1)
+            unorm = jnp.sqrt(jnp.sum(u * u, axis=1) + 1e-30)  # AD-safe at u=0
             tau = self.pspg / jnp.sqrt(
                 (2.0 * rho * unorm / h) ** 2 + (4.0 * mu / h**2) ** 2 + 1e-30
             )

@@ -1,0 +1,157 @@
+"""Level-set two-phase machinery.
+
+Parity: reference ``src/mm_fill_fill.c`` (fill/advection equation,
+``assemble_fill:124``) and ``src/mm_fill_ls.c`` — Heaviside/delta property
+blending (``load_lsi:5305``, ``level_set_property:4390``), renormalization
+(``huygens_renormalization:497``, facet construction ``find_facets:3364``),
+and the diffuse-interface capillary force of
+``src/mm_fill_ls_capillary_bcs.c`` (here the CSF volume form).
+
+TPU-first: the fill equation is just another vmapped kernel; property
+blending is closure composition; renormalization runs on host between time
+steps (exact distance to the linearly-interpolated zero contour — the
+HUYGENS idea) since it is O(steps) rare and reshapes no arrays.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from goma_tpu.fem.equations import Equation
+from goma_tpu.physics.fluid import advective_velocity
+from goma_tpu.physics.materials import prop
+
+FILL_VAR = "fill"
+
+
+def heaviside(F, eps):
+    """Smoothed Heaviside with half-width eps (reference lsi->H)."""
+    z = F / eps
+    return jnp.where(
+        z < -1.0, 0.0,
+        jnp.where(z > 1.0, 1.0, 0.5 * (1.0 + z + jnp.sin(jnp.pi * z) / jnp.pi)),
+    )
+
+
+def delta(F, eps):
+    """Smoothed Dirac delta, d(heaviside)/dF (reference lsi->delta)."""
+    z = F / eps
+    return jnp.where(
+        jnp.abs(z) > 1.0, 0.0, 0.5 / eps * (1.0 + jnp.cos(jnp.pi * z))
+    )
+
+
+class LevelSetProperty:
+    """Two-phase property: value = minus + (plus - minus) * H_eps(F).
+    ``eps`` defaults to params["ls_eps"]."""
+
+    def __init__(self, minus, plus, eps=None):
+        self.minus, self.plus, self.eps = minus, plus, eps
+
+    def __call__(self, fv, mat, params):
+        eps = self.eps if self.eps is not None else params["ls_eps"]
+        F = fv.val[FILL_VAR][:, 0]
+        H = heaviside(F, eps)
+        return self.minus + (self.plus - self.minus) * H
+
+
+class FillEquation(Equation):
+    """Level-set advection Fdot + u.grad(F) = 0 with SUPG."""
+
+    def __init__(self, interp: str = "Q1", supg: float = 0.5, transient: bool = True):
+        super().__init__(FILL_VAR, 1, interp)
+        self.supg = supg
+        self.transient = transient
+
+    def residual(self, fv, mat, params):
+        gF = fv.grad[FILL_VAR][:, 0, :]
+        u = advective_velocity(fv)
+        r = jnp.einsum("qk,qk->q", u, gF)
+        if self.transient:
+            r = r + fv.dot[FILL_VAR][:, 0]
+        phi = fv.phi[FILL_VAR]
+        if self.supg > 0:
+            gphi = fv.gphi[FILL_VAR]
+            u2 = jnp.sum(u * u, axis=1)
+            tau = self.supg * fv.h_elem * jnp.sqrt(u2 + 1e-30) / (2.0 * u2 + 1e-12)
+            w = phi + tau[:, None] * jnp.einsum("qk,qik->qi", u, gphi)
+        else:
+            w = phi
+        return jnp.einsum("q,qi->qi", r, w)[:, None, :]
+
+
+class CSFSurfaceTension(Equation):
+    """Continuum-surface-force capillary term added to the momentum equation:
+    int sigma delta_eps(F) (I - n n^T) : grad(phi_i e_a),  n = grad F/|grad F|.
+
+    The diffuse-interface analog of the sharp capillary BC; reference:
+    LS momentum source (``src/mm_fill_terms.c:2085``) + ls capillary BCs.
+    """
+
+    def __init__(self, dim: int, sigma: float, interp: str = "Q2"):
+        super().__init__("velocity", dim, interp)
+        self.dim = dim
+        self.sigma = sigma
+
+    def residual(self, fv, mat, params):
+        eps = params["ls_eps"]
+        F = fv.val[FILL_VAR][:, 0]
+        gF = fv.grad[FILL_VAR][:, 0, :]
+        mag = jnp.sqrt(jnp.sum(gF * gF, axis=1) + 1e-30)
+        n = gF / mag[:, None]
+        dl = delta(F, eps) * mag  # surface measure density
+        gphi = fv.gphi["velocity"]  # (nq, nbf, dim)
+        ndotg = jnp.einsum("qk,qik->qi", n, gphi)
+        return (self.sigma * dl)[:, None, None] * (
+            jnp.swapaxes(gphi, 1, 2) - jnp.einsum("qa,qi->qai", n, ndotg)
+        )
+
+
+# ---------------------------------------------------------- renormalization
+def interface_facets(mesh, Fnode: np.ndarray):
+    """Zero-contour segments from linear interpolation on element corner
+    triangles/quads (host). Returns (nseg, 2, dim) endpoints (2D only)."""
+    segs = []
+    for b in mesh.blocks:
+        from goma_tpu.elements import element_type
+
+        et = element_type(b.elem_type)
+        if et.dim != 2:
+            raise NotImplementedError("3D facets later")
+        corners = b.conn[:, :3] if et.family == "tri" else b.conn[:, :4]
+        for cell in corners:
+            # split quad corners into triangles for robust contouring
+            tris = [cell[:3], [cell[0], cell[2], cell[3]]] if len(cell) == 4 else [cell]
+            for tri in tris:
+                f = Fnode[list(tri)]
+                x = mesh.coords[list(tri)]
+                pts = []
+                for i in range(3):
+                    j = (i + 1) % 3
+                    fi, fj = f[i], f[j]
+                    if (fi > 0) != (fj > 0):
+                        t = fi / (fi - fj)
+                        pts.append(x[i] + t * (x[j] - x[i]))
+                if len(pts) == 2:
+                    segs.append(pts)
+    return np.asarray(segs) if segs else np.zeros((0, 2, mesh.dim))
+
+
+def renormalize(mesh, Fnode: np.ndarray) -> np.ndarray:
+    """Exact signed distance to the piecewise-linear zero contour
+    (reference HUYGENS renormalization)."""
+    segs = interface_facets(mesh, Fnode)
+    if segs.shape[0] == 0:
+        return Fnode
+    P = mesh.coords  # (n, d)
+    A = segs[:, 0]  # (m, d)
+    B = segs[:, 1]
+    AB = B - A
+    denom = np.maximum(np.sum(AB * AB, axis=1), 1e-30)
+    # distance from every node to every segment
+    AP = P[:, None, :] - A[None, :, :]  # (n, m, d)
+    t = np.clip(np.einsum("nmd,md->nm", AP, AB) / denom[None, :], 0.0, 1.0)
+    proj = A[None, :, :] + t[:, :, None] * AB[None, :, :]
+    dist = np.linalg.norm(P[:, None, :] - proj, axis=2).min(axis=1)
+    return np.sign(Fnode) * dist

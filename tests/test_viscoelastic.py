@@ -1,0 +1,117 @@
+"""Viscoelastic stress validation against analytic simple-shear solutions.
+
+Oldroyd-B steady simple shear (rate gd): S12 = mu_p*gd, S11 = 2*lam*mu_p*gd^2,
+S22 = 0. Giesekus steady shear has shear-thinning closed form; we check the
+qualitative property |S12_giesekus| < |S12_oldroyd| and N1 > 0.
+Reference: ``src/mm_fill_stress.c`` (EVSS-F assemble_stress_fortin).
+"""
+
+import numpy as np
+import pytest
+
+from goma_tpu.fem import Problem
+from goma_tpu.mesh import rectangle_mesh
+from goma_tpu.physics import (
+    Continuity,
+    Momentum,
+    VelocityGradientProjection,
+    VEStress,
+)
+from goma_tpu.solvers import NewtonOptions, NewtonSolver
+
+
+def couette_ve(model="oldroyd_b", lam=0.5, mu_p=1.0, mu_s=0.5, alpha=0.0, V=1.0, n=4):
+    mesh = rectangle_mesh(n, n, elem="QUAD9")
+    mesh.nodesets["pin"] = np.array([0], dtype=np.int32)
+    eqs = [
+        Momentum(dim=2, interp="Q2", transient=False, ve_stress_modes=1, devss_mu=mu_p),
+        Continuity(interp="Q1"),
+        VEStress(0, dim=2, lam=lam, mu_p=mu_p, model=model, alpha=alpha,
+                 interp="Q1", transient=False),
+        VelocityGradientProjection(dim=2, interp="Q1"),
+    ]
+    mat = {"rho": 0.0, "mu": mu_s}
+    prob = Problem(mesh, eqs, mat)
+    # Couette: u = (V*y, 0) imposed on all walls (consistent with exact soln)
+    shear = lambda c: V * c[:, 1]
+    for ns in ("left", "right", "top", "bottom"):
+        prob.add_dirichlet(ns, "velocity", 0, shear)
+        prob.add_dirichlet(ns, "velocity", 1, 0.0)
+    prob.add_dirichlet("pin", "pressure", 0, 0.0)
+    prob.finalize()
+    solver = NewtonSolver(
+        prob,
+        NewtonOptions(max_iter=15, tol_residual=1e-10, linear_tol=1e-11,
+                      gmres_restart=100, linear_maxiter=3000),
+    )
+    res = solver.solve(np.zeros(prob.dofmap.n_dof), prob.base_params())
+    return prob, res
+
+
+def test_oldroyd_b_simple_shear():
+    lam, mu_p, V = 0.5, 1.0, 1.0
+    prob, res = couette_ve(model="oldroyd_b", lam=lam, mu_p=mu_p, V=V)
+    assert res.converged, res.summary()
+    s11 = prob.get_nodal_field(res.x, "stress0", 0)
+    s12 = prob.get_nodal_field(res.x, "stress0", 1)
+    s22 = prob.get_nodal_field(res.x, "stress0", 2)
+    gd = V  # du/dy
+    np.testing.assert_allclose(np.nanmean(s12), mu_p * gd, rtol=1e-6)
+    np.testing.assert_allclose(np.nanmean(s11), 2 * lam * mu_p * gd**2, rtol=1e-6)
+    assert np.nanmax(np.abs(s22)) < 1e-6
+    # uniform fields
+    assert np.nanstd(s11) < 1e-6
+    # quadratic Newton convergence (nonlinear constitutive coupling)
+    assert res.iters <= 8
+
+
+def test_giesekus_shear_thinning():
+    lam, mu_p, V = 0.5, 1.0, 2.0
+    _, res_ob = couette_ve(model="oldroyd_b", lam=lam, mu_p=mu_p, V=V)
+    prob_g, res_g = couette_ve(model="giesekus", lam=lam, mu_p=mu_p, alpha=0.3, V=V)
+    assert res_g.converged, res_g.summary()
+    s12_g = np.nanmean(prob_g.get_nodal_field(res_g.x, "stress0", 1))
+    s11_g = np.nanmean(prob_g.get_nodal_field(res_g.x, "stress0", 0))
+    s22_g = np.nanmean(prob_g.get_nodal_field(res_g.x, "stress0", 2))
+    assert 0 < s12_g < mu_p * V  # shear thinning
+    assert s11_g - s22_g > 0  # positive N1
+    # Giesekus steady shear satisfies the algebraic system; verify residual
+    # identity for the 12-component: S12 + lam*(-gd*S22... ) cross-check via
+    # the known relation N2 < 0 for alpha > 0
+    assert s22_g < 0
+
+
+def test_ptt_eps_thinning():
+    lam, mu_p, V = 0.5, 1.0, 2.0
+
+    def run(eps):
+        mesh = rectangle_mesh(4, 4, elem="QUAD9")
+        mesh.nodesets["pin"] = np.array([0], dtype=np.int32)
+        eqs = [
+            Momentum(dim=2, interp="Q2", transient=False, ve_stress_modes=1, devss_mu=mu_p),
+            Continuity(interp="Q1"),
+            VEStress(0, dim=2, lam=lam, mu_p=mu_p, model="ptt", eps_ptt=eps,
+                     interp="Q1", transient=False),
+            VelocityGradientProjection(dim=2, interp="Q1"),
+        ]
+        prob = Problem(mesh, eqs, {"rho": 0.0, "mu": 0.5})
+        shear = lambda c: V * c[:, 1]
+        for ns in ("left", "right", "top", "bottom"):
+            prob.add_dirichlet(ns, "velocity", 0, shear)
+            prob.add_dirichlet(ns, "velocity", 1, 0.0)
+        prob.add_dirichlet("pin", "pressure", 0, 0.0)
+        prob.finalize()
+        x0 = prob.set_nodal_field(
+            np.zeros(prob.dofmap.n_dof), "velocity", 0, lambda c: V * c[:, 1]
+        )
+        x0 = prob.set_nodal_field(x0, "stress0", 1, mu_p * V)
+        res = NewtonSolver(
+            prob, NewtonOptions(max_iter=20, tol_residual=1e-10, linear_solver="direct")
+        ).solve(x0, prob.base_params())
+        assert res.converged, res.summary()
+        return np.nanmean(prob.get_nodal_field(res.x, "stress0", 1))
+
+    s0 = run(0.0)
+    s1 = run(0.2)
+    np.testing.assert_allclose(s0, 1.0 * V, rtol=1e-6)  # Oldroyd-B limit
+    assert s1 < s0  # PTT thins
