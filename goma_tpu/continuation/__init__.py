@@ -1,0 +1,12 @@
+from goma_tpu.continuation.conti import (
+    ArcStep,
+    ContinuationStep,
+    arclength_continue,
+    continue_problem,
+)
+from goma_tpu.continuation.augmenting import (
+    AugmentedNewtonSolver,
+    AugmentedResult,
+    AugmentingCondition,
+)
+from goma_tpu.continuation.stability import StabilityResult, mass_and_jacobian, solve_stability

@@ -124,7 +124,13 @@ class Problem:
         materials=None,
         quad_order: int = 3,
         dtype=None,
+        external_fields: tuple[str, ...] = (),
     ):
+        """``external_fields`` declares frozen nodal fields (reference:
+        External_Field_Variables, include/mm_as_structs.h:1046) supplied at
+        solve time as params["ext_<name>"] arrays over mesh nodes and exposed
+        to kernels as fv.ext / fv.ext_grad."""
+        self.external_fields = tuple(external_fields)
         self.mesh = mesh
         if equations and isinstance(equations[0], Equation):
             equations = [list(equations) for _ in mesh.blocks]
@@ -172,8 +178,16 @@ class Problem:
             interps = {s.interp for s in bd.slots}
             self.tables.append(build_block_tables(blk.elem_type, interps, self.quad_order))
 
-        # Dirichlet arrays
+        # Dirichlet arrays. A value may be:
+        #   scalar                      -> static
+        #   f(coords)                   -> static, position dependent
+        #   f(coords, params) [2 args]  -> parametric: re-evaluated (traced)
+        #     inside assembly, so continuation/AC parameters can drive BCs
+        #     (reference: update_parameterAC BC path, src/ac_update_parameter.c)
+        import inspect
+
         dofs, vals = [], []
+        self._param_dirichlet: list[tuple[np.ndarray, np.ndarray, Callable]] = []
         for nodeset, var, comp, value in self._dirichlet:
             if nodeset.startswith("sideset:"):
                 nodes = mesh.sideset_nodes(nodeset.split(":", 1)[1])
@@ -183,7 +197,11 @@ class Problem:
             ok = d >= 0
             d = d[ok]
             x = mesh.coords[nodes[ok]]
-            v = value(x) if callable(value) else np.full(d.shape, float(value))
+            if callable(value) and len(inspect.signature(value).parameters) >= 2:
+                self._param_dirichlet.append((d.astype(np.int64), x, value))
+                v = np.zeros(d.shape)  # placeholder; overwritten at assembly
+            else:
+                v = value(x) if callable(value) else np.full(d.shape, float(value))
             dofs.append(d)
             vals.append(np.asarray(v, dtype=np.float64))
         if dofs:
@@ -278,6 +296,8 @@ class Problem:
             "dirichlet_val": jnp.asarray(self.dirichlet_vals, dtype=dt),
             "time": jnp.zeros((), dtype=dt),
         }
+        for name in self.external_fields:
+            p[f"ext_{name}"] = jnp.zeros(self.mesh.n_nodes, dtype=dt)
         p.update(extra)
         return p
 
@@ -289,9 +309,11 @@ class Problem:
         mat = self.materials[bi]
         dtype = self.dtype
 
-        def elem_res(q_e, hist_e, X_e, params):
+        ext_names = self.external_fields
+
+        def elem_res(q_e, hist_e, X_e, ext_e, params):
             qdot_e = params["ct"] * q_e + hist_e
-            fv = eval_fieldvars(q_e, qdot_e, X_e, tables, bd.slots, dtype)
+            fv = eval_fieldvars(q_e, qdot_e, X_e, tables, bd.slots, dtype, ext_e, ext_names)
             r = jnp.zeros((bd.n_ldof,), dtype=q_e.dtype)
             for eq in eqs:
                 s = bd.slot(eq.var)
@@ -323,15 +345,24 @@ class Problem:
 
         return face_res
 
-    def _block_contrib(self, bi, x, hist, params, gather, Xref, nmap, wmask=None):
+    def _ext_gather(self, params, conn):
+        if self.external_fields:
+            ext_stack = jnp.stack(
+                [params[f"ext_{n}"] for n in self.external_fields], axis=-1
+            )
+            return ext_stack[conn]  # (ne, n_geom_nodes, n_ext)
+        return jnp.zeros((conn.shape[0], conn.shape[1], 0), dtype=self.dtype)
+
+    def _block_contrib(self, bi, x, hist, params, gather, Xref, nmap, conn, wmask=None):
         """One block's (partial_R, partial_vals) from *array arguments*, so the
         element dimension can be sharded by a caller (see parallel/sharding)."""
         n = self.dofmap.n_dof
         q = x[gather]
         h = hist[gather]
+        ext = self._ext_gather(params, conn)
         elem_res = self._elem_residual_fn(bi)
         jac_fn = jax.jacfwd(elem_res, argnums=0, has_aux=True)
-        J, r = jax.vmap(jac_fn, in_axes=(0, 0, 0, None))(q, h, Xref, params)
+        J, r = jax.vmap(jac_fn, in_axes=(0, 0, 0, 0, None))(q, h, Xref, ext, params)
         if wmask is not None:
             r = r * wmask[:, None]
             J = J * wmask[:, None, None]
@@ -365,6 +396,9 @@ class Problem:
             dmask = jnp.asarray(self._dir_mask)
             dd = jnp.asarray(self.dirichlet_dofs)
             xv = jnp.zeros(n, dtype=dtype).at[dd].set(params["dirichlet_val"])
+            for d, coords, fn in self._param_dirichlet:
+                v = jnp.asarray(fn(jnp.asarray(coords, dtype=dtype), params), dtype=dtype)
+                xv = xv.at[jnp.asarray(d)].set(jnp.broadcast_to(v, (d.shape[0],)))
             R = jnp.where(dmask, x - xv, R)
             if vals is not None:
                 vals = vals * jnp.asarray(self._dir_nnz_keep, dtype=dtype)
@@ -387,7 +421,8 @@ class Problem:
             gather = jnp.asarray(bd.gather, dtype=jnp.int32)
             Xref = jnp.asarray(self.mesh.coords[blk.conn], dtype=dtype)
             nmap = jnp.asarray(self._nnz_maps[bi])
-            dR, dv = self._block_contrib(bi, x, hist, params, gather, Xref, nmap)
+            conn = jnp.asarray(blk.conn, dtype=jnp.int32)
+            dR, dv = self._block_contrib(bi, x, hist, params, gather, Xref, nmap, conn)
             R = R + dR
             vals = vals + dv
 
@@ -414,9 +449,11 @@ class Problem:
         for bi, (bd, blk) in enumerate(zip(self.dofmap.blocks, self.mesh.blocks)):
             gather = jnp.asarray(bd.gather, dtype=jnp.int32)
             Xref = jnp.asarray(self.mesh.coords[blk.conn], dtype=dtype)
+            conn = jnp.asarray(blk.conn, dtype=jnp.int32)
+            ext = self._ext_gather(params, conn)
             elem_res = self._elem_residual_fn(bi)
-            r, _ = jax.vmap(elem_res, in_axes=(0, 0, 0, None))(
-                x[gather], hist[gather], Xref, params
+            r, _ = jax.vmap(elem_res, in_axes=(0, 0, 0, 0, None))(
+                x[gather], hist[gather], Xref, ext, params
             )
             R = R + jax.ops.segment_sum(r.reshape(-1), gather.reshape(-1), num_segments=n)
         for fs in self.face_sets:
@@ -431,11 +468,7 @@ class Problem:
                 x[gather], hist[gather], Xref, ftabs, params
             )
             R = R + jax.ops.segment_sum(r.reshape(-1), gather.reshape(-1), num_segments=n)
-        if self.dirichlet_dofs.size:
-            dmask = jnp.asarray(self._dir_mask)
-            dd = jnp.asarray(self.dirichlet_dofs)
-            xv = jnp.zeros(n, dtype=dtype).at[dd].set(params["dirichlet_val"])
-            R = jnp.where(dmask, x - xv, R)
+        R, _ = self._apply_dirichlet(x, R, None, params)
         return R
 
     # public jitted entry points

@@ -96,6 +96,10 @@ class FieldVars:
         self.gphi0: dict[str, Any] = {}
         self.grad0: dict[str, Any] = {}
         self.F = None
+        # external (frozen) nodal fields, reference External_Field_Variables
+        # (include/mm_as_structs.h:1046): ext[name] (nq,), ext_grad[name] (nq, dim)
+        self.ext: dict[str, Any] = {}
+        self.ext_grad: dict[str, Any] = {}
 
 
 def _unpack(q_e, slots: list[LocalSlot]):
@@ -112,6 +116,8 @@ def eval_fieldvars(
     tables: BlockTables,
     slots: list[LocalSlot],
     dtype,
+    ext_e: jnp.ndarray | None = None,
+    ext_names: tuple[str, ...] = (),
 ) -> FieldVars:
     """Build FieldVars for one element. All table constants are cast to the
     working dtype at trace time."""
@@ -176,4 +182,12 @@ def eval_fieldvars(
             gp0 = gphi0_cache[s.interp]
             fv.gphi0[s.var] = gp0
             fv.grad0[s.var] = jnp.einsum("qnk,cn->qck", gp0, u[s.var])
+
+    if ext_names:
+        # frozen external nodal fields, interpolated with the geometric basis
+        gphi_g = jnp.einsum("qnd,qdk->qnk", dNg, invJ)
+        for k, name in enumerate(ext_names):
+            e = ext_e[:, k]  # (n_geom_nodes,)
+            fv.ext[name] = jnp.einsum("qn,n->q", Ng, e)
+            fv.ext_grad[name] = jnp.einsum("qnk,n->qk", gphi_g, e)
     return fv

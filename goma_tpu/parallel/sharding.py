@@ -59,12 +59,14 @@ class ShardedProblem:
             gather, wmask = _pad_to(bd.gather, n_dev)
             Xref, _ = _pad_to(problem.mesh.coords[blk.conn], n_dev)
             nmap, _ = _pad_to(problem._nnz_maps[bi], n_dev)
+            conn, _ = _pad_to(blk.conn, n_dev)
             self._blocks.append(
                 dict(
                     bi=bi,
                     gather=jnp.asarray(gather, dtype=jnp.int32),
                     Xref=jnp.asarray(Xref, dtype=dtype),
                     nmap=jnp.asarray(nmap),
+                    conn=jnp.asarray(conn, dtype=jnp.int32),
                     wmask=jnp.asarray(wmask, dtype=dtype),
                 )
             )
@@ -102,14 +104,16 @@ class ShardedProblem:
         rep = P()
 
         def sharded_block(bi):
-            def f(x, hist, params, gather, Xref, nmap, wmask):
-                R, vals = prob._block_contrib(bi, x, hist, params, gather, Xref, nmap, wmask)
+            def f(x, hist, params, gather, Xref, nmap, conn, wmask):
+                R, vals = prob._block_contrib(
+                    bi, x, hist, params, gather, Xref, nmap, conn, wmask
+                )
                 return jax.lax.psum((R, vals), axis)
 
             return jax.shard_map(
                 f,
                 mesh=mesh,
-                in_specs=(rep, rep, rep, eshard, eshard, eshard, eshard),
+                in_specs=(rep, rep, rep, eshard, eshard, eshard, eshard, eshard),
                 out_specs=(rep, rep),
                 check_vma=False,
             )
@@ -135,7 +139,7 @@ class ShardedProblem:
         vals = jnp.zeros(prob.pattern.nnz, dtype=dtype)
         for b in self._blocks:
             dR, dv = sharded_block(b["bi"])(
-                x, hist, params, b["gather"], b["Xref"], b["nmap"], b["wmask"]
+                x, hist, params, b["gather"], b["Xref"], b["nmap"], b["conn"], b["wmask"]
             )
             R = R + dR
             vals = vals + dv
