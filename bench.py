@@ -98,8 +98,8 @@ def main():
     ne = prob.mesh.n_elem
     solver = NewtonSolver(
         prob,
-        NewtonOptions(max_iter=8, tol_residual=1e-6, linear_tol=1e-6, gmres_restart=60,
-                      linear_maxiter=600),
+        NewtonOptions(max_iter=8, tol_residual=1e-6, linear_tol=1e-6, gmres_restart=40,
+                      linear_maxiter=400, precond="twolevel"),
     )
     params = prob.base_params()
     x = jnp.zeros(prob.dofmap.n_dof, dtype=prob.dtype)

@@ -2,6 +2,10 @@ from goma_tpu.physics.fluid import Continuity, Momentum
 from goma_tpu.physics.scalar_transport import Energy, Species
 from goma_tpu.physics.mesh_motion import EllipticMesh, LinearElasticMesh, PseudoSolidMesh
 from goma_tpu.physics.viscoelastic import VelocityGradientProjection, VEStress, stress_var
+from goma_tpu.physics.turbulence import SATurbulentViscosity, SpalartAllmaras, wall_distance
+from goma_tpu.physics.porous import PorousFlow, VanGenuchten
+from goma_tpu.physics.electro import ButlerVolmerBC, Potential
+from goma_tpu.physics.lubrication import ReynoldsFilm
 from goma_tpu.physics.level_set import (
     CSFSurfaceTension,
     FillEquation,

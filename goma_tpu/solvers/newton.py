@@ -33,6 +33,11 @@ class NewtonOptions:
     damp: float = 1.0
     row_scaling: bool = True
     linear_solver: str = "gmres"  # gmres | bicgstab | direct
+    precond: str = "block_jacobi"  # block_jacobi | fieldsplit | twolevel
+    fieldsplit_mu: float | None = None
+    fieldsplit_sweeps: int = 2
+    smooth_damp: float = 0.7
+    smooth_sweeps: int = 2
     linear_tol: float = 1e-10
     gmres_restart: int = 60
     linear_maxiter: int = 600
@@ -62,7 +67,21 @@ class NewtonSolver:
     def __init__(self, problem, options: NewtonOptions | None = None):
         self.problem = problem
         self.opts = options or NewtonOptions()
-        self.precond = BlockJacobi(problem.pattern, problem.dofmap)
+        if self.opts.precond == "fieldsplit":
+            from goma_tpu.solvers.linear import FieldSplit
+
+            self.precond = FieldSplit(
+                problem, mu=self.opts.fieldsplit_mu, u_sweeps=self.opts.fieldsplit_sweeps
+            )
+        elif self.opts.precond == "twolevel":
+            from goma_tpu.solvers.twolevel import TwoLevel
+
+            self.precond = TwoLevel(
+                problem, smooth_damp=self.opts.smooth_damp,
+                pre_sweeps=self.opts.smooth_sweeps, post_sweeps=self.opts.smooth_sweeps,
+            )
+        else:
+            self.precond = BlockJacobi(problem.pattern, problem.dofmap)
         self._rows = jnp.asarray(problem.pattern.rows)
         self._cols = jnp.asarray(problem.pattern.indices)
         self._n = problem.dofmap.n_dof
@@ -90,11 +109,18 @@ class NewtonSolver:
 
         return mv
 
+    def _make_precond(self, vals):
+        mv = self._matvec(vals)
+        if self.opts.precond in ("fieldsplit", "twolevel"):
+            fac = self.precond.factor(vals, mv)
+        else:
+            fac = self.precond.factor(vals)
+        return mv, (lambda r: self.precond.apply(fac, r))
+
     def _linsolve_gmres(self, vals, R):
-        Binv = self.precond.factor(vals)
-        M = lambda r: self.precond.apply(Binv, r)
+        mv, M = self._make_precond(vals)
         return gmres(
-            self._matvec(vals),
+            mv,
             R,
             precond=M,
             tol=self.opts.linear_tol,
@@ -103,10 +129,9 @@ class NewtonSolver:
         )
 
     def _linsolve_bicgstab(self, vals, R):
-        Binv = self.precond.factor(vals)
-        M = lambda r: self.precond.apply(Binv, r)
+        mv, M = self._make_precond(vals)
         return bicgstab(
-            self._matvec(vals), R, precond=M, tol=self.opts.linear_tol,
+            mv, R, precond=M, tol=self.opts.linear_tol,
             maxiter=self.opts.linear_maxiter,
         )
 

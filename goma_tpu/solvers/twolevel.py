@@ -1,0 +1,154 @@
+"""Two-level (p-multigrid) preconditioner: Q2->Q1 coarsening with an exact
+coarse solve on device.
+
+Replaces the external AMG/ILU stacks the reference leans on (Trilinos
+Ifpack/ML via ``src/sl_aztecoo_interface.cpp``, PETSc PC). TPU-first design:
+
+- Restriction/prolongation P is the nodal embedding of the Q1/P1 subspace
+  (corner-node dofs) into the full mixed space, built once on host; applying
+  P / P^T on device is a gather + ``segment_sum`` with <= 2^dim weights per
+  fine dof.
+- The Galerkin coarse operator A_c = P^T A P is *recomputed from the CSR
+  values every factorization* by one big ``segment_sum`` into a dense
+  (nc, nc) matrix (precomputed index/weight expansion per fine nnz), then
+  LU-factored with ``jax.scipy.linalg.lu_factor`` — dense batched compute
+  that maps straight onto the MXU instead of sparse triangular solves.
+- Smoother: damped node-block-Jacobi (batched dense inverses).
+
+The coarse space contains the full saddle-point structure (velocity Q1 +
+pressure Q1 + any elemental dofs), so the coarse solve is a true mixed
+solve and the cycle is robust for incompressible flow.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from goma_tpu.elements import element_type, eval_basis, interp_local_nodes
+from goma_tpu.solvers.linear import BlockJacobi
+
+
+def _fine_to_coarse_weights(problem):
+    """Per fine dof: coarse dof ids + interpolation weights.
+
+    Coarse space: for nodal slots with quadratic interpolation, the linear
+    (corner-node) sub-interpolation; linear/elemental slots inject.
+    Returns (is_coarse (n,), coarse_id (n,), cids (n, kmax), wts (n, kmax)).
+    """
+    from goma_tpu.mesh.mesh import _ref_nodes
+
+    dofmap = problem.dofmap
+    n = dofmap.n_dof
+    QUAD_TO_LIN = {"Q2": "Q1", "P2": "P1"}
+
+    is_coarse = np.zeros(n, dtype=bool)
+    entries: list[dict[int, float]] = [dict() for _ in range(n)]
+
+    for bd, blk in zip(dofmap.blocks, problem.mesh.blocks):
+        et = element_type(blk.elem_type)
+        ref = _ref_nodes(et)
+        for s in bd.slots:
+            if s.interp in ("P0", "P1E") or s.interp not in QUAD_TO_LIN:
+                # injected: coarse keeps these dofs
+                sl = bd.gather[:, s.start : s.start + s.size]
+                is_coarse[sl.ravel()] = True
+                for d in sl.ravel():
+                    entries[d][int(d)] = 1.0
+                continue
+            lin = QUAD_TO_LIN[s.interp]
+            ln_f = list(interp_local_nodes(et.family, s.interp))
+            ln_c = list(interp_local_nodes(et.family, lin))
+            # linear basis evaluated at the fine interpolation nodes
+            W, _ = eval_basis(et.family, lin, ref[ln_f])  # (nbf_f, nbf_c)
+            for c in range(s.ncomp):
+                cols = bd.gather[:, s.start + c * s.nbf : s.start + (c + 1) * s.nbf]
+                ccols = cols[:, [ln_f.index(k) for k in ln_c]]
+                is_coarse[ccols.ravel()] = True
+                for e in range(cols.shape[0]):
+                    for i in range(len(ln_f)):
+                        d = int(cols[e, i])
+                        for j in range(len(ln_c)):
+                            w = float(W[i, j])
+                            if abs(w) > 1e-14:
+                                entries[d][int(ccols[e, j])] = w
+
+    coarse_id = np.full(n, -1, dtype=np.int64)
+    coarse_id[is_coarse] = np.arange(is_coarse.sum())
+    nc = int(is_coarse.sum())
+
+    kmax = max((len(e) for e in entries if e), default=1)
+    cids = np.zeros((n, kmax), dtype=np.int64)
+    wts = np.zeros((n, kmax))
+    for d, e in enumerate(entries):
+        for k, (cd, w) in enumerate(e.items()):
+            cids[d, k] = coarse_id[cd]
+            wts[d, k] = w
+    return nc, cids, wts
+
+
+class TwoLevel:
+    """V(1,1)-cycle two-level preconditioner with exact dense coarse solve."""
+
+    def __init__(self, problem, smooth_damp: float = 0.7, pre_sweeps: int = 1,
+                 post_sweeps: int = 1):
+        self.bj = BlockJacobi(problem.pattern, problem.dofmap)
+        self.n = problem.pattern.n
+        self.smooth_damp = smooth_damp
+        self.pre_sweeps = pre_sweeps
+        self.post_sweeps = post_sweeps
+
+        nc, cids, wts = _fine_to_coarse_weights(problem)
+        self.nc = nc
+        self.cids = jnp.asarray(cids)  # (n, k)
+        self.wts = jnp.asarray(wts)
+        if nc * nc > 2**31 - 1:
+            raise ValueError("coarse space too large for dense two-level")
+
+        # per-nnz expansion for A_c = P^T A P
+        pat = problem.pattern
+        k = cids.shape[1]
+        r = pat.rows.astype(np.int64)
+        c = pat.indices.astype(np.int64)
+        ci = cids[r][:, :, None]  # (nnz, k, 1)
+        cj = cids[c][:, None, :]  # (nnz, 1, k)
+        wi = wts[r][:, :, None]
+        wj = wts[c][:, None, :]
+        flat = (ci * nc + cj).reshape(-1)
+        w = (wi * wj).reshape(-1)
+        keep = np.abs(w) > 1e-14
+        self._ac_idx = jnp.asarray(flat[keep])
+        self._ac_w = jnp.asarray(w[keep])
+        self._ac_nnz_rep = jnp.asarray(np.repeat(np.arange(pat.nnz), k * k)[keep])
+
+    # ------------------------------------------------------------- transfer
+    def restrict(self, r):
+        """r_c = P^T r."""
+        contrib = (self.wts * r[:, None]).reshape(-1)
+        return jax.ops.segment_sum(contrib, self.cids.reshape(-1), num_segments=self.nc)
+
+    def prolong(self, zc):
+        """z = P z_c."""
+        return jnp.sum(self.wts * zc[self.cids], axis=1)
+
+    # ---------------------------------------------------------------- cycle
+    def factor(self, vals, matvec):
+        Binv = self.bj.factor(vals)
+        ac_vals = self._ac_w * vals[self._ac_nnz_rep]
+        Ac = jax.ops.segment_sum(ac_vals, self._ac_idx, num_segments=self.nc * self.nc)
+        Ac = Ac.reshape(self.nc, self.nc)
+        lu = jax.scipy.linalg.lu_factor(Ac)
+        return (Binv, lu, matvec)
+
+    def apply(self, fac, r):
+        Binv, lu, matvec = fac
+        z = jnp.zeros_like(r)
+        for _ in range(self.pre_sweeps):
+            z = z + self.smooth_damp * self.bj.apply(Binv, r - matvec(z))
+        rc = self.restrict(r - matvec(z))
+        zc = jax.scipy.linalg.lu_solve(lu, rc)
+        z = z + self.prolong(zc)
+        for _ in range(self.post_sweeps):
+            z = z + self.smooth_damp * self.bj.apply(Binv, r - matvec(z))
+        return z
