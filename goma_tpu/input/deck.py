@@ -1,0 +1,195 @@
+"""Declarative problem decks.
+
+Parity: the reference's card-based input system — ``src/mm_input.c``
+(13 sections), ``src/mm_input_mp.c`` (material files), ``src/mm_input_bc.c``
+(BC cards) — re-designed as a declarative dict/JSON schema. A deck fully
+describes mesh, equations, materials, BCs, solver and time stepping, and
+``build_problem``/``run_deck`` turn it into a solve, with every resolved
+default echoed back (the reference's "echo file").
+
+Example deck:
+
+    deck = {
+      "mesh": {"kind": "rectangle", "nx": 16, "ny": 16, "elem": "QUAD9"},
+      "equations": [
+        {"type": "momentum", "dim": 2, "interp": "Q2", "transient": False},
+        {"type": "continuity", "interp": "Q1"},
+      ],
+      "material": {"rho": 1.0, "mu": 0.01},
+      "bcs": [
+        {"kind": "dirichlet", "nodeset": "top", "var": "velocity", "comp": 0, "value": 1.0},
+        ...
+        {"kind": "pin", "var": "pressure", "value": 0.0},
+      ],
+      "solver": {"max_iter": 10, "tol_residual": 1e-9, "precond": "twolevel"},
+      "time": {"dt0": 0.01, "t_end": 1.0, "theta": 0.0},   # optional -> transient
+      "output": {"exodus": "out.exo"},                       # optional
+    }
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+import numpy as np
+
+from goma_tpu.fem import Problem
+from goma_tpu.mesh import box_mesh, rectangle_mesh
+from goma_tpu.solvers import NewtonOptions, NewtonSolver
+
+_EQUATIONS = {}
+
+
+def register_equation(name: str):
+    def deco(fn):
+        _EQUATIONS[name] = fn
+        return fn
+
+    return deco
+
+
+def _init_registry():
+    from goma_tpu.physics import (
+        Continuity,
+        EllipticMesh,
+        Energy,
+        FillEquation,
+        LinearElasticMesh,
+        Momentum,
+        PorousFlow,
+        Potential,
+        PseudoSolidMesh,
+        ReynoldsFilm,
+        Species,
+        SpalartAllmaras,
+        VanGenuchten,
+        VEStress,
+        VelocityGradientProjection,
+    )
+
+    _EQUATIONS.update(
+        momentum=lambda a: Momentum(**a),
+        continuity=lambda a: Continuity(**a),
+        energy=lambda a: Energy(**a),
+        species=lambda a: Species(**a),
+        mesh_elliptic=lambda a: EllipticMesh(**a),
+        mesh_pseudo_solid=lambda a: PseudoSolidMesh(**a),
+        mesh_linear_elastic=lambda a: LinearElasticMesh(**a),
+        ve_stress=lambda a: VEStress(**a),
+        velocity_gradient=lambda a: VelocityGradientProjection(**a),
+        fill=lambda a: FillEquation(**a),
+        spalart_allmaras=lambda a: SpalartAllmaras(**a),
+        porous=lambda a: PorousFlow(
+            model=VanGenuchten(**a.pop("van_genuchten")) if "van_genuchten" in a else None,
+            **a,
+        ),
+        potential=lambda a: Potential(**a),
+        reynolds_film=lambda a: ReynoldsFilm(**a),
+    )
+
+
+_FACE_KERNELS = {}
+
+
+def _init_face_registry():
+    from goma_tpu.bc import CapillaryBC, KinematicBC, NormalFlux, Traction
+    from goma_tpu.physics import ButlerVolmerBC
+
+    _FACE_KERNELS.update(
+        capillary=lambda a: CapillaryBC(**a),
+        kinematic=lambda a: KinematicBC(**a),
+        normal_flux=lambda a: NormalFlux(**a),
+        traction=lambda a: Traction(**a),
+        butler_volmer=lambda a: ButlerVolmerBC(**a),
+    )
+
+
+def build_mesh(spec: dict):
+    spec = dict(spec)
+    kind = spec.pop("kind")
+    if kind == "rectangle":
+        return rectangle_mesh(**spec)
+    if kind == "box":
+        return box_mesh(**spec)
+    if kind == "exodus":
+        from goma_tpu.io import read_exodus
+
+        mesh, _, _ = read_exodus(spec["path"])
+        return mesh
+    raise ValueError(f"unknown mesh kind {kind}")
+
+
+def build_problem(deck: dict) -> tuple[Problem, dict]:
+    """Build a finalized Problem from a deck. Returns (problem, echo) where
+    echo is the fully-resolved deck (reference: input echo file)."""
+    if not _EQUATIONS:
+        _init_registry()
+        _init_face_registry()
+    echo: dict[str, Any] = json.loads(json.dumps(deck, default=str))
+
+    mesh = build_mesh(deck["mesh"])
+    eqs = [_EQUATIONS[dict(e)["type"]]({k: v for k, v in e.items() if k != "type"})
+           for e in deck["equations"]]
+    mat = dict(deck.get("material", {}))
+    prob = Problem(
+        mesh, eqs, mat,
+        quad_order=deck.get("quad_order", 3),
+        external_fields=tuple(deck.get("external_fields", ())),
+    )
+    for bc in deck.get("bcs", []):
+        bc = dict(bc)
+        kind = bc.pop("kind")
+        if kind == "dirichlet":
+            prob.add_dirichlet(bc["nodeset"], bc["var"], bc.get("comp", 0), bc["value"])
+        elif kind == "pin":
+            node = bc.get("node", 0)
+            name = f"_pin_{bc['var']}"
+            mesh.nodesets[name] = np.array([node], dtype=np.int32)
+            prob.add_dirichlet(name, bc["var"], bc.get("comp", 0), bc.get("value", 0.0))
+        elif kind == "face":
+            k = bc.pop("sideset")
+            fk = _FACE_KERNELS[bc.pop("type")](bc.get("args", {}))
+            prob.add_face_kernel(k, fk)
+        else:
+            raise ValueError(f"unknown bc kind {kind}")
+    prob.finalize()
+    echo["resolved"] = {
+        "n_dof": prob.dofmap.n_dof,
+        "n_elem": mesh.n_elem,
+        "n_nodes": mesh.n_nodes,
+        "nnz": prob.pattern.nnz,
+        "variables": [(v.name, v.ncomp) for v in prob.dofmap.vars],
+    }
+    return prob, echo
+
+
+def run_deck(deck: dict, x0=None, params_extra: dict | None = None):
+    """Build + solve a deck (steady Newton, or transient when "time" given).
+    Returns (problem, result, echo)."""
+    prob, echo = build_problem(deck)
+    sopts = NewtonOptions(**deck.get("solver", {}))
+    params = prob.base_params(**(params_extra or {}))
+    if x0 is None:
+        x0 = np.zeros(prob.dofmap.n_dof)
+        for init in deck.get("initial", []):
+            x0 = prob.set_nodal_field(x0, init["var"], init.get("comp", 0), init["value"])
+    if "time" in deck:
+        from goma_tpu.solvers.transient import TimeOptions, TransientSolver
+
+        ts = TransientSolver(prob, sopts, TimeOptions(**deck["time"]))
+        result = ts.run(x0, params)
+    else:
+        result = NewtonSolver(prob, sopts).solve(x0, params)
+    out = deck.get("output", {})
+    if "exodus" in out:
+        from goma_tpu.io import write_exodus
+
+        fields = {}
+        for v in prob.dofmap.vars:
+            for c in range(v.ncomp):
+                fields[f"{v.name}{c if v.ncomp > 1 else ''}"] = np.nan_to_num(
+                    prob.get_nodal_field(result.x, v.name, c)
+                )
+        write_exodus(out["exodus"], prob.mesh, nodal_vars=fields)
+    return prob, result, echo

@@ -1,0 +1,107 @@
+"""Native (C++) mesh-preprocessing kernels with numpy fallbacks.
+
+Compiled on first use with g++ (the image has no pybind11; bindings are
+ctypes). If compilation fails the pure-numpy fallbacks are used silently —
+same results, slower on large meshes.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+_HERE = Path(__file__).parent
+_LIB = None
+_TRIED = False
+
+
+def _compile() -> Path | None:
+    so = _HERE / "_build" / "libmeshprep.so"
+    src = _HERE / "meshprep.cpp"
+    if so.exists() and so.stat().st_mtime >= src.stat().st_mtime:
+        return so
+    so.parent.mkdir(exist_ok=True)
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC", str(src), "-o", str(so)],
+            check=True, capture_output=True, timeout=120,
+        )
+        return so
+    except Exception:
+        return None
+
+
+def _lib():
+    global _LIB, _TRIED
+    if _LIB is None and not _TRIED:
+        _TRIED = True
+        so = _compile()
+        if so is not None:
+            lib = ctypes.CDLL(str(so))
+            lib.rcb_partition.argtypes = [
+                ctypes.POINTER(ctypes.c_double), ctypes.c_int64, ctypes.c_int,
+                ctypes.c_int, ctypes.POINTER(ctypes.c_int32),
+            ]
+            lib.morton_order.argtypes = [
+                ctypes.POINTER(ctypes.c_double), ctypes.c_int64, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_int64),
+            ]
+            _LIB = lib
+    return _LIB
+
+
+def rcb_partition(centroids: np.ndarray, nparts: int) -> np.ndarray:
+    """Recursive coordinate bisection of points into nparts balanced parts.
+    Reference analog: goma_metis_decomposition (src/metis_decomp.c:372) with
+    the -rcb option."""
+    centroids = np.ascontiguousarray(centroids, dtype=np.float64)
+    n, dim = centroids.shape
+    out = np.empty(n, dtype=np.int32)
+    lib = _lib()
+    if lib is not None:
+        lib.rcb_partition(
+            centroids.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            n, dim, nparts, out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+        return out
+    # numpy fallback
+    def rec(ids, npart, p0):
+        if npart <= 1 or len(ids) <= 1:
+            out[ids] = p0
+            return
+        box = centroids[ids]
+        axis = int(np.argmax(box.max(0) - box.min(0)))
+        left = npart // 2
+        k = max(1, min(len(ids) - 1, int(round(len(ids) * left / npart))))
+        order = np.argpartition(box[:, axis], k)
+        rec(ids[order[:k]], left, p0)
+        rec(ids[order[k:]], npart - left, p0 + left)
+
+    rec(np.arange(n), nparts, 0)
+    return out
+
+
+def morton_order(centroids: np.ndarray) -> np.ndarray:
+    """Z-curve ordering of points (element gather locality)."""
+    centroids = np.ascontiguousarray(centroids, dtype=np.float64)
+    n, dim = centroids.shape
+    lib = _lib()
+    if lib is not None:
+        out = np.empty(n, dtype=np.int64)
+        lib.morton_order(
+            centroids.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            n, dim, out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        )
+        return out
+    # numpy fallback: interleave 16-bit quantized coords
+    lo, hi = centroids.min(0), centroids.max(0)
+    q = ((centroids - lo) / np.where(hi > lo, hi - lo, 1) * 65535).astype(np.uint64)
+    keys = np.zeros(n, dtype=np.uint64)
+    for bit in range(16):
+        for d in range(dim):
+            keys |= ((q[:, d] >> np.uint64(bit)) & np.uint64(1)) << np.uint64(bit * dim + d)
+    return np.argsort(keys, kind="stable").astype(np.int64)

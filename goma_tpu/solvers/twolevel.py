@@ -92,12 +92,17 @@ class TwoLevel:
     """V(1,1)-cycle two-level preconditioner with exact dense coarse solve."""
 
     def __init__(self, problem, smooth_damp: float = 0.7, pre_sweeps: int = 1,
-                 post_sweeps: int = 1):
+                 post_sweeps: int = 1, coarse_solve: str | None = None):
         self.bj = BlockJacobi(problem.pattern, problem.dofmap)
         self.n = problem.pattern.n
         self.smooth_damp = smooth_damp
         self.pre_sweeps = pre_sweeps
         self.post_sweeps = post_sweeps
+        if coarse_solve is None:
+            # TPU: triangular solves are sequential and slow; an explicit
+            # inverse turns every coarse application into one MXU matmul.
+            coarse_solve = "inv" if jax.default_backend() == "tpu" else "lu"
+        self.coarse_solve = coarse_solve
 
         nc, cids, wts = _fine_to_coarse_weights(problem)
         self.nc = nc
@@ -138,17 +143,24 @@ class TwoLevel:
         ac_vals = self._ac_w * vals[self._ac_nnz_rep]
         Ac = jax.ops.segment_sum(ac_vals, self._ac_idx, num_segments=self.nc * self.nc)
         Ac = Ac.reshape(self.nc, self.nc)
-        lu = jax.scipy.linalg.lu_factor(Ac)
-        return (Binv, lu, matvec)
+        if self.coarse_solve == "inv":
+            coarse = jnp.linalg.inv(Ac)
+        else:
+            coarse = jax.scipy.linalg.lu_factor(Ac)
+        return (Binv, coarse, matvec)
+
+    def _coarse_apply(self, coarse, rc):
+        if self.coarse_solve == "inv":
+            return coarse @ rc
+        return jax.scipy.linalg.lu_solve(coarse, rc)
 
     def apply(self, fac, r):
-        Binv, lu, matvec = fac
+        Binv, coarse, matvec = fac
         z = jnp.zeros_like(r)
         for _ in range(self.pre_sweeps):
             z = z + self.smooth_damp * self.bj.apply(Binv, r - matvec(z))
         rc = self.restrict(r - matvec(z))
-        zc = jax.scipy.linalg.lu_solve(lu, rc)
-        z = z + self.prolong(zc)
+        z = z + self.prolong(self._coarse_apply(coarse, rc))
         for _ in range(self.post_sweeps):
             z = z + self.smooth_damp * self.bj.apply(Binv, r - matvec(z))
         return z

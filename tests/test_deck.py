@@ -1,0 +1,69 @@
+"""Deck (declarative input system) tests: the lid-driven cavity as a deck,
+transient heat as a deck with Exodus output."""
+
+import numpy as np
+
+from goma_tpu.input.deck import build_problem, run_deck
+
+
+def test_cavity_deck():
+    deck = {
+        "mesh": {"kind": "rectangle", "nx": 8, "ny": 8, "elem": "QUAD9"},
+        "equations": [
+            {"type": "momentum", "dim": 2, "interp": "Q2", "transient": False},
+            {"type": "continuity", "interp": "Q1"},
+        ],
+        "material": {"rho": 1.0, "mu": 0.01},
+        "bcs": [
+            {"kind": "dirichlet", "nodeset": "left", "var": "velocity", "comp": 0, "value": 0.0},
+            {"kind": "dirichlet", "nodeset": "left", "var": "velocity", "comp": 1, "value": 0.0},
+            {"kind": "dirichlet", "nodeset": "right", "var": "velocity", "comp": 0, "value": 0.0},
+            {"kind": "dirichlet", "nodeset": "right", "var": "velocity", "comp": 1, "value": 0.0},
+            {"kind": "dirichlet", "nodeset": "bottom", "var": "velocity", "comp": 0, "value": 0.0},
+            {"kind": "dirichlet", "nodeset": "bottom", "var": "velocity", "comp": 1, "value": 0.0},
+            {"kind": "dirichlet", "nodeset": "top", "var": "velocity", "comp": 0, "value": 1.0},
+            {"kind": "dirichlet", "nodeset": "top", "var": "velocity", "comp": 1, "value": 0.0},
+            {"kind": "dirichlet", "nodeset": "left", "var": "velocity", "comp": 0, "value": 0.0},
+            {"kind": "dirichlet", "nodeset": "right", "var": "velocity", "comp": 0, "value": 0.0},
+            {"kind": "pin", "var": "pressure", "value": 0.0},
+        ],
+        "solver": {"max_iter": 10, "tol_residual": 1e-9, "linear_tol": 1e-10,
+                   "gmres_restart": 80, "linear_maxiter": 2000},
+    }
+    prob, res, echo = run_deck(deck)
+    assert res.converged, res.summary()
+    assert echo["resolved"]["n_dof"] == prob.dofmap.n_dof
+    assert echo["resolved"]["variables"] == [("velocity", 2), ("pressure", 1)]
+
+
+def test_transient_heat_deck_with_output(tmp_path):
+    out = str(tmp_path / "heat.exo")
+    deck = {
+        "mesh": {"kind": "rectangle", "nx": 5, "ny": 5, "elem": "QUAD9"},
+        "equations": [
+            {"type": "energy", "interp": "Q2", "transient": True, "convection": False}
+        ],
+        "material": {"rho": 1.0, "Cp": 1.0, "k": 1.0},
+        "bcs": [
+            {"kind": "dirichlet", "nodeset": ns, "var": "temperature", "value": 0.0}
+            for ns in ("left", "right", "top", "bottom")
+        ],
+        "initial": [
+            {"var": "temperature",
+             "value": (lambda c: np.sin(np.pi * c[:, 0]) * np.sin(np.pi * c[:, 1]))}
+        ],
+        "solver": {"max_iter": 6, "tol_residual": 1e-10, "linear_tol": 1e-11},
+        "time": {"dt0": 0.01, "t_end": 0.05, "theta": 0.5, "adapt": False},
+        "output": {"exodus": out},
+    }
+    prob, res, echo = run_deck(deck)
+    assert res.t == 0.05
+    # output readable
+    from goma_tpu.io import read_exodus
+
+    m2, fields, _ = read_exodus(out)
+    assert "temperature" in fields
+    lam = 2 * np.pi**2
+    exact_mid = np.exp(-lam * 0.05) * 1.0
+    mid = np.argmin(np.sum((m2.coords - 0.5) ** 2, axis=1))
+    np.testing.assert_allclose(fields["temperature"][0][mid], exact_mid, rtol=2e-2)
