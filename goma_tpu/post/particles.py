@@ -1,0 +1,161 @@
+"""Lagrangian particle tracing through the FEM velocity field.
+
+Parity: reference ``src/ac_particles.c`` (``initialize_particles:192``,
+``compute_particles:1278``) — tracer (massless) particles integrated through
+the solved flow field with trace output. Inertial particle drag models are a
+later stage.
+
+Implementation: host-side element location (centroid KD-tree candidates +
+Newton inversion of the isoparametric map), field evaluation with the
+element basis, RK4 time stepping, all vectorized over particles with numpy.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from goma_tpu.elements import element_type, eval_basis, geom_interp, interp_local_nodes
+
+
+class FieldSampler:
+    """Evaluate nodal fields of a solution at arbitrary physical points."""
+
+    def __init__(self, problem, n_candidates: int = 8):
+        from scipy.spatial import cKDTree
+
+        self.problem = problem
+        mesh = problem.mesh
+        cents = []
+        self._blocks = []
+        for bi, b in enumerate(mesh.blocks):
+            cents.append(mesh.coords[b.conn].mean(axis=1))
+            self._blocks.append(b)
+        self._cent = np.concatenate(cents, axis=0)
+        self._tree = cKDTree(self._cent)
+        self._block_of = np.concatenate(
+            [np.full(b.n_elem, bi) for bi, b in enumerate(mesh.blocks)]
+        )
+        self._local_of = np.concatenate(
+            [np.arange(b.n_elem) for b in mesh.blocks]
+        )
+        self.k = n_candidates
+
+    def locate(self, pts: np.ndarray):
+        """Find (block, local elem, ref coords) per point; inside flag."""
+        mesh = self.problem.mesh
+        npts = pts.shape[0]
+        _, cand = self._tree.query(pts, k=min(self.k, self._cent.shape[0]))
+        if cand.ndim == 1:
+            cand = cand[:, None]
+        out_b = np.full(npts, -1, dtype=int)
+        out_e = np.zeros(npts, dtype=int)
+        out_xi = np.zeros((npts, mesh.dim))
+        for p in range(npts):
+            for ge in cand[p]:
+                bi = self._block_of[ge]
+                le = self._local_of[ge]
+                b = self._blocks[bi]
+                et = element_type(b.elem_type)
+                X = mesh.coords[b.conn[le]]
+                xi, ok = _invert_map(et, X, pts[p])
+                if ok:
+                    out_b[p], out_e[p], out_xi[p] = bi, le, xi
+                    break
+        return out_b, out_e, out_xi
+
+    def sample(self, x, var: str, pts: np.ndarray, comp: int | None = None):
+        """Values of a solution variable at physical points (NaN outside)."""
+        prob = self.problem
+        v = prob.dofmap.var(var)
+        ncomp = v.ncomp
+        bs, es, xis = self.locate(pts)
+        out = np.full((pts.shape[0], ncomp), np.nan)
+        x = np.asarray(x)
+        for p in range(pts.shape[0]):
+            if bs[p] < 0:
+                continue
+            bd = prob.dofmap.blocks[bs[p]]
+            s = bd.slot(var)
+            et = element_type(bd.elem_type)
+            N, _ = eval_basis(et.family, s.interp, xis[p][None, :])
+            qe = x[bd.gather[es[p], s.start : s.start + s.size]].reshape(s.ncomp, s.nbf)
+            out[p] = (qe @ N[0])
+        if comp is not None:
+            return out[:, comp]
+        return out
+
+
+def _invert_map(et, X, pt, tol=1e-10, maxit=30):
+    """Newton inversion of the isoparametric map; returns (xi, inside)."""
+    dim = et.dim
+    gi = geom_interp(et)
+    xi = np.full(dim, 0.0 if et.family in ("quad", "hex", "bar") else 1.0 / 3.0)
+    for _ in range(maxit):
+        N, dN = eval_basis(et.family, gi, xi[None, :])
+        r = N[0] @ X - pt
+        if np.linalg.norm(r) < tol:
+            break
+        J = dN[0].T @ X  # (dim_ref, dim_x): J[d,k]
+        try:
+            dxi = np.linalg.solve(J @ J.T, J @ r)
+        except np.linalg.LinAlgError:
+            return xi, False
+        xi = xi - dxi
+        if np.max(np.abs(xi)) > 3.0:
+            return xi, False
+    eps = 1e-8
+    if et.family in ("quad", "hex", "bar"):
+        inside = np.all(np.abs(xi) <= 1 + eps)
+    else:
+        inside = np.all(xi >= -eps) and xi.sum() <= 1 + eps
+    return xi, bool(inside and np.linalg.norm(N[0] @ X - pt) < 1e-8)
+
+
+@dataclass
+class ParticleTrace:
+    times: np.ndarray  # (nt,)
+    positions: np.ndarray  # (nt, np, dim)
+    alive: np.ndarray  # (np,) particles still inside at the end
+
+
+def trace_particles(
+    problem,
+    x,
+    starts: np.ndarray,
+    t_end: float,
+    dt: float,
+    var: str = "velocity",
+    save_every: int = 1,
+) -> ParticleTrace:
+    """RK4 tracer integration through a steady velocity solution. Particles
+    leaving the domain freeze in place (alive=False)."""
+    sampler = FieldSampler(problem)
+    pts = np.array(starts, dtype=float)
+    alive = np.ones(pts.shape[0], dtype=bool)
+    times = [0.0]
+    hist = [pts.copy()]
+
+    def vel(q):
+        v = sampler.sample(x, var, q)
+        bad = np.any(np.isnan(v), axis=1)
+        v[bad] = 0.0
+        return v, ~bad
+
+    nt = int(round(t_end / dt))
+    t = 0.0
+    for it in range(nt):
+        k1, ok1 = vel(pts)
+        k2, ok2 = vel(pts + 0.5 * dt * k1)
+        k3, ok3 = vel(pts + 0.5 * dt * k2)
+        k4, ok4 = vel(pts + dt * k3)
+        step = dt / 6.0 * (k1 + 2 * k2 + 2 * k3 + k4)
+        ok = ok1 & ok2 & ok3 & ok4 & alive
+        pts[ok] += step[ok]
+        alive &= ok
+        t += dt
+        if (it + 1) % save_every == 0:
+            times.append(t)
+            hist.append(pts.copy())
+    return ParticleTrace(np.asarray(times), np.stack(hist), alive)

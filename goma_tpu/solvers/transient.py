@@ -46,6 +46,10 @@ class TimeOptions:
     # (the reference reconstructs old time derivatives on restart rather than
     # trusting zeros; BE bootstrap is the equivalent safeguard)
     bootstrap_be: bool = True
+    # check element quality (detJ > 0) after each accepted step; a tangled
+    # ALE mesh counts as a failed step -> halve dt and retry (the reference's
+    # neg_elem_volume ladder, src/mm_fill.c:267 + rf_solve.c:1956)
+    quality_guard: bool = False
 
 
 @dataclass
@@ -72,6 +76,7 @@ class TransientSolver:
         self.problem = problem
         self.newton = NewtonSolver(problem, newton_options)
         self.topts = time_options or TimeOptions()
+        self._quality_fn = None
 
     def _predict(self, x_old, xdot_old, xdot_older, dt, dt_old):
         if self.topts.second_order_predictor and dt_old > 0:
@@ -107,6 +112,15 @@ class TransientSolver:
 
             res: NewtonResult = self.newton.solve(x_pred, p)
             ok = res.converged and np.all(np.isfinite(res.x))
+            if ok and to.quality_guard:
+                if self._quality_fn is None:
+                    from goma_tpu.post.quality import make_quality_fn
+
+                    # unwrap ShardedProblem
+                    base = getattr(self.problem, "problem", self.problem)
+                    self._quality_fn = make_quality_fn(base)
+                mn, _, _ = (float(v) for v in self._quality_fn(res.x))
+                ok = mn > 0.0
             if not ok:
                 failures += 1
                 if failures > to.max_failures or dt * 0.5 < to.min_dt:

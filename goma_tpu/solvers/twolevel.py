@@ -111,7 +111,11 @@ class TwoLevel:
         if nc * nc > 2**31 - 1:
             raise ValueError("coarse space too large for dense two-level")
 
-        # per-nnz expansion for A_c = P^T A P
+        # per-nnz expansion for A_c = P^T A P. Contributions are scattered
+        # into the *sparse* coarse pattern (precomputed here) — scattering
+        # directly into the dense (nc, nc) would be a segment_sum with nc^2
+        # segments, which compiles/runs pathologically on TPU. The sparse
+        # coarse values are then densified with one cheap scatter.
         pat = problem.pattern
         k = cids.shape[1]
         r = pat.rows.astype(np.int64)
@@ -123,9 +127,14 @@ class TwoLevel:
         flat = (ci * nc + cj).reshape(-1)
         w = (wi * wj).reshape(-1)
         keep = np.abs(w) > 1e-14
-        self._ac_idx = jnp.asarray(flat[keep])
+        flat = flat[keep]
+        ckeys = np.unique(flat)
+        self._c_nnz = ckeys.shape[0]
+        self._ac_idx = jnp.asarray(np.searchsorted(ckeys, flat))
         self._ac_w = jnp.asarray(w[keep])
         self._ac_nnz_rep = jnp.asarray(np.repeat(np.arange(pat.nnz), k * k)[keep])
+        self._c_rows = jnp.asarray((ckeys // nc).astype(np.int32))
+        self._c_cols = jnp.asarray((ckeys % nc).astype(np.int32))
 
     # ------------------------------------------------------------- transfer
     def restrict(self, r):
@@ -141,8 +150,9 @@ class TwoLevel:
     def factor(self, vals, matvec):
         Binv = self.bj.factor(vals)
         ac_vals = self._ac_w * vals[self._ac_nnz_rep]
-        Ac = jax.ops.segment_sum(ac_vals, self._ac_idx, num_segments=self.nc * self.nc)
-        Ac = Ac.reshape(self.nc, self.nc)
+        cvals = jax.ops.segment_sum(ac_vals, self._ac_idx, num_segments=self._c_nnz)
+        Ac = jnp.zeros((self.nc, self.nc), dtype=vals.dtype)
+        Ac = Ac.at[self._c_rows, self._c_cols].set(cvals)
         if self.coarse_solve == "inv":
             coarse = jnp.linalg.inv(Ac)
         else:
