@@ -88,6 +88,15 @@ def numpy_reference_assembly_per_elem(n_sample=60):
 
 def main():
     import jax
+
+    # persistent compilation cache: TPU compiles through the remote tunnel
+    # are minutes-slow; cache them across processes
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    # double precision like the reference (assembly on TPU is bandwidth-bound
+    # and stays fast in f64; the f32 LU/QR expanders are bypassed by our
+    # portable small-matrix solvers)
+    jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
 
     from __graft_entry__ import _cavity_problem

@@ -144,6 +144,8 @@ class Problem:
         self._dtype = dtype
         self._dirichlet: list[tuple[str, str, int, Any]] = []
         self._face_sets: list[tuple[str, FaceKernel]] = []
+        self._rot_specs: list = []
+        self._rot_constraints: list = []
         self._finalized = False
 
     @property
@@ -159,6 +161,25 @@ class Problem:
 
     def add_face_kernel(self, sideset: str, kernel: FaceKernel):
         self._face_sets.append((sideset, kernel))
+
+    def add_rotation(self, sidesets, var: str):
+        """Rotate the nodal equations of ``var`` into normal-tangent frames
+        on the given sideset(s) (reference: auto-rotation,
+        src/bc/rotate_coordinates.c:707)."""
+        if isinstance(sidesets, str):
+            sidesets = (sidesets,)
+        self._rot_specs.append((tuple(sidesets), var))
+
+    def add_rotated_dirichlet(self, sidesets, var: str, direction: str = "normal",
+                              value=0.0):
+        """Replace the rotated equation in ``direction`` ("normal",
+        "tangent", "tangent2") with the strong constraint q.x = value, where
+        q is the corresponding frame row (e.g. n.u = 0 slip).
+        Implies rotation of var on those sidesets."""
+        if isinstance(sidesets, str):
+            sidesets = (sidesets,)
+        d = {"normal": 0, "tangent": 1, "tangent2": 2}[direction]
+        self._rot_constraints.append((tuple(sidesets), var, d, value))
 
     # ------------------------------------------------------------- finalize
     def finalize(self):
@@ -221,6 +242,11 @@ class Problem:
         self._dir_mask = dmask
         self._dir_nnz_keep = (~dmask[self.pattern.rows]).astype(np.float64)
         self._dir_diag_pos = self.pattern.diag[self.dirichlet_dofs]
+
+        # rotated BCs
+        from goma_tpu.bc.rotation import build_rotation
+
+        self._rotation = build_rotation(self, self._rot_specs, self._rot_constraints)
 
         # face sets: group registered kernels by sideset
         bysset: dict[str, list[FaceKernel]] = {}
@@ -389,6 +415,35 @@ class Problem:
         )
         return R, vals
 
+    def _apply_rotation(self, x, R, vals):
+        """Rotate assembled rows into normal-tangent frames and install
+        constraint rows (device-side, fully vectorized)."""
+        rd = self._rotation
+        if rd is None:
+            return R, vals
+        dtype = R.dtype
+        Q = jnp.asarray(rd.Q, dtype=dtype)
+        dofs = jnp.asarray(rd.dofs)
+        Rrows = jnp.einsum("nij,nj->ni", Q, R[dofs])
+        R = R.at[dofs].set(Rrows)
+        if vals is not None:
+            pos = jnp.asarray(rd.pos)
+            vrows = vals[pos]  # (K, dim)
+            new = jnp.einsum("kij,kj->ki", Q[jnp.asarray(rd.entry_node)], vrows)
+            vals = vals.at[pos].set(new)
+        if rd.con_rows.size:
+            crows = jnp.asarray(rd.con_rows)
+            ccoef = jnp.asarray(rd.con_coeff, dtype=dtype)
+            cdofs = jnp.asarray(rd.con_dofs)
+            cval = jnp.asarray(rd.con_value, dtype=dtype)
+            Rcon = jnp.einsum("ni,ni->n", ccoef, x[cdofs]) - cval
+            R = R.at[crows].set(Rcon)
+            if vals is not None:
+                allpos = jnp.asarray(np.concatenate(rd.con_row_mask_pos))
+                vals = vals.at[allpos].set(jnp.zeros((), dtype=dtype))
+                vals = vals.at[jnp.asarray(rd.con_entry_pos)].set(ccoef)
+        return R, vals
+
     def _apply_dirichlet(self, x, R, vals, params):
         n = self.dofmap.n_dof
         dtype = R.dtype
@@ -438,6 +493,7 @@ class Problem:
             R = R + dR
             vals = vals + dv
 
+        R, vals = self._apply_rotation(x, R, vals)
         return self._apply_dirichlet(x, R, vals, params)
 
     def _residual_only(self, x, params):
@@ -468,6 +524,7 @@ class Problem:
                 x[gather], hist[gather], Xref, ftabs, params
             )
             R = R + jax.ops.segment_sum(r.reshape(-1), gather.reshape(-1), num_segments=n)
+        R, _ = self._apply_rotation(x, R, None)
         R, _ = self._apply_dirichlet(x, R, None, params)
         return R
 

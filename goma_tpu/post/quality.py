@@ -51,8 +51,7 @@ def make_quality_fn(problem):
             Jm = jnp.einsum("qnd,enk->eqkd", dNg, Xc)
             from goma_tpu.utils.la import det_and_inv
 
-            det = Jm[..., 0, 0] * Jm[..., 1, 1] - Jm[..., 0, 1] * Jm[..., 1, 0] \
-                if Jm.shape[-1] == 2 else jnp.linalg.det(Jm)
+            det, _ = det_and_inv(Jm)
             mins.append(det.min())
             maxs.append(det.max())
             q_elem = det.min(axis=1) / jnp.maximum(det.max(axis=1), 1e-300)

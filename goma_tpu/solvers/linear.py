@@ -84,7 +84,9 @@ class BlockJacobi:
         diag = jnp.diagonal(A, axis1=1, axis2=2)
         fix = jnp.abs(diag) < 1e-10
         A = A + jnp.where(fix[:, :, None] & eye[None], 1.0, 0.0)
-        Binv = jnp.linalg.inv(A)
+        from goma_tpu.utils.la import gj_inv
+
+        Binv = gj_inv(A)  # backend/dtype-portable (TPU f64 safe)
         # final guard against residual singularity
         return jnp.where(jnp.isfinite(Binv), Binv, 0.0)
 
@@ -233,9 +235,11 @@ def gmres(matvec, b, precond=None, x0=None, tol=1e-8, atol=0.0, restart=40, maxi
             return (V, H)
 
         V, H = jax.lax.fori_loop(0, m, step, (V, H))
-        # least squares min || beta e1 - H y ||
+        # least squares min || beta e1 - H y || (portable small solver)
+        from goma_tpu.utils.la import lstsq_small
+
         e1 = jnp.zeros(m + 1, dtype=dtype).at[0].set(beta)
-        y, *_ = jnp.linalg.lstsq(H, e1)
+        y = lstsq_small(H, e1)
         x_new = x + precond(V[:m].T @ y)
         return x_new
 

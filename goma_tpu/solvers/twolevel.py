@@ -101,8 +101,11 @@ class TwoLevel:
         if coarse_solve is None:
             # TPU: triangular solves are sequential and slow; an explicit
             # inverse turns every coarse application into one MXU matmul.
+            # The TPU inverse runs in f32 (the LU expander is f32-only);
+            # iterative refinement in the working dtype recovers accuracy.
             coarse_solve = "inv" if jax.default_backend() == "tpu" else "lu"
         self.coarse_solve = coarse_solve
+        self.refine_steps = 2 if coarse_solve == "inv" else 0
 
         nc, cids, wts = _fine_to_coarse_weights(problem)
         self.nc = nc
@@ -154,14 +157,20 @@ class TwoLevel:
         Ac = jnp.zeros((self.nc, self.nc), dtype=vals.dtype)
         Ac = Ac.at[self._c_rows, self._c_cols].set(cvals)
         if self.coarse_solve == "inv":
-            coarse = jnp.linalg.inv(Ac)
+            inv32 = jnp.linalg.inv(Ac.astype(jnp.float32))
+            coarse = (inv32, Ac)
         else:
             coarse = jax.scipy.linalg.lu_factor(Ac)
         return (Binv, coarse, matvec)
 
     def _coarse_apply(self, coarse, rc):
         if self.coarse_solve == "inv":
-            return coarse @ rc
+            inv32, Ac = coarse
+            z = (inv32 @ rc.astype(jnp.float32)).astype(rc.dtype)
+            for _ in range(self.refine_steps):
+                r2 = rc - Ac @ z
+                z = z + (inv32 @ r2.astype(jnp.float32)).astype(rc.dtype)
+            return z
         return jax.scipy.linalg.lu_solve(coarse, rc)
 
     def apply(self, fac, r):

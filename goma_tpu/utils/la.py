@@ -8,7 +8,62 @@ AD-friendly. Reference analog: ``beer_belly`` hand-codes the same inverses
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+
+
+def gj_inv(A):
+    """Batched Gauss-Jordan inverse with partial pivoting for small k
+    (..., k, k). Works in any dtype on any backend — unlike
+    ``jnp.linalg.inv``, whose LU expander is f32-only on TPU. All row
+    selection uses one-hot algebra so traced loop indices are fine."""
+    k = A.shape[-1]
+    if k <= 3:
+        _, inv = det_and_inv(A)
+        return inv
+    dtype = A.dtype
+    batch = A.shape[:-2]
+    eye = jnp.broadcast_to(jnp.eye(k, dtype=dtype), batch + (k, k))
+    M = jnp.concatenate([A, eye], axis=-1)  # (..., k, 2k)
+
+    def step(i, M):
+        ei = (jnp.arange(k) == i).astype(dtype)  # (k,)
+        ci = (jnp.arange(2 * k) == i).astype(dtype)  # (2k,)
+        # partial pivot among rows >= i
+        col = jnp.einsum("j,...kj->...k", ci, M)
+        cand = jnp.where(jnp.arange(k) >= i, jnp.abs(col), -1.0)
+        p = jnp.argmax(cand, axis=-1)  # (...,)
+        ep = jax.nn.one_hot(p, k, dtype=dtype)  # (..., k)
+        row_i = jnp.einsum("k,...kj->...j", ei, M)
+        row_p = jnp.einsum("...k,...kj->...j", ep, M)
+        # swap rows i <-> p
+        M = (
+            M
+            + ei[:, None] * (row_p - row_i)[..., None, :]
+            + ep[..., :, None] * (row_i - row_p)[..., None, :]
+        )
+        piv = jnp.einsum("j,...j->...", ci, row_p)
+        piv = jnp.where(jnp.abs(piv) > 1e-300, piv, 1.0)
+        rowi_n = row_p / piv[..., None]
+        M = M + ei[:, None] * (rowi_n - row_p)[..., None, :]
+        f = jnp.einsum("j,...kj->...k", ci, M) * (1.0 - ei)
+        M = M - f[..., None] * rowi_n[..., None, :]
+        return M
+
+    M = jax.lax.fori_loop(0, k, step, M)
+    return M[..., :, k:]
+
+
+def lstsq_small(H, b):
+    """Least squares min||H y - b|| for small tall H (m1, m) via normal
+    equations + Gauss-Jordan (any dtype/backend; replaces jnp.linalg.lstsq
+    whose QR path is f32-only on TPU). Regularized for rank deficiency."""
+    m = H.shape[1]
+    G = H.T @ H
+    scale = jnp.trace(G) / m + 1e-300
+    G = G + (1e-14 * scale) * jnp.eye(m, dtype=H.dtype)
+    rhs = H.T @ b
+    return gj_inv(G) @ rhs
 
 
 def det_and_inv(J):
