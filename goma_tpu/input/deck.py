@@ -68,7 +68,11 @@ def _init_registry():
         VelocityGradientProjection,
     )
 
+    from goma_tpu.physics import AcousticHelmholtz, MomentEquations
+
     _EQUATIONS.update(
+        acoustic=lambda a: AcousticHelmholtz(**a),
+        moments=lambda a: MomentEquations(**a),
         momentum=lambda a: Momentum(**a),
         continuity=lambda a: Continuity(**a),
         energy=lambda a: Energy(**a),
@@ -94,7 +98,7 @@ _FACE_KERNELS = {}
 
 def _init_face_registry():
     from goma_tpu.bc import CapillaryBC, KinematicBC, NormalFlux, Traction
-    from goma_tpu.physics import ButlerVolmerBC
+    from goma_tpu.physics import ButlerVolmerBC, SommerfeldBC
 
     _FACE_KERNELS.update(
         capillary=lambda a: CapillaryBC(**a),
@@ -102,6 +106,7 @@ def _init_face_registry():
         normal_flux=lambda a: NormalFlux(**a),
         traction=lambda a: Traction(**a),
         butler_volmer=lambda a: ButlerVolmerBC(**a),
+        sommerfeld=lambda a: SommerfeldBC(**a),
     )
 
 

@@ -3,6 +3,8 @@ from goma_tpu.physics.scalar_transport import Energy, Species
 from goma_tpu.physics.mesh_motion import EllipticMesh, LinearElasticMesh, PseudoSolidMesh
 from goma_tpu.physics.viscoelastic import VelocityGradientProjection, VEStress, stress_var
 from goma_tpu.physics.turbulence import SATurbulentViscosity, SpalartAllmaras, wall_distance
+from goma_tpu.physics.population import MomentEquations, wheeler_n2
+from goma_tpu.physics.acoustic import AcousticHelmholtz, ProjectionEquation, SommerfeldBC
 from goma_tpu.physics.porous import PorousFlow, VanGenuchten
 from goma_tpu.physics.electro import ButlerVolmerBC, Potential
 from goma_tpu.physics.lubrication import ReynoldsFilm

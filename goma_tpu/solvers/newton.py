@@ -86,7 +86,9 @@ class NewtonSolver:
         self._cols = jnp.asarray(problem.pattern.indices)
         self._n = problem.dofmap.n_dof
         self._prep = jax.jit(self._prepare)
-        self._solve_gmres = jax.jit(self._linsolve_gmres)
+        self._factor_jit = jax.jit(self._factor_num)
+        self._cycle_jit = jax.jit(self._gmres_cycle)
+        self._solve_gmres = self._linsolve_gmres  # host restart loop
         self._solve_bicgstab = jax.jit(self._linsolve_bicgstab)
 
     def _prepare(self, x, params):
@@ -109,27 +111,52 @@ class NewtonSolver:
 
         return mv
 
-    def _make_precond(self, vals):
-        mv = self._matvec(vals)
+    def _factor_num(self, vals):
+        """Numeric preconditioner state (jit-friendly pytree, no closures)."""
         if self.opts.precond in ("fieldsplit", "twolevel"):
-            fac = self.precond.factor(vals, mv)
-        else:
-            fac = self.precond.factor(vals)
-        return mv, (lambda r: self.precond.apply(fac, r))
+            fac = self.precond.factor(vals, self._matvec(vals))
+            return tuple(f for f in fac if not callable(f))
+        return (self.precond.factor(vals),)
+
+    def _apply_precond(self, vals, fac_num, r):
+        if self.opts.precond in ("fieldsplit", "twolevel"):
+            return self.precond.apply((*fac_num, self._matvec(vals)), r)
+        return self.precond.apply(fac_num[0], r)
+
+    def _gmres_cycle(self, vals, fac_num, x, b):
+        """One restarted-GMRES cycle. The restart loop lives on HOST: long
+        device-side while_loops fault the TPU runtime, and host restarts also
+        match the reference's outer-loop structure."""
+        mv = self._matvec(vals)
+        M = lambda r: self._apply_precond(vals, fac_num, r)
+        lr = gmres(mv, b, precond=M, tol=self.opts.linear_tol,
+                   restart=self.opts.gmres_restart,
+                   maxiter=self.opts.gmres_restart, x0=x)
+        return lr.x, lr.resnorm
 
     def _linsolve_gmres(self, vals, R):
-        mv, M = self._make_precond(vals)
-        return gmres(
-            mv,
-            R,
-            precond=M,
-            tol=self.opts.linear_tol,
-            restart=self.opts.gmres_restart,
-            maxiter=self.opts.linear_maxiter,
+        opts = self.opts
+        fac = self._factor_jit(vals)
+        x = jnp.zeros_like(R)
+        bnorm = float(jax.device_get(jnp.linalg.norm(R)))
+        target = max(opts.linear_tol * bnorm, 1e-300)
+        it = 0
+        rn = bnorm
+        while rn > target and it < opts.linear_maxiter:
+            x, rnj = self._cycle_jit(vals, fac, x, R)
+            rn = float(jax.device_get(rnj))
+            it += opts.gmres_restart
+            if not np.isfinite(rn):
+                break
+        return LinearResult(
+            x=x, iters=jnp.asarray(it), resnorm=jnp.asarray(rn),
+            converged=jnp.asarray(rn <= target),
         )
 
     def _linsolve_bicgstab(self, vals, R):
-        mv, M = self._make_precond(vals)
+        fac = self._factor_jit(vals)
+        mv = self._matvec(vals)
+        M = lambda r: self._apply_precond(vals, fac, r)
         return bicgstab(
             mv, R, precond=M, tol=self.opts.linear_tol,
             maxiter=self.opts.linear_maxiter,
