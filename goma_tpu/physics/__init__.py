@@ -1,7 +1,12 @@
 from goma_tpu.physics.fluid import Continuity, Momentum
 from goma_tpu.physics.scalar_transport import Energy, Species
 from goma_tpu.physics.mesh_motion import EllipticMesh, LinearElasticMesh, PseudoSolidMesh
-from goma_tpu.physics.viscoelastic import VelocityGradientProjection, VEStress, stress_var
+from goma_tpu.physics.viscoelastic import (
+    LogConformationStress,
+    VelocityGradientProjection,
+    VEStress,
+    stress_var,
+)
 from goma_tpu.physics.turbulence import SATurbulentViscosity, SpalartAllmaras, wall_distance
 from goma_tpu.physics.population import MomentEquations, wheeler_n2
 from goma_tpu.physics.acoustic import AcousticHelmholtz, ProjectionEquation, SommerfeldBC

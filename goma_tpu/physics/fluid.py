@@ -54,12 +54,16 @@ class Momentum(Equation):
         convection: bool = True,
         ve_stress_modes: int = 0,
         devss_mu: float = 0.0,
+        logconf_modes: tuple = (),
     ):
         super().__init__("velocity", dim, interp)
         self.dim = dim
         self.transient = transient
         self.convection = convection
         self.ve_stress_modes = ve_stress_modes
+        # ((mode, lam, mu_p), ...) log-conformation modes contributing
+        # tau = mu_p/lam (exp(Psi) - I)
+        self.logconf_modes = tuple(logconf_modes)
         # DEVSS stabilization 2*mu_d*(D(u) - sym(G)) with G the projected
         # velocity gradient (reference: DEVSS/EVSS-F Fortin formulation)
         self.devss_mu = devss_mu
@@ -95,6 +99,10 @@ class Momentum(Equation):
             for m in range(self.ve_stress_modes):
                 S = _sym_expand(fv.val[f"stress{m}"], dim)  # (nq, dim, dim)
                 sigma = sigma + S
+        for m, lam_m, mup_m in self.logconf_modes:
+            from goma_tpu.physics.viscoelastic import logconf_stress_tensor
+
+            sigma = sigma + logconf_stress_tensor(fv, m, lam_m, mup_m)
         if self.devss_mu > 0.0 and "velocity_gradient" in fv.val:
             G = fv.val["velocity_gradient"].reshape(-1, dim, dim)
             Dg = 0.5 * (G + jnp.swapaxes(G, 1, 2))

@@ -143,6 +143,120 @@ class VEStress(Equation):
         return jnp.einsum("qc,qi->qci", core_c, w)
 
 
+def _eig2_sym(A):
+    """Explicit eigendecomposition of symmetric 2x2 (..., 2, 2):
+    returns (w (..., 2), R (..., 2, 2)) with A = R diag(w) R^T. Smooth at the
+    degenerate point (guarded)."""
+    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 1, 1]
+    tr2 = 0.5 * (a + c)
+    disc = jnp.sqrt(jnp.maximum(0.25 * (a - c) ** 2 + b * b, 1e-300))
+    w1 = tr2 - disc
+    w2 = tr2 + disc
+    # eigenvector for w2: (b, w2 - a) unless degenerate
+    v0 = jnp.where(jnp.abs(b) > 1e-150, b, 1e-150)
+    v1 = w2 - a
+    nrm = jnp.sqrt(v0 * v0 + v1 * v1)
+    c2, s2 = v0 / nrm, v1 / nrm  # eigvec of w2
+    # eigvec of w1 orthogonal
+    R = jnp.stack(
+        [jnp.stack([-s2, c2], -1), jnp.stack([c2, s2], -1)], -1
+    )  # columns: [v(w1), v(w2)]
+    w = jnp.stack([w1, w2], -1)
+    return w, R
+
+
+class LogConformationStress(Equation):
+    """Log-conformation viscoelastic stress (2D, one mode).
+
+    Parity: reference ``assemble_stress_log_conf`` (src/mm_fill_stress.c:2600)
+    — the Fattal-Kupferman change of variables Psi = log(c) that keeps the
+    conformation tensor SPD at high Weissenberg number:
+
+        dPsi/dt + u.grad Psi - (Omega Psi - Psi Omega) - 2B
+            = (1/lam)(exp(-Psi) - I)
+
+    with Omega/B built from the velocity gradient projected onto c's
+    eigenbasis. The momentum equation consumes the polymer stress
+    tau = (mu_p/lam)(exp(Psi) - I) via ``LogConfMomentumStress``.
+    Variable: sym components of Psi, stored in var "logconf{mode}".
+    """
+
+    def __init__(self, mode: int, lam: float, mu_p: float, interp: str = "Q1",
+                 supg: float = 0.5, transient: bool = True,
+                 use_projected_gradient: bool = True):
+        super().__init__(f"logconf{mode}", 3, interp)  # 2D sym: (11, 12, 22)
+        self.mode = mode
+        self.lam = lam
+        self.mu_p = mu_p
+        self.supg = supg
+        self.transient = transient
+        self.use_projected_gradient = use_projected_gradient
+
+    def residual(self, fv, mat, params):
+        d = 2
+        var = self.var
+        Psi = _sym_expand(fv.val[var], d)  # (nq, 2, 2)
+        gu = fv.grad["velocity"]
+        if self.use_projected_gradient and "velocity_gradient" in fv.val:
+            L = fv.val["velocity_gradient"].reshape(-1, d, d)
+        else:
+            L = gu
+        u_adv = advective_velocity(fv)
+
+        w, Rm = _eig2_sym(Psi)  # Psi = R diag(w) R^T
+        lam_c = jnp.exp(w)  # eigenvalues of c
+        # M = R^T L R with L[a,k] = du_a/dx_k (conformation evolution
+        # c_dot = L c + c L^T + ...): Fattal-Kupferman decomposition
+        M = jnp.einsum("qia,qab,qbj->qij", jnp.swapaxes(Rm, 1, 2), L, Rm)
+        m12, m21 = M[:, 0, 1], M[:, 1, 0]
+        l1, l2 = lam_c[:, 0], lam_c[:, 1]
+        denom = l2 - l1
+        deg = jnp.abs(denom) < 1e-10
+        omega = jnp.where(deg, 0.0, (l2 * m12 + l1 * m21) / jnp.where(deg, 1.0, denom))
+        zero = jnp.zeros_like(omega)
+        Om_h = jnp.stack(
+            [jnp.stack([zero, omega], -1), jnp.stack([-omega, zero], -1)], -2
+        )
+        Omega = jnp.einsum("qab,qbc,qdc->qad", Rm, Om_h, Rm)
+        # B = R diag(M11, M22) R^T ; in the degenerate case use sym(L)
+        Bh = jnp.stack(
+            [jnp.stack([M[:, 0, 0], zero], -1), jnp.stack([zero, M[:, 1, 1]], -1)], -2
+        )
+        B = jnp.einsum("qab,qbc,qdc->qad", Rm, Bh, Rm)
+        Dsym = 0.5 * (L + jnp.swapaxes(L, 1, 2))
+        B = jnp.where(deg[:, None, None], Dsym, B)
+
+        conv = jnp.einsum("qk,qabk->qab", u_adv, _sym_grad_expand(fv.grad[var], d))
+        comm = jnp.einsum("qac,qcb->qab", Omega, Psi) - jnp.einsum(
+            "qac,qcb->qab", Psi, Omega
+        )
+        # exp(-Psi) = R diag(exp(-w)) R^T
+        expm = jnp.einsum("qab,qb,qcb->qac", Rm, jnp.exp(-w), Rm)
+        core = conv - comm - 2.0 * B - (expm - jnp.eye(2)[None]) / self.lam
+        if self.transient:
+            core = core + _sym_expand(fv.dot[var], d)
+
+        phi = fv.phi[var]
+        if self.supg > 0:
+            gphi = fv.gphi[var]
+            u2 = jnp.sum(u_adv * u_adv, axis=1)
+            tau_s = self.supg * fv.h_elem * jnp.sqrt(u2 + 1e-30) / (2.0 * u2 + 1e-12)
+            wt = phi + tau_s[:, None] * jnp.einsum("qk,qik->qi", u_adv, gphi)
+        else:
+            wt = phi
+        comps = sym_comps(d)
+        core_c = jnp.stack([core[:, a, b] for (a, b) in comps], axis=1)
+        return jnp.einsum("qc,qi->qci", core_c, wt)
+
+
+def logconf_stress_tensor(fv, mode: int, lam: float, mu_p: float):
+    """tau = (mu_p/lam)(exp(Psi) - I) for the momentum equation."""
+    Psi = _sym_expand(fv.val[f"logconf{mode}"], 2)
+    w, Rm = _eig2_sym(Psi)
+    c = jnp.einsum("qab,qb,qcb->qac", Rm, jnp.exp(w), Rm)
+    return (mu_p / lam) * (c - jnp.eye(2)[None])
+
+
 def _sym_grad_expand(gS, d):
     """grad of symmetric components (nq, ncomp, dim) -> (nq, d, d, dim)."""
     comps = sym_comps(d)

@@ -115,3 +115,57 @@ def test_ptt_eps_thinning():
     s1 = run(0.2)
     np.testing.assert_allclose(s0, 1.0 * V, rtol=1e-6)  # Oldroyd-B limit
     assert s1 < s0  # PTT thins
+
+
+def test_logconf_simple_shear():
+    """Log-conformation formulation reproduces the Oldroyd-B analytic simple
+    shear: Psi = log(c) with c = [[1+2(lam gd)^2, lam gd], [lam gd, 1]],
+    stress s12 = mu_p gd, s11 = 2 lam mu_p gd^2.
+    Reference: assemble_stress_log_conf (src/mm_fill_stress.c:2600)."""
+    import jax.numpy as jnp
+    from goma_tpu.physics import LogConformationStress
+    from goma_tpu.physics.viscoelastic import logconf_stress_tensor, _eig2_sym
+
+    lam, mu_p, mu_s, V = 0.5, 1.0, 0.5, 1.0
+    mesh = rectangle_mesh(4, 4, elem="QUAD9")
+    mesh.nodesets["pin"] = np.array([0], dtype=np.int32)
+    eqs = [
+        Momentum(dim=2, interp="Q2", transient=False,
+                 logconf_modes=((0, lam, mu_p),), devss_mu=mu_p),
+        Continuity(interp="Q1"),
+        LogConformationStress(0, lam=lam, mu_p=mu_p, interp="Q1", transient=False),
+        VelocityGradientProjection(dim=2, interp="Q1"),
+    ]
+    prob = Problem(mesh, eqs, {"rho": 0.0, "mu": mu_s})
+    shear = lambda c: V * c[:, 1]
+    for ns in ("left", "right", "top", "bottom"):
+        prob.add_dirichlet(ns, "velocity", 0, shear)
+        prob.add_dirichlet(ns, "velocity", 1, 0.0)
+    prob.add_dirichlet("pin", "pressure", 0, 0.0)
+    prob.finalize()
+    # initialize Psi with the analytic log-conformation
+    gd = V
+    c_exact = np.array([[1 + 2 * (lam * gd) ** 2, lam * gd], [lam * gd, 1.0]])
+    wec, vec = np.linalg.eigh(c_exact)
+    Psi_exact = vec @ np.diag(np.log(wec)) @ vec.T
+    x0 = np.zeros(prob.dofmap.n_dof)
+    x0 = prob.set_nodal_field(x0, "velocity", 0, shear)
+    for comp, (a, b) in enumerate([(0, 0), (0, 1), (1, 1)]):
+        x0 = prob.set_nodal_field(x0, f"logconf0", comp, Psi_exact[a, b])
+    res = NewtonSolver(
+        prob, NewtonOptions(max_iter=20, tol_residual=1e-10, linear_solver="direct")
+    ).solve(x0, prob.base_params())
+    assert res.converged, res.summary()
+    p11 = np.nanmean(prob.get_nodal_field(res.x, "logconf0", 0))
+    p12 = np.nanmean(prob.get_nodal_field(res.x, "logconf0", 1))
+    p22 = np.nanmean(prob.get_nodal_field(res.x, "logconf0", 2))
+    np.testing.assert_allclose([p11, p12, p22],
+                               [Psi_exact[0, 0], Psi_exact[0, 1], Psi_exact[1, 1]],
+                               atol=1e-7)
+    # recovered stresses
+    tau_exact = mu_p / lam * (c_exact - np.eye(2))
+    Psi = np.array([[p11, p12], [p12, p22]])
+    wv, vv = np.linalg.eigh(Psi)
+    c = vv @ np.diag(np.exp(wv)) @ vv.T
+    tau = mu_p / lam * (c - np.eye(2))
+    np.testing.assert_allclose(tau, tau_exact, atol=1e-6)
