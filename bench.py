@@ -102,40 +102,51 @@ def main():
     from __graft_entry__ import _cavity_problem
     from goma_tpu.solvers import NewtonOptions, NewtonSolver
 
-    n = 48  # 2304 Q2/Q1 elements, ~21k dofs
+    import sys
+
+    def log(msg):
+        print(msg, file=sys.stderr, flush=True)
+
+    n = 32  # 1024 Q2/Q1 elements, ~9.5k dofs
     prob = _cavity_problem(n)
     ne = prob.mesh.n_elem
     solver = NewtonSolver(
         prob,
-        NewtonOptions(max_iter=8, tol_residual=1e-6, linear_tol=1e-6, gmres_restart=40,
-                      linear_maxiter=400, precond="twolevel"),
+        NewtonOptions(max_iter=8, tol_residual=1e-6, linear_tol=1e-4, gmres_restart=40,
+                      linear_maxiter=400, precond="twolevel", smooth_sweeps=1),
     )
     params = prob.base_params()
     x = jnp.zeros(prob.dofmap.n_dof, dtype=prob.dtype)
 
     # warmup (compile)
-    R, vals, norms = solver._prep(x, params)
+    log("bench: compiling assembly...")
+    R, vals, norms, scale, aux = solver._prep(x, params)
     jax.block_until_ready(R)
-    lr = solver._solve_gmres(vals, R)
+    log("bench: compiling linear solve...")
+    lr = solver._solve_gmres(vals, R, scale, aux)
     jax.block_until_ready(lr.x)
+    log(f"bench: warmup done (lin iters {int(lr.iters)}, res {float(lr.resnorm):.2e})")
 
     # timed: assembly and solve separately
+    log("bench: timing assembly...")
     n_rep = 5
     t0 = time.perf_counter()
     for _ in range(n_rep):
-        R, vals, norms = solver._prep(x, params)
-    jax.block_until_ready(vals)
+        R, vals, norms, scale, aux = solver._prep(x, params)
+        jax.block_until_ready(vals)
     t_asm = (time.perf_counter() - t0) / n_rep
+    log(f"bench: t_asm {t_asm*1000:.0f} ms; timing solve...")
 
     t0 = time.perf_counter()
-    for _ in range(n_rep):
-        lr = solver._solve_gmres(vals, R)
+    lr = solver._solve_gmres(vals, R, scale, aux)
     jax.block_until_ready(lr.x)
-    t_slv = (time.perf_counter() - t0) / n_rep
+    t_slv = time.perf_counter() - t0
+    log(f"bench: solve: {int(lr.iters)} iters, {t_slv*1000:.0f} ms")
 
     sec_per_iter = t_asm + t_slv
-
+    log(f"bench: t_asm={t_asm*1000:.0f} ms t_slv={t_slv*1000:.0f} ms per iter")
     # baseline: reference-style scalar assembly per element on host
+    log("bench: running numpy reference baseline...")
     t_ref_per_elem = numpy_reference_assembly_per_elem()
     t_ours_per_elem = t_asm / ne
     speedup = t_ref_per_elem / t_ours_per_elem
@@ -143,7 +154,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "assembly+solve sec per Newton iter (NS cavity 48x48 Q2Q1, "
+                "metric": f"assembly+solve sec per Newton iter (NS cavity {n}x{n} Q2Q1 f64, "
                 f"{prob.dofmap.n_dof} dof; assembly speedup vs 1-core reference-style loop)",
                 "value": round(sec_per_iter, 6),
                 "unit": "s/iter",

@@ -1,0 +1,116 @@
+"""Pointwise (collocated) nodal constraints.
+
+Parity: reference ``src/bc_colloc.c:73 apply_point_colloc_bc`` — BCs enforced
+at boundary nodes by replacing one equation row with a pointwise constraint,
+including the geometry family (PLANE ``fplane:855``, FILLET, SPLINE) that
+pins ALE mesh nodes to analytic surfaces.
+
+A constraint is g(q, X0, params) = 0 where q are the variable's components
+at the node and X0 the undeformed coordinates; the row's Jacobian entries
+come from jax.jacfwd of g, vmapped over all nodes of the set.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+@dataclass
+class PointConstraintSet:
+    g: Callable  # g(q (ncomp,), X0 (dim,), params) -> scalar
+    rows: np.ndarray  # (n,) replaced dof rows
+    dofs: np.ndarray  # (n, ncomp) the node's variable dofs
+    coords: np.ndarray  # (n, dim)
+    entry_pos: np.ndarray  # (n, ncomp) CSR positions of (row, dofs)
+    zero_pos: np.ndarray  # flat positions of all row entries (to clear)
+
+
+def build_point_constraints(problem, specs) -> list[PointConstraintSet]:
+    """specs: list of (nodeset, var, replace_comp, g)."""
+    out = []
+    pat = problem.pattern
+    dofmap = problem.dofmap
+    mesh = problem.mesh
+    for nodeset, var, comp, g in specs:
+        nodes = mesh.nodesets[nodeset] if isinstance(nodeset, str) else np.asarray(nodeset)
+        ncomp = dofmap.var(var).ncomp
+        rows, dofs, coords, epos, zpos = [], [], [], [], []
+        for node in np.sort(nodes):
+            dd = np.array([dofmap.dof_of_node_svar[node, dofmap.svar(var, c)]
+                           for c in range(ncomp)])
+            if np.any(dd < 0):
+                continue
+            row = int(dd[comp])
+            p = pat.find(np.full(ncomp, row), dd)
+            if np.any(p < 0):
+                raise RuntimeError("point constraint entries missing from pattern")
+            rows.append(row)
+            dofs.append(dd)
+            coords.append(mesh.coords[node])
+            epos.append(p)
+            zpos.append(np.arange(pat.indptr[row], pat.indptr[row + 1]))
+        if not rows:
+            continue
+        out.append(
+            PointConstraintSet(
+                g=g,
+                rows=np.array(rows, dtype=np.int64),
+                dofs=np.stack(dofs),
+                coords=np.stack(coords),
+                entry_pos=np.stack(epos),
+                zero_pos=np.concatenate(zpos),
+            )
+        )
+    return out
+
+
+def apply_point_constraints(problem, sets, x, R, vals, params, T=None):
+    dtype = R.dtype
+    for k, pc in enumerate(sets):
+        if T is not None:
+            dofs, X0 = T[f"pc{k}:dofs"], T[f"pc{k}:coords"]
+            rows, zero, epos = T[f"pc{k}:rows"], T[f"pc{k}:zero"], T[f"pc{k}:epos"]
+        else:
+            dofs = jnp.asarray(pc.dofs)
+            X0 = jnp.asarray(pc.coords, dtype=dtype)
+            rows = jnp.asarray(pc.rows)
+            zero = jnp.asarray(pc.zero_pos)
+            epos = jnp.asarray(pc.entry_pos)
+        q = x[dofs]  # (n, ncomp)
+
+        def g1(qi, Xi):
+            return pc.g(qi, Xi, params)
+
+        gv = jax.vmap(g1)(q, X0)  # (n,)
+        dg = jax.vmap(jax.jacfwd(g1, argnums=0))(q, X0)  # (n, ncomp)
+        R = R.at[rows].set(gv)
+        if vals is not None:
+            vals = vals.at[zero].set(jnp.zeros((), dtype=dtype))
+            vals = vals.at[epos].set(dg)
+    return R, vals
+
+
+# ------------------------------------------------------- geometry functions
+def plane(normal, offset):
+    """g = n.x - c = 0 (reference fplane). Constrains mesh nodes to a plane;
+    use with var='mesh_displacement': x = X0 + d."""
+    nrm = np.asarray(normal, dtype=float)
+
+    def g(d, X0, params):
+        return jnp.dot(jnp.asarray(nrm), X0 + d) - offset
+
+    return g
+
+
+def surface(fun):
+    """g = fun(x) with x = X0 + d (reference GEOM/SPLINE user surface)."""
+
+    def g(d, X0, params):
+        return fun(X0 + d)
+
+    return g

@@ -10,3 +10,4 @@ from goma_tpu.continuation.augmenting import (
     AugmentingCondition,
 )
 from goma_tpu.continuation.stability import StabilityResult, mass_and_jacobian, solve_stability
+from goma_tpu.continuation.hunting import HuntSpec, detect_folds, hunt_problem

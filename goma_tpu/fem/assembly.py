@@ -146,13 +146,66 @@ class Problem:
         self._face_sets: list[tuple[str, FaceKernel]] = []
         self._rot_specs: list = []
         self._rot_constraints: list = []
+        self._point_specs: list = []
+        self._devcache: dict = {}
+        self._devcache_keep: list = []
         self._finalized = False
 
     @property
     def dtype(self):
         return self._dtype or config.fp_dtype()
 
-    # ------------------------------------------------------------ setup API
+    def _build_tables(self):
+        """Device-resident static tables, passed to jitted code as an explicit
+        pytree argument (params["_tables"]). Any array captured by closure is
+        inlined into the lowered module as a dense literal — the axon
+        remote-compile tunnel rejects such multi-MB payloads (HTTP 413), and
+        literals defeat compile caching anyway."""
+        dt = self.dtype
+        dev = jax.device_put
+        T = {}
+        for bi, (bd, blk) in enumerate(zip(self.dofmap.blocks, self.mesh.blocks)):
+            T[f"g{bi}"] = dev(bd.gather.astype(np.int32))
+            T[f"x{bi}"] = dev(self.mesh.coords[blk.conn].astype(dt))
+            T[f"n{bi}"] = dev(self._nnz_maps[bi])
+            T[f"c{bi}"] = dev(blk.conn.astype(np.int32))
+        for j, fs in enumerate(self.face_sets):
+            bd = self.dofmap.blocks[fs.block_index]
+            blk = self.mesh.blocks[fs.block_index]
+            T[f"fg{j}"] = dev(bd.gather[fs.face_elems].astype(np.int32))
+            T[f"fx{j}"] = dev(self.mesh.coords[blk.conn[fs.face_elems]].astype(dt))
+            T[f"fn{j}"] = dev(self._nnz_maps[fs.block_index][fs.face_elems])
+            for k, v in fs.ftabs.items():
+                T[f"ft{j}:{k}"] = dev(np.asarray(v).astype(dt))
+        T["tg"] = dev(self._tgather_pos)
+        T["dirmask"] = dev(self._dir_mask)
+        T["dirdofs"] = dev(self.dirichlet_dofs)
+        T["dirkeep"] = dev(self._dir_nnz_keep.astype(dt))
+        T["dirdiag"] = dev(self._dir_diag_pos)
+        rd = self._rotation
+        if rd is not None:
+            T["rQ"] = dev(rd.Q.astype(dt))
+            T["rpos"] = dev(rd.pos)
+            T["rnode"] = dev(rd.entry_node)
+            T["rdofs"] = dev(rd.dofs)
+            if rd.con_rows.size:
+                T["rcrow"] = dev(rd.con_rows)
+                T["rcoef"] = dev(rd.con_coeff.astype(dt))
+                T["rcdofs"] = dev(rd.con_dofs)
+                T["rczero"] = dev(np.concatenate(rd.con_row_mask_pos))
+                T["rcepos"] = dev(rd.con_entry_pos)
+        for k, pc in enumerate(self._point_sets):
+            T[f"pc{k}:rows"] = dev(pc.rows)
+            T[f"pc{k}:dofs"] = dev(pc.dofs)
+            T[f"pc{k}:coords"] = dev(pc.coords.astype(dt))
+            T[f"pc{k}:epos"] = dev(pc.entry_pos)
+            T[f"pc{k}:zero"] = dev(pc.zero_pos)
+        self._tables = T
+
+    def _tb(self, params):
+        t = params.get("_tables") if isinstance(params, dict) else None
+        return t if t is not None else self._tables
+
     def add_dirichlet(self, nodeset: str, var: str, comp: int, value):
         """Strong Dirichlet on a node set. ``value``: scalar or callable
         f(coords (n, dim)) -> (n,). Reference: DX/DY/UVW cards ->
@@ -180,6 +233,12 @@ class Problem:
             sidesets = (sidesets,)
         d = {"normal": 0, "tangent": 1, "tangent2": 2}[direction]
         self._rot_constraints.append((tuple(sidesets), var, d, value))
+
+    def add_point_constraint(self, nodeset, var: str, replace_comp: int, g):
+        """Collocated nodal constraint g(q, X0, params)=0 replacing the
+        ``replace_comp`` equation row of ``var`` at each node (reference
+        bc_colloc.c; geometry helpers in goma_tpu.bc.pointwise)."""
+        self._point_specs.append((nodeset, var, replace_comp, g))
 
     # ------------------------------------------------------------- finalize
     def finalize(self):
@@ -248,6 +307,11 @@ class Problem:
 
         self._rotation = build_rotation(self, self._rot_specs, self._rot_constraints)
 
+        # pointwise collocated constraints
+        from goma_tpu.bc.pointwise import build_point_constraints
+
+        self._point_sets = build_point_constraints(self, self._point_specs)
+
         # face sets: group registered kernels by sideset
         bysset: dict[str, list[FaceKernel]] = {}
         for name, k in self._face_sets:
@@ -256,6 +320,30 @@ class Problem:
         for name, kernels in bysset.items():
             self.face_sets.extend(self._build_face_set(name, kernels))
 
+        # transpose-gather map for the scatter-free element matvec: for every
+        # dof, the positions of its contributions in the concatenated
+        # (blocks..., faces...) element-local vectors. TPU scatters are
+        # serial; this turns the scatter into an (n, m) gather.
+        flat_parts = [bd.gather.ravel() for bd in self.dofmap.blocks]
+        for fs in self.face_sets:
+            flat_parts.append(self.dofmap.blocks[fs.block_index].gather[fs.face_elems].ravel())
+        if flat_parts:
+            flat = np.concatenate(flat_parts).astype(np.int64)
+            L = flat.shape[0]
+            order = np.argsort(flat, kind="stable")
+            sorted_dofs = flat[order]
+            starts = np.searchsorted(sorted_dofs, np.arange(self.dofmap.n_dof))
+            ends = np.searchsorted(sorted_dofs, np.arange(self.dofmap.n_dof) + 1)
+            m = int((ends - starts).max()) if L else 1
+            pos = np.full((self.dofmap.n_dof, m), L, dtype=np.int64)
+            for k in range(m):
+                sel = starts + k < ends
+                pos[sel, k] = order[(starts + k)[sel]]
+            self._tgather_pos = pos
+        else:
+            self._tgather_pos = np.zeros((self.dofmap.n_dof, 1), dtype=np.int64)
+
+        self._build_tables()
         self._finalized = True
         self._assemble_jit = jax.jit(self._assemble)
         self._residual_jit = jax.jit(self._residual_only)
@@ -324,6 +412,7 @@ class Problem:
         }
         for name in self.external_fields:
             p[f"ext_{name}"] = jnp.zeros(self.mesh.n_nodes, dtype=dt)
+        p["_tables"] = self._tables
         p.update(extra)
         return p
 
@@ -336,10 +425,15 @@ class Problem:
         dtype = self.dtype
 
         ext_names = self.external_fields
+        # shell/curve blocks: reference dimension below the space dimension
+        is_curve = element_type(bd.elem_type).dim < self.mesh.dim
+        from goma_tpu.fem.fields import eval_curvevars
+
+        eval_fn = eval_curvevars if is_curve else eval_fieldvars
 
         def elem_res(q_e, hist_e, X_e, ext_e, params):
             qdot_e = params["ct"] * q_e + hist_e
-            fv = eval_fieldvars(q_e, qdot_e, X_e, tables, bd.slots, dtype, ext_e, ext_names)
+            fv = eval_fn(q_e, qdot_e, X_e, tables, bd.slots, dtype, ext_e, ext_names)
             r = jnp.zeros((bd.n_ldof,), dtype=q_e.dtype)
             for eq in eqs:
                 s = bd.slot(eq.var)
@@ -415,56 +509,173 @@ class Problem:
         )
         return R, vals
 
-    def _apply_rotation(self, x, R, vals):
+    def _apply_rotation(self, x, R, vals, T):
         """Rotate assembled rows into normal-tangent frames and install
         constraint rows (device-side, fully vectorized)."""
         rd = self._rotation
         if rd is None:
             return R, vals
         dtype = R.dtype
-        Q = jnp.asarray(rd.Q, dtype=dtype)
-        dofs = jnp.asarray(rd.dofs)
+        Q = T["rQ"]
+        dofs = T["rdofs"]
         Rrows = jnp.einsum("nij,nj->ni", Q, R[dofs])
         R = R.at[dofs].set(Rrows)
         if vals is not None:
-            pos = jnp.asarray(rd.pos)
+            pos = T["rpos"]
             vrows = vals[pos]  # (K, dim)
-            new = jnp.einsum("kij,kj->ki", Q[jnp.asarray(rd.entry_node)], vrows)
+            new = jnp.einsum("kij,kj->ki", Q[T["rnode"]], vrows)
             vals = vals.at[pos].set(new)
         if rd.con_rows.size:
-            crows = jnp.asarray(rd.con_rows)
-            ccoef = jnp.asarray(rd.con_coeff, dtype=dtype)
-            cdofs = jnp.asarray(rd.con_dofs)
+            crows = T["rcrow"]
+            ccoef = T["rcoef"]
+            cdofs = T["rcdofs"]
             cval = jnp.asarray(rd.con_value, dtype=dtype)
             Rcon = jnp.einsum("ni,ni->n", ccoef, x[cdofs]) - cval
             R = R.at[crows].set(Rcon)
             if vals is not None:
-                allpos = jnp.asarray(np.concatenate(rd.con_row_mask_pos))
-                vals = vals.at[allpos].set(jnp.zeros((), dtype=dtype))
-                vals = vals.at[jnp.asarray(rd.con_entry_pos)].set(ccoef)
+                vals = vals.at[T["rczero"]].set(jnp.zeros((), dtype=dtype))
+                vals = vals.at[T["rcepos"]].set(ccoef)
         return R, vals
 
     def _apply_dirichlet(self, x, R, vals, params):
+        T = self._tb(params)
         n = self.dofmap.n_dof
         dtype = R.dtype
         if self.dirichlet_dofs.size:
-            dmask = jnp.asarray(self._dir_mask)
-            dd = jnp.asarray(self.dirichlet_dofs)
+            dmask = T["dirmask"]
+            dd = T["dirdofs"]
             xv = jnp.zeros(n, dtype=dtype).at[dd].set(params["dirichlet_val"])
             for d, coords, fn in self._param_dirichlet:
                 v = jnp.asarray(fn(jnp.asarray(coords, dtype=dtype), params), dtype=dtype)
                 xv = xv.at[jnp.asarray(d)].set(jnp.broadcast_to(v, (d.shape[0],)))
             R = jnp.where(dmask, x - xv, R)
             if vals is not None:
-                vals = vals * jnp.asarray(self._dir_nnz_keep, dtype=dtype)
-                vals = vals.at[jnp.asarray(self._dir_diag_pos)].set(
+                vals = vals * T["dirkeep"]
+                vals = vals.at[T["dirdiag"]].set(
                     jnp.ones((), dtype=dtype)
                 )
         return R, vals
 
+    def _assemble_with_elem(self, x, params):
+        """Like _assemble but also returns the per-element (and per-face)
+        local Jacobians plus point-constraint rows, enabling the matrix-free
+        element matvec (see ``element_matvec``): on TPU, A@x as
+        gather -> batched dense matmul (MXU) -> small scatter is an order of
+        magnitude faster than any ELL/CSR gather-based SpMV."""
+        T = self._tb(params)
+        dtype = self.dtype
+        x = x.astype(dtype)
+        hist = params["hist"]
+        n = self.dofmap.n_dof
+        R = jnp.zeros(n, dtype=dtype)
+        vals = jnp.zeros(self.pattern.nnz, dtype=dtype)
+        blockJ = []
+        faceJ = []
+
+        for bi, (bd, blk) in enumerate(zip(self.dofmap.blocks, self.mesh.blocks)):
+            gather = T[f"g{bi}"]
+            Xref = T[f"x{bi}"]
+            conn = T[f"c{bi}"]
+            ext = self._ext_gather(params, conn)
+            elem_res = self._elem_residual_fn(bi)
+            jac_fn = jax.jacfwd(elem_res, argnums=0, has_aux=True)
+            J, r = jax.vmap(jac_fn, in_axes=(0, 0, 0, 0, None))(
+                x[gather], hist[gather], Xref, ext, params
+            )
+            blockJ.append(J)
+            R = R + jax.ops.segment_sum(r.reshape(-1), gather.reshape(-1), num_segments=n)
+            nmap = T[f"n{bi}"]
+            vals = vals + jax.ops.segment_sum(
+                J.reshape(-1), nmap.reshape(-1), num_segments=self.pattern.nnz
+            )
+
+        for fsi, fs in enumerate(self.face_sets):
+            bd = self.dofmap.blocks[fs.block_index]
+            blk = self.mesh.blocks[fs.block_index]
+            fe = fs.face_elems
+            gather = T[f"fg{fsi}"]
+            Xref = T[f"fx{fsi}"]
+            ftabs = {k: T[f"ft{fsi}:{k}"] for k in fs.ftabs}
+            face_res = self._face_residual_fn(fs)
+            jac_fn = jax.jacfwd(face_res, argnums=0, has_aux=True)
+            J, r = jax.vmap(jac_fn, in_axes=(0, 0, 0, 0, None))(
+                x[gather], hist[gather], Xref, ftabs, params
+            )
+            faceJ.append(J)
+            R = R + jax.ops.segment_sum(r.reshape(-1), gather.reshape(-1), num_segments=n)
+            nmap = T[f"fn{fsi}"]
+            vals = vals + jax.ops.segment_sum(
+                J.reshape(-1), nmap.reshape(-1), num_segments=self.pattern.nnz
+            )
+
+        R, vals = self._apply_rotation(x, R, vals, T)
+        pc_dg = []
+        if self._point_sets:
+            from goma_tpu.bc.pointwise import apply_point_constraints
+
+            for k, pc in enumerate(self._point_sets):
+                dofs = T[f"pc{k}:dofs"]
+                X0 = T[f"pc{k}:coords"]
+                dg = jax.vmap(jax.jacfwd(lambda qi, Xi: pc.g(qi, Xi, params), argnums=0))(
+                    x[dofs], X0
+                )
+                pc_dg.append(dg)
+            R, vals = apply_point_constraints(self, self._point_sets, x, R, vals, params, T)
+        R, vals = self._apply_dirichlet(x, R, vals, params)
+        return R, vals, (tuple(blockJ), tuple(faceJ), tuple(pc_dg))
+
+    def element_matvec(self, T, aux, scale, v):
+        """Matrix-free y = A@v from the stored element Jacobians, reproducing
+        exactly the surgered + row-scaled CSR operator. Scatter-free: the
+        per-element products are combined through the precomputed transpose
+        gather (TPU scatters are serial; gathers are fast).
+
+        ``T=None`` (the hot path) embeds the small index tables as
+        compile-time constants: XLA specializes constant-index gathers
+        (~30x faster on TPU than parameter-index gathers), and these tables
+        are small enough for the remote-compile payload limit."""
+        T = T if T is not None else self._tables
+        blockJ, faceJ, pc_dg = aux
+        n = self.dofmap.n_dof
+        parts = []
+        for bi, bd in enumerate(self.dofmap.blocks):
+            gather = T[f"g{bi}"]
+            q = v[gather]  # (ne, nl)
+            parts.append(jnp.einsum("eij,ej->ei", blockJ[bi], q).reshape(-1))
+        for fsi, fs in enumerate(self.face_sets):
+            bd = self.dofmap.blocks[fs.block_index]
+            gather = T[f"fg{fsi}"]
+            q = v[gather]
+            parts.append(jnp.einsum("eij,ej->ei", faceJ[fsi], q).reshape(-1))
+        ye_flat = jnp.concatenate(parts + [jnp.zeros(1, dtype=v.dtype)])
+        y = jnp.sum(ye_flat[T["tg"]], axis=1)
+        # rotated rows
+        rd = self._rotation
+        if rd is not None:
+            Q = T["rQ"]
+            dofs = T["rdofs"]
+            y = y.at[dofs].set(jnp.einsum("nij,nj->ni", Q, y[dofs]))
+            if rd.con_rows.size:
+                y = y.at[T["rcrow"]].set(
+                    jnp.einsum("ni,ni->n", T["rcoef"], v[T["rcdofs"]])
+                )
+        # point-constraint rows
+        for k, dg in enumerate(pc_dg):
+            y = y.at[T[f"pc{k}:rows"]].set(
+                jnp.einsum("ni,ni->n", dg, v[T[f"pc{k}:dofs"]])
+            )
+        # dirichlet rows are identity
+        if self.dirichlet_dofs.size:
+            dmask = T["dirmask"]
+            y = jnp.where(dmask, v, y)
+        if scale is not None:
+            y = y * scale
+        return y
+
     def _assemble(self, x, params):
         """Returns (R, vals): global residual and CSR Jacobian values, with
         Dirichlet rows replaced (R_d = x_d - x_bc, row = e_d)."""
+        T = self._tb(params)
         dtype = self.dtype
         x = x.astype(dtype)
         hist = params["hist"]
@@ -473,10 +684,10 @@ class Problem:
         vals = jnp.zeros(self.pattern.nnz, dtype=dtype)
 
         for bi, (bd, blk) in enumerate(zip(self.dofmap.blocks, self.mesh.blocks)):
-            gather = jnp.asarray(bd.gather, dtype=jnp.int32)
-            Xref = jnp.asarray(self.mesh.coords[blk.conn], dtype=dtype)
-            nmap = jnp.asarray(self._nnz_maps[bi])
-            conn = jnp.asarray(blk.conn, dtype=jnp.int32)
+            gather = T[f"g{bi}"]
+            Xref = T[f"x{bi}"]
+            nmap = T[f"n{bi}"]
+            conn = T[f"c{bi}"]
             dR, dv = self._block_contrib(bi, x, hist, params, gather, Xref, nmap, conn)
             R = R + dR
             vals = vals + dv
@@ -485,27 +696,32 @@ class Problem:
             bd = self.dofmap.blocks[fs.block_index]
             blk = self.mesh.blocks[fs.block_index]
             fe = fs.face_elems
-            gather = jnp.asarray(bd.gather[fe], dtype=jnp.int32)
-            Xref = jnp.asarray(self.mesh.coords[blk.conn[fe]], dtype=dtype)
-            ftabs = {k: jnp.asarray(v, dtype=dtype) for k, v in fs.ftabs.items()}
-            nmap = jnp.asarray(self._nnz_maps[fs.block_index][fe])
+            gather = T[f"fg{fsi}"]
+            Xref = T[f"fx{fsi}"]
+            ftabs = {k: T[f"ft{fsi}:{k}"] for k in fs.ftabs}
+            nmap = T[f"fn{fsi}"]
             dR, dv = self._face_contrib(fsi, x, hist, params, gather, Xref, ftabs, nmap)
             R = R + dR
             vals = vals + dv
 
-        R, vals = self._apply_rotation(x, R, vals)
+        R, vals = self._apply_rotation(x, R, vals, T)
+        if self._point_sets:
+            from goma_tpu.bc.pointwise import apply_point_constraints
+
+            R, vals = apply_point_constraints(self, self._point_sets, x, R, vals, params, T)
         return self._apply_dirichlet(x, R, vals, params)
 
     def _residual_only(self, x, params):
+        T = self._tb(params)
         dtype = self.dtype
         x = x.astype(dtype)
         hist = params["hist"]
         n = self.dofmap.n_dof
         R = jnp.zeros(n, dtype=dtype)
         for bi, (bd, blk) in enumerate(zip(self.dofmap.blocks, self.mesh.blocks)):
-            gather = jnp.asarray(bd.gather, dtype=jnp.int32)
-            Xref = jnp.asarray(self.mesh.coords[blk.conn], dtype=dtype)
-            conn = jnp.asarray(blk.conn, dtype=jnp.int32)
+            gather = T[f"g{bi}"]
+            Xref = T[f"x{bi}"]
+            conn = T[f"c{bi}"]
             ext = self._ext_gather(params, conn)
             elem_res = self._elem_residual_fn(bi)
             r, _ = jax.vmap(elem_res, in_axes=(0, 0, 0, 0, None))(
@@ -516,15 +732,19 @@ class Problem:
             bd = self.dofmap.blocks[fs.block_index]
             blk = self.mesh.blocks[fs.block_index]
             fe = fs.face_elems
-            gather = jnp.asarray(bd.gather[fe], dtype=jnp.int32)
-            Xref = jnp.asarray(self.mesh.coords[blk.conn[fe]], dtype=dtype)
-            ftabs = {k: jnp.asarray(v, dtype=dtype) for k, v in fs.ftabs.items()}
+            gather = T[f"fg{fsi}"]
+            Xref = T[f"fx{fsi}"]
+            ftabs = {k: T[f"ft{fsi}:{k}"] for k in fs.ftabs}
             face_res = self._face_residual_fn(fs)
             r, _ = jax.vmap(face_res, in_axes=(0, 0, 0, 0, None))(
                 x[gather], hist[gather], Xref, ftabs, params
             )
             R = R + jax.ops.segment_sum(r.reshape(-1), gather.reshape(-1), num_segments=n)
-        R, _ = self._apply_rotation(x, R, None)
+        R, _ = self._apply_rotation(x, R, None, T)
+        if self._point_sets:
+            from goma_tpu.bc.pointwise import apply_point_constraints
+
+            R, _ = apply_point_constraints(self, self._point_sets, x, R, None, params, T)
         R, _ = self._apply_dirichlet(x, R, None, params)
         return R
 

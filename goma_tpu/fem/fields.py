@@ -191,3 +191,84 @@ def eval_fieldvars(
             fv.ext[name] = jnp.einsum("qn,n->q", Ng, e)
             fv.ext_grad[name] = jnp.einsum("qnk,n->qk", gphi_g, e)
     return fv
+
+
+class CurveVars(FieldVars):
+    """FieldVars for shell/curve elements (reference dimension < space
+    dimension): BAR blocks embedded in a 2D mesh.
+
+    Parity: the reference's shell element machinery (``src/mm_fill_shell.c``,
+    ``src/mm_shell_util.c``): shell elements share mesh nodes with the bulk
+    boundary, so shared variables couple automatically through the node-major
+    dof map — no "friend element" gather is needed.
+
+    Extra attributes:
+      tangent  (nq, dim)  unit tangent along the curve
+      normal   (nq, dim)  unit normal (tangent rotated -90 deg; for CCW bulk
+                          boundaries this points OUT of the bulk)
+      wds      (nq,)      arc-length quadrature weight
+      dphi_ds[v] (nq, nbf) arc-length derivative of basis
+      grad_s[v] (nq, ncomp) arc-length derivative of fields
+      curvature (nq,)     signed curvature of the (displaced) curve
+    """
+
+    def __init__(self):
+        super().__init__()
+        self.tangent = None
+        self.normal = None
+        self.wds = None
+        self.dphi_ds: dict[str, Any] = {}
+        self.grad_s: dict[str, Any] = {}
+        self.curvature = None
+
+
+def eval_curvevars(q_e, qdot_e, X_e, tables: BlockTables, slots, dtype,
+                   ext_e=None, ext_names=()) -> CurveVars:
+    """Field evaluation on a BAR element embedded in 2D."""
+    u = _unpack(q_e, slots)
+    udot = _unpack(qdot_e, slots)
+
+    Ng = jnp.asarray(tables.Ng, dtype=dtype)
+    dNg = jnp.asarray(tables.dNg, dtype=dtype)  # (nq, nn, 1)
+    qwts = jnp.asarray(tables.qwts, dtype=dtype)
+
+    Xc = X_e
+    if MESH_VAR in u:
+        Xc = X_e + u[MESH_VAR].T
+
+    fv = CurveVars()
+    fv.dim = Xc.shape[1]
+    dxds_ref = jnp.einsum("qn,nk->qk", dNg[:, :, 0], Xc)  # dx/dxi (nq, 2)
+    mag = jnp.sqrt(jnp.sum(dxds_ref**2, axis=1) + 1e-300)
+    fv.tangent = dxds_ref / mag[:, None]
+    fv.normal = jnp.stack([fv.tangent[:, 1], -fv.tangent[:, 0]], axis=1)
+    fv.wds = qwts * mag
+    fv.wdetJ = fv.wds  # volume measure alias so generic kernels integrate
+    fv.x = jnp.einsum("qn,nk->qk", Ng, Xc)
+    fv.detJ = mag
+    fv.h_elem = mag.sum() * 0 + jnp.sum(fv.wds)  # element length
+
+    # curvature kappa = (x' x y'')/|x'|^3 via second FD of the map is omitted
+    # until second-derivative tables exist; curve curvature from displaced
+    # nodes is available through curvature projections instead.
+
+    for s in slots:
+        Ni = jnp.asarray(tables.N[s.interp], dtype=dtype)
+        dNi = jnp.asarray(tables.dN[s.interp], dtype=dtype)[:, :, 0]
+        dphi = dNi / mag[:, None]
+        fv.phi[s.var] = Ni
+        fv.dphi_ds[s.var] = dphi
+        # expose as gphi too: surface gradient (dphi/ds) t_k
+        fv.gphi[s.var] = dphi[:, :, None] * fv.tangent[:, None, :]
+        fv.val[s.var] = jnp.einsum("qn,cn->qc", Ni, u[s.var])
+        fv.grad_s[s.var] = jnp.einsum("qn,cn->qc", dphi, u[s.var])
+        fv.grad[s.var] = fv.grad_s[s.var][:, :, None] * fv.tangent[:, None, :]
+        fv.dot[s.var] = jnp.einsum("qn,cn->qc", Ni, udot[s.var])
+    if ext_names:
+        for k, name in enumerate(ext_names):
+            e = ext_e[:, k]
+            fv.ext[name] = jnp.einsum("qn,n->q", Ng, e)
+            dphi_g = dNg[:, :, 0] / mag[:, None]
+            ds = jnp.einsum("qn,n->q", dphi_g, e)
+            fv.ext_grad[name] = ds[:, None] * fv.tangent
+    return fv

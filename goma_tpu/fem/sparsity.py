@@ -82,6 +82,41 @@ def spmv(vals: jnp.ndarray, x: jnp.ndarray, rows: jnp.ndarray, cols: jnp.ndarray
     return jax.ops.segment_sum(vals * x[cols], rows, num_segments=n)
 
 
+class EllOperator:
+    """Padded-row (ELL) sparse matvec.
+
+    TPU scatters are serial and slow (~60 ms for 400k nnz f64); gathers are
+    fast. ELL stores per-row column ids and CSR-value positions padded to the
+    max row degree, so y = sum_k vals[pos[:, k]] * x[cols[:, k]] is pure
+    gather + elementwise + row-sum — no scatter at all. This is the SpMV the
+    Krylov stack uses on device (assembly still scatters once per Newton
+    iteration, which is amortized).
+    """
+
+    def __init__(self, pat: CSRPattern):
+        n = pat.n
+        deg = np.diff(pat.indptr)
+        K = int(deg.max())
+        pos = np.full((n, K), pat.nnz, dtype=np.int64)  # pad -> zero slot
+        cols = np.zeros((n, K), dtype=np.int32)  # pad col 0 (value 0 anyway)
+        for_r = np.arange(n)
+        # vectorized fill: offsets within rows
+        idx = np.repeat(for_r, deg)
+        offs = np.arange(pat.nnz) - np.repeat(pat.indptr[:-1], deg)
+        pos[idx, offs] = np.arange(pat.nnz)
+        cols[idx, offs] = pat.indices
+        self.K = K
+        self.n = n
+        self.tables = {"pos": jax.device_put(pos), "cols": jax.device_put(cols)}
+
+    def matvec(self, vals, x, tb=None):
+        tb = tb or self.tables
+        vals_ext = jnp.concatenate([vals, jnp.zeros(1, dtype=vals.dtype)])
+        ve = vals_ext[tb["pos"]]  # (n, K)
+        xe = x[tb["cols"]]  # (n, K)
+        return jnp.sum(ve * xe, axis=1)
+
+
 def row_sum_scale(vals, R, rows, n):
     """Row-sum scaling (reference ``src/sl_matrix_util.c:442``):
     scale rows of A and R by 1/sum_j |A_ij|. Returns scaled (vals, R, scale)."""

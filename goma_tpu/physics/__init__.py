@@ -13,6 +13,7 @@ from goma_tpu.physics.acoustic import AcousticHelmholtz, ProjectionEquation, Som
 from goma_tpu.physics.porous import PorousFlow, VanGenuchten
 from goma_tpu.physics.electro import ButlerVolmerBC, Potential
 from goma_tpu.physics.lubrication import ReynoldsFilm
+from goma_tpu.physics.shell import ShellConduction, TensionedString, attach_shell_block
 from goma_tpu.physics.level_set import (
     CSFSurfaceTension,
     FillEquation,

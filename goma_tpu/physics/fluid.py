@@ -55,6 +55,7 @@ class Momentum(Equation):
         ve_stress_modes: int = 0,
         devss_mu: float = 0.0,
         logconf_modes: tuple = (),
+        supg: float = 0.0,
     ):
         super().__init__("velocity", dim, interp)
         self.dim = dim
@@ -64,6 +65,8 @@ class Momentum(Equation):
         # ((mode, lam, mu_p), ...) log-conformation modes contributing
         # tau = mu_p/lam (exp(Psi) - I)
         self.logconf_modes = tuple(logconf_modes)
+        # momentum SUPG (reference supg in assemble_momentum / Shakib tau)
+        self.supg = supg
         # DEVSS stabilization 2*mu_d*(D(u) - sym(G)) with G the projected
         # velocity gradient (reference: DEVSS/EVSS-F Fortin formulation)
         self.devss_mu = devss_mu
@@ -109,6 +112,21 @@ class Momentum(Equation):
             Du = 0.5 * (gu + jnp.swapaxes(gu, 1, 2))
             sigma = sigma + 2.0 * self.devss_mu * (Du - Dg)
         contrib = contrib + jnp.einsum("qak,qik->qai", sigma, gphi)
+
+        if self.supg > 0.0:
+            # streamline stabilization with the strong inertial+pressure
+            # residual (Shakib-style tau, reference tau_momentum_shakib)
+            u_adv = advective_velocity(fv)
+            h = fv.h_elem
+            u2 = jnp.sum(u_adv * u_adv, axis=1)
+            unorm = jnp.sqrt(u2 + 1e-30)
+            tau = self.supg / jnp.sqrt(
+                (2.0 * rho * unorm / h) ** 2 + (4.0 * mu / h**2) ** 2 + 1e-30
+            )
+            gp = fv.grad["pressure"][:, 0, :]
+            rm = rho[:, None] * inert + gp
+            wsup = jnp.einsum("qk,qik->qi", u_adv, gphi)
+            contrib = contrib + jnp.einsum("q,qa,qi->qai", tau, rm, wsup)
         return contrib
 
 

@@ -64,17 +64,24 @@ class BlockJacobi:
 
         self.nb, self.kmax = nb, kmax
         self.n = pattern.n
-        self.block_pos = jnp.asarray(pos)
-        self.dof_ids = jnp.asarray(np.where(valid, dof_ids, self.n))  # pad -> n (scatter drop)
-        self.valid = jnp.asarray(valid)
+        # device tables are passed to jitted code explicitly (tb argument):
+        # captured arrays inline into the HLO payload (see Problem._build_tables)
         eye = np.broadcast_to(np.eye(kmax, dtype=bool), (nb, kmax, kmax))
         pad_diag = eye & ~(valid[:, :, None] & valid[:, None, :])
-        self.pad_diag = jnp.asarray(pad_diag)
+        import jax as _jax
 
-    def factor(self, vals):
+        self.tables = {
+            "block_pos": _jax.device_put(pos),
+            "dof_ids": _jax.device_put(np.where(valid, dof_ids, self.n)),
+            "valid": _jax.device_put(valid),
+            "pad_diag": _jax.device_put(pad_diag),
+        }
+
+    def factor(self, vals, tb=None):
+        tb = tb or self.tables
         vals_ext = jnp.concatenate([vals, jnp.zeros(1, dtype=vals.dtype)])
-        A = vals_ext[self.block_pos]  # (nb, kmax, kmax)
-        A = jnp.where(self.pad_diag, 1.0, A)
+        A = vals_ext[tb["block_pos"]]  # (nb, kmax, kmax)
+        A = jnp.where(tb["pad_diag"], 1.0, A)
         # saddle-point guard: a block can be singular when a constraint row
         # (e.g. pressure in continuity) has zero diagonal and its off-diagonal
         # partners are Dirichlet-identity rows. Shift near-zero diagonals; the
@@ -90,12 +97,14 @@ class BlockJacobi:
         # final guard against residual singularity
         return jnp.where(jnp.isfinite(Binv), Binv, 0.0)
 
-    def apply(self, Binv, r):
+    def apply(self, Binv, r, tb=None):
+        tb = tb or self.tables
         r_ext = jnp.concatenate([r, jnp.zeros(1, dtype=r.dtype)])
-        rb = r_ext[self.dof_ids]  # (nb, kmax)
+        rb = r_ext[tb["dof_ids"]]  # (nb, kmax)
         yb = jnp.einsum("bij,bj->bi", Binv, rb)
-        yb = jnp.where(self.valid, yb, 0.0)
-        return jnp.zeros(self.n + 1, dtype=r.dtype).at[self.dof_ids.reshape(-1)].add(
+        yb = jnp.where(tb["valid"], yb, 0.0)
+        # node dofs are contiguous and unique per block: scatter-free set
+        return jnp.zeros(self.n + 1, dtype=r.dtype).at[tb["dof_ids"].reshape(-1)].add(
             yb.reshape(-1)
         )[: self.n]
 

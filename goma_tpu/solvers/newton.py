@@ -82,9 +82,21 @@ class NewtonSolver:
             )
         else:
             self.precond = BlockJacobi(problem.pattern, problem.dofmap)
+        self._use_elem_mv = hasattr(problem, "_assemble_with_elem")
         self._rows = jnp.asarray(problem.pattern.rows)
         self._cols = jnp.asarray(problem.pattern.indices)
         self._n = problem.dofmap.n_dof
+        from goma_tpu.fem.sparsity import EllOperator
+
+        self._ell = EllOperator(problem.pattern)
+        # explicit device-table pytrees (jit arguments, not captured constants
+        # — captured arrays inline into the HLO payload; the remote-compile
+        # tunnel rejects large modules)
+        self._ptab = getattr(problem, "_tables", None)
+        self._ntab = {
+            "prec": getattr(self.precond, "tables", {}),
+            "ell": self._ell.tables,
+        }
         self._prep = jax.jit(self._prepare)
         self._factor_jit = jax.jit(self._factor_num)
         self._cycle_jit = jax.jit(self._gmres_cycle)
@@ -92,8 +104,14 @@ class NewtonSolver:
         self._solve_bicgstab = jax.jit(self._linsolve_bicgstab)
 
     def _prepare(self, x, params):
-        """Assemble + scale + norms, one device call."""
-        R, vals = self.problem._assemble(x, params)
+        """Assemble + scale + norms, one device call. Also returns the
+        element-Jacobian aux pytree powering the matrix-free matvec."""
+        if self._use_elem_mv:
+            R, vals, aux = self.problem._assemble_with_elem(x, params)
+        else:
+            R, vals = self.problem._assemble(x, params)
+            aux = ((), (), ())
+        scale = None
         if self.opts.row_scaling:
             vals, R, scale = row_sum_scale(vals, R, self._rows, self._n)
         norms = (
@@ -101,49 +119,84 @@ class NewtonSolver:
             jnp.linalg.norm(R),
             jnp.max(jnp.abs(R)),
         )
-        return R, vals, norms
+        if scale is None:
+            scale = jnp.ones(self._n, dtype=R.dtype)
+        return R, vals, norms, scale, aux
 
     def _matvec(self, vals):
-        rows, cols, n = self._rows, self._cols, self._n
+        ell = self._ell
 
         def mv(v):
-            return jax.ops.segment_sum(vals * v[cols], rows, num_segments=n)
+            return ell.matvec(vals, v)
 
         return mv
 
-    def _factor_num(self, vals):
+    def _matvec_state(self, vals, scale, aux, ptab, ntab):
+        """Preferred operator: element matrix-free (TPU: gather + MXU batched
+        matmul + transpose gather); ELL fallback when aux is unavailable."""
+        if self._use_elem_mv and aux is not None and len(aux[0]):
+            prob = self.problem
+
+            def mv(v):
+                # T=None: small index tables embed as compile-time constants —
+                # XLA specializes constant-index gathers (~30x faster than
+                # parameter-index gathers on TPU) and they fit the tunnel's
+                # payload limit; only the huge factor-only tables stay params
+                return prob.element_matvec(None, aux, scale, v)
+
+            return mv
+        ell = self._ell
+
+        def mv(v):
+            return ell.matvec(vals, v)  # constant tables (hot path)
+
+        return mv
+
+    def _factor_num(self, vals, ntab=None):
         """Numeric preconditioner state (jit-friendly pytree, no closures)."""
-        if self.opts.precond in ("fieldsplit", "twolevel"):
-            fac = self.precond.factor(vals, self._matvec(vals))
-            return tuple(f for f in fac if not callable(f))
-        return (self.precond.factor(vals),)
+        tb = (ntab or self._ntab)["prec"] or None
+        if self.opts.precond == "twolevel":
+            Binv, coarse, _ = self.precond.factor(vals, None, tb)
+            return (Binv, coarse)
+        if self.opts.precond == "fieldsplit":
+            Binv, _ = self.precond.factor(vals, None)
+            return (Binv,)
+        return (self.precond.factor(vals, tb),)
 
-    def _apply_precond(self, vals, fac_num, r):
-        if self.opts.precond in ("fieldsplit", "twolevel"):
-            return self.precond.apply((*fac_num, self._matvec(vals)), r)
-        return self.precond.apply(fac_num[0], r)
+    def _apply_precond_mv(self, mv, vals, ntab, fac_num, r):
+        # tb=None: apply-path tables embed as constants (hot path)
+        if self.opts.precond == "twolevel":
+            return self.precond.apply((*fac_num, mv), r, None)
+        if self.opts.precond == "fieldsplit":
+            return self.precond.apply((*fac_num, mv), r)
+        return self.precond.apply(fac_num[0], r, None)
 
-    def _gmres_cycle(self, vals, fac_num, x, b):
+    def _gmres_cycle(self, vals, scale, aux, ptab, ntab, fac_num, x, b):
         """One restarted-GMRES cycle. The restart loop lives on HOST: long
         device-side while_loops fault the TPU runtime, and host restarts also
         match the reference's outer-loop structure."""
-        mv = self._matvec(vals)
-        M = lambda r: self._apply_precond(vals, fac_num, r)
+        mv = self._matvec_state(vals, scale, aux, ptab, ntab)
+        M = lambda r: self._apply_precond_mv(mv, vals, ntab, fac_num, r)
         lr = gmres(mv, b, precond=M, tol=self.opts.linear_tol,
                    restart=self.opts.gmres_restart,
                    maxiter=self.opts.gmres_restart, x0=x)
         return lr.x, lr.resnorm
 
-    def _linsolve_gmres(self, vals, R):
+    def _linsolve_gmres(self, vals, R, scale=None, aux=None):
         opts = self.opts
-        fac = self._factor_jit(vals)
+        if scale is None:
+            scale = jnp.ones(self._n, dtype=R.dtype)
+        ptab = self._ptab if (aux is not None and self._use_elem_mv) else None
+        if aux is None:
+            aux = ((), (), ())
+        fac = self._factor_jit(vals, self._ntab)
         x = jnp.zeros_like(R)
         bnorm = float(jax.device_get(jnp.linalg.norm(R)))
         target = max(opts.linear_tol * bnorm, 1e-300)
         it = 0
         rn = bnorm
         while rn > target and it < opts.linear_maxiter:
-            x, rnj = self._cycle_jit(vals, fac, x, R)
+            x, rnj = self._cycle_jit(vals, scale, aux, ptab, self._ntab, fac, x, R)
             rn = float(jax.device_get(rnj))
             it += opts.gmres_restart
             if not np.isfinite(rn):
@@ -153,10 +206,13 @@ class NewtonSolver:
             converged=jnp.asarray(rn <= target),
         )
 
-    def _linsolve_bicgstab(self, vals, R):
-        fac = self._factor_jit(vals)
-        mv = self._matvec(vals)
-        M = lambda r: self._apply_precond(vals, fac, r)
+    def _linsolve_bicgstab(self, vals, R, scale=None, aux=None):
+        ptab = self._ptab if (aux is not None and self._use_elem_mv) else None
+        if aux is None:
+            aux = ((), (), ())
+        fac = self._factor_jit(vals, self._ntab)
+        mv = self._matvec_state(vals, scale, aux, ptab, self._ntab)
+        M = lambda r: self._apply_precond_mv(mv, vals, self._ntab, fac, r)
         return bicgstab(
             mv, R, precond=M, tol=self.opts.linear_tol,
             maxiter=self.opts.linear_maxiter,
@@ -171,7 +227,7 @@ class NewtonSolver:
         it = 0
         for it in range(opts.max_iter):
             t0 = time.perf_counter()
-            R, vals, norms = self._prep(x, params)
+            R, vals, norms, scale, aux = self._prep(x, params)
             l1, l2, li = jax.device_get(norms)
             t_asm += time.perf_counter() - t0
             res_norms.append((float(l1), float(l2), float(li)))
@@ -187,7 +243,7 @@ class NewtonSolver:
                 lin_iters.append(1)
             else:
                 fn = self._solve_gmres if opts.linear_solver == "gmres" else self._solve_bicgstab
-                lr: LinearResult = fn(vals, R)
+                lr: LinearResult = fn(vals, R, scale, aux)
                 dx = lr.x
                 lin_iters.append(int(jax.device_get(lr.iters)))
             t_slv += time.perf_counter() - t0
@@ -196,7 +252,7 @@ class NewtonSolver:
             upd_norms.append(un)
             if opts.tol_update > 0 and un < opts.tol_update:
                 # correction-norm convergence (reference Epsilon[2] path)
-                R, vals, norms = self._prep(x, params)
+                R, vals, norms, scale, aux = self._prep(x, params)
                 l1, l2, li = jax.device_get(norms)
                 res_norms.append((float(l1), float(l2), float(li)))
                 converged = True

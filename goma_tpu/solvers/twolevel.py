@@ -79,7 +79,10 @@ def _fine_to_coarse_weights(problem):
     nc = int(is_coarse.sum())
 
     kmax = max((len(e) for e in entries if e), default=1)
-    cids = np.zeros((n, kmax), dtype=np.int64)
+    # pad with the out-of-range sentinel nc (NOT 0: a 0-padded cids makes
+    # coarse dof 0 collect every pad slot in the transpose-gather map,
+    # inflating it to hundreds of MB)
+    cids = np.full((n, kmax), nc, dtype=np.int64)
     wts = np.zeros((n, kmax))
     for d, e in enumerate(entries):
         for k, (cd, w) in enumerate(e.items()):
@@ -105,12 +108,13 @@ class TwoLevel:
             # iterative refinement in the working dtype recovers accuracy.
             coarse_solve = "inv" if jax.default_backend() == "tpu" else "lu"
         self.coarse_solve = coarse_solve
-        self.refine_steps = 2 if coarse_solve == "inv" else 0
+        self.refine_steps = 1 if coarse_solve == "inv" else 0
 
         nc, cids, wts = _fine_to_coarse_weights(problem)
         self.nc = nc
-        self.cids = jnp.asarray(cids)  # (n, k)
-        self.wts = jnp.asarray(wts)
+        self.tables = dict(self.bj.tables)
+        self.tables["cids"] = jax.device_put(cids)
+        self.tables["wts"] = jax.device_put(wts)
         if nc * nc > 2**31 - 1:
             raise ValueError("coarse space too large for dense two-level")
 
@@ -133,29 +137,49 @@ class TwoLevel:
         flat = flat[keep]
         ckeys = np.unique(flat)
         self._c_nnz = ckeys.shape[0]
-        self._ac_idx = jnp.asarray(np.searchsorted(ckeys, flat))
-        self._ac_w = jnp.asarray(w[keep])
-        self._ac_nnz_rep = jnp.asarray(np.repeat(np.arange(pat.nnz), k * k)[keep])
-        self._c_rows = jnp.asarray((ckeys // nc).astype(np.int32))
-        self._c_cols = jnp.asarray((ckeys % nc).astype(np.int32))
+        self.tables["ac_idx"] = jax.device_put(np.searchsorted(ckeys, flat))
+        self.tables["ac_w"] = jax.device_put(w[keep])
+        self.tables["ac_rep"] = jax.device_put(np.repeat(np.arange(pat.nnz), k * k)[keep])
+        self.tables["c_rows"] = jax.device_put((ckeys // nc).astype(np.int32))
+        self.tables["c_cols"] = jax.device_put((ckeys % nc).astype(np.int32))
+
+        # scatter-free restriction: per coarse dof, positions of its fine
+        # contributions in the flattened (n*kmax) weighted array
+        flat_c = cids.reshape(-1)
+        Lf = flat_c.shape[0]
+        order = np.argsort(flat_c, kind="stable")
+        sc = flat_c[order]
+        starts = np.searchsorted(sc, np.arange(nc))
+        ends = np.searchsorted(sc, np.arange(nc) + 1)
+        mc = int((ends - starts).max())
+        rpos = np.full((nc, mc), Lf, dtype=np.int64)
+        for k in range(mc):
+            sel = starts + k < ends
+            rpos[sel, k] = order[(starts + k)[sel]]
+        self.tables["rpos"] = jax.device_put(rpos)
 
     # ------------------------------------------------------------- transfer
-    def restrict(self, r):
-        """r_c = P^T r."""
-        contrib = (self.wts * r[:, None]).reshape(-1)
-        return jax.ops.segment_sum(contrib, self.cids.reshape(-1), num_segments=self.nc)
+    def restrict(self, r, tb=None):
+        """r_c = P^T r (scatter-free transpose gather)."""
+        tb = tb or self.tables
+        contrib = (tb["wts"] * r[:, None]).reshape(-1)
+        ext = jnp.concatenate([contrib, jnp.zeros(1, dtype=r.dtype)])
+        return jnp.sum(ext[tb["rpos"]], axis=1)
 
-    def prolong(self, zc):
-        """z = P z_c."""
-        return jnp.sum(self.wts * zc[self.cids], axis=1)
+    def prolong(self, zc, tb=None):
+        """z = P z_c (cids pad sentinel nc reads the appended zero)."""
+        tb = tb or self.tables
+        zc_ext = jnp.concatenate([zc, jnp.zeros(1, dtype=zc.dtype)])
+        return jnp.sum(tb["wts"] * zc_ext[tb["cids"]], axis=1)
 
     # ---------------------------------------------------------------- cycle
-    def factor(self, vals, matvec):
-        Binv = self.bj.factor(vals)
-        ac_vals = self._ac_w * vals[self._ac_nnz_rep]
-        cvals = jax.ops.segment_sum(ac_vals, self._ac_idx, num_segments=self._c_nnz)
+    def factor(self, vals, matvec, tb=None):
+        tb = tb or self.tables
+        Binv = self.bj.factor(vals, tb)
+        ac_vals = tb["ac_w"] * vals[tb["ac_rep"]]
+        cvals = jax.ops.segment_sum(ac_vals, tb["ac_idx"], num_segments=self._c_nnz)
         Ac = jnp.zeros((self.nc, self.nc), dtype=vals.dtype)
-        Ac = Ac.at[self._c_rows, self._c_cols].set(cvals)
+        Ac = Ac.at[tb["c_rows"], tb["c_cols"]].set(cvals)
         if self.coarse_solve == "inv":
             inv32 = jnp.linalg.inv(Ac.astype(jnp.float32))
             coarse = (inv32, Ac)
@@ -173,13 +197,14 @@ class TwoLevel:
             return z
         return jax.scipy.linalg.lu_solve(coarse, rc)
 
-    def apply(self, fac, r):
+    def apply(self, fac, r, tb=None):
+        tb = tb or self.tables
         Binv, coarse, matvec = fac
         z = jnp.zeros_like(r)
         for _ in range(self.pre_sweeps):
-            z = z + self.smooth_damp * self.bj.apply(Binv, r - matvec(z))
-        rc = self.restrict(r - matvec(z))
-        z = z + self.prolong(self._coarse_apply(coarse, rc))
+            z = z + self.smooth_damp * self.bj.apply(Binv, r - matvec(z), tb)
+        rc = self.restrict(r - matvec(z), tb)
+        z = z + self.prolong(self._coarse_apply(coarse, rc), tb)
         for _ in range(self.post_sweeps):
-            z = z + self.smooth_damp * self.bj.apply(Binv, r - matvec(z))
+            z = z + self.smooth_damp * self.bj.apply(Binv, r - matvec(z), tb)
         return z

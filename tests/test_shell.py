@@ -1,0 +1,118 @@
+"""Shell (curve-element) tests: string deflection analytic; Reynolds film on
+a shell block; shell-bulk coupling through shared nodes."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from goma_tpu.fem import Problem
+from goma_tpu.mesh import rectangle_mesh
+from goma_tpu.physics import (
+    Energy,
+    ReynoldsFilm,
+    ShellConduction,
+    TensionedString,
+    attach_shell_block,
+)
+from goma_tpu.solvers import NewtonOptions, NewtonSolver
+
+
+def test_tensioned_string_parabola():
+    """-T w'' = q on the bottom boundary: w = q x (L - x) / (2T)."""
+    mesh = rectangle_mesh(8, 2, elem="QUAD9", xlim=(0, 2.0))
+    bi = attach_shell_block(mesh, "bottom", "string")
+    T, q = 3.0, 1.5
+    eqs_per_block = [[], [TensionedString(T, q, interp="Q2")]]
+    prob = Problem(mesh, eqs_per_block, [{}, {}])
+    # fix the string ends
+    end_nodes = np.array([n for n in mesh.nodesets["bottom"]
+                          if abs(mesh.coords[n, 0]) < 1e-12
+                          or abs(mesh.coords[n, 0] - 2.0) < 1e-12], dtype=np.int32)
+    mesh.nodesets["string_ends"] = end_nodes
+    prob.add_dirichlet("string_ends", "shell_deflection", 0, 0.0)
+    prob.finalize()
+    res = NewtonSolver(prob, NewtonOptions(max_iter=3, tol_residual=1e-11,
+                                           linear_solver="direct")).solve(
+        np.zeros(prob.dofmap.n_dof), prob.base_params()
+    )
+    assert res.converged
+    w = prob.get_nodal_field(res.x, "shell_deflection")
+    bot = mesh.nodesets["bottom"]
+    xb = mesh.coords[bot, 0]
+    np.testing.assert_allclose(w[bot], q * xb * (2.0 - xb) / (2 * T), atol=1e-10)
+
+
+def test_reynolds_on_shell_block():
+    """The flat-film ReynoldsFilm kernel runs unchanged on a curve block."""
+    mu, U, h1, h2, L = 0.1, 2.0, 0.2, 0.1, 1.0
+    mesh = rectangle_mesh(30, 1, elem="QUAD9", xlim=(0, L), ylim=(0, 0.05))
+    attach_shell_block(mesh, "bottom", "film")
+    gap = lambda fv, mat, params: h1 + (h2 - h1) * fv.x[:, 0] / L
+    eqs = [[], [ReynoldsFilm(interp="Q2")]]
+    prob = Problem(mesh, eqs, [{}, {"gap": gap, "mu_lub": mu,
+                                    "wall_velocity": np.array([U, 0.0])}])
+    ends = np.array([n for n in mesh.nodesets["bottom"]
+                     if abs(mesh.coords[n, 0]) < 1e-12
+                     or abs(mesh.coords[n, 0] - L) < 1e-12], dtype=np.int32)
+    mesh.nodesets["film_ends"] = ends
+    prob.add_dirichlet("film_ends", "lub_pressure", 0, 0.0)
+    prob.finalize()
+    res = NewtonSolver(prob, NewtonOptions(max_iter=3, tol_residual=1e-11,
+                                           linear_solver="direct")).solve(
+        np.zeros(prob.dofmap.n_dof), prob.base_params()
+    )
+    assert res.converged
+    p = prob.get_nodal_field(res.x, "lub_pressure")
+    bot = mesh.nodesets["bottom"]
+    xb = np.sort(mesh.coords[bot, 0])
+    pb = p[bot][np.argsort(mesh.coords[bot, 0])]
+    # quadrature reference (same as the bulk-domain lubrication test)
+    xs = np.linspace(0, L, 4001)
+    h = h1 + (h2 - h1) * xs / L
+    a = np.trapezoid(6 * mu * U / h**2, xs)
+    b = np.trapezoid(12 * mu / h**3, xs)
+    C = -a / b
+    pr = np.cumsum((6 * mu * U / h**2 + 12 * mu * C / h**3)) * (xs[1] - xs[0])
+    pr -= pr[0]
+    np.testing.assert_allclose(pb, np.interp(xb, xs, pr), atol=0.02 * np.abs(pr).max())
+
+
+def test_shell_bulk_coupled_conduction():
+    """Bulk conduction + shell surface conduction on shared temperature dofs:
+    ks=0 reproduces the bulk-only solution; large ks flattens the boundary
+    temperature (shell short-circuits the wall)."""
+    def solve(ks):
+        mesh = rectangle_mesh(6, 6, elem="QUAD9")
+        if ks is not None:
+            attach_shell_block(mesh, "bottom", "cond")
+            eqs = [[Energy(interp="Q2", transient=False, convection=False)],
+                   [ShellConduction(ks, interp="Q2")]]
+            mats = [{"k": 1.0}, {}]
+        else:
+            eqs = [[Energy(interp="Q2", transient=False, convection=False)]]
+            mats = [{"k": 1.0}]
+        prob = Problem(mesh, eqs, mats)
+        # 2D field: hot left wall, cold top, natural elsewhere — the bottom
+        # edge profile is then genuinely curved
+        prob.add_dirichlet("left", "temperature", 0, 1.0)
+        prob.add_dirichlet("top", "temperature", 0, 0.0)
+        prob.finalize()
+        res = NewtonSolver(prob, NewtonOptions(max_iter=3, tol_residual=1e-11,
+                                               linear_solver="direct")).solve(
+            np.zeros(prob.dofmap.n_dof), prob.base_params()
+        )
+        assert res.converged
+        return mesh, prob.get_nodal_field(res.x, "temperature")
+
+    mesh0, T_none = solve(None)
+    _, T_zero = solve(0.0)
+    np.testing.assert_allclose(T_zero, T_none, atol=1e-12)
+
+    _, T_big = solve(50.0)
+    # large in-shell conduction flattens the bottom-edge profile
+    bot = mesh0.nodesets["bottom"]
+    order = np.argsort(mesh0.coords[bot, 0])
+    prof0 = T_none[bot][order]
+    prof1 = T_big[bot][order]
+    assert np.std(prof0) > 1e-3  # baseline profile is genuinely curved
+    assert np.std(prof1) < 0.3 * np.std(prof0)
