@@ -149,6 +149,9 @@ class Problem:
         self._point_specs: list = []
         self._devcache: dict = {}
         self._devcache_keep: list = []
+        # optional lower-precision Jacobian (mixed-precision Newton-Krylov);
+        # None = same as working dtype
+        self.jacobian_dtype = None
         self._finalized = False
 
     @property
@@ -417,12 +420,12 @@ class Problem:
         return p
 
     # ------------------------------------------------------------- assembly
-    def _elem_residual_fn(self, bi: int) -> Callable:
+    def _elem_residual_fn(self, bi: int, dtype=None) -> Callable:
         bd = self.dofmap.blocks[bi]
         tables = self.tables[bi]
         eqs = self.equations[bi]
         mat = self.materials[bi]
-        dtype = self.dtype
+        dtype = dtype or self.dtype
 
         ext_names = self.external_fields
         # shell/curve blocks: reference dimension below the space dimension
@@ -445,10 +448,10 @@ class Problem:
 
         return elem_res
 
-    def _face_residual_fn(self, fs: _FaceSet) -> Callable:
+    def _face_residual_fn(self, fs: _FaceSet, dtype=None) -> Callable:
         bd = self.dofmap.blocks[fs.block_index]
         mat = self.materials[fs.block_index]
-        dtype = self.dtype
+        dtype = dtype or self.dtype
         dim = self.mesh.dim
         fwts = jnp.asarray(fs.fwts, dtype=dtype)
 
@@ -523,7 +526,7 @@ class Problem:
         if vals is not None:
             pos = T["rpos"]
             vrows = vals[pos]  # (K, dim)
-            new = jnp.einsum("kij,kj->ki", Q[T["rnode"]], vrows)
+            new = jnp.einsum("kij,kj->ki", Q[T["rnode"]].astype(vals.dtype), vrows)
             vals = vals.at[pos].set(new)
         if rd.con_rows.size:
             crows = T["rcrow"]
@@ -533,8 +536,8 @@ class Problem:
             Rcon = jnp.einsum("ni,ni->n", ccoef, x[cdofs]) - cval
             R = R.at[crows].set(Rcon)
             if vals is not None:
-                vals = vals.at[T["rczero"]].set(jnp.zeros((), dtype=dtype))
-                vals = vals.at[T["rcepos"]].set(ccoef)
+                vals = vals.at[T["rczero"]].set(jnp.zeros((), dtype=vals.dtype))
+                vals = vals.at[T["rcepos"]].set(ccoef.astype(vals.dtype))
         return R, vals
 
     def _apply_dirichlet(self, x, R, vals, params):
@@ -550,9 +553,9 @@ class Problem:
                 xv = xv.at[jnp.asarray(d)].set(jnp.broadcast_to(v, (d.shape[0],)))
             R = jnp.where(dmask, x - xv, R)
             if vals is not None:
-                vals = vals * T["dirkeep"]
+                vals = vals * T["dirkeep"].astype(vals.dtype)
                 vals = vals.at[T["dirdiag"]].set(
-                    jnp.ones((), dtype=dtype)
+                    jnp.ones((), dtype=vals.dtype)
                 )
         return R, vals
 
@@ -564,11 +567,25 @@ class Problem:
         magnitude faster than any ELL/CSR gather-based SpMV."""
         T = self._tb(params)
         dtype = self.dtype
+        jdt = jnp.dtype(self.jacobian_dtype) if self.jacobian_dtype else dtype
+        mixed = jdt != dtype
         x = x.astype(dtype)
         hist = params["hist"]
+        if mixed:
+            # mixed-precision Newton-Krylov: the residual (and hence Newton
+            # convergence to 1e-10) stays f64; the Jacobian/Krylov run in f32
+            # (inexact Newton) — f64 is emulated on TPU, ~20x slower
+            params_j = jax.tree.map(
+                lambda a: a.astype(jdt)
+                if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating)
+                else a,
+                params,
+            )
+            xj = x.astype(jdt)
+            histj = hist.astype(jdt)
         n = self.dofmap.n_dof
         R = jnp.zeros(n, dtype=dtype)
-        vals = jnp.zeros(self.pattern.nnz, dtype=dtype)
+        vals = jnp.zeros(self.pattern.nnz, dtype=jdt)
         blockJ = []
         faceJ = []
 
@@ -578,10 +595,21 @@ class Problem:
             conn = T[f"c{bi}"]
             ext = self._ext_gather(params, conn)
             elem_res = self._elem_residual_fn(bi)
-            jac_fn = jax.jacfwd(elem_res, argnums=0, has_aux=True)
-            J, r = jax.vmap(jac_fn, in_axes=(0, 0, 0, 0, None))(
+            r, _ = jax.vmap(elem_res, in_axes=(0, 0, 0, 0, None))(
                 x[gather], hist[gather], Xref, ext, params
             )
+            if mixed:
+                jac_fn = jax.jacfwd(self._elem_residual_fn(bi, jdt), argnums=0,
+                                    has_aux=True)
+                J, _ = jax.vmap(jac_fn, in_axes=(0, 0, 0, 0, None))(
+                    xj[gather], histj[gather], Xref.astype(jdt),
+                    ext.astype(jdt), params_j
+                )
+            else:
+                jac_fn = jax.jacfwd(elem_res, argnums=0, has_aux=True)
+                J, r = jax.vmap(jac_fn, in_axes=(0, 0, 0, 0, None))(
+                    x[gather], hist[gather], Xref, ext, params
+                )
             blockJ.append(J)
             R = R + jax.ops.segment_sum(r.reshape(-1), gather.reshape(-1), num_segments=n)
             nmap = T[f"n{bi}"]
@@ -597,10 +625,21 @@ class Problem:
             Xref = T[f"fx{fsi}"]
             ftabs = {k: T[f"ft{fsi}:{k}"] for k in fs.ftabs}
             face_res = self._face_residual_fn(fs)
-            jac_fn = jax.jacfwd(face_res, argnums=0, has_aux=True)
-            J, r = jax.vmap(jac_fn, in_axes=(0, 0, 0, 0, None))(
+            r, _ = jax.vmap(face_res, in_axes=(0, 0, 0, 0, None))(
                 x[gather], hist[gather], Xref, ftabs, params
             )
+            if mixed:
+                jac_fn = jax.jacfwd(self._face_residual_fn(fs, jdt), argnums=0,
+                                    has_aux=True)
+                J, _ = jax.vmap(jac_fn, in_axes=(0, 0, 0, 0, None))(
+                    xj[gather], histj[gather], Xref.astype(jdt),
+                    {k: v.astype(jdt) for k, v in ftabs.items()}, params_j
+                )
+            else:
+                jac_fn = jax.jacfwd(face_res, argnums=0, has_aux=True)
+                J, r = jax.vmap(jac_fn, in_axes=(0, 0, 0, 0, None))(
+                    x[gather], hist[gather], Xref, ftabs, params
+                )
             faceJ.append(J)
             R = R + jax.ops.segment_sum(r.reshape(-1), gather.reshape(-1), num_segments=n)
             nmap = T[f"fn{fsi}"]
@@ -652,12 +691,12 @@ class Problem:
         # rotated rows
         rd = self._rotation
         if rd is not None:
-            Q = T["rQ"]
+            Q = T["rQ"].astype(v.dtype)
             dofs = T["rdofs"]
             y = y.at[dofs].set(jnp.einsum("nij,nj->ni", Q, y[dofs]))
             if rd.con_rows.size:
                 y = y.at[T["rcrow"]].set(
-                    jnp.einsum("ni,ni->n", T["rcoef"], v[T["rcdofs"]])
+                    jnp.einsum("ni,ni->n", T["rcoef"].astype(v.dtype), v[T["rcdofs"]])
                 )
         # point-constraint rows
         for k, dg in enumerate(pc_dg):

@@ -19,9 +19,9 @@ _LIB = None
 _TRIED = False
 
 
-def _compile() -> Path | None:
-    so = _HERE / "_build" / "libmeshprep.so"
-    src = _HERE / "meshprep.cpp"
+def _compile(name: str = "meshprep") -> Path | None:
+    so = _HERE / "_build" / f"lib{name}.so"
+    src = _HERE / f"{name}.cpp"
     if so.exists() and so.stat().st_mtime >= src.stat().st_mtime:
         return so
     so.parent.mkdir(exist_ok=True)
@@ -105,3 +105,33 @@ def morton_order(centroids: np.ndarray) -> np.ndarray:
         for d in range(dim):
             keys |= ((q[:, d] >> np.uint64(bit)) & np.uint64(1)) << np.uint64(bit * dim + d)
     return np.argsort(keys, kind="stable").astype(np.int64)
+
+
+def ref_assembly_seconds_per_element(n_rep: int = 20000) -> float | None:
+    """Time the compiled reference-style scalar NS Q2/Q1 element assembly
+    (one x86 core, -O3) — the honest denominator for the bench's assembly
+    speedup. Returns None if the native build is unavailable."""
+    so = _compile("refassembly")
+    if so is None:
+        return None
+    from goma_tpu.elements import eval_basis, volume_rule
+
+    lib = ctypes.CDLL(str(so))
+    lib.ref_assembly_seconds_per_element.restype = ctypes.c_double
+    lib.ref_assembly_seconds_per_element.argtypes = [
+        ctypes.c_int] + [ctypes.POINTER(ctypes.c_double)] * 6 + [ctypes.c_int]
+
+    qpts, qwts = volume_rule("quad", 3)
+    N2, dN2 = eval_basis("quad", "Q2", qpts)
+    N1, _ = eval_basis("quad", "Q1", qpts)
+    X = np.array([[0, 0], [1, 0], [1, 1], [0, 1], [0.5, 0], [1, 0.5],
+                  [0.5, 1], [0, 0.5], [0.5, 0.5]], dtype=float) * 0.1
+    q = np.random.RandomState(0).rand(22)
+
+    def p(a):
+        a = np.ascontiguousarray(a, dtype=np.float64)
+        return a, a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+
+    keep = [p(a) for a in (N2, dN2, N1, qwts, X, q)]
+    return float(lib.ref_assembly_seconds_per_element(
+        qpts.shape[0], *(k[1] for k in keep), n_rep))

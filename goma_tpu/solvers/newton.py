@@ -190,6 +190,7 @@ class NewtonSolver:
         if aux is None:
             aux = ((), (), ())
         fac = self._factor_jit(vals, self._ntab)
+        R = R.astype(vals.dtype)  # mixed precision: Krylov runs in J's dtype
         x = jnp.zeros_like(R)
         bnorm = float(jax.device_get(jnp.linalg.norm(R)))
         target = max(opts.linear_tol * bnorm, 1e-300)
@@ -247,7 +248,7 @@ class NewtonSolver:
                 dx = lr.x
                 lin_iters.append(int(jax.device_get(lr.iters)))
             t_slv += time.perf_counter() - t0
-            x = x - opts.damp * dx
+            x = x - opts.damp * dx.astype(x.dtype)
             un = float(jax.device_get(jnp.linalg.norm(dx)))
             upd_norms.append(un)
             if opts.tol_update > 0 and un < opts.tol_update:

@@ -162,7 +162,7 @@ class TwoLevel:
     def restrict(self, r, tb=None):
         """r_c = P^T r (scatter-free transpose gather)."""
         tb = tb or self.tables
-        contrib = (tb["wts"] * r[:, None]).reshape(-1)
+        contrib = (tb["wts"].astype(r.dtype) * r[:, None]).reshape(-1)
         ext = jnp.concatenate([contrib, jnp.zeros(1, dtype=r.dtype)])
         return jnp.sum(ext[tb["rpos"]], axis=1)
 
@@ -170,18 +170,20 @@ class TwoLevel:
         """z = P z_c (cids pad sentinel nc reads the appended zero)."""
         tb = tb or self.tables
         zc_ext = jnp.concatenate([zc, jnp.zeros(1, dtype=zc.dtype)])
-        return jnp.sum(tb["wts"] * zc_ext[tb["cids"]], axis=1)
+        return jnp.sum(tb["wts"].astype(zc.dtype) * zc_ext[tb["cids"]], axis=1)
 
     # ---------------------------------------------------------------- cycle
     def factor(self, vals, matvec, tb=None):
         tb = tb or self.tables
         Binv = self.bj.factor(vals, tb)
-        ac_vals = tb["ac_w"] * vals[tb["ac_rep"]]
+        ac_vals = tb["ac_w"].astype(vals.dtype) * vals[tb["ac_rep"]]
         cvals = jax.ops.segment_sum(ac_vals, tb["ac_idx"], num_segments=self._c_nnz)
         Ac = jnp.zeros((self.nc, self.nc), dtype=vals.dtype)
         Ac = Ac.at[tb["c_rows"], tb["c_cols"]].set(cvals)
         if self.coarse_solve == "inv":
-            inv32 = jnp.linalg.inv(Ac.astype(jnp.float32))
+            from goma_tpu.utils.la import blocked_inv
+
+            inv32 = blocked_inv(Ac.astype(jnp.float32))
             coarse = (inv32, Ac)
         else:
             coarse = jax.scipy.linalg.lu_factor(Ac)

@@ -54,16 +54,49 @@ def gj_inv(A):
     return M[..., :, k:]
 
 
+def blocked_inv(M, max_block: int = 8192):
+    """Dense inverse by recursive 2x2 block (Schur-complement) partitioning:
+    the TPU LU custom call overflows scoped VMEM beyond ~10k rows, so large
+    inverses recurse into VMEM-sized LUs glued by MXU matmuls.
+
+        inv([[A,B],[C,D]]) = [[Ai + Ai B Si C Ai, -Ai B Si],
+                              [-Si C Ai,           Si      ]],
+        S = D - C Ai B.
+    """
+    n = M.shape[0]
+    if n <= max_block:
+        return jnp.linalg.inv(M)
+    k = ((n + 1) // 2 + 127) // 128 * 128  # split at a lane-aligned midpoint
+    k = min(k, n - 1)
+    A, B = M[:k, :k], M[:k, k:]
+    C, D = M[k:, :k], M[k:, k:]
+    Ai = blocked_inv(A, max_block)
+    AiB = Ai @ B
+    S = D - C @ AiB
+    Si = blocked_inv(S, max_block)
+    CAi = C @ Ai
+    top_left = Ai + AiB @ (Si @ CAi)
+    top_right = -(AiB @ Si)
+    bot_left = -(Si @ CAi)
+    return jnp.block([[top_left, top_right], [bot_left, Si]])
+
+
 def lstsq_small(H, b):
     """Least squares min||H y - b|| for small tall H (m1, m) via normal
     equations + Gauss-Jordan (any dtype/backend; replaces jnp.linalg.lstsq
-    whose QR path is f32-only on TPU). Regularized for rank deficiency."""
+    whose QR path is f32-only on TPU). Regularized for rank deficiency.
+
+    Normal equations square the conditioning, so the small solve always runs
+    in f64 (it is O(m^3) for m ~ restart — negligible) and casts back."""
+    in_dtype = H.dtype
+    H = H.astype(jnp.float64)
+    b = b.astype(jnp.float64)
     m = H.shape[1]
     G = H.T @ H
     scale = jnp.trace(G) / m + 1e-300
     G = G + (1e-14 * scale) * jnp.eye(m, dtype=H.dtype)
     rhs = H.T @ b
-    return gj_inv(G) @ rhs
+    return (gj_inv(G) @ rhs).astype(in_dtype)
 
 
 def det_and_inv(J):
