@@ -1,0 +1,137 @@
+"""BASELINE config #3: slot-coater / film drag-out with ALE free surface.
+
+A moving web (bottom, speed U) drags liquid out from under a die lip (top
+wall for x < x_die); downstream the top is a capillary free surface that
+relaxes to the drawn film. The steady film thickness is set by the inflow
+flux: h_inf = q / U. Exercises: ALE pseudo-solid mesh motion, capillary +
+kinematic free-surface BCs, inflow/outflow, transient relaxation to steady
+state with the quality guard (the reference's neg-volume ladder).
+
+Run: python examples/slot_coater.py [nx] [ny]
+"""
+
+import sys
+
+import numpy as np
+
+
+def run(nx=32, ny=8, U=1.0, mu=0.1, rho=0.05, sigma=1.0, x_die=1.5, L=4.0, H=1.0,
+        t_end=6.0, linear_solver="direct", verbose=False):
+    from goma_tpu.bc import CapillaryBC, KinematicBC
+    from goma_tpu.fem import Problem
+    from goma_tpu.mesh import rectangle_mesh
+    from goma_tpu.mesh.mesh import SideSet
+    from goma_tpu.physics import Continuity, EllipticMesh, Momentum
+    from goma_tpu.solvers import NewtonOptions
+    from goma_tpu.solvers.transient import TimeOptions, TransientSolver
+
+    mesh = rectangle_mesh(nx, ny, elem="QUAD9", xlim=(0, L), ylim=(0, H))
+
+    # split the top side set at the die lip, snapped to an element boundary
+    # (a face straddling the lip would be neither wall nor free surface)
+    ss = mesh.sidesets["top"]
+    xc, xr = [], []
+    for e, f in zip(ss.elems, ss.faces):
+        bi, le = mesh.global_elem_block(int(e))
+        conn = mesh.blocks[bi].conn[le]
+        xs_f = mesh.coords[conn, 0]
+        xc.append(xs_f.mean())
+        xr.append(xs_f.max())
+    xc, xr = np.asarray(xc), np.asarray(xr)
+    die = xc < x_die
+    x_lip = xr[die].max()  # actual lip position on the grid
+    mesh.sidesets["die"] = SideSet(ss.elems[die], ss.faces[die])
+    mesh.sidesets["free"] = SideSet(ss.elems[~die], ss.faces[~die])
+    top = mesh.nodesets["top"]
+    xt = mesh.coords[top, 0]
+    # contact node (x = x_lip) is in BOTH sets; die BCs registered last win
+    # there -> the contact line is pinned at the lip
+    mesh.nodesets["die_nodes"] = top[xt <= x_lip + 1e-12]
+    mesh.nodesets["free_nodes"] = top[xt >= x_lip - 1e-12]
+
+    prob = Problem(
+        mesh,
+        [Momentum(dim=2, transient=True), Continuity(), EllipticMesh(2)],
+        {"rho": rho, "mu": mu, "sigma": sigma},
+    )
+    # web (bottom): moving wall, mesh fixed
+    prob.add_dirichlet("bottom", "velocity", 0, U)
+    prob.add_dirichlet("bottom", "velocity", 1, 0.0)
+    prob.add_dirichlet("bottom", "mesh_displacement", 0, 0.0)
+    prob.add_dirichlet("bottom", "mesh_displacement", 1, 0.0)
+    # inflow: Couette feed with flux q = U*H/2
+    prob.add_dirichlet("left", "velocity", 0, lambda c: U * (1 - c[:, 1] / H))
+    prob.add_dirichlet("left", "velocity", 1, 0.0)
+    prob.add_dirichlet("left", "mesh_displacement", 0, 0.0)
+    prob.add_dirichlet("left", "mesh_displacement", 1, 0.0)
+    # free surface: capillary + kinematic; nodes slide vertically
+    prob.add_dirichlet("free_nodes", "mesh_displacement", 0, 0.0)
+    prob.add_face_kernel("free", CapillaryBC(dim=2, p_ext=0.0))
+    prob.add_face_kernel("free", KinematicBC(dim=2, penalty=1e3))
+    # outflow: drawn film leaves as plug flow on the web, u = (U, 0)
+    # (also closes the free-surface corner: with u=U over height h the
+    # kinematic + mass balance force h(L) -> q/U)
+    prob.add_dirichlet("right", "velocity", 0, U)
+    prob.add_dirichlet("right", "velocity", 1, 0.0)
+    prob.add_dirichlet("right", "mesh_displacement", 0, 0.0)
+    # die lip: no slip, mesh fixed — registered LAST so the contact node is
+    # pinned at the lip (last-wins, reference mm_bc_conflict semantics)
+    prob.add_dirichlet("die_nodes", "velocity", 0, 0.0)
+    prob.add_dirichlet("die_nodes", "velocity", 1, 0.0)
+    prob.add_dirichlet("die_nodes", "mesh_displacement", 0, 0.0)
+    prob.add_dirichlet("die_nodes", "mesh_displacement", 1, 0.0)
+    prob.finalize()
+
+    x0 = np.zeros(prob.dofmap.n_dof)
+    x0 = prob.set_nodal_field(x0, "velocity", 0, lambda c: U * (1 - c[:, 1] / H))
+    # precondition the mesh near the expected drawn-film shape (h: H -> q/U
+    # over a relaxation length downstream of the lip); the violent startup
+    # transient otherwise tangles the elements at the contact line
+    h_inf = 0.5 * H  # q/U with Couette feed
+
+    def dy0(c):
+        x, y = c[:, 0], c[:, 1]
+        s = np.clip((x - x_lip) / 1.0, 0.0, 1.0)
+        blend = s * s * (3 - 2 * s)  # smoothstep
+        h_t = H + (h_inf - H) * blend
+        return (h_t - H) * (y / H)
+
+    x0 = prob.set_nodal_field(x0, "mesh_displacement", 1, dy0)
+    # keep Dirichlet-fixed mesh rows at zero
+    for ns in ("bottom", "left", "die_nodes"):
+        nodes = mesh.nodesets[ns]
+        d = prob.dofmap.dof_of_node_svar[nodes, prob.dofmap.svar("mesh_displacement", 1)]
+        x0[d[d >= 0]] = 0.0
+
+    ts = TransientSolver(
+        prob,
+        NewtonOptions(max_iter=20, tol_residual=3e-8, linear_solver=linear_solver,
+                      linear_tol=1e-9, precond="twolevel", gmres_restart=40,
+                      linear_maxiter=1200, damp=0.9),
+        # steady-seeking: BE is L-stable, so let dt grow aggressively and use
+        # only Newton failure / mesh quality to cut it (transient accuracy is
+        # irrelevant on the way to steady state)
+        TimeOptions(dt0=0.01, t_end=t_end, theta=0.0, adapt=True, eps_time=1e3,
+                    rel_tol=1.0, growth_cap=2.0, max_dt=0.5, quality_guard=True, max_failures=25,
+                    verbose=verbose),
+    )
+    res = ts.run(x0, prob.base_params())
+
+    dy = prob.get_nodal_field(res.x, "mesh_displacement", 1)
+    free = mesh.nodesets["free_nodes"]
+    xs = mesh.coords[free, 0]
+    h = H + dy[free]
+    order = np.argsort(xs)
+    return prob, res, xs[order], h[order]
+
+
+if __name__ == "__main__":
+    nx = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+    ny = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    prob, res, xs, h = run(nx, ny)
+    q = 0.5  # U*H/2
+    print(f"steps: {len(res.steps)}, final t = {res.t:.2f}")
+    print("free-surface profile (x, h):")
+    for x, hh in zip(xs[:: max(1, len(xs)//10)], h[:: max(1, len(h)//10)]):
+        print(f"  {x:6.3f}  {hh:6.4f}")
+    print(f"outflow film thickness h = {h[-1]:.4f} (theory q/U = {q:.4f})")

@@ -680,12 +680,20 @@ class Problem:
         for bi, bd in enumerate(self.dofmap.blocks):
             gather = T[f"g{bi}"]
             q = v[gather]  # (ne, nl)
-            parts.append(jnp.einsum("eij,ej->ei", blockJ[bi], q).reshape(-1))
+            # full-f32 accumulation: the TPU default (bf16 passes) injects
+            # ~1e-3 relative error per matvec, which caps Krylov convergence
+            parts.append(
+                jnp.einsum("eij,ej->ei", blockJ[bi], q,
+                           precision=jax.lax.Precision.HIGHEST).reshape(-1)
+            )
         for fsi, fs in enumerate(self.face_sets):
             bd = self.dofmap.blocks[fs.block_index]
             gather = T[f"fg{fsi}"]
             q = v[gather]
-            parts.append(jnp.einsum("eij,ej->ei", faceJ[fsi], q).reshape(-1))
+            parts.append(
+                jnp.einsum("eij,ej->ei", faceJ[fsi], q,
+                           precision=jax.lax.Precision.HIGHEST).reshape(-1)
+            )
         ye_flat = jnp.concatenate(parts + [jnp.zeros(1, dtype=v.dtype)])
         y = jnp.sum(ye_flat[T["tg"]], axis=1)
         # rotated rows

@@ -126,6 +126,16 @@ def row_sum_scale(vals, R, rows, n):
     return vals * inv[rows], R * inv, inv
 
 
+def sym_sum_scale(vals, rows, cols, n):
+    """Symmetric equilibration s_i = 1/sqrt(sum_j |A_ij|): returns
+    (vals * s[rows] * s[cols], s). The Krylov stack solves (DAD) z = D R,
+    dx = D z — equilibrated like the reference's row scaling but similarity-
+    preserving, so the two-level Galerkin coarse correction stays variational."""
+    rs = jax.ops.segment_sum(jnp.abs(vals), rows, num_segments=n)
+    s = 1.0 / jnp.sqrt(jnp.where(rs > 0, rs, 1.0))
+    return vals * s[rows] * s[cols], s
+
+
 def make_spmv(pat: CSRPattern):
     rows = jnp.asarray(pat.rows)
     cols = jnp.asarray(pat.indices)

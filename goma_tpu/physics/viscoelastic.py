@@ -143,24 +143,66 @@ class VEStress(Equation):
         return jnp.einsum("qc,qi->qci", core_c, w)
 
 
+def _expm2_sym(A, scale=1.0):
+    """Smooth closed-form exp(scale*A) for symmetric 2x2 (..., 2, 2).
+
+    exp(A) = e^m [cosh(q) I + sinhc(q) (A - m I)] with m = tr(A)/2 and
+    q^2 = ((A11-A22)/2)^2 + A12^2. cosh(q) and sinh(q)/q are even in q, so
+    everything is a smooth function of q^2 — AD-safe at the degenerate point
+    (unlike an eigendecomposition, whose jacfwd blows up at q=0)."""
+    A = scale * A
+    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 1, 1]
+    m = 0.5 * (a + c)
+    q2 = 0.25 * (a - c) ** 2 + b * b
+    small = q2 < 1e-8
+    q2s = jnp.where(small, 1.0, q2)
+    q = jnp.sqrt(q2s)
+    coshq = jnp.where(small, 1.0 + q2 / 2 + q2 * q2 / 24, jnp.cosh(q))
+    sinhc = jnp.where(small, 1.0 + q2 / 6 + q2 * q2 / 120, jnp.sinh(q) / q)
+    em = jnp.exp(m)
+    eye = jnp.eye(2, dtype=A.dtype)
+    dev = A - m[..., None, None] * eye
+    return em[..., None, None] * (
+        coshq[..., None, None] * eye + sinhc[..., None, None] * dev
+    )
+
+
+def _x_over_sinh(x):
+    """x/sinh(x), smooth and even; series for small x (AD-safe at 0)."""
+    x2 = x * x
+    small = x2 < 1e-8
+    xs = jnp.where(small, 1.0, x)
+    return jnp.where(small, 1.0 - x2 / 6 + 7 * x2 * x2 / 360, xs / jnp.sinh(xs))
+
+
 def _eig2_sym(A):
     """Explicit eigendecomposition of symmetric 2x2 (..., 2, 2):
-    returns (w (..., 2), R (..., 2, 2)) with A = R diag(w) R^T. Smooth at the
-    degenerate point (guarded)."""
+    returns (w (..., 2), R (..., 2, 2)) with A = R diag(w) R^T. Guarded at
+    the degenerate point (falls back to the identity basis, with AD-safe
+    double-where divisions); guard scales with the matrix so it works in
+    f32 on TPU as well as f64."""
     a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 1, 1]
+    eps = jnp.finfo(A.dtype).eps
+    scale2 = a * a + 2 * b * b + c * c + 1.0  # +1: absolute floor near A=0
     tr2 = 0.5 * (a + c)
-    disc = jnp.sqrt(jnp.maximum(0.25 * (a - c) ** 2 + b * b, 1e-300))
+    disc2 = 0.25 * (a - c) ** 2 + b * b
+    deg = disc2 < (eps * eps) * scale2
+    disc = jnp.sqrt(jnp.where(deg, 1.0, disc2))
+    disc = jnp.where(deg, 0.0, disc)
     w1 = tr2 - disc
     w2 = tr2 + disc
-    # eigenvector for w2: (b, w2 - a) unless degenerate
-    v0 = jnp.where(jnp.abs(b) > 1e-150, b, 1e-150)
-    v1 = w2 - a
-    nrm = jnp.sqrt(v0 * v0 + v1 * v1)
-    c2, s2 = v0 / nrm, v1 / nrm  # eigvec of w2
-    # eigvec of w1 orthogonal
-    R = jnp.stack(
-        [jnp.stack([-s2, c2], -1), jnp.stack([c2, s2], -1)], -1
-    )  # columns: [v(w1), v(w2)]
+    # eigenvector of w2: the larger of (b, w2-a) and (w2-c, b)
+    v0, v1 = b, disc + 0.5 * (c - a)
+    u0, u1 = disc + 0.5 * (a - c), b
+    pick = v0 * v0 + v1 * v1 >= u0 * u0 + u1 * u1
+    e0 = jnp.where(pick, v0, u0)
+    e1 = jnp.where(pick, v1, u1)
+    nrm2 = e0 * e0 + e1 * e1
+    nrm = jnp.sqrt(jnp.where(deg, 1.0, nrm2))
+    c2 = jnp.where(deg, 1.0, e0 / jnp.where(deg, 1.0, nrm))
+    s2 = jnp.where(deg, 0.0, e1 / jnp.where(deg, 1.0, nrm))
+    # eigvec of w1 orthogonal; columns: [v(w1), v(w2)]
+    R = jnp.stack([jnp.stack([-s2, c2], -1), jnp.stack([c2, s2], -1)], -1)
     w = jnp.stack([w1, w2], -1)
     return w, R
 
@@ -203,36 +245,33 @@ class LogConformationStress(Equation):
             L = gu
         u_adv = advective_velocity(fv)
 
+        # Fattal-Kupferman decomposition in the eigenbasis of Psi. The
+        # commutator [Omega, Psi] and 2B are each singular at degenerate
+        # eigenvalues, but their SUM is smooth: in the eigenbasis it is
+        #   [[2 M11, s], [s, 2 M22]],  s = (l2 M12 + l1 M21) (w2-w1)/(l2-l1)
+        # and the divided difference (w2-w1)/(e^w2 - e^w1) =
+        # e^{-wbar} (h/2)/sinh(h/2), h = w2-w1, is smooth through h = 0
+        # (limit: comm + 2B -> 2 sym(L), the correct degenerate dynamics).
         w, Rm = _eig2_sym(Psi)  # Psi = R diag(w) R^T
-        lam_c = jnp.exp(w)  # eigenvalues of c
-        # M = R^T L R with L[a,k] = du_a/dx_k (conformation evolution
-        # c_dot = L c + c L^T + ...): Fattal-Kupferman decomposition
         M = jnp.einsum("qia,qab,qbj->qij", jnp.swapaxes(Rm, 1, 2), L, Rm)
         m12, m21 = M[:, 0, 1], M[:, 1, 0]
-        l1, l2 = lam_c[:, 0], lam_c[:, 1]
-        denom = l2 - l1
-        deg = jnp.abs(denom) < 1e-10
-        omega = jnp.where(deg, 0.0, (l2 * m12 + l1 * m21) / jnp.where(deg, 1.0, denom))
-        zero = jnp.zeros_like(omega)
-        Om_h = jnp.stack(
-            [jnp.stack([zero, omega], -1), jnp.stack([-omega, zero], -1)], -2
+        l1, l2 = jnp.exp(w[:, 0]), jnp.exp(w[:, 1])
+        h = w[:, 1] - w[:, 0]
+        wbar = 0.5 * (w[:, 0] + w[:, 1])
+        dd = jnp.exp(-wbar) * _x_over_sinh(0.5 * h)  # (w2-w1)/(l2-l1)
+        s = (l2 * m12 + l1 * m21) * dd
+        Sum_h = jnp.stack(
+            [
+                jnp.stack([2.0 * M[:, 0, 0], s], -1),
+                jnp.stack([s, 2.0 * M[:, 1, 1]], -1),
+            ],
+            -2,
         )
-        Omega = jnp.einsum("qab,qbc,qdc->qad", Rm, Om_h, Rm)
-        # B = R diag(M11, M22) R^T ; in the degenerate case use sym(L)
-        Bh = jnp.stack(
-            [jnp.stack([M[:, 0, 0], zero], -1), jnp.stack([zero, M[:, 1, 1]], -1)], -2
-        )
-        B = jnp.einsum("qab,qbc,qdc->qad", Rm, Bh, Rm)
-        Dsym = 0.5 * (L + jnp.swapaxes(L, 1, 2))
-        B = jnp.where(deg[:, None, None], Dsym, B)
+        comm_2B = jnp.einsum("qab,qbc,qdc->qad", Rm, Sum_h, Rm)
 
         conv = jnp.einsum("qk,qabk->qab", u_adv, _sym_grad_expand(fv.grad[var], d))
-        comm = jnp.einsum("qac,qcb->qab", Omega, Psi) - jnp.einsum(
-            "qac,qcb->qab", Psi, Omega
-        )
-        # exp(-Psi) = R diag(exp(-w)) R^T
-        expm = jnp.einsum("qab,qb,qcb->qac", Rm, jnp.exp(-w), Rm)
-        core = conv - comm - 2.0 * B - (expm - jnp.eye(2)[None]) / self.lam
+        expm = _expm2_sym(Psi, scale=-1.0)  # exp(-Psi), smooth closed form
+        core = conv - comm_2B - (expm - jnp.eye(2)[None]) / self.lam
         if self.transient:
             core = core + _sym_expand(fv.dot[var], d)
 
@@ -252,8 +291,7 @@ class LogConformationStress(Equation):
 def logconf_stress_tensor(fv, mode: int, lam: float, mu_p: float):
     """tau = (mu_p/lam)(exp(Psi) - I) for the momentum equation."""
     Psi = _sym_expand(fv.val[f"logconf{mode}"], 2)
-    w, Rm = _eig2_sym(Psi)
-    c = jnp.einsum("qab,qb,qcb->qac", Rm, jnp.exp(w), Rm)
+    c = _expm2_sym(Psi)
     return (mu_p / lam) * (c - jnp.eye(2)[None])
 
 

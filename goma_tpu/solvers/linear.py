@@ -101,12 +101,96 @@ class BlockJacobi:
         tb = tb or self.tables
         r_ext = jnp.concatenate([r, jnp.zeros(1, dtype=r.dtype)])
         rb = r_ext[tb["dof_ids"]]  # (nb, kmax)
-        yb = jnp.einsum("bij,bj->bi", Binv, rb)
+        yb = jnp.einsum("bij,bj->bi", Binv, rb,
+                        precision=jax.lax.Precision.HIGHEST)
         yb = jnp.where(tb["valid"], yb, 0.0)
         # node dofs are contiguous and unique per block: scatter-free set
         return jnp.zeros(self.n + 1, dtype=r.dtype).at[tb["dof_ids"].reshape(-1)].add(
             yb.reshape(-1)
         )[: self.n]
+
+
+class Vanka:
+    """Element-block additive Schwarz ("Vanka") smoother.
+
+    The classic saddle-point multigrid smoother (coupled local solves over
+    each element's full dof set, including pressure), recast TPU-first: the
+    per-element matrices are gathered from the CSR values by a precomputed
+    position map and inverted as ONE batched dense inverse on the MXU
+    (n_elem x nl x nl); apply is gather + batched matvec + weighted
+    scatter-add. Reference analog: coupled node/element relaxation the
+    reference delegates to Ifpack/ML smoothers (src/sl_aztecoo_interface.cpp).
+    """
+
+    def __init__(self, pattern, dofmap, key_prefix: str = "vk"):
+        self.n = pattern.n
+        self.nb = len(dofmap.blocks)
+        self.pfx = key_prefix
+        count = np.zeros(pattern.n + 1, dtype=np.float64)
+        for bd in dofmap.blocks:
+            np.add.at(count, bd.gather.ravel(), 1.0)
+        wts = 1.0 / np.maximum(count, 1.0)
+        tables = {}
+        flat_dofs = []  # concatenated (over blocks) per-contribution dof ids
+        for bi, bd in enumerate(dofmap.blocks):
+            g = bd.gather.astype(np.int64)  # (ne, nl)
+            ne, nl = g.shape
+            rows = np.repeat(g, nl, axis=1).ravel()
+            cols = np.tile(g, (1, nl)).ravel()
+            pos = pattern.find(rows, cols).reshape(ne, nl, nl)
+            pos = np.where(pos >= 0, pos, pattern.nnz)  # pad slot -> 0.0
+            tables[f"{key_prefix}:pos{bi}"] = jax.device_put(pos)
+            tables[f"{key_prefix}:g{bi}"] = jax.device_put(g)
+            tables[f"{key_prefix}:w{bi}"] = jax.device_put(wts[bd.gather])
+            flat_dofs.append(g.ravel())
+        # scatter-free combine: per dof, the positions of its contributions in
+        # the concatenated per-block (zb * w).ravel() arrays (TPU scatters are
+        # serial-slow; this turns the Schwarz sum into a padded gather + sum)
+        flat = np.concatenate(flat_dofs)
+        L = flat.shape[0]
+        order = np.argsort(flat, kind="stable")
+        sf = flat[order]
+        starts = np.searchsorted(sf, np.arange(self.n))
+        ends = np.searchsorted(sf, np.arange(self.n) + 1)
+        kmax = max(int((ends - starts).max()), 1)
+        dpos = np.full((self.n, kmax), L, dtype=np.int64)
+        for k in range(kmax):
+            sel = starts + k < ends
+            dpos[sel, k] = order[(starts + k)[sel]]
+        tables[f"{key_prefix}:dpos"] = jax.device_put(dpos)
+        self.tables = tables
+
+    def factor(self, vals, tb=None):
+        tb = tb or self.tables
+        vals_ext = jnp.concatenate([vals, jnp.zeros(1, dtype=vals.dtype)])
+        invs = []
+        eye_cache = {}
+        for bi in range(self.nb):
+            Ae = vals_ext[tb[f"{self.pfx}:pos{bi}"]]  # (ne, nl, nl)
+            nl = Ae.shape[-1]
+            if nl not in eye_cache:
+                eye_cache[nl] = jnp.eye(nl, dtype=vals.dtype)
+            # guard: exactly-zero diagonals (inactive/constraint corner cases)
+            diag = jnp.diagonal(Ae, axis1=1, axis2=2)
+            fix = (jnp.abs(diag) < 1e-12)[:, :, None] * eye_cache[nl][None]
+            from goma_tpu.utils.la import gj_inv
+
+            Aei = gj_inv(Ae + fix)  # pivoted, dtype/backend-portable
+            invs.append(jnp.where(jnp.isfinite(Aei), Aei, 0.0))
+        return tuple(invs)
+
+    def apply(self, fac, r, tb=None):
+        tb = tb or self.tables
+        r_ext = jnp.concatenate([r, jnp.zeros(1, dtype=r.dtype)])
+        parts = []
+        for bi in range(self.nb):
+            g = tb[f"{self.pfx}:g{bi}"]
+            rb = r_ext[g]  # (ne, nl)
+            zb = jnp.einsum("eij,ej->ei", fac[bi], rb,
+                            precision=jax.lax.Precision.HIGHEST)
+            parts.append((zb * tb[f"{self.pfx}:w{bi}"].astype(r.dtype)).reshape(-1))
+        flat = jnp.concatenate(parts + [jnp.zeros(1, dtype=r.dtype)])
+        return jnp.sum(flat[tb[f"{self.pfx}:dpos"]], axis=1)
 
 
 def identity_precond(r):
@@ -229,13 +313,16 @@ def gmres(matvec, b, precond=None, x0=None, tol=1e-8, atol=0.0, restart=40, maxi
         def step(j, carry):
             V, H = carry
             w = matvec(precond(V[j]))
-            # vectorized MGS: orthogonalize against all previous at once
+            # vectorized CGS2: orthogonalize against all previous at once.
+            # HIGHEST: TPU default matmul precision is bf16 passes, which
+            # destroys Krylov-basis orthogonality in f32
+            hi = jax.lax.Precision.HIGHEST
             mask = (jnp.arange(m + 1) <= j).astype(dtype)
-            h = (V @ w) * mask
-            w = w - V.T @ h
+            h = jnp.matmul(V, w, precision=hi) * mask
+            w = w - jnp.matmul(V.T, h, precision=hi)
             # one reorthogonalization pass (robustness, cf. DGKS)
-            h2 = (V @ w) * mask
-            w = w - V.T @ h2
+            h2 = jnp.matmul(V, w, precision=hi) * mask
+            w = w - jnp.matmul(V.T, h2, precision=hi)
             h = h + h2
             wn = jnp.linalg.norm(w)
             H = H.at[:, j].set(h)
@@ -249,7 +336,9 @@ def gmres(matvec, b, precond=None, x0=None, tol=1e-8, atol=0.0, restart=40, maxi
 
         e1 = jnp.zeros(m + 1, dtype=dtype).at[0].set(beta)
         y = lstsq_small(H, e1)
-        x_new = x + precond(V[:m].T @ y)
+        x_new = x + precond(
+            jnp.matmul(V[:m].T, y, precision=jax.lax.Precision.HIGHEST)
+        )
         return x_new
 
     def cond(carry):

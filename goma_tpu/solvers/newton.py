@@ -33,11 +33,17 @@ class NewtonOptions:
     damp: float = 1.0
     row_scaling: bool = True
     linear_solver: str = "gmres"  # gmres | bicgstab | direct
-    precond: str = "block_jacobi"  # block_jacobi | fieldsplit | twolevel
+    # auto: two-level p-multigrid when the problem has a genuinely smaller
+    # Q1/P1 coarse space that fits a dense coarse solve, else block-Jacobi
+    precond: str = "auto"  # auto | block_jacobi | fieldsplit | twolevel
     fieldsplit_mu: float | None = None
     fieldsplit_sweeps: int = 2
-    smooth_damp: float = 0.7
+    # None: 1.0 for vanka (weighted overlap already averages), 0.7 for bj
+    smooth_damp: float | None = None
     smooth_sweeps: int = 2
+    # two-level smoother: "bj" node-block-Jacobi | "vanka" element-block
+    # additive Schwarz (the classic saddle-point multigrid smoother)
+    smoother: str = "vanka"
     linear_tol: float = 1e-10
     gmres_restart: int = 60
     linear_maxiter: int = 600
@@ -67,18 +73,35 @@ class NewtonSolver:
     def __init__(self, problem, options: NewtonOptions | None = None):
         self.problem = problem
         self.opts = options or NewtonOptions()
-        if self.opts.precond == "fieldsplit":
+        kind = self.opts.precond
+        if kind == "auto":
+            kind = "block_jacobi"
+            # two-level needs the mesh blocks (plain single-device Problem)
+            # and pays off only when the Q1/P1 coarse space is both a real
+            # reduction and small enough for a dense coarse factorization.
+            if hasattr(problem, "mesh"):
+                from goma_tpu.solvers.twolevel import coarse_dof_count
+
+                nc, n = coarse_dof_count(problem)
+                if nc <= 0.8 * n and nc <= 16000:
+                    kind = "twolevel"
+        self._precond_kind = kind
+        if kind == "fieldsplit":
             from goma_tpu.solvers.linear import FieldSplit
 
             self.precond = FieldSplit(
                 problem, mu=self.opts.fieldsplit_mu, u_sweeps=self.opts.fieldsplit_sweeps
             )
-        elif self.opts.precond == "twolevel":
+        elif kind == "twolevel":
             from goma_tpu.solvers.twolevel import TwoLevel
 
+            damp = self.opts.smooth_damp
+            if damp is None:
+                damp = 1.0 if self.opts.smoother == "vanka" else 0.7
             self.precond = TwoLevel(
-                problem, smooth_damp=self.opts.smooth_damp,
+                problem, smooth_damp=damp,
                 pre_sweeps=self.opts.smooth_sweeps, post_sweeps=self.opts.smooth_sweeps,
+                smoother=self.opts.smoother,
             )
         else:
             self.precond = BlockJacobi(problem.pattern, problem.dofmap)
@@ -111,16 +134,25 @@ class NewtonSolver:
         else:
             R, vals = self.problem._assemble(x, params)
             aux = ((), (), ())
-        scale = None
+        # Norms/convergence follow the reference's row-sum-scaled residual
+        # (src/mm_sol_nonlinear.c:972). The Krylov solve, however, runs on a
+        # SYMMETRICALLY equilibrated operator (DAD) z = D R, dx = D z: plain
+        # row scaling breaks the variational (Galerkin) coarse correction of
+        # the two-level preconditioner (measured 2x iteration inflation),
+        # while no equilibration at all breaks penalty-BC systems.
         if self.opts.row_scaling:
-            vals, R, scale = row_sum_scale(vals, R, self._rows, self._n)
+            from goma_tpu.fem.sparsity import sym_sum_scale
+
+            _, Rn, _ = row_sum_scale(vals, R, self._rows, self._n)
+            vals, scale = sym_sum_scale(vals, self._rows, self._cols, self._n)
+        else:
+            Rn = R
+            scale = jnp.ones(self._n, dtype=vals.dtype)
         norms = (
-            jnp.sum(jnp.abs(R)),
-            jnp.linalg.norm(R),
-            jnp.max(jnp.abs(R)),
+            jnp.sum(jnp.abs(Rn)),
+            jnp.linalg.norm(Rn),
+            jnp.max(jnp.abs(Rn)),
         )
-        if scale is None:
-            scale = jnp.ones(self._n, dtype=R.dtype)
         return R, vals, norms, scale, aux
 
     def _matvec(self, vals):
@@ -141,8 +173,10 @@ class NewtonSolver:
                 # T=None: small index tables embed as compile-time constants —
                 # XLA specializes constant-index gathers (~30x faster than
                 # parameter-index gathers on TPU) and they fit the tunnel's
-                # payload limit; only the huge factor-only tables stay params
-                return prob.element_matvec(None, aux, scale, v)
+                # payload limit; only the huge factor-only tables stay params.
+                # scale on both sides: reproduces the symmetric equilibration
+                # (DAD) of the CSR values (see _prepare)
+                return prob.element_matvec(None, aux, scale, scale * v)
 
             return mv
         ell = self._ell
@@ -155,19 +189,19 @@ class NewtonSolver:
     def _factor_num(self, vals, ntab=None):
         """Numeric preconditioner state (jit-friendly pytree, no closures)."""
         tb = (ntab or self._ntab)["prec"] or None
-        if self.opts.precond == "twolevel":
+        if self._precond_kind == "twolevel":
             Binv, coarse, _ = self.precond.factor(vals, None, tb)
             return (Binv, coarse)
-        if self.opts.precond == "fieldsplit":
+        if self._precond_kind == "fieldsplit":
             Binv, _ = self.precond.factor(vals, None)
             return (Binv,)
         return (self.precond.factor(vals, tb),)
 
     def _apply_precond_mv(self, mv, vals, ntab, fac_num, r):
         # tb=None: apply-path tables embed as constants (hot path)
-        if self.opts.precond == "twolevel":
+        if self._precond_kind == "twolevel":
             return self.precond.apply((*fac_num, mv), r, None)
-        if self.opts.precond == "fieldsplit":
+        if self._precond_kind == "fieldsplit":
             return self.precond.apply((*fac_num, mv), r)
         return self.precond.apply(fac_num[0], r, None)
 
@@ -190,20 +224,21 @@ class NewtonSolver:
         if aux is None:
             aux = ((), (), ())
         fac = self._factor_jit(vals, self._ntab)
-        R = R.astype(vals.dtype)  # mixed precision: Krylov runs in J's dtype
-        x = jnp.zeros_like(R)
-        bnorm = float(jax.device_get(jnp.linalg.norm(R)))
+        # symmetric equilibration: solve (DAD) z = D R, then dx = D z
+        b = (scale.astype(R.dtype) * R).astype(vals.dtype)
+        z = jnp.zeros_like(b)
+        bnorm = float(jax.device_get(jnp.linalg.norm(b)))
         target = max(opts.linear_tol * bnorm, 1e-300)
         it = 0
         rn = bnorm
         while rn > target and it < opts.linear_maxiter:
-            x, rnj = self._cycle_jit(vals, scale, aux, ptab, self._ntab, fac, x, R)
+            z, rnj = self._cycle_jit(vals, scale, aux, ptab, self._ntab, fac, z, b)
             rn = float(jax.device_get(rnj))
             it += opts.gmres_restart
             if not np.isfinite(rn):
                 break
         return LinearResult(
-            x=x, iters=jnp.asarray(it), resnorm=jnp.asarray(rn),
+            x=scale * z, iters=jnp.asarray(it), resnorm=jnp.asarray(rn),
             converged=jnp.asarray(rn <= target),
         )
 
@@ -214,10 +249,15 @@ class NewtonSolver:
         fac = self._factor_jit(vals, self._ntab)
         mv = self._matvec_state(vals, scale, aux, ptab, self._ntab)
         M = lambda r: self._apply_precond_mv(mv, vals, self._ntab, fac, r)
-        return bicgstab(
-            mv, R, precond=M, tol=self.opts.linear_tol,
+        if scale is None:
+            scale = jnp.ones_like(R)
+        b = (scale.astype(R.dtype) * R).astype(vals.dtype)
+        lr = bicgstab(
+            mv, b, precond=M, tol=self.opts.linear_tol,
             maxiter=self.opts.linear_maxiter,
         )
+        return LinearResult(x=scale * lr.x, iters=lr.iters,
+                            resnorm=lr.resnorm, converged=lr.converged)
 
     def solve(self, x0, params) -> NewtonResult:
         opts = self.opts
@@ -237,10 +277,13 @@ class NewtonSolver:
                 break
             t0 = time.perf_counter()
             if opts.linear_solver == "direct":
-                dx = jnp.asarray(
-                    direct_solve_host(self.problem.pattern, jax.device_get(vals), jax.device_get(R)),
-                    dtype=R.dtype,
+                # vals are symmetrically equilibrated: solve (DAD) z = D R
+                s_h = np.asarray(jax.device_get(scale), dtype=np.float64)
+                z = direct_solve_host(
+                    self.problem.pattern, jax.device_get(vals),
+                    s_h * np.asarray(jax.device_get(R), dtype=np.float64),
                 )
+                dx = jnp.asarray(s_h * z, dtype=R.dtype)
                 lin_iters.append(1)
             else:
                 fn = self._solve_gmres if opts.linear_solver == "gmres" else self._solve_bicgstab

@@ -50,6 +50,8 @@ class TimeOptions:
     # ALE mesh counts as a failed step -> halve dt and retry (the reference's
     # neg_elem_volume ladder, src/mm_fill.c:267 + rf_solve.c:1956)
     quality_guard: bool = False
+    # print a per-step line (the reference's transient console output)
+    verbose: bool = False
 
 
 @dataclass
@@ -112,6 +114,16 @@ class TransientSolver:
 
             res: NewtonResult = self.newton.solve(x_pred, p)
             ok = res.converged and np.all(np.isfinite(res.x))
+            if to.verbose:
+                import sys
+
+                l2 = res.res_norms[-1][1] if res.res_norms else float("nan")
+                print(
+                    f"[transient] t={t:.5g} dt={dt:.3g} newton={res.iters} "
+                    f"conv={res.converged} |R|2={l2:.3e} "
+                    f"finite={bool(np.all(np.isfinite(res.x)))}",
+                    file=sys.stderr, flush=True,
+                )
             if ok and to.quality_guard:
                 if self._quality_fn is None:
                     from goma_tpu.post.quality import make_quality_fn
@@ -121,6 +133,11 @@ class TransientSolver:
                     self._quality_fn = make_quality_fn(base)
                 mn, _, _ = (float(v) for v in self._quality_fn(res.x))
                 ok = mn > 0.0
+                if to.verbose and not ok:
+                    import sys
+
+                    print(f"[transient]   quality reject: min detJ = {mn:.3e}",
+                          file=sys.stderr, flush=True)
             if not ok:
                 failures += 1
                 if failures > to.max_failures or dt * 0.5 < to.min_dt:

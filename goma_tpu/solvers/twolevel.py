@@ -30,12 +30,33 @@ from goma_tpu.elements import element_type, eval_basis, interp_local_nodes
 from goma_tpu.solvers.linear import BlockJacobi
 
 
-def _fine_to_coarse_weights(problem):
+def _saddle_mask(problem, saddle_vars=("pressure",)) -> np.ndarray:
+    """Boolean (n_dof,) mask of dofs belonging to saddle-point (zero-diagonal
+    Lagrange-multiplier-like) variables. Used to order the coarse space so
+    the Schur-split block inverse pivots on the elliptic block first."""
+    dofmap = problem.dofmap
+    mask = np.zeros(dofmap.n_dof, dtype=bool)
+    for name in saddle_vars:
+        if name not in dofmap.svar_offset:
+            continue
+        v = dofmap.var(name)
+        for c in range(v.ncomp):
+            d = dofmap.dof_of_node_svar[:, dofmap.svar(name, c)]
+            mask[d[d >= 0]] = True
+        for bd in dofmap.blocks:
+            for s in bd.slots:
+                if s.var == name and s.interp in ("P0", "P1E"):
+                    mask[bd.gather[:, s.start : s.start + s.size].ravel()] = True
+    return mask
+
+
+def _fine_to_coarse_weights(problem, saddle_vars=("pressure",)):
     """Per fine dof: coarse dof ids + interpolation weights.
 
     Coarse space: for nodal slots with quadratic interpolation, the linear
-    (corner-node) sub-interpolation; linear/elemental slots inject.
-    Returns (is_coarse (n,), coarse_id (n,), cids (n, kmax), wts (n, kmax)).
+    (corner-node) sub-interpolation; linear/elemental slots inject. Coarse
+    dofs are ordered elliptic-first / saddle-last (see ``_saddle_mask``);
+    returns (nc, cids, wts, n_elliptic).
     """
     from goma_tpu.mesh.mesh import _ref_nodes
 
@@ -74,8 +95,16 @@ def _fine_to_coarse_weights(problem):
                             if abs(w) > 1e-14:
                                 entries[d][int(ccols[e, j])] = w
 
+    # order the coarse space elliptic-first, saddle-last: the blocked coarse
+    # inverse does unpivoted Schur splits, which are only stable when every
+    # leading principal block is far from singular — true for the elliptic
+    # block, false once zero-diagonal saddle rows are mixed in.
+    saddle = _saddle_mask(problem, saddle_vars)
+    cdofs = np.where(is_coarse)[0]
+    order = np.argsort(saddle[cdofs], kind="stable")  # False (elliptic) first
+    n_elliptic = int((~saddle[cdofs]).sum())
     coarse_id = np.full(n, -1, dtype=np.int64)
-    coarse_id[is_coarse] = np.arange(is_coarse.sum())
+    coarse_id[cdofs[order]] = np.arange(cdofs.shape[0])
     nc = int(is_coarse.sum())
 
     kmax = max((len(e) for e in entries if e), default=1)
@@ -88,15 +117,45 @@ def _fine_to_coarse_weights(problem):
         for k, (cd, w) in enumerate(e.items()):
             cids[d, k] = coarse_id[cd]
             wts[d, k] = w
-    return nc, cids, wts
+    return nc, cids, wts, n_elliptic
+
+
+def coarse_dof_count(problem) -> tuple[int, int]:
+    """(nc, n): size of the Q1/P1 coarse space vs the full dof count,
+    without building the transfer weights (cheap feasibility probe for
+    choosing two-level as the default preconditioner)."""
+    dofmap = problem.dofmap
+    n = dofmap.n_dof
+    QUAD_TO_LIN = {"Q2": "Q1", "P2": "P1"}
+    is_coarse = np.zeros(n, dtype=bool)
+    for bd, blk in zip(dofmap.blocks, problem.mesh.blocks):
+        et = element_type(blk.elem_type)
+        for s in bd.slots:
+            if s.interp not in QUAD_TO_LIN:
+                sl = bd.gather[:, s.start : s.start + s.size]
+                is_coarse[sl.ravel()] = True
+                continue
+            ln_f = list(interp_local_nodes(et.family, s.interp))
+            ln_c = list(interp_local_nodes(et.family, QUAD_TO_LIN[s.interp]))
+            for c in range(s.ncomp):
+                cols = bd.gather[:, s.start + c * s.nbf : s.start + (c + 1) * s.nbf]
+                is_coarse[cols[:, [ln_f.index(k) for k in ln_c]].ravel()] = True
+    return int(is_coarse.sum()), n
 
 
 class TwoLevel:
     """V(1,1)-cycle two-level preconditioner with exact dense coarse solve."""
 
     def __init__(self, problem, smooth_damp: float = 0.7, pre_sweeps: int = 1,
-                 post_sweeps: int = 1, coarse_solve: str | None = None):
-        self.bj = BlockJacobi(problem.pattern, problem.dofmap)
+                 post_sweeps: int = 1, coarse_solve: str | None = None,
+                 smoother: str = "bj"):
+        if smoother == "vanka":
+            from goma_tpu.solvers.linear import Vanka
+
+            self.bj = Vanka(problem.pattern, problem.dofmap)
+        else:
+            self.bj = BlockJacobi(problem.pattern, problem.dofmap)
+        self.smoother = smoother
         self.n = problem.pattern.n
         self.smooth_damp = smooth_damp
         self.pre_sweeps = pre_sweeps
@@ -108,10 +167,14 @@ class TwoLevel:
             # iterative refinement in the working dtype recovers accuracy.
             coarse_solve = "inv" if jax.default_backend() == "tpu" else "lu"
         self.coarse_solve = coarse_solve
+        # one refinement step of the f32 saddle-split inverse (~0.1 rel err
+        # contraction per step) is enough for a preconditioner application;
+        # each extra step costs two dense (nc, nc) matvecs of HBM traffic
         self.refine_steps = 1 if coarse_solve == "inv" else 0
 
-        nc, cids, wts = _fine_to_coarse_weights(problem)
+        nc, cids, wts, n_ell = _fine_to_coarse_weights(problem)
         self.nc = nc
+        self.n_elliptic = n_ell
         self.tables = dict(self.bj.tables)
         self.tables["cids"] = jax.device_put(cids)
         self.tables["wts"] = jax.device_put(wts)
@@ -181,9 +244,12 @@ class TwoLevel:
         Ac = jnp.zeros((self.nc, self.nc), dtype=vals.dtype)
         Ac = Ac.at[tb["c_rows"], tb["c_cols"]].set(cvals)
         if self.coarse_solve == "inv":
-            from goma_tpu.utils.la import blocked_inv
+            from goma_tpu.utils.la import saddle_split_inv
 
-            inv32 = blocked_inv(Ac.astype(jnp.float32))
+            # split the Schur recursion at the elliptic/saddle boundary:
+            # unpivoted block splits are stable on the elliptic block, and
+            # the saddle Schur complement is then dense and well-behaved
+            inv32 = saddle_split_inv(Ac.astype(jnp.float32), self.n_elliptic)
             coarse = (inv32, Ac)
         else:
             coarse = jax.scipy.linalg.lu_factor(Ac)
@@ -192,18 +258,22 @@ class TwoLevel:
     def _coarse_apply(self, coarse, rc):
         if self.coarse_solve == "inv":
             inv32, Ac = coarse
-            z = (inv32 @ rc.astype(jnp.float32)).astype(rc.dtype)
-            for _ in range(self.refine_steps):
-                r2 = rc - Ac @ z
-                z = z + (inv32 @ r2.astype(jnp.float32)).astype(rc.dtype)
+            # full-f32 matvecs: bf16-pass rounding here makes the refinement
+            # stall at ~1e-3 instead of contracting at the inverse's quality
+            with jax.default_matmul_precision("highest"):
+                z = (inv32 @ rc.astype(jnp.float32)).astype(rc.dtype)
+                for _ in range(self.refine_steps):
+                    r2 = rc - Ac @ z
+                    z = z + (inv32 @ r2.astype(jnp.float32)).astype(rc.dtype)
             return z
         return jax.scipy.linalg.lu_solve(coarse, rc)
 
     def apply(self, fac, r, tb=None):
         tb = tb or self.tables
         Binv, coarse, matvec = fac
-        z = jnp.zeros_like(r)
-        for _ in range(self.pre_sweeps):
+        # first pre-sweep starts from z = 0: skip the wasted matvec(0)
+        z = self.smooth_damp * self.bj.apply(Binv, r, tb)
+        for _ in range(self.pre_sweeps - 1):
             z = z + self.smooth_damp * self.bj.apply(Binv, r - matvec(z), tb)
         rc = self.restrict(r - matvec(z), tb)
         z = z + self.prolong(self._coarse_apply(coarse, rc), tb)

@@ -66,19 +66,48 @@ def blocked_inv(M, max_block: int = 8192):
     n = M.shape[0]
     if n <= max_block:
         return jnp.linalg.inv(M)
-    k = ((n + 1) // 2 + 127) // 128 * 128  # split at a lane-aligned midpoint
-    k = min(k, n - 1)
-    A, B = M[:k, :k], M[:k, k:]
-    C, D = M[k:, :k], M[k:, k:]
-    Ai = blocked_inv(A, max_block)
-    AiB = Ai @ B
-    S = D - C @ AiB
-    Si = blocked_inv(S, max_block)
-    CAi = C @ Ai
-    top_left = Ai + AiB @ (Si @ CAi)
-    top_right = -(AiB @ Si)
-    bot_left = -(Si @ CAi)
-    return jnp.block([[top_left, top_right], [bot_left, Si]])
+    # the Schur-glue matmuls MUST run at full f32: TPU default matmul
+    # precision is bf16 passes, whose ~1e-3 rounding destroys the block
+    # inverse (the LU custom call inside jnp.linalg.inv is full f32 already)
+    with jax.default_matmul_precision("highest"):
+        k = ((n + 1) // 2 + 127) // 128 * 128  # split at a lane-aligned midpoint
+        k = min(k, n - 1)
+        A, B = M[:k, :k], M[:k, k:]
+        C, D = M[k:, :k], M[k:, k:]
+        Ai = blocked_inv(A, max_block)
+        AiB = Ai @ B
+        S = D - C @ AiB
+        Si = blocked_inv(S, max_block)
+        CAi = C @ Ai
+        top_left = Ai + AiB @ (Si @ CAi)
+        top_right = -(AiB @ Si)
+        bot_left = -(Si @ CAi)
+        return jnp.block([[top_left, top_right], [bot_left, Si]])
+
+
+def saddle_split_inv(M, k, max_block: int = 8192):
+    """Dense inverse of a saddle-point matrix with a known 2x2 structure:
+    M = [[A, B], [C, D]] with A = M[:k,:k] the elliptic block and D the
+    saddle (zero-diagonal / Lagrange-multiplier) block.
+
+    ``blocked_inv``'s unpivoted midpoint splits are catastrophically unstable
+    when a leading principal block mixes in near-singular saddle rows; here
+    the first split is pinned to the elliptic/saddle boundary, so A's own
+    principal minors (elliptic) are safe for further unpivoted recursion and
+    S = D - C A^-1 B is the dense, well-conditioned Schur complement."""
+    n = M.shape[0]
+    if k <= 0 or k >= n:
+        return blocked_inv(M, max_block)
+    with jax.default_matmul_precision("highest"):  # see blocked_inv
+        A, B = M[:k, :k], M[:k, k:]
+        C, D = M[k:, :k], M[k:, k:]
+        Ai = blocked_inv(A, max_block)
+        AiB = Ai @ B
+        S = D - C @ AiB
+        Si = blocked_inv(S, max_block)
+        CAi = C @ Ai
+        top_left = Ai + AiB @ (Si @ CAi)
+        return jnp.block([[top_left, -(AiB @ Si)], [-(Si @ CAi), Si]])
 
 
 def lstsq_small(H, b):
