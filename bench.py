@@ -117,7 +117,7 @@ def main():
     solver = NewtonSolver(
         prob,
         NewtonOptions(max_iter=8, tol_residual=1e-6, linear_tol=1e-4, gmres_restart=40,
-                      linear_maxiter=400, precond="twolevel", smooth_sweeps=1),
+                      linear_maxiter=400, precond="twolevel", smooth_sweeps=2),
     )
     params = prob.base_params()
     x = jnp.zeros(prob.dofmap.n_dof, dtype=prob.dtype)

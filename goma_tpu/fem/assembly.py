@@ -696,7 +696,11 @@ class Problem:
             )
         ye_flat = jnp.concatenate(parts + [jnp.zeros(1, dtype=v.dtype)])
         y = jnp.sum(ye_flat[T["tg"]], axis=1)
-        # rotated rows
+        return self._matvec_post(T, pc_dg, scale, v, y)
+
+    def _matvec_post(self, T, pc_dg, scale, v, y):
+        """Shared compact-space matvec post-processing: rotated rows,
+        point-constraint rows, Dirichlet identity rows, row scale."""
         rd = self._rotation
         if rd is not None:
             Q = T["rQ"].astype(v.dtype)
@@ -706,18 +710,63 @@ class Problem:
                 y = y.at[T["rcrow"]].set(
                     jnp.einsum("ni,ni->n", T["rcoef"].astype(v.dtype), v[T["rcdofs"]])
                 )
-        # point-constraint rows
         for k, dg in enumerate(pc_dg):
             y = y.at[T[f"pc{k}:rows"]].set(
                 jnp.einsum("ni,ni->n", dg, v[T[f"pc{k}:dofs"]])
             )
-        # dirichlet rows are identity
         if self.dirichlet_dofs.size:
             dmask = T["dirmask"]
             y = jnp.where(dmask, v, y)
         if scale is not None:
             y = y * scale
         return y
+
+    # ---------------------------------------------------- padded matvec path
+    def ensure_padded_tables(self):
+        """Build (once) the padded node-slot layout tables; see fem/padded.py.
+        Returns False when the layout does not pay off (padding blowup)."""
+        if getattr(self, "_padded_meta", None) is not None:
+            return self._padded_ok
+        from goma_tpu.fem.padded import build_padded_tables
+
+        meta, tb = build_padded_tables(self)
+        # gate: padding waste inflates the batched matmuls and Jp traffic;
+        # fall back to the compact path when npad >> nl
+        ok = all(bm["npad"] <= 2.0 * bm["nl"] + 8 for bm in meta["blocks"])
+        self._padded_meta = meta
+        self._padded_ok = ok
+        if ok:
+            for k, a in tb.items():
+                self._tables[k] = jax.device_put(a)
+        return ok
+
+    def pad_aux(self, aux, T=None):
+        """blockJ -> padded-layout element Jacobians (once per Newton step)."""
+        from goma_tpu.fem.padded import pad_block_jacobians
+
+        T = T if T is not None else self._tables
+        blockJ, faceJ, pc_dg = aux
+        return (pad_block_jacobians(self._padded_meta, T, blockJ), faceJ, pc_dg)
+
+    def padded_matvec(self, T, auxp, scale, v):
+        """element_matvec on the padded node-slot layout (row gathers instead
+        of scalar gathers; ~3-4x faster on TPU). Same operator semantics."""
+        from goma_tpu.fem.padded import padded_matvec as _pmv
+
+        T = T if T is not None else self._tables
+        Jp, faceJ, pc_dg = auxp
+        y = _pmv(self, self._padded_meta, T, Jp, v)
+        if self.face_sets:
+            parts = []
+            for fsi, fs in enumerate(self.face_sets):
+                q = v[T[f"fg{fsi}"]]
+                parts.append(
+                    jnp.einsum("eij,ej->ei", faceJ[fsi], q,
+                               precision=jax.lax.Precision.HIGHEST).reshape(-1)
+                )
+            flat = jnp.concatenate(parts + [jnp.zeros(1, dtype=v.dtype)])
+            y = y + jnp.sum(flat[T["pl:tgf"]], axis=1)
+        return self._matvec_post(T, pc_dg, scale, v, y)
 
     def _assemble(self, x, params):
         """Returns (R, vals): global residual and CSR Jacobian values, with

@@ -122,7 +122,7 @@ class Vanka:
     reference delegates to Ifpack/ML smoothers (src/sl_aztecoo_interface.cpp).
     """
 
-    def __init__(self, pattern, dofmap, key_prefix: str = "vk"):
+    def __init__(self, pattern, dofmap, key_prefix: str = "vk", problem=None):
         self.n = pattern.n
         self.nb = len(dofmap.blocks)
         self.pfx = key_prefix
@@ -130,6 +130,31 @@ class Vanka:
         for bd in dofmap.blocks:
             np.add.at(count, bd.gather.ravel(), 1.0)
         wts = 1.0 / np.maximum(count, 1.0)
+        # padded node-slot fast path (see fem/padded.py): the weighted Schwarz
+        # recombination becomes the same row-gather combine as the matvec,
+        # with the overlap weights folded into the padded local inverses
+        self._problem = problem
+        self.padded = bool(
+            problem is not None
+            and hasattr(problem, "ensure_padded_tables")
+            and problem.ensure_padded_tables()
+        )
+        if self.padded:
+            meta = problem._padded_meta
+            self._meta = meta
+            self._wp = []
+            for bi, (bd, bm) in enumerate(zip(dofmap.blocks, meta["blocks"])):
+                inv = None  # filled below from problem tables (numpy copy)
+                invmap = np.asarray(
+                    jax.device_get(problem._tables[f"pl:inv{bi}"])
+                )
+                g_ext = np.concatenate(
+                    [bd.gather, np.full((bd.gather.shape[0], 1), pattern.n,
+                                        dtype=bd.gather.dtype)], axis=1
+                )
+                dof_at = g_ext[np.arange(g_ext.shape[0])[:, None], invmap]
+                wp = np.where(invmap < bm["nl"], wts[dof_at], 0.0)
+                self._wp.append(wp)
         tables = {}
         flat_dofs = []  # concatenated (over blocks) per-contribution dof ids
         for bi, bd in enumerate(dofmap.blocks):
@@ -158,6 +183,9 @@ class Vanka:
             sel = starts + k < ends
             dpos[sel, k] = order[(starts + k)[sel]]
         tables[f"{key_prefix}:dpos"] = jax.device_put(dpos)
+        if self.padded:
+            for bi, wp in enumerate(self._wp):
+                tables[f"{key_prefix}:wp{bi}"] = jax.device_put(wp)
         self.tables = tables
 
     def factor(self, vals, tb=None):
@@ -176,10 +204,27 @@ class Vanka:
             from goma_tpu.utils.la import gj_inv
 
             Aei = gj_inv(Ae + fix)  # pivoted, dtype/backend-portable
-            invs.append(jnp.where(jnp.isfinite(Aei), Aei, 0.0))
+            Aei = jnp.where(jnp.isfinite(Aei), Aei, 0.0)
+            if self.padded:
+                # pad into the node-slot layout with the overlap weights
+                # folded in: apply is then identical to the padded matvec
+                invmap = self._problem._tables[f"pl:inv{bi}"]
+                hi = jax.lax.Precision.HIGHEST
+                S = jax.nn.one_hot(invmap, nl + 1, dtype=Aei.dtype)[..., :nl]
+                Ap = jnp.einsum("eai,eij->eaj", S, Aei, precision=hi)
+                Ap = jnp.einsum("eaj,ebj->eab", Ap, S, precision=hi)
+                wp = (tb or self.tables)[f"{self.pfx}:wp{bi}"].astype(Aei.dtype)
+                Aei = wp[:, :, None] * Ap
+            invs.append(Aei)
         return tuple(invs)
 
     def apply(self, fac, r, tb=None):
+        if self.padded:
+            from goma_tpu.fem.padded import padded_matvec
+
+            return padded_matvec(
+                self._problem, self._meta, self._problem._tables, fac, r
+            )
         tb = tb or self.tables
         r_ext = jnp.concatenate([r, jnp.zeros(1, dtype=r.dtype)])
         parts = []

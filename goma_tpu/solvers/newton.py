@@ -106,6 +106,13 @@ class NewtonSolver:
         else:
             self.precond = BlockJacobi(problem.pattern, problem.dofmap)
         self._use_elem_mv = hasattr(problem, "_assemble_with_elem")
+        # padded node-slot matvec: row gathers instead of scalar gathers
+        # (see fem/padded.py); falls back when padding doesn't pay off
+        self._use_padded = bool(
+            self._use_elem_mv
+            and hasattr(problem, "ensure_padded_tables")
+            and problem.ensure_padded_tables()
+        )
         self._rows = jnp.asarray(problem.pattern.rows)
         self._cols = jnp.asarray(problem.pattern.indices)
         self._n = problem.dofmap.n_dof
@@ -131,6 +138,10 @@ class NewtonSolver:
         element-Jacobian aux pytree powering the matrix-free matvec."""
         if self._use_elem_mv:
             R, vals, aux = self.problem._assemble_with_elem(x, params)
+            if self._use_padded:
+                # re-index blockJ into the padded node-slot layout once per
+                # Newton iteration (the matvec then runs on row gathers)
+                aux = self.problem.pad_aux(aux, self.problem._tb(params))
         else:
             R, vals = self.problem._assemble(x, params)
             aux = ((), (), ())
@@ -168,14 +179,20 @@ class NewtonSolver:
         matmul + transpose gather); ELL fallback when aux is unavailable."""
         if self._use_elem_mv and aux is not None and len(aux[0]):
             prob = self.problem
+            # T=None: small index tables embed as compile-time constants —
+            # XLA specializes constant-index gathers (~30x faster than
+            # parameter-index gathers on TPU) and they fit the tunnel's
+            # payload limit; only the huge factor-only tables stay params.
+            # scale on both sides: reproduces the symmetric equilibration
+            # (DAD) of the CSR values (see _prepare)
+            if self._use_padded:
+
+                def mv(v):
+                    return prob.padded_matvec(None, aux, scale, scale * v)
+
+                return mv
 
             def mv(v):
-                # T=None: small index tables embed as compile-time constants —
-                # XLA specializes constant-index gathers (~30x faster than
-                # parameter-index gathers on TPU) and they fit the tunnel's
-                # payload limit; only the huge factor-only tables stay params.
-                # scale on both sides: reproduces the symmetric equilibration
-                # (DAD) of the CSR values (see _prepare)
                 return prob.element_matvec(None, aux, scale, scale * v)
 
             return mv
