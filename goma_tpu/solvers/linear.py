@@ -354,9 +354,16 @@ def gmres(matvec, b, precond=None, x0=None, tol=1e-8, atol=0.0, restart=40, maxi
         V = jnp.zeros((m + 1, n), dtype=dtype)
         H = jnp.zeros((m + 1, m), dtype=dtype)
         V = V.at[0].set(r / jnp.where(beta > 0, beta, 1.0))
+        # Givens rotations accumulated as a dense (m+1, m+1) orthogonal Q
+        # (vectorized application: one small matvec per step); the running
+        # residual estimate |(Q e1 beta)[j+1]| enables EARLY EXIT inside the
+        # cycle — restarting is what stagnates GMRES on these nonsymmetric
+        # saddle systems, so the restart is sized long and unused steps are
+        # skipped via lax.cond (one compiled branch executes on TPU).
+        Q = jnp.eye(m + 1, dtype=dtype)
 
-        def step(j, carry):
-            V, H = carry
+        def live(carry, j):
+            V, H, Q, done, cnt = carry
             w = matvec(precond(V[j]))
             # vectorized CGS2: orthogonalize against all previous at once.
             # HIGHEST: TPU default matmul precision is bf16 passes, which
@@ -373,10 +380,28 @@ def gmres(matvec, b, precond=None, x0=None, tol=1e-8, atol=0.0, restart=40, maxi
             H = H.at[:, j].set(h)
             H = H.at[j + 1, j].set(wn)
             V = V.at[j + 1].set(w / jnp.where(wn > 1e-30, wn, 1.0))
-            return (V, H)
+            hr = jnp.matmul(Q, H[:, j], precision=jax.lax.Precision.HIGHEST)
+            a0 = hr[j]
+            a1 = hr[j + 1]
+            rr = jnp.sqrt(a0 * a0 + a1 * a1)
+            ok = rr > 1e-30
+            c_ = jnp.where(ok, a0 / jnp.where(ok, rr, 1.0), 1.0)
+            s_ = jnp.where(ok, a1 / jnp.where(ok, rr, 1.0), 0.0)
+            qj = Q[j]
+            qj1 = Q[j + 1]
+            Q = Q.at[j].set(c_ * qj + s_ * qj1)
+            Q = Q.at[j + 1].set(-s_ * qj + c_ * qj1)
+            est = jnp.abs(Q[j + 1, 0] * beta)
+            return (V, H, Q, est <= target, cnt + 1)
 
-        V, H = jax.lax.fori_loop(0, m, step, (V, H))
-        # least squares min || beta e1 - H y || (portable small solver)
+        def step(j, carry):
+            return jax.lax.cond(carry[3], lambda c: c, lambda c: live(c, j), carry)
+
+        V, H, Q, done, cnt = jax.lax.fori_loop(
+            0, m, step, (V, H, Q, beta <= target, jnp.zeros((), jnp.int32))
+        )
+        # least squares min || beta e1 - H y || (portable small solver;
+        # unexecuted columns are zero -> regularized solve returns y=0 there)
         from goma_tpu.utils.la import lstsq_small
 
         e1 = jnp.zeros(m + 1, dtype=dtype).at[0].set(beta)
@@ -384,7 +409,7 @@ def gmres(matvec, b, precond=None, x0=None, tol=1e-8, atol=0.0, restart=40, maxi
         x_new = x + precond(
             jnp.matmul(V[:m].T, y, precision=jax.lax.Precision.HIGHEST)
         )
-        return x_new
+        return x_new, cnt
 
     def cond(carry):
         x, it, rn = carry
@@ -392,9 +417,9 @@ def gmres(matvec, b, precond=None, x0=None, tol=1e-8, atol=0.0, restart=40, maxi
 
     def body(carry):
         x, it, _ = carry
-        x = arnoldi_cycle(x)
+        x, cnt = arnoldi_cycle(x)
         rn = jnp.linalg.norm(b - matvec(x))
-        return (x, it + m, rn)
+        return (x, it + cnt, rn)
 
     rn0 = jnp.linalg.norm(b - matvec(x0))
     x, iters, rn = jax.lax.while_loop(cond, body, (x0, jnp.zeros((), jnp.int32), rn0))

@@ -45,9 +45,16 @@ class NewtonOptions:
     # additive Schwarz (the classic saddle-point multigrid smoother)
     smoother: str = "vanka"
     linear_tol: float = 1e-10
-    gmres_restart: int = 60
+    gmres_restart: int = 120
     linear_maxiter: int = 600
     full_history: bool = True
+    # lagged preconditioner: reuse the factored preconditioner across Newton
+    # iterations (and time steps) until the Krylov iteration count degrades
+    # by >= 2 restart cycles over its post-factor baseline. The Krylov
+    # OPERATOR is always the fresh exact Jacobian — only the preconditioner
+    # lags, so Newton convergence is unaffected. Reference analog: Aztec
+    # pre_calc/AZ_reuse (src/sl_util.c:380).
+    precond_lag: bool = True
 
 
 @dataclass
@@ -129,6 +136,8 @@ class NewtonSolver:
         }
         self._prep = jax.jit(self._prepare)
         self._factor_jit = jax.jit(self._factor_num)
+        self._fac_cache = None
+        self._fac_base_its = None
         self._cycle_jit = jax.jit(self._gmres_cycle)
         self._solve_gmres = self._linsolve_gmres  # host restart loop
         self._solve_bicgstab = jax.jit(self._linsolve_bicgstab)
@@ -231,7 +240,7 @@ class NewtonSolver:
         lr = gmres(mv, b, precond=M, tol=self.opts.linear_tol,
                    restart=self.opts.gmres_restart,
                    maxiter=self.opts.gmres_restart, x0=x)
-        return lr.x, lr.resnorm
+        return lr.x, lr.resnorm, lr.iters
 
     def _linsolve_gmres(self, vals, R, scale=None, aux=None):
         opts = self.opts
@@ -240,7 +249,12 @@ class NewtonSolver:
         ptab = self._ptab if (aux is not None and self._use_elem_mv) else None
         if aux is None:
             aux = ((), (), ())
-        fac = self._factor_jit(vals, self._ntab)
+        if self.opts.precond_lag and self._fac_cache is not None:
+            fac = self._fac_cache
+        else:
+            fac = self._factor_jit(vals, self._ntab)
+            self._fac_cache = fac
+            self._fac_base_its = None
         # symmetric equilibration: solve (DAD) z = D R, then dx = D z
         b = (scale.astype(R.dtype) * R).astype(vals.dtype)
         z = jnp.zeros_like(b)
@@ -249,11 +263,21 @@ class NewtonSolver:
         it = 0
         rn = bnorm
         while rn > target and it < opts.linear_maxiter:
-            z, rnj = self._cycle_jit(vals, scale, aux, ptab, self._ntab, fac, z, b)
+            prev = rn
+            z, rnj, cj = self._cycle_jit(vals, scale, aux, ptab, self._ntab, fac, z, b)
             rn = float(jax.device_get(rnj))
-            it += opts.gmres_restart
+            it += max(int(jax.device_get(cj)), 1)
             if not np.isfinite(rn):
                 break
+            if rn >= 0.999 * prev:
+                break  # stagnation (e.g. optimistic in-cycle estimate)
+        if opts.precond_lag:
+            # staleness policy: drop the cached factor once the iteration
+            # count degrades by two restart cycles over its baseline
+            if self._fac_base_its is None:
+                self._fac_base_its = it
+            elif it >= self._fac_base_its + 2 * opts.gmres_restart or not np.isfinite(rn):
+                self._fac_cache = None
         return LinearResult(
             x=scale * z, iters=jnp.asarray(it), resnorm=jnp.asarray(rn),
             converged=jnp.asarray(rn <= target),
@@ -263,7 +287,12 @@ class NewtonSolver:
         ptab = self._ptab if (aux is not None and self._use_elem_mv) else None
         if aux is None:
             aux = ((), (), ())
-        fac = self._factor_jit(vals, self._ntab)
+        if self.opts.precond_lag and self._fac_cache is not None:
+            fac = self._fac_cache
+        else:
+            fac = self._factor_jit(vals, self._ntab)
+            self._fac_cache = fac
+            self._fac_base_its = None
         mv = self._matvec_state(vals, scale, aux, ptab, self._ntab)
         M = lambda r: self._apply_precond_mv(mv, vals, self._ntab, fac, r)
         if scale is None:
