@@ -48,6 +48,11 @@ class NewtonOptions:
     gmres_restart: int = 120
     linear_maxiter: int = 600
     full_history: bool = True
+    # inexact-Newton forcing: "ew" adapts the per-iteration Krylov tolerance
+    # (Eisenstat-Walker choice 2: eta_k = 0.5 (|R_k|/|R_{k-1}|)^1.5, clipped
+    # to [linear_tol, 0.1]) so early far-from-solution iterations don't pay
+    # for tight linear solves; "fixed" always uses linear_tol
+    forcing: str = "ew"  # ew | fixed
     # lagged preconditioner: reuse the factored preconditioner across Newton
     # iterations (and time steps) until the Krylov iteration count degrades
     # by >= 2 restart cycles over its post-factor baseline. The Krylov
@@ -231,18 +236,18 @@ class NewtonSolver:
             return self.precond.apply((*fac_num, mv), r)
         return self.precond.apply(fac_num[0], r, None)
 
-    def _gmres_cycle(self, vals, scale, aux, ptab, ntab, fac_num, x, b):
+    def _gmres_cycle(self, vals, scale, aux, ptab, ntab, fac_num, x, b, tol):
         """One restarted-GMRES cycle. The restart loop lives on HOST: long
         device-side while_loops fault the TPU runtime, and host restarts also
         match the reference's outer-loop structure."""
         mv = self._matvec_state(vals, scale, aux, ptab, ntab)
         M = lambda r: self._apply_precond_mv(mv, vals, ntab, fac_num, r)
-        lr = gmres(mv, b, precond=M, tol=self.opts.linear_tol,
+        lr = gmres(mv, b, precond=M, tol=tol,
                    restart=self.opts.gmres_restart,
                    maxiter=self.opts.gmres_restart, x0=x)
         return lr.x, lr.resnorm, lr.iters
 
-    def _linsolve_gmres(self, vals, R, scale=None, aux=None):
+    def _linsolve_gmres(self, vals, R, scale=None, aux=None, tol=None):
         opts = self.opts
         if scale is None:
             scale = jnp.ones(self._n, dtype=R.dtype)
@@ -258,13 +263,16 @@ class NewtonSolver:
         # symmetric equilibration: solve (DAD) z = D R, then dx = D z
         b = (scale.astype(R.dtype) * R).astype(vals.dtype)
         z = jnp.zeros_like(b)
+        if tol is None:
+            tol = opts.linear_tol
         bnorm = float(jax.device_get(jnp.linalg.norm(b)))
-        target = max(opts.linear_tol * bnorm, 1e-300)
+        target = max(tol * bnorm, 1e-300)
         it = 0
         rn = bnorm
         while rn > target and it < opts.linear_maxiter:
             prev = rn
-            z, rnj, cj = self._cycle_jit(vals, scale, aux, ptab, self._ntab, fac, z, b)
+            z, rnj, cj = self._cycle_jit(vals, scale, aux, ptab, self._ntab, fac, z, b,
+                                         jnp.asarray(tol, dtype=b.dtype))
             rn = float(jax.device_get(rnj))
             it += max(int(jax.device_get(cj)), 1)
             if not np.isfinite(rn):
@@ -283,7 +291,7 @@ class NewtonSolver:
             converged=jnp.asarray(rn <= target),
         )
 
-    def _linsolve_bicgstab(self, vals, R, scale=None, aux=None):
+    def _linsolve_bicgstab(self, vals, R, scale=None, aux=None, tol=None):
         ptab = self._ptab if (aux is not None and self._use_elem_mv) else None
         if aux is None:
             aux = ((), (), ())
@@ -299,7 +307,8 @@ class NewtonSolver:
             scale = jnp.ones_like(R)
         b = (scale.astype(R.dtype) * R).astype(vals.dtype)
         lr = bicgstab(
-            mv, b, precond=M, tol=self.opts.linear_tol,
+            mv, b, precond=M,
+            tol=self.opts.linear_tol if tol is None else tol,
             maxiter=self.opts.linear_maxiter,
         )
         return LinearResult(x=scale * lr.x, iters=lr.iters,
@@ -312,6 +321,7 @@ class NewtonSolver:
         converged = False
         t_asm = t_slv = 0.0
         it = 0
+        prev_l2 = None
         for it in range(opts.max_iter):
             t0 = time.perf_counter()
             R, vals, norms, scale, aux = self._prep(x, params)
@@ -321,6 +331,20 @@ class NewtonSolver:
             if l2 < opts.tol_residual and li < opts.tol_residual:
                 converged = True
                 break
+            # Eisenstat-Walker adaptive forcing (choice 2): early iterations
+            # get loose linear tolerances, the endgame gets linear_tol
+            eta = opts.linear_tol
+            if opts.forcing == "ew" and opts.linear_solver != "direct":
+                if prev_l2 is None:
+                    eta = max(opts.linear_tol, 1e-2)
+                elif prev_l2 > 0:
+                    eta = min(0.1, max(opts.linear_tol,
+                                       0.5 * (float(l2) / prev_l2) ** 1.5))
+                # never looser than what finishing this step would need
+                if float(l2) > 0 and opts.tol_residual > 0:
+                    need = 0.5 * opts.tol_residual / float(l2)
+                    eta = max(opts.linear_tol, min(eta, max(need, opts.linear_tol)))
+            prev_l2 = float(l2)
             t0 = time.perf_counter()
             if opts.linear_solver == "direct":
                 # vals are symmetrically equilibrated: solve (DAD) z = D R
@@ -333,7 +357,7 @@ class NewtonSolver:
                 lin_iters.append(1)
             else:
                 fn = self._solve_gmres if opts.linear_solver == "gmres" else self._solve_bicgstab
-                lr: LinearResult = fn(vals, R, scale, aux)
+                lr: LinearResult = fn(vals, R, scale, aux, tol=eta)
                 dx = lr.x
                 lin_iters.append(int(jax.device_get(lr.iters)))
             t_slv += time.perf_counter() - t0
