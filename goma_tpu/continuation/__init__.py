@@ -11,3 +11,4 @@ from goma_tpu.continuation.augmenting import (
 )
 from goma_tpu.continuation.stability import StabilityResult, mass_and_jacobian, solve_stability
 from goma_tpu.continuation.hunting import HuntSpec, detect_folds, hunt_problem
+from goma_tpu.continuation.bifurcation import FoldResult, fold_track

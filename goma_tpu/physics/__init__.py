@@ -23,3 +23,4 @@ from goma_tpu.physics.level_set import (
     renormalize,
 )
 from goma_tpu.physics import materials
+from goma_tpu.physics.em import EMAbsorbingBC, EMWave

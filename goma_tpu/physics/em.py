@@ -1,0 +1,149 @@
+"""Time-harmonic electromagnetics: vector curl-curl wave equation.
+
+Parity: reference ``src/mm_fill_em.c`` (``assemble_emwave:75`` nodal E/H
+formulation, ``assemble_ewave_curlcurl:856``) and the absorbing/incident
+boundary terms of ``src/mm_em_bc.c``. Complex fields are carried as coupled
+real/imaginary nodal vector variables (reference vars EM_E1_REAL.. —
+``include/rf_fem_const.h`` EM block).
+
+Formulation (E-field, e^{+i omega t} convention):
+
+    curl(1/mu curl E) - omega^2 eps_c E = -i omega J_s,  eps_c = eps - i sigma/omega
+
+discretized on nodal (Q1/Q2) vector elements with the grad-div regularized
+weak form (the standard nodal-FEM gauge for smooth media; the reference's
+Nedelec edge path is the alternative discretization of the same operator):
+
+    int (1/mu) curl(E).curl(phi) + alpha (div E)(div phi)
+        - omega^2 eps_c E.phi  dV  (+ boundary terms)
+
+First-order absorbing (Silver-Mueller) boundary via ``EMAbsorbingBC``:
+    n x (curl E) -> -i k n x (n x E), contributing the weak term
+    + int (1/mu) [i k (E_t)] . phi_t dA with E_t = E - (n.E) n.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from goma_tpu.fem.equations import Equation, FaceKernel
+from goma_tpu.physics.materials import prop
+
+E_RE, E_IM = "em_e_real", "em_e_imag"
+
+
+def _curl(gE, dim):
+    """curl from the gradient gE[q, a, k] = dE_a/dx_k.
+
+    2D (in-plane E): scalar curl_z = dEy/dx - dEx/dy, returned as (nq, 1).
+    3D: (nq, 3)."""
+    if dim == 2:
+        return (gE[:, 1, 0] - gE[:, 0, 1])[:, None]
+    cx = gE[:, 2, 1] - gE[:, 1, 2]
+    cy = gE[:, 0, 2] - gE[:, 2, 0]
+    cz = gE[:, 1, 0] - gE[:, 0, 1]
+    return jnp.stack([cx, cy, cz], axis=1)
+
+
+def _curl_basis(gphi, dim):
+    """curl of the vector basis functions: for component a and scalar basis
+    i, curl(phi_i e_a). 2D -> (nq, 2, nbf, 1); 3D -> (nq, 3, nbf, 3)."""
+    nq, nbf, _ = gphi.shape
+    if dim == 2:
+        # curl_z(phi e_x) = -dphi/dy ; curl_z(phi e_y) = +dphi/dx
+        cb = jnp.stack([-gphi[:, :, 1], gphi[:, :, 0]], axis=1)  # (nq, 2, nbf)
+        return cb[..., None]
+    z = jnp.zeros((nq, nbf))
+    # curl(phi e_x) = (0, dphi/dz, -dphi/dy) etc.
+    cx = jnp.stack([z, gphi[:, :, 2], -gphi[:, :, 1]], axis=-1)
+    cy = jnp.stack([-gphi[:, :, 2], z, gphi[:, :, 0]], axis=-1)
+    cz = jnp.stack([gphi[:, :, 1], -gphi[:, :, 0], z], axis=-1)
+    return jnp.stack([cx, cy, cz], axis=1)  # (nq, 3, nbf, 3)
+
+
+class EMWave(Equation):
+    """One real part of the complex curl-curl equation.
+
+    part: "real" | "imag". Material keys: mu_m (magnetic permeability),
+    eps (permittivity), sigma_em (conductivity, couples re/im), and the
+    optional source currents ``J_re``/``J_im`` (callables or constants,
+    entering as -i omega J).
+    """
+
+    def __init__(self, part: str, omega: float, dim: int = 2,
+                 interp: str = "Q2", alpha: float = 1.0):
+        super().__init__(E_RE if part == "real" else E_IM, dim, interp)
+        self.part = part
+        self.omega = omega
+        self.dim = dim
+        self.alpha = alpha
+
+    def residual(self, fv, mat, params):
+        d = self.dim
+        nq = fv.x.shape[0]
+        w = self.omega
+        mu_m = prop(mat, "mu_m", fv, params, 1.0)
+        eps = prop(mat, "eps", fv, params, 1.0)
+        sig = prop(mat, "sigma_em", fv, params, 0.0)
+
+        E_s = fv.val[self.var]  # same-part field
+        other = E_IM if self.part == "real" else E_RE
+        E_o = fv.val[other]
+        g_s = fv.grad[self.var]
+        curl_s = _curl(g_s, d)
+        div_s = jnp.trace(g_s, axis1=1, axis2=2)
+
+        phi = fv.phi[self.var]
+        gphi = fv.gphi[self.var]
+        curl_b = _curl_basis(gphi, d)  # (nq, d, nbf, ncurl)
+
+        # (1/mu) curl E . curl phi + alpha div E div phi
+        c = jnp.einsum("qc,qanc->qan", curl_s, curl_b) / mu_m
+        c = c + self.alpha * jnp.einsum("q,qna->qan", div_s, gphi)
+        # - omega^2 (eps E_s +/- (sigma/omega) E_o) . phi
+        # complex: -w^2 (eps - i sigma/w)(E_re + i E_im):
+        #   real part: -w^2 eps E_re - w sigma E_im
+        #   imag part: -w^2 eps E_im + w sigma E_re
+        if self.part == "real":
+            react = -(w * w) * eps * E_s - w * sig * E_o
+        else:
+            react = -(w * w) * eps * E_s + w * sig * E_o
+        c = c + jnp.einsum("qa,qn->qan", react, phi)
+
+        # source: -i omega (J_re + i J_im) -> real: +w J_im ; imag: -w J_re
+        key = "J_im" if self.part == "real" else "J_re"
+        Js = mat.get(key, None)
+        if Js is not None:
+            Jv = Js(fv, mat, params) if callable(Js) else jnp.broadcast_to(
+                jnp.asarray(Js), (nq, d))
+            sgn = w if self.part == "real" else -w
+            c = c - sgn * jnp.einsum("qa,qn->qan", Jv, phi)
+        return c
+
+
+class EMAbsorbingBC(FaceKernel):
+    """First-order absorbing (Silver-Mueller) boundary for EMWave.
+
+    n x curl E = -i k n x (n x E) with k = omega sqrt(mu eps); the weak
+    curl-curl boundary term becomes + (k/mu) * (i E_t) . phi_t, i.e. the
+    real equation gets -(k/mu) E_t^imag and the imaginary +(k/mu) E_t^real
+    (tangential projection E_t = E - (n.E) n).
+    Reference: ``src/mm_em_bc.c`` absorbing conditions."""
+
+    def __init__(self, part: str, omega: float, dim: int = 2):
+        super().__init__(E_RE if part == "real" else E_IM, dim)
+        self.part = part
+        self.omega = omega
+        self.dim = dim
+
+    def residual(self, sfv, mat, params):
+        mu_m = prop(mat, "mu_m", sfv, params, 1.0)
+        eps = prop(mat, "eps", sfv, params, 1.0)
+        k = self.omega * jnp.sqrt(mu_m * eps)
+        other = E_IM if self.part == "real" else E_RE
+        E_o = sfv.val[other]  # (nq, d)
+        n = sfv.normal
+        Et = E_o - jnp.einsum("qa,qa->q", n, E_o)[:, None] * n
+        sgn = -1.0 if self.part == "real" else 1.0
+        phi = sfv.phi[self.var]
+        return sgn * (k / mu_m) * jnp.einsum("qa,qn->qan", Et, phi)

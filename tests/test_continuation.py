@@ -105,3 +105,32 @@ def test_lsa_heat_spectrum():
     exact = np.array([2 * pi2, 5 * pi2, 5 * pi2, 8 * pi2])
     np.testing.assert_allclose(sig[:4], exact, rtol=2e-3)
     assert res.stable
+
+
+def test_fold_tracking_moore_spence():
+    """Moore-Spence turning-point tracker (LOCA turning-point parity,
+    src/loca_bord.c): converges onto the Bratu fold lam_c ~= 6.808 with a
+    singular Jacobian and unit-normalized null vector."""
+    from goma_tpu.continuation.bifurcation import fold_track
+
+    mesh, prob = bratu_problem(6)
+
+    def make_params(lam):
+        return prob.base_params(lam=jnp.asarray(lam, dtype=prob.dtype))
+
+    steps = continue_problem(
+        prob, make_params, 0.0, 6.0, 1.0, np.zeros(prob.dofmap.n_dof),
+        NewtonOptions(max_iter=12, tol_residual=1e-10, linear_solver="direct"),
+    )
+    fr = fold_track(prob, make_params, 6.0, steps[-1].x,
+                    NewtonOptions(linear_solver="direct"), tol=1e-8)
+    assert fr.converged, fr.res_norms
+    # literature value for the 2D unit-square Bratu-Gelfand fold
+    assert fr.lam == pytest.approx(6.808, abs=0.02)
+    # the Jacobian is singular at the fold: J v ~ 0 with |v| = O(1)
+    import jax
+
+    Jv = jax.jvp(lambda xx: prob.residual(xx, make_params(fr.lam)),
+                 (jnp.asarray(fr.x),), (jnp.asarray(fr.null_vector),))[1]
+    assert float(jnp.abs(Jv).max()) < 1e-6
+    assert np.linalg.norm(fr.null_vector) > 0.5

@@ -105,3 +105,51 @@ def test_checkpoint_roundtrip(tmp_path):
     prob2.finalize()
     with pytest.raises(ValueError):
         load_checkpoint(p, prob2)
+
+
+def test_pixel_image_to_nodal_field():
+    """Voxel/pixel -> nodal external field (reference rd_pixel_image.c):
+    multilinear sampling reproduces a linear ramp exactly; nearest picks
+    pixel values; PGM round-trip; 3D trilinear."""
+    import numpy as np
+    from goma_tpu.io import image_to_nodal_field, read_pgm
+    from goma_tpu.mesh import box_mesh, rectangle_mesh
+
+    mesh = rectangle_mesh(7, 5, elem="QUAD4", xlim=(0, 2.0), ylim=(0, 1.0))
+    nx, ny = 40, 30
+    xc = (np.arange(nx) + 0.5) / nx * 2.0
+    yc = (np.arange(ny) + 0.5) / ny * 1.0
+    img = xc[:, None] + 3.0 * yc[None, :]  # linear ramp: exact under bilinear
+    v = image_to_nodal_field(mesh, img, origin=(0, 0), extent=(2.0, 1.0))
+    # interior nodes (>half-pixel from the edge) reproduce the ramp exactly
+    c = mesh.coords
+    interior = ((c[:, 0] > 2.0 / nx) & (c[:, 0] < 2.0 - 2.0 / nx)
+                & (c[:, 1] > 1.0 / ny) & (c[:, 1] < 1.0 - 1.0 / ny))
+    np.testing.assert_allclose(v[interior], (c[:, 0] + 3.0 * c[:, 1])[interior],
+                               rtol=1e-12, atol=1e-12)
+    # nearest: piecewise-constant material map
+    imat = np.zeros((4, 2)); imat[2:, :] = 7.0
+    vn = image_to_nodal_field(mesh, imat, origin=(0, 0), extent=(2.0, 1.0),
+                              method="nearest")
+    assert set(np.unique(vn)) <= {0.0, 7.0}
+    assert np.all(vn[c[:, 0] > 1.1] == 7.0) and np.all(vn[c[:, 0] < 0.9] == 0.0)
+    # PGM round-trip (P2 ascii)
+    import tempfile, os
+    with tempfile.NamedTemporaryFile("w", suffix=".pgm", delete=False) as f:
+        f.write("P2\n# comment\n3 2\n255\n10 20 30\n40 50 60\n")
+        path = f.name
+    try:
+        a = read_pgm(path)
+        assert a.shape == (3, 2)
+        # top-left pixel of the file is (x=0, y=max)
+        assert a[0, 1] == 10 and a[0, 0] == 40 and a[2, 0] == 60
+    finally:
+        os.unlink(path)
+    # 3D trilinear
+    mesh3 = box_mesh(3, 3, 3, elem="HEX8")
+    img3 = np.fromfunction(lambda i, j, k: i + j + k, (8, 8, 8))
+    v3 = image_to_nodal_field(mesh3, img3, origin=(0, 0, 0), extent=(1, 1, 1))
+    c3 = mesh3.coords
+    ins = np.all((c3 > 1.0 / 8) & (c3 < 1 - 1.0 / 8), axis=1)
+    exact = 8 * (c3[:, 0] + c3[:, 1] + c3[:, 2]) - 1.5
+    np.testing.assert_allclose(v3[ins], exact[ins], rtol=1e-12)
