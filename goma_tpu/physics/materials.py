@@ -70,6 +70,68 @@ class BinghamViscosity:
         return self.mu0 + self.tau_y * (1.0 - jnp.exp(-self.F * gd)) / jnp.maximum(gd, 1e-12)
 
 
+class CarreauWLFViscosity:
+    """Carreau shear thinning x WLF temperature shift:
+    a_T = exp(c1 (T_ref - T) / (c2 + T - T_ref)),
+    mu = a_T [mu_inf + (mu0 - mu_inf)(1 + (a_T lam gd)^a)^((n-1)/a)].
+    Reference: CARREAU_WLF / WLF models (src/mm_viscosity.c)."""
+
+    def __init__(self, mu0, mu_inf, lam, n, c1, c2, T_ref,
+                 a=2.0, tvar: str = "temperature"):
+        self.mu0, self.mu_inf, self.lam, self.n, self.a = mu0, mu_inf, lam, n, a
+        self.c1, self.c2, self.T_ref, self.tvar = c1, c2, T_ref, tvar
+
+    def __call__(self, fv, mat, params):
+        T = fv.val[self.tvar][:, 0]
+        aT = jnp.exp(self.c1 * (self.T_ref - T) / (self.c2 + T - self.T_ref))
+        gd = shear_rate(fv)
+        return aT * (
+            self.mu_inf
+            + (self.mu0 - self.mu_inf)
+            * (1.0 + (aT * self.lam * gd) ** self.a) ** ((self.n - 1.0) / self.a)
+        )
+
+
+class ArrheniusViscosity:
+    """mu = mu0 exp(E (1/T - 1/T_ref)) — thermal thinning (reference:
+    THERMAL/exponential temperature models in mm_viscosity.c)."""
+
+    def __init__(self, mu0, E, T_ref, tvar: str = "temperature"):
+        self.mu0, self.E, self.T_ref, self.tvar = mu0, E, T_ref, tvar
+
+    def __call__(self, fv, mat, params):
+        T = fv.val[self.tvar][:, 0]
+        return self.mu0 * jnp.exp(self.E * (1.0 / T - 1.0 / self.T_ref))
+
+
+class SuspensionViscosity:
+    """Krieger-Dougherty: mu = mu0 (1 - C/Cmax)^n with particle volume
+    fraction C from a species field. Reference: SUSPENSION model
+    (src/mm_viscosity.c suspension_viscosity) with n typically -1.82."""
+
+    def __init__(self, mu0, Cmax, n=-1.82, svar: str = "species", comp: int = 0,
+                 floor: float = 1e-3):
+        self.mu0, self.Cmax, self.n = mu0, Cmax, n
+        self.svar, self.comp, self.floor = svar, comp, floor
+
+    def __call__(self, fv, mat, params):
+        C = fv.val[self.svar][:, self.comp]
+        x = jnp.maximum(1.0 - C / self.Cmax, self.floor)
+        return self.mu0 * x ** self.n
+
+
+class FillerDensity:
+    """Two-component density rho = rho_s C + rho_f (1 - C) (reference:
+    SOLVENT_POLYMER / FILL density models, src/density.c)."""
+
+    def __init__(self, rho_f, rho_s, svar: str = "species", comp: int = 0):
+        self.rho_f, self.rho_s, self.svar, self.comp = rho_f, rho_s, svar, comp
+
+    def __call__(self, fv, mat, params):
+        C = fv.val[self.svar][:, self.comp]
+        return self.rho_s * C + self.rho_f * (1.0 - C)
+
+
 class BoussinesqBodyForce:
     """f = g * (1 - beta (T - T0)); multiplied by rho in the momentum kernel.
     Reference: BOUSSINESQ in ``momentum_source_term`` (src/mm_fill_momentum.c)."""

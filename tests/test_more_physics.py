@@ -208,3 +208,96 @@ def test_segregated_natural_convection():
     u_seg = flow.get_nodal_field(res.x["flow"], "velocity", 0)
     u_mono = mono.get_nodal_field(rm.x, "velocity", 0)
     np.testing.assert_allclose(u_seg, u_mono, atol=1e-5)
+
+
+def test_viscosity_property_models():
+    """Property-model library vs hand math at a synthetic state (reference
+    src/mm_viscosity.c models: POWER_LAW, CARREAU, BINGHAM, CARREAU_WLF,
+    SUSPENSION, FILL density)."""
+    import jax.numpy as jnp
+    from goma_tpu.physics.materials import (
+        ArrheniusViscosity,
+        BinghamViscosity,
+        CarreauViscosity,
+        CarreauWLFViscosity,
+        FillerDensity,
+        PowerLawViscosity,
+        SuspensionViscosity,
+        shear_rate,
+    )
+
+    class FV:  # synthetic quad-point state: simple shear du/dy = 2, T, C
+        grad = {"velocity": jnp.array([[[0.0, 2.0], [0.0, 0.0]]])}
+        val = {"temperature": jnp.array([[400.0]]),
+               "species": jnp.array([[0.2]])}
+
+    fv = FV()
+    gd = float(shear_rate(fv)[0])
+    np.testing.assert_allclose(gd, 2.0, rtol=1e-12)
+
+    np.testing.assert_allclose(
+        float(PowerLawViscosity(m=3.0, n=0.5)(fv, {}, {})[0]),
+        3.0 * 2.0 ** (-0.5), rtol=1e-12)
+    np.testing.assert_allclose(
+        float(CarreauViscosity(mu0=10.0, mu_inf=1.0, lam=0.5, n=0.3)(fv, {}, {})[0]),
+        1.0 + 9.0 * (1 + 1.0) ** ((0.3 - 1) / 2), rtol=1e-12)
+    np.testing.assert_allclose(
+        float(BinghamViscosity(mu0=1.0, tau_y=4.0, F=2.0)(fv, {}, {})[0]),
+        1.0 + 4.0 * (1 - np.exp(-4.0)) / 2.0, rtol=1e-9)
+    aT = np.exp(10.0 * (350.0 - 400.0) / (50.0 + 400.0 - 350.0))
+    np.testing.assert_allclose(
+        float(CarreauWLFViscosity(mu0=10.0, mu_inf=1.0, lam=0.5, n=0.3,
+                                  c1=10.0, c2=50.0, T_ref=350.0)(fv, {}, {})[0]),
+        aT * (1.0 + 9.0 * (1 + (aT * 1.0) ** 2) ** ((0.3 - 1) / 2)), rtol=1e-9)
+    np.testing.assert_allclose(
+        float(ArrheniusViscosity(mu0=2.0, E=1000.0, T_ref=350.0)(fv, {}, {})[0]),
+        2.0 * np.exp(1000.0 * (1 / 400.0 - 1 / 350.0)), rtol=1e-12)
+    np.testing.assert_allclose(
+        float(SuspensionViscosity(mu0=1.0, Cmax=0.68)(fv, {}, {})[0]),
+        (1 - 0.2 / 0.68) ** (-1.82), rtol=1e-9)
+    np.testing.assert_allclose(
+        float(FillerDensity(rho_f=1.0, rho_s=2.5)(fv, {}, {})[0]),
+        2.5 * 0.2 + 1.0 * 0.8, rtol=1e-12)
+
+
+def test_power_law_poiseuille():
+    """Power-law channel flow vs the analytic profile
+    u(y) = n/(n+1) (G/m)^(1/n) [(H/2)^((n+1)/n) - |y-H/2|^((n+1)/n)]."""
+    from goma_tpu.fem import Problem
+    from goma_tpu.mesh import rectangle_mesh
+    from goma_tpu.physics import Continuity, Momentum
+    from goma_tpu.physics.materials import PowerLawViscosity
+    from goma_tpu.solvers import NewtonOptions, NewtonSolver
+
+    m_c, n_c, G, H = 1.0, 0.6, 2.0, 1.0
+    mesh = rectangle_mesh(4, 24, elem="QUAD9", xlim=(0, 0.25), ylim=(0, H))
+    mesh.nodesets["pin"] = np.array([0], dtype=np.int32)
+
+    def uex(c):
+        r = (n_c / (n_c + 1.0)) * (G / m_c) ** (1.0 / n_c)
+        return r * ((H / 2) ** ((n_c + 1) / n_c)
+                    - np.abs(c[:, 1] - H / 2) ** ((n_c + 1) / n_c))
+
+    prob = Problem(
+        mesh,
+        [Momentum(dim=2, transient=False, convection=False), Continuity()],
+        {"rho": 1.0, "mu": PowerLawViscosity(m=m_c, n=n_c),
+         "body_force": np.array([G, 0.0])},
+    )
+    for ns in ("top", "bottom"):
+        prob.add_dirichlet(ns, "velocity", 0, 0.0)
+        prob.add_dirichlet(ns, "velocity", 1, 0.0)
+    for ns in ("left", "right"):
+        prob.add_dirichlet(ns, "velocity", 0, uex)
+        prob.add_dirichlet(ns, "velocity", 1, 0.0)
+    prob.add_dirichlet("pin", "pressure", 0, 0.0)
+    prob.finalize()
+    x0 = prob.set_nodal_field(np.zeros(prob.dofmap.n_dof), "velocity", 0, uex)
+    res = NewtonSolver(
+        prob, NewtonOptions(max_iter=20, tol_residual=1e-9, linear_solver="direct")
+    ).solve(x0, prob.base_params())
+    assert res.converged, res.summary()
+    u = prob.get_nodal_field(res.x, "velocity", 0)
+    ok = ~np.isnan(u)
+    err = np.max(np.abs(u[ok] - uex(mesh.coords[ok]))) / np.max(uex(mesh.coords[ok]))
+    assert err < 0.01, err
