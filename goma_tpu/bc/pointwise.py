@@ -31,20 +31,30 @@ class PointConstraintSet:
 
 
 def build_point_constraints(problem, specs) -> list[PointConstraintSet]:
-    """specs: list of (nodeset, var, replace_comp, g)."""
+    """specs: list of (nodeset, var, replace_comp, g).
+
+    ``var`` may be a list of variable names for multi-variable constraints
+    (e.g. the TOTAL_ALE mesh<->solid tie): q passed to g is then the
+    concatenation of all listed variables' components at the node, and the
+    replaced row is component ``replace_comp`` of the *first* variable."""
     out = []
     pat = problem.pattern
     dofmap = problem.dofmap
     mesh = problem.mesh
     for nodeset, var, comp, g in specs:
         nodes = mesh.nodesets[nodeset] if isinstance(nodeset, str) else np.asarray(nodeset)
-        ncomp = dofmap.var(var).ncomp
+        vlist = [var] if isinstance(var, str) else list(var)
+        ncomps = [dofmap.var(v).ncomp for v in vlist]
         rows, dofs, coords, epos, zpos = [], [], [], [], []
         for node in np.sort(nodes):
-            dd = np.array([dofmap.dof_of_node_svar[node, dofmap.svar(var, c)]
-                           for c in range(ncomp)])
+            dd = np.concatenate([
+                np.array([dofmap.dof_of_node_svar[node, dofmap.svar(v, c)]
+                          for c in range(nc)])
+                for v, nc in zip(vlist, ncomps)
+            ])
             if np.any(dd < 0):
                 continue
+            ncomp = dd.shape[0]
             row = int(dd[comp])
             p = pat.find(np.full(ncomp, row), dd)
             if np.any(p < 0):

@@ -86,6 +86,66 @@ def _tensor_eval(nodes: np.ndarray, order: int, pts: np.ndarray):
 
 
 # ------------------------------------------------------------------ simplices
+def _quad_s2(pts):
+    """8-node serendipity quad (reference: I_SP / S_BIQUAD_QUAD serendipity,
+    src/rf_shape.c). Nodes: 4 corners then midsides (0-1),(1-2),(2-3),(3-0)."""
+    x, y = pts[:, 0], pts[:, 1]
+    nq = pts.shape[0]
+    N = np.empty((nq, 8))
+    dN = np.empty((nq, 8, 2))
+    corners = [(-1, -1), (1, -1), (1, 1), (-1, 1)]
+    for i, (xi, yi) in enumerate(corners):
+        N[:, i] = 0.25 * (1 + xi * x) * (1 + yi * y) * (xi * x + yi * y - 1)
+        dN[:, i, 0] = 0.25 * xi * (1 + yi * y) * (2 * xi * x + yi * y)
+        dN[:, i, 1] = 0.25 * yi * (1 + xi * x) * (xi * x + 2 * yi * y)
+    mids = [(0, -1), (1, 0), (0, 1), (-1, 0)]
+    for k, (xi, yi) in enumerate(mids):
+        i = 4 + k
+        if xi == 0:
+            N[:, i] = 0.5 * (1 - x * x) * (1 + yi * y)
+            dN[:, i, 0] = -x * (1 + yi * y)
+            dN[:, i, 1] = 0.5 * yi * (1 - x * x)
+        else:
+            N[:, i] = 0.5 * (1 + xi * x) * (1 - y * y)
+            dN[:, i, 0] = 0.5 * xi * (1 - y * y)
+            dN[:, i, 1] = -y * (1 + xi * x)
+    return N, dN
+
+
+def _hex_s2(pts):
+    """20-node serendipity hex (reference: S_TRIQUAD_HEX). Nodes: 8 corners,
+    then edge midsides in the HEX27 edge order (bottom 8-11, top 12-15,
+    vertical 16-19)."""
+    x, y, z = pts[:, 0], pts[:, 1], pts[:, 2]
+    nq = pts.shape[0]
+    N = np.empty((nq, 20))
+    dN = np.empty((nq, 20, 3))
+    nodes = _hex_nodes(2)[:20]
+    for i, (xi, yi, zi) in enumerate(nodes):
+        if i < 8:
+            s = xi * x + yi * y + zi * z - 2
+            N[:, i] = 0.125 * (1 + xi * x) * (1 + yi * y) * (1 + zi * z) * s
+            dN[:, i, 0] = 0.125 * xi * (1 + yi * y) * (1 + zi * z) * (s + (1 + xi * x))
+            dN[:, i, 1] = 0.125 * yi * (1 + xi * x) * (1 + zi * z) * (s + (1 + yi * y))
+            dN[:, i, 2] = 0.125 * zi * (1 + xi * x) * (1 + yi * y) * (s + (1 + zi * z))
+        elif xi == 0:
+            N[:, i] = 0.25 * (1 - x * x) * (1 + yi * y) * (1 + zi * z)
+            dN[:, i, 0] = -0.5 * x * (1 + yi * y) * (1 + zi * z)
+            dN[:, i, 1] = 0.25 * yi * (1 - x * x) * (1 + zi * z)
+            dN[:, i, 2] = 0.25 * zi * (1 - x * x) * (1 + yi * y)
+        elif yi == 0:
+            N[:, i] = 0.25 * (1 + xi * x) * (1 - y * y) * (1 + zi * z)
+            dN[:, i, 0] = 0.25 * xi * (1 - y * y) * (1 + zi * z)
+            dN[:, i, 1] = -0.5 * y * (1 + xi * x) * (1 + zi * z)
+            dN[:, i, 2] = 0.25 * zi * (1 + xi * x) * (1 - y * y)
+        else:
+            N[:, i] = 0.25 * (1 + xi * x) * (1 + yi * y) * (1 - z * z)
+            dN[:, i, 0] = 0.25 * xi * (1 + yi * y) * (1 - z * z)
+            dN[:, i, 1] = 0.25 * yi * (1 + xi * x) * (1 - z * z)
+            dN[:, i, 2] = -0.5 * z * (1 + xi * x) * (1 + yi * y)
+    return N, dN
+
+
 def _tri_p1(pts):
     r, s = pts[:, 0], pts[:, 1]
     N = np.stack([1 - r - s, r, s], axis=1)
@@ -302,6 +362,8 @@ def _reg(name, family, dim, n_nodes, order):
 
 _reg("QUAD4", "quad", 2, 4, 1)
 _reg("QUAD9", "quad", 2, 9, 2)
+_reg("QUAD8", "quad", 2, 8, 2)
+_reg("HEX20", "hex", 3, 20, 2)
 _reg("TRI3", "tri", 2, 3, 1)
 _reg("TRI6", "tri", 2, 6, 2)
 _reg("HEX8", "hex", 3, 8, 1)
@@ -322,6 +384,8 @@ def element_type(name: str) -> ElementType:
 _NODAL_INTERP_NODES = {
     ("quad", "Q1"): tuple(range(4)),
     ("quad", "Q2"): tuple(range(9)),
+    ("quad", "S2"): tuple(range(8)),
+    ("hex", "S2"): tuple(range(20)),
     ("tri", "P1"): tuple(range(3)),
     ("tri", "P2"): tuple(range(6)),
     ("hex", "Q1"): tuple(range(8)),
@@ -368,9 +432,13 @@ def eval_basis(family: str, interp: str, pts: np.ndarray):
             dN[:, 1 + d, d] = 1.0
         return N, dN
     if family == "quad":
+        if interp == "S2":
+            return _quad_s2(pts)
         order = 1 if interp == "Q1" else 2
         return _tensor_eval(_quad_nodes(order), order, pts)
     if family == "hex":
+        if interp == "S2":
+            return _hex_s2(pts)
         order = 1 if interp == "Q1" else 2
         return _tensor_eval(_hex_nodes(order), order, pts)
     if family == "bar":
@@ -389,6 +457,9 @@ _GEOM_INTERP = {1: {"quad": "Q1", "tri": "P1", "hex": "Q1", "tet": "P1", "bar": 
 
 
 def geom_interp(et: ElementType) -> str:
+    # serendipity elements use the serendipity basis for their geometry map
+    if et.name in ("QUAD8", "HEX20"):
+        return "S2"
     return _GEOM_INTERP[et.order][et.family]
 
 

@@ -824,7 +824,7 @@ class Problem:
                 x[gather], hist[gather], Xref, ext, params
             )
             R = R + jax.ops.segment_sum(r.reshape(-1), gather.reshape(-1), num_segments=n)
-        for fs in self.face_sets:
+        for fsi, fs in enumerate(self.face_sets):
             bd = self.dofmap.blocks[fs.block_index]
             blk = self.mesh.blocks[fs.block_index]
             fe = fs.face_elems

@@ -121,6 +121,11 @@ def build_dofmap(mesh: Mesh, block_vars: list[list[tuple[str, int, str]]]) -> Do
         rbv = []
         for name, ncomp, interp in bv:
             rint = resolve_interp(et.family, interp)
+            # serendipity parents carry no interior/face-center nodes: the
+            # quadratic interpolation there IS the serendipity one
+            # (reference: I_SP on 8-node quads, include/mm_as_const.h)
+            if rint == "Q2" and et.name in ("QUAD8", "HEX20"):
+                rint = "S2"
             rbv.append((name, ncomp, rint))
             if rint not in ("P0", "P1E"):
                 ln = interp_local_nodes(et.family, rint)

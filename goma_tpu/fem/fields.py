@@ -162,6 +162,12 @@ def eval_fieldvars(
         # deformation gradient F = dx/dX0 = Jmat . Jmat0^{-1} (in [k,d] layout:
         # F[k,m] = dx_k/dxi_d dxi_d/dX0_m)
         fv.F = jnp.einsum("qkd,qdm->qkm", Jmat, invJ0)
+    else:
+        # without mesh motion the reference configuration IS the current one;
+        # alias so total-Lagrangian equations (solid mechanics in the
+        # reference's LAGRANGIAN mode, src/mm_fill_solid.c) work standalone
+        fv.X0 = fv.x
+        fv.wdetJ0 = fv.wdetJ
 
     gphi_cache: dict[str, jnp.ndarray] = {}
     gphi0_cache: dict[str, jnp.ndarray] = {}
@@ -182,6 +188,9 @@ def eval_fieldvars(
             gp0 = gphi0_cache[s.interp]
             fv.gphi0[s.var] = gp0
             fv.grad0[s.var] = jnp.einsum("qnk,cn->qck", gp0, u[s.var])
+        else:
+            fv.gphi0[s.var] = gp
+            fv.grad0[s.var] = fv.grad[s.var]
 
     if ext_names:
         # frozen external nodal fields, interpolated with the geometric basis

@@ -20,7 +20,7 @@ def rectangle_mesh(
     xlim=(0.0, 1.0),
     ylim=(0.0, 1.0),
 ) -> Mesh:
-    if elem in ("QUAD9", "TRI6"):
+    if elem in ("QUAD9", "TRI6", "QUAD8"):
         gx, gy = 2 * nx + 1, 2 * ny + 1
     else:
         gx, gy = nx + 1, ny + 1
@@ -32,7 +32,7 @@ def rectangle_mesh(
     def nid(i, j):
         return j * gx + i
 
-    stride = 2 if elem in ("QUAD9", "TRI6") else 1
+    stride = 2 if elem in ("QUAD9", "TRI6", "QUAD8") else 1
 
     quad_cells = []
     for ey in range(ny):
@@ -59,6 +59,24 @@ def rectangle_mesh(
             dtype=np.int32,
         )
         blocks = [Block("body", "QUAD9", conn)]
+    elif elem == "QUAD8":
+        conn = np.array(
+            [
+                [
+                    nid(i, j), nid(i + 2, j), nid(i + 2, j + 2), nid(i, j + 2),
+                    nid(i + 1, j), nid(i + 2, j + 1), nid(i + 1, j + 2), nid(i, j + 1),
+                ]
+                for i, j in quad_cells
+            ],
+            dtype=np.int32,
+        )
+        # drop the unused cell-center nodes and compress numbering
+        used = np.zeros(coords.shape[0], dtype=bool)
+        used[conn.ravel()] = True
+        remap = np.cumsum(used) - 1
+        coords = coords[used]
+        conn = remap[conn].astype(np.int32)
+        blocks = [Block("body", "QUAD8", conn)]
     elif elem == "TRI3":
         conn = []
         for i, j in quad_cells:
@@ -126,7 +144,7 @@ def box_mesh(
     ylim=(0.0, 1.0),
     zlim=(0.0, 1.0),
 ) -> Mesh:
-    stride = 2 if elem in ("HEX27", "TET10") else 1
+    stride = 2 if elem in ("HEX27", "TET10", "HEX20") else 1
     gx, gy, gz = stride * nx + 1, stride * ny + 1, stride * nz + 1
     xs = np.linspace(xlim[0], xlim[1], gx)
     ys = np.linspace(ylim[0], ylim[1], gy)
@@ -171,6 +189,24 @@ def box_mesh(
             dtype=np.int32,
         )
         blocks = [Block("body", "HEX27", conn)]
+    elif elem == "HEX20":
+        offs = [
+            (0, 0, 0), (2, 0, 0), (2, 2, 0), (0, 2, 0),
+            (0, 0, 2), (2, 0, 2), (2, 2, 2), (0, 2, 2),
+            (1, 0, 0), (2, 1, 0), (1, 2, 0), (0, 1, 0),
+            (1, 0, 2), (2, 1, 2), (1, 2, 2), (0, 1, 2),
+            (0, 0, 1), (2, 0, 1), (2, 2, 1), (0, 2, 1),
+        ]
+        conn = np.array(
+            [[nid(i + a, j + b, k + c) for a, b, c in offs] for i, j, k in cells],
+            dtype=np.int32,
+        )
+        used = np.zeros(coords.shape[0], dtype=bool)
+        used[conn.ravel()] = True
+        remap = np.cumsum(used) - 1
+        coords = coords[used]
+        conn = remap[conn].astype(np.int32)
+        blocks = [Block("body", "HEX20", conn)]
     else:
         raise ValueError(elem)
 

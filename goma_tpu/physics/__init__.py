@@ -1,6 +1,17 @@
 from goma_tpu.physics.fluid import Continuity, Momentum
 from goma_tpu.physics.scalar_transport import Energy, Species
+from goma_tpu.physics.species_flux import (
+    GeneralizedFickianSpecies,
+    HydroSpecies,
+    StefanMaxwellSpecies,
+)
 from goma_tpu.physics.mesh_motion import EllipticMesh, LinearElasticMesh, PseudoSolidMesh
+from goma_tpu.physics.solid import (
+    RealSolid,
+    SolidKinematics,
+    SolidTraction,
+    tie_mesh_to_solid,
+)
 from goma_tpu.physics.viscoelastic import (
     LogConformationStress,
     VelocityGradientProjection,
@@ -21,6 +32,12 @@ from goma_tpu.physics.level_set import (
     delta,
     heaviside,
     renormalize,
+)
+from goma_tpu.physics.suspension import (
+    ParticleMomentum,
+    QTensorHydroSpecies,
+    flow_frame_qtensor,
+    particle_drag_force,
 )
 from goma_tpu.physics import materials
 from goma_tpu.physics.em import EMAbsorbingBC, EMWave

@@ -1,0 +1,169 @@
+"""Real-solid mechanics (TOTAL_ALE) and solid dynamics.
+
+Parity: reference ``src/mm_fill_rs.c`` (``assemble_real_solid:98``,
+``solid_stress_tensor:824``) — the TOTAL_ALE split where a *real solid*
+displacement field carries the material stress while a separate pseudo-solid
+mesh displacement smooths the grid — plus ``src/mm_fill_solid.c`` strain
+machinery (``belly_flop:77``). Stress form follows solid_stress_tensor:
+
+    TT = lambda * volume_strain * I + 2 mu * strain
+         - 2 mu * thermexp * (T - T_ref) * I        (thermoelastic)
+
+with ``strain``/``volume_strain`` from the chosen constitutive model
+(LINEAR small-strain, or NONLINEAR Green-Lagrange / St. Venant-Kirchhoff).
+
+TPU-first design differences:
+- all sensitivities (dTT_dx, dTT_drs, dTT_dT ... in the reference) come from
+  AD of this residual; none are hand-coded;
+- solid inertia uses a *first-order* velocity split (d_dot = v,
+  rho v_dot = div P) integrated by the theta scheme — for linear problems
+  theta=1/2 is algebraically identical to the reference's Newmark
+  (beta=1/4, gamma=1/2) path (``predict_solution_newmark``,
+  src/rf_solve.c:2818) while reusing the existing qdot machinery.
+
+The TOTAL_ALE mesh<->solid tie (mesh follows the solid at material
+boundaries, reference KIN_DISPLACEMENT-family BCs) is expressed with
+multi-variable point constraints: see ``tie_mesh_to_solid``.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from goma_tpu.fem.equations import Equation, FaceKernel
+from goma_tpu.physics.materials import prop
+
+SOLID_VAR = "solid_displacement"
+
+
+class RealSolid(Equation):
+    """Momentum balance of the real solid, total-Lagrangian weak form:
+
+        int_O0 grad0(phi) : P  +  phi rho (v_dot - b)  dV0
+
+    ``model``: 'linear' (engineering strain) or 'nonlinear'
+    (Green-Lagrange strain E with second Piola S = lam tr(E) I + 2 mu E,
+    first Piola P = F S). Material keys: ``lame_mu``, ``lame_lambda``,
+    ``solid_rho``, optional ``solid_thermexp``/``solid_ref_temp`` (needs a
+    temperature variable) and ``solid_body_force``.
+
+    ``dynamic`` adds the inertia term tested against a solid velocity
+    variable supplied by :class:`SolidKinematics`.
+    """
+
+    measure = "reference"
+
+    def __init__(self, dim: int, interp: str = "Q2", model: str = "nonlinear",
+                 dynamic: bool = False, var: str = SOLID_VAR,
+                 vel_var: str = "solid_velocity"):
+        super().__init__(var, dim, interp)
+        self.dim = dim
+        assert model in ("linear", "nonlinear")
+        self.model = model
+        self.dynamic = dynamic
+        self.vel_var = vel_var
+
+    def stress(self, fv, mat, params):
+        """First Piola-Kirchhoff stress (nq, dim, dim)."""
+        dim = self.dim
+        gd = fv.grad0[self.var]  # (nq, dim, dim): d d_a / d X0_k
+        lam = prop(mat, "lame_lambda", fv, params, 1.0)
+        mu = prop(mat, "lame_mu", fv, params, 1.0)
+        I = jnp.eye(dim)[None]
+        if self.model == "linear":
+            eps = 0.5 * (gd + jnp.swapaxes(gd, 1, 2))
+            tr = jnp.trace(eps, axis1=1, axis2=2)
+            P = lam * tr[:, None, None] * I + 2.0 * mu * eps
+            if "temperature" in fv.val and "solid_thermexp" in mat:
+                a = prop(mat, "solid_thermexp", fv, params)
+                T0 = mat.get("solid_ref_temp", 0.0)
+                T = fv.val["temperature"][:, 0]
+                P = P - (2.0 * mu * a * (T - T0))[:, None, None] * I
+            return P
+        F = I + gd
+        E = 0.5 * (jnp.einsum("qka,qkb->qab", F, F) - I)
+        trE = jnp.trace(E, axis1=1, axis2=2)
+        S = lam * trE[:, None, None] * I + 2.0 * mu * E
+        if "temperature" in fv.val and "solid_thermexp" in mat:
+            a = prop(mat, "solid_thermexp", fv, params)
+            T0 = mat.get("solid_ref_temp", 0.0)
+            T = fv.val["temperature"][:, 0]
+            S = S - (2.0 * mu * a * (T - T0))[:, None, None] * I
+        return jnp.einsum("qak,qkb->qab", F, S)
+
+    def residual(self, fv, mat, params):
+        nq = fv.X0.shape[0]
+        dim = self.dim
+        P = self.stress(fv, mat, params)
+        gphi = fv.gphi0[self.var]  # (nq, nbf, dim)
+        contrib = jnp.einsum("qak,qik->qai", P, gphi)
+
+        phi = fv.phi[self.var]
+        if self.dynamic and self.vel_var in fv.dot:
+            rho = prop(mat, "solid_rho", fv, params, 1.0)
+            vdot = fv.dot[self.vel_var]  # (nq, dim)
+            contrib = contrib + rho * jnp.einsum("qa,qi->qai", vdot, phi)
+        b = mat.get("solid_body_force", None)
+        if b is not None:
+            rho = prop(mat, "solid_rho", fv, params, 1.0)
+            bval = b(fv, mat, params) if callable(b) else jnp.broadcast_to(
+                jnp.asarray(b), (nq, dim))
+            contrib = contrib - rho * jnp.einsum("qa,qi->qai", bval, phi)
+        return contrib
+
+
+class SolidKinematics(Equation):
+    """d_dot = v tested with the velocity basis: int phi (d_dot - v) dV0.
+
+    Together with RealSolid(dynamic=True) this forms the first-order system
+    replacing the reference's Newmark-beta second-order integration."""
+
+    measure = "reference"
+
+    def __init__(self, dim: int, interp: str = "Q2",
+                 var: str = "solid_velocity", disp_var: str = SOLID_VAR):
+        super().__init__(var, dim, interp)
+        self.dim = dim
+        self.disp_var = disp_var
+
+    def residual(self, fv, mat, params):
+        ddot = fv.dot[self.disp_var]
+        v = fv.val[self.var]
+        phi = fv.phi[self.var]
+        return jnp.einsum("qa,qi->qai", ddot - v, phi)
+
+
+class SolidTraction(FaceKernel):
+    """Prescribed traction t on a boundary (reference-configuration measure is
+    approximated by the current face measure — exact for small strain):
+    -int phi t . e_a dA. ``traction``: (dim,) vector or callable(sfv)->
+    (nq, dim)."""
+
+    def __init__(self, dim: int, traction, var: str = SOLID_VAR):
+        super().__init__(var, dim)
+        self.dim = dim
+        self.traction = traction
+
+    def residual(self, sfv, mat, params):
+        nq = sfv.x.shape[0]
+        t = self.traction
+        tval = t(sfv, mat, params) if callable(t) else jnp.broadcast_to(
+            jnp.asarray(t), (nq, self.dim))
+        phi = sfv.phi[self.var]
+        return -jnp.einsum("qa,qi->qai", tval, phi)
+
+
+def tie_mesh_to_solid(problem, nodeset, dim: int,
+                      mesh_var: str = "mesh_displacement",
+                      solid_var: str = SOLID_VAR):
+    """TOTAL_ALE tie: replace the mesh-equation rows on ``nodeset`` with the
+    constraints d_mesh - d_solid = 0, so the grid follows the material at
+    solid boundaries (reference KIN_DISPLACEMENT BCs of the TOTAL_ALE
+    formulation, src/mm_fill_rs.c). Interior mesh nodes keep their smoothing
+    equation."""
+    for a in range(dim):
+        def g(q, X0, params, a=a, dim=dim):
+            # q = concat(mesh comps, solid comps)
+            return q[a] - q[dim + a]
+
+        problem.add_point_constraint(nodeset, [mesh_var, solid_var], a, g)

@@ -1,0 +1,222 @@
+"""Non-Fickian species flux models: Stefan-Maxwell multicomponent diffusion,
+generalized-Fickian (full diffusivity matrix), and the HYDRODYNAMIC
+shear-induced-migration suspension flux.
+
+Parity: reference ``src/mm_fill_species.c`` mass-flux dispatch
+(``get_continuous_species_terms:9117-9134``) — ``Stefan_Maxwell_diff_flux``
+(``src/mm_fill_species.c:10439``), GENERALIZED_FICKIAN, and ``hydro_flux``
+(``src/mm_std_models.c:3478``, Phillips/Leighton-Acrivos diffusive-flux
+suspension model).
+
+TPU-first design notes:
+- Stefan-Maxwell inverts its (ns x ns) coefficient matrix *per quadrature
+  point* with a batched dense solve — small-matrix ``jnp.linalg.solve`` maps
+  to the MXU instead of the reference's per-point LU with scratch arrays.
+- ``hydro_flux`` needs grad(shear-rate); like the reference (which solves a
+  SHEAR_RATE projection equation to get nodal gammadot), we take it from a
+  projected nodal field (``ProjectionEquation('shear_rate', ...)``) so the
+  gradient is available without second derivatives of velocity.
+- All Jacobian entries come from AD of these residuals; the reference's
+  hand-coded c_term/mu_term/g_term sensitivities have no analog.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from goma_tpu.fem.equations import Equation
+from goma_tpu.physics.materials import prop
+from goma_tpu.physics.fluid import _as_nq, advective_velocity
+
+
+class StefanMaxwellSpecies(Equation):
+    """Multicomponent Stefan-Maxwell transport of ns-1 mole fractions.
+
+    The solved components are the first ns-1 mole fractions x_w; the last
+    species is eliminated by sum(x) = 1 (reference: n_species =
+    Num_Species_Eqn + 1, src/mm_fill_species.c:10495).
+
+    The SM relations  grad x_i = sum_j (x_i J_j - x_j J_i) / (c D_ij)
+    with closure sum_j J_j = 0 are solved pointwise for the molar fluxes J:
+    per spatial direction the species couple through an (ns x ns) matrix
+        A_ii = sum_{j!=i} x_j/(c D_ij),  A_ij = -x_i/(c D_ij)
+    whose last row is replaced by the closure. Weak form of the conservation
+    law then reads  phi*(xdot + u.grad x) - grad(phi) . J / c.
+    """
+
+    def __init__(self, n_species: int, D, c_total: float = 1.0,
+                 interp: str = "Q1", transient: bool = True,
+                 convection: bool = True):
+        # n_species counts *solved* components (= reference Num_Species_Eqn)
+        super().__init__("species", n_species, interp)
+        self.ns = n_species + 1
+        D = jnp.asarray(D, dtype=jnp.float64).astype(jnp.result_type(float))
+        assert D.shape == (self.ns, self.ns), "D must be (ns+1, ns+1) SM diffusivities"
+        self.D = D
+        self.c_total = c_total
+        self.transient = transient
+        self.convection = convection
+
+    def _fluxes(self, x_full, gx_full):
+        """x_full (nq, ns), gx_full (nq, ns, dim) -> molar fluxes (nq, ns, dim)."""
+        ns = self.ns
+        c = self.c_total
+        # pairwise inverse diffusivity with zero diagonal
+        invD = jnp.where(jnp.eye(ns, dtype=bool), 0.0, 1.0 / (c * self.D))
+
+        def solve_point(x, gx):
+            # A J = B per spatial direction; directions share A
+            A = -x[:, None] * invD
+            A = A + jnp.diag(jnp.sum(invD * x[None, :], axis=1) - jnp.diag(A))
+            # closure row: sum_j J_j = 0 replaces the last SM relation
+            A = A.at[ns - 1, :].set(jnp.ones(ns, dtype=x.dtype))
+            B = -gx  # (ns, dim)
+            B = B.at[ns - 1, :].set(jnp.zeros(gx.shape[1], dtype=x.dtype))
+            return jnp.linalg.solve(A, B)
+
+        return jax.vmap(solve_point)(x_full, gx_full)
+
+    def residual(self, fv, mat, params):
+        nq = fv.x.shape[0]
+        nsv = self.ncomp
+        x = fv.val["species"]  # (nq, nsv) solved mole fractions
+        gx = fv.grad["species"]  # (nq, nsv, dim)
+        x_last = 1.0 - jnp.sum(x, axis=1, keepdims=True)
+        gx_last = -jnp.sum(gx, axis=1, keepdims=True)
+        x_full = jnp.concatenate([x, x_last], axis=1)
+        gx_full = jnp.concatenate([gx, gx_last], axis=1)
+
+        J = self._fluxes(x_full, gx_full)  # (nq, ns, dim) molar fluxes
+
+        adv = jnp.zeros((nq, nsv))
+        if self.transient:
+            adv = adv + fv.dot["species"]
+        if self.convection and "velocity" in fv.val:
+            adv = adv + jnp.einsum("qk,qwk->qw", advective_velocity(fv), gx)
+        phi = fv.phi["species"]
+        gphi = fv.gphi["species"]
+        contrib = jnp.einsum("qw,qi->qwi", adv, phi)
+        contrib = contrib - jnp.einsum("qwk,qik->qwi", J[:, :nsv] / self.c_total, gphi)
+        S = mat.get("species_source", None)
+        if S is not None:
+            Sval = S(fv, mat, params) if callable(S) else jnp.broadcast_to(
+                jnp.asarray(S), (nq, nsv))
+            contrib = contrib - jnp.einsum("qw,qi->qwi", Sval, phi)
+        return contrib
+
+
+class GeneralizedFickianSpecies(Equation):
+    """Full diffusivity-matrix Fickian transport: J_w = -sum_v D_wv grad c_v.
+
+    Reference: GENERALIZED_FICKIAN mass-flux model
+    (``src/mm_fill_species.c`` fickian_flux generalized branch).
+    ``D`` is (ns, ns), possibly non-symmetric (cross-diffusion).
+    """
+
+    def __init__(self, n_species: int, D, interp: str = "Q1",
+                 transient: bool = True, convection: bool = True):
+        super().__init__("species", n_species, interp)
+        self.n_species = n_species
+        D = jnp.asarray(D)
+        assert D.shape == (n_species, n_species)
+        self.D = D
+        self.transient = transient
+        self.convection = convection
+
+    def residual(self, fv, mat, params):
+        nq = fv.x.shape[0]
+        c = fv.val["species"]
+        gc = fv.grad["species"]  # (nq, ns, dim)
+        adv = jnp.zeros((nq, self.n_species))
+        if self.transient:
+            adv = adv + fv.dot["species"]
+        if self.convection and "velocity" in fv.val:
+            adv = adv + jnp.einsum("qk,qwk->qw", advective_velocity(fv), gc)
+        phi = fv.phi["species"]
+        gphi = fv.gphi["species"]
+        J = -jnp.einsum("wv,qvk->qwk", self.D, gc)
+        contrib = jnp.einsum("qw,qi->qwi", adv, phi)
+        contrib = contrib - jnp.einsum("qwk,qik->qwi", J, gphi)
+        S = mat.get("species_source", None)
+        if S is not None:
+            Sval = S(fv, mat, params) if callable(S) else jnp.broadcast_to(
+                jnp.asarray(S), (nq, self.n_species))
+            contrib = contrib - jnp.einsum("qw,qi->qwi", Sval, phi)
+        return contrib
+
+
+class HydroSpecies(Equation):
+    """Shear-induced particle migration (Phillips diffusive-flux model).
+
+    Reference: HYDRODYNAMIC mass-flux model, ``hydro_flux``
+    (``src/mm_std_models.c:3478``). The particle flux is
+
+        N = - Kc a^2 (Y^2 grad(gd) + Y gd grad Y)          (collision term)
+            - Kmu a^2 gd Y^2 (1/mu) (dmu/dY) grad Y        (viscosity term)
+            + Dg a^2 Y f(Y) (rho_p - rho_f) g / mu0        (hindered settling)
+
+    with gd the scalar shear rate taken from a *projected* nodal field
+    (``gd_var``), exactly as the reference takes fv->SH from the SHEAR_RATE
+    equation. f(Y) = (1 - Y/maxpack)^nexp * mu0/mu is the hindrance function
+    (src/mm_std_models.c rel_mu_denom/mu_ppt). dmu/dY is evaluated by AD of
+    the relative-viscosity closure mu(Y) = mu0 (1 - Y/maxpack)^nexp.
+
+    Weak form: phi*(Ydot + u.grad Y) - grad(phi) . N.
+    """
+
+    def __init__(self, Kc: float, Kmu: float, a_rad: float = 1.0,
+                 mu0: float = 1.0, maxpack: float = 0.68, nexp: float = -1.82,
+                 settling=None, gd_var: str = "shear_rate",
+                 interp: str = "Q1", transient: bool = True,
+                 convection: bool = True, floor: float = 1e-2):
+        super().__init__("species", 1, interp)
+        self.Kc, self.Kmu, self.a2 = Kc, Kmu, a_rad * a_rad
+        self.mu0, self.maxpack, self.nexp = mu0, maxpack, nexp
+        # settling: None or (Dg, del_rho, gravity vector)
+        self.settling = settling
+        self.gd_var = gd_var
+        self.transient = transient
+        self.convection = convection
+        self.floor = floor
+
+    def _rel_visc(self, Y):
+        """Krieger-Dougherty relative viscosity (floored like the reference's
+        rel_mu_denom <= 0 -> 0.01 clamp, src/mm_std_models.c:3612)."""
+        return jnp.maximum(1.0 - Y / self.maxpack, self.floor) ** self.nexp
+
+    def residual(self, fv, mat, params):
+        nq = fv.x.shape[0]
+        Y = fv.val["species"][:, 0]
+        gY = fv.grad["species"][:, 0, :]  # (nq, dim)
+        gd = fv.val[self.gd_var][:, 0]
+        ggd = fv.grad[self.gd_var][:, 0, :]
+
+        mu_rel = self._rel_visc(Y)
+        dmurel_dY = jax.vmap(jax.grad(self._rel_visc))(Y)
+        # (1/mu) dmu/dY is closure-independent of mu0
+        dlnmu_dY = dmurel_dY / mu_rel
+
+        # collision + viscosity-gradient fluxes
+        N = -self.Kc * self.a2 * (
+            (Y * Y)[:, None] * ggd + (Y * gd)[:, None] * gY
+        )
+        N = N - self.Kmu * self.a2 * (gd * Y * Y * dlnmu_dY)[:, None] * gY
+        if self.settling is not None:
+            Dg, del_rho, grav = self.settling
+            grav = jnp.asarray(grav)
+            hindrance = mu_rel ** (-1.0)  # f(Y) = mu0/mu
+            N = N + (Dg * self.a2 * del_rho / self.mu0) * (
+                Y * hindrance
+            )[:, None] * grav[None, :]
+
+        adv = jnp.zeros(nq)
+        if self.transient:
+            adv = adv + fv.dot["species"][:, 0]
+        if self.convection and "velocity" in fv.val:
+            adv = adv + jnp.einsum("qk,qk->q", advective_velocity(fv), gY)
+        phi = fv.phi["species"]
+        gphi = fv.gphi["species"]
+        contrib = jnp.einsum("q,qi->qi", adv, phi)
+        contrib = contrib - jnp.einsum("qk,qik->qi", N, gphi)
+        return contrib[:, None, :]

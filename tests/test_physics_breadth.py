@@ -153,6 +153,11 @@ def test_butler_volmer_electrode():
     np.testing.assert_allclose(Vs, v_exact, rtol=1e-8)
     # linear profile
     np.testing.assert_allclose(V, Vs * (1 - mesh.coords[:, 0] / L), atol=1e-8)
+    # regression: residual-only path must include face-kernel contributions
+    # (it once raised NameError / silently dropped faces)
+    R_only = np.asarray(prob.residual(res.x, prob.base_params()))
+    R_full, _ = prob.assemble(res.x, prob.base_params())
+    np.testing.assert_allclose(R_only, np.asarray(R_full), atol=1e-12)
 
 
 def test_reynolds_slider_bearing():
