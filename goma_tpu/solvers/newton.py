@@ -35,8 +35,9 @@ class NewtonOptions:
     linear_solver: str = "gmres"  # gmres | bicgstab | direct
     # auto: two-level p-multigrid when the problem has a genuinely smaller
     # Q1/P1 coarse space that fits a dense coarse solve, else block-Jacobi
-    precond: str = "auto"  # auto | block_jacobi | fieldsplit | twolevel
+    precond: str = "auto"  # auto | block_jacobi | fieldsplit | pcd | twolevel
     fieldsplit_mu: float | None = None
+    fieldsplit_rho: float | None = None
     fieldsplit_sweeps: int = 2
     # None: 1.0 for vanka (weighted overlap already averages), 0.7 for bj
     smooth_damp: float | None = None
@@ -104,6 +105,19 @@ class NewtonSolver:
             self.precond = FieldSplit(
                 problem, mu=self.opts.fieldsplit_mu, u_sweeps=self.opts.fieldsplit_sweeps
             )
+        elif kind == "pcd":
+            from goma_tpu.solvers.pcd import PCDFieldSplit
+
+            mat = problem.materials[0] if getattr(problem, "materials", None) else {}
+            mu = self.opts.fieldsplit_mu
+            if mu is None:
+                mu = mat.get("mu") if isinstance(mat.get("mu"), (int, float)) else 1.0
+            rho = self.opts.fieldsplit_rho
+            if rho is None:
+                rho = mat.get("rho") if isinstance(mat.get("rho"), (int, float)) else 1.0
+            self.precond = PCDFieldSplit(
+                problem, mu=mu, rho=rho, u_sweeps=self.opts.fieldsplit_sweeps
+            )
         elif kind == "twolevel":
             from goma_tpu.solvers.twolevel import TwoLevel
 
@@ -141,6 +155,9 @@ class NewtonSolver:
         }
         self._prep = jax.jit(self._prepare)
         self._factor_jit = jax.jit(self._factor_num)
+        # current state for state-dependent preconditioners (PCD convection)
+        self._cur_x = None
+        self._cur_ct = 0.0
         self._fac_cache = None
         self._fac_base_its = None
         self._cycle_jit = jax.jit(self._gmres_cycle)
@@ -180,6 +197,13 @@ class NewtonSolver:
         )
         return R, vals, norms, scale, aux
 
+    def _factor_state(self, vals):
+        """(xp, ct) extra factor inputs for state-dependent preconditioners."""
+        xp = self._cur_x
+        if xp is None:
+            xp = jnp.zeros(self._n, dtype=vals.dtype)
+        return jnp.asarray(xp), jnp.asarray(self._cur_ct, dtype=vals.dtype)
+
     def _matvec(self, vals):
         ell = self._ell
 
@@ -217,7 +241,7 @@ class NewtonSolver:
 
         return mv
 
-    def _factor_num(self, vals, ntab=None):
+    def _factor_num(self, vals, ntab=None, xp=None, ct=None):
         """Numeric preconditioner state (jit-friendly pytree, no closures)."""
         tb = (ntab or self._ntab)["prec"] or None
         if self._precond_kind == "twolevel":
@@ -226,13 +250,15 @@ class NewtonSolver:
         if self._precond_kind == "fieldsplit":
             Binv, _ = self.precond.factor(vals, None)
             return (Binv,)
+        if self._precond_kind == "pcd":
+            return self.precond.factor(vals, xp, ct)
         return (self.precond.factor(vals, tb),)
 
     def _apply_precond_mv(self, mv, vals, ntab, fac_num, r):
         # tb=None: apply-path tables embed as constants (hot path)
         if self._precond_kind == "twolevel":
             return self.precond.apply((*fac_num, mv), r, None)
-        if self._precond_kind == "fieldsplit":
+        if self._precond_kind in ("fieldsplit", "pcd"):
             return self.precond.apply((*fac_num, mv), r)
         return self.precond.apply(fac_num[0], r, None)
 
@@ -257,7 +283,7 @@ class NewtonSolver:
         if self.opts.precond_lag and self._fac_cache is not None:
             fac = self._fac_cache
         else:
-            fac = self._factor_jit(vals, self._ntab)
+            fac = self._factor_jit(vals, self._ntab, *self._factor_state(vals))
             self._fac_cache = fac
             self._fac_base_its = None
         # symmetric equilibration: solve (DAD) z = D R, then dx = D z
@@ -298,7 +324,7 @@ class NewtonSolver:
         if self.opts.precond_lag and self._fac_cache is not None:
             fac = self._fac_cache
         else:
-            fac = self._factor_jit(vals, self._ntab)
+            fac = self._factor_jit(vals, self._ntab, *self._factor_state(vals))
             self._fac_cache = fac
             self._fac_base_its = None
         mv = self._matvec_state(vals, scale, aux, ptab, self._ntab)
@@ -323,6 +349,8 @@ class NewtonSolver:
         it = 0
         prev_l2 = None
         for it in range(opts.max_iter):
+            self._cur_x = x
+            self._cur_ct = params.get("ct", 0.0) if isinstance(params, dict) else 0.0
             t0 = time.perf_counter()
             R, vals, norms, scale, aux = self._prep(x, params)
             l1, l2, li = jax.device_get(norms)
