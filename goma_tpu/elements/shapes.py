@@ -473,9 +473,48 @@ def faces(family: str) -> tuple[Face, ...]:
 
 
 @lru_cache(maxsize=None)
-def volume_rule(family: str, npts_1d: int):
+def volume_rule(family: str, npts_1d):
     """Volume quadrature rule for a family. npts_1d: Gauss order for tensor
-    families; polynomial degree for simplices."""
+    families; polynomial degree for simplices.
+
+    Composite ("subgrid") rules: pass ``("subcell", n_sub, base_order)`` to
+    subdivide the reference element into n_sub^dim congruent subcells with
+    the base rule applied in each — the TPU-static equivalent of the
+    reference's level-set subgrid/subelement integration
+    (``get_subelement_integration_pts``, used ``src/mm_fill.c:664-678``):
+    sharp Heaviside property jumps integrate to O((h/n_sub)^2) without
+    dynamic interface-fitted quadrature (which would break XLA's static
+    shapes)."""
+    if isinstance(npts_1d, tuple):
+        tag, nsub, base = npts_1d
+        assert tag == "subcell"
+        pts, wts = volume_rule(family, base)
+        if family in ("quad", "hex", "bar"):
+            dim = {"quad": 2, "hex": 3, "bar": 1}[family]
+            if pts.ndim == 1:
+                pts = pts[:, None]
+            h = 2.0 / nsub
+            offs = [np.arange(nsub) * h - 1.0 + h / 2 for _ in range(dim)]
+            grids = np.meshgrid(*offs, indexing="ij")
+            centers = np.stack([g.ravel() for g in grids], axis=-1)  # (nc, dim)
+            P = (centers[:, None, :] + pts[None, :, :] / nsub).reshape(-1, dim)
+            W = np.tile(wts / nsub**dim, centers.shape[0])
+            return P, W
+        if family == "tri":
+            P, W = [], []
+            for i in range(nsub):
+                for j in range(nsub - i):
+                    v0 = np.array([i, j]) / nsub
+                    e1 = np.array([1.0, 0.0]) / nsub
+                    e2 = np.array([0.0, 1.0]) / nsub
+                    P.append(v0 + pts[:, :1] * e1 + pts[:, 1:2] * e2)
+                    W.append(wts / nsub**2)
+                    if i + j < nsub - 1:  # inverted triangle
+                        v0i = np.array([i + 1, j + 1]) / nsub
+                        P.append(v0i - pts[:, :1] * e1 - pts[:, 1:2] * e2)
+                        W.append(wts / nsub**2)
+            return np.concatenate(P), np.concatenate(W)
+        raise ValueError((family, npts_1d))
     if family in ("quad",):
         return quad.gauss_tensor(npts_1d, 2)
     if family == "hex":
@@ -491,8 +530,10 @@ def volume_rule(family: str, npts_1d: int):
 
 
 @lru_cache(maxsize=None)
-def face_rule(family: str, npts_1d: int):
+def face_rule(family: str, npts_1d):
     """Quadrature on the face reference domain."""
+    if isinstance(npts_1d, tuple):
+        npts_1d = npts_1d[2]  # subcell volume rules: faces use the base rule
     if family in ("quad", "tri"):
         if family == "tri":
             # edge param t in [0,1]

@@ -32,6 +32,7 @@ from goma_tpu.physics.level_set import (
     delta,
     heaviside,
     renormalize,
+    sharp_heaviside,
 )
 from goma_tpu.physics.suspension import (
     ParticleMomentum,

@@ -42,17 +42,33 @@ def delta(F, eps):
     )
 
 
+def sharp_heaviside(F):
+    """Exact step H(F). Combined with a subcell ("subgrid") quadrature rule
+    (``Problem(quad_order=("subcell", n, base))``) this is the TPU analog of
+    the reference's sharp subelement integration
+    (``get_subelement_integration_pts``, ``src/mm_fill.c:664-678``): property
+    jumps integrate sharply instead of over a smeared band. Note AD sees a
+    zero derivative through the step (interface-motion sensitivities vanish
+    from the Jacobian) — keep a small eps when the fill field itself is being
+    solved monolithically."""
+    return jnp.where(F > 0.0, 1.0, 0.0)
+
+
 class LevelSetProperty:
     """Two-phase property: value = minus + (plus - minus) * H_eps(F).
-    ``eps`` defaults to params["ls_eps"]."""
+    ``eps`` defaults to params["ls_eps"]; ``eps="sharp"`` uses the exact step
+    (pair with a subcell quadrature rule)."""
 
     def __init__(self, minus, plus, eps=None):
         self.minus, self.plus, self.eps = minus, plus, eps
 
     def __call__(self, fv, mat, params):
-        eps = self.eps if self.eps is not None else params["ls_eps"]
         F = fv.val[FILL_VAR][:, 0]
-        H = heaviside(F, eps)
+        if self.eps == "sharp":
+            H = sharp_heaviside(F)
+        else:
+            eps = self.eps if self.eps is not None else params["ls_eps"]
+            H = heaviside(F, eps)
         return self.minus + (self.plus - self.minus) * H
 
 
