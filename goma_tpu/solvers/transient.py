@@ -88,11 +88,15 @@ class TransientSolver:
             return x_old + dt * ((1 + 0.5 * r) * xdot_old - 0.5 * r * xdot_older)
         return x_old + dt * xdot_old
 
-    def run(self, x0, params, t0: float = 0.0, callback: Callable | None = None) -> TransientResult:
+    def run(self, x0, params, t0: float = 0.0, callback: Callable | None = None,
+            xdot0=None) -> TransientResult:
+        """``xdot0``: initial time derivative for warm restarts (checkpoint
+        resume or remesh-and-continue; reference stores/reconstructs old time
+        derivatives on restart, src/rf_solve.c)."""
         to = self.topts
         n = self.problem.dofmap.n_dof
         x_old = np.asarray(x0, dtype=float).copy()
-        xdot_old = np.zeros(n)
+        xdot_old = np.zeros(n) if xdot0 is None else np.asarray(xdot0, dtype=float).copy()
         xdot_older = np.zeros(n)
         t = t0
         dt = to.dt0
