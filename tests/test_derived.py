@@ -1,0 +1,70 @@
+"""Derived nodal post-variables (mm_post_proc.c post_process_nodal parity)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from goma_tpu.fem import Problem
+from goma_tpu.mesh import rectangle_mesh
+from goma_tpu.physics import Continuity, Energy, Momentum
+from goma_tpu.post.derived import derived_nodal_field, project_to_nodes
+
+
+def _flow_problem():
+    mesh = rectangle_mesh(4, 4, elem="QUAD9")
+    prob = Problem(
+        mesh,
+        [Momentum(2, transient=False), Continuity(),
+         Energy(interp="Q2", transient=False, convection=False)],
+        {"rho": 2.0, "mu": 0.5, "k": 3.0},
+    )
+    prob.finalize()
+    return mesh, prob
+
+
+def test_derived_fields_on_manufactured_state():
+    mesh, prob = _flow_problem()
+    x = np.zeros(prob.dofmap.n_dof)
+    # u = (y^2, x), p = x + 2y, T = x^2
+    x = prob.set_nodal_field(x, "velocity", 0, lambda X: X[:, 1] ** 2)
+    x = prob.set_nodal_field(x, "velocity", 1, lambda X: X[:, 0])
+    x = prob.set_nodal_field(x, "pressure", 0, lambda X: X[:, 0] + 2 * X[:, 1])
+    x = prob.set_nodal_field(x, "temperature", 0, lambda X: X[:, 0] ** 2)
+
+    X = mesh.coords
+    vort = derived_nodal_field(prob, x, "VORTICITY")
+    np.testing.assert_allclose(vort, 1.0 - 2 * X[:, 1], atol=1e-8)
+
+    div = derived_nodal_field(prob, x, "DIV_VELOCITY")
+    np.testing.assert_allclose(div, 0.0, atol=1e-8)
+
+    gd = derived_nodal_field(prob, x, "SHEAR_RATE")
+    np.testing.assert_allclose(gd, np.abs(2 * X[:, 1] + 1.0), atol=1e-6)
+
+    p = derived_nodal_field(prob, x, "PRESSURE_NODAL")
+    np.testing.assert_allclose(p, X[:, 0] + 2 * X[:, 1], atol=1e-8)
+
+    tau = derived_nodal_field(prob, x, "STRESS_TENSOR")
+    # tau = mu (gu + gu^T): tau_xx = 0, tau_xy = mu(2y + 1), tau_yy = 0
+    np.testing.assert_allclose(tau[:, 0], 0.0, atol=1e-8)
+    np.testing.assert_allclose(tau[:, 1], 0.5 * (2 * X[:, 1] + 1.0), atol=1e-8)
+    np.testing.assert_allclose(tau[:, 2], 0.0, atol=1e-8)
+
+    qf = derived_nodal_field(prob, x, "ENERGY_FLUX")
+    np.testing.assert_allclose(qf[:, 0], -3.0 * 2 * X[:, 0], atol=1e-7)
+    np.testing.assert_allclose(qf[:, 1], 0.0, atol=1e-8)
+
+    ke = derived_nodal_field(prob, x, "KINETIC_ENERGY")
+    np.testing.assert_allclose(ke, 0.5 * 2.0 * (X[:, 1] ** 4 + X[:, 0] ** 2),
+                               atol=6e-2)  # quartic not in Q2: lumped-projection boundary error
+
+    sp = derived_nodal_field(prob, x, "SPEED")
+    np.testing.assert_allclose(sp, np.sqrt(X[:, 1] ** 4 + X[:, 0] ** 2), atol=4e-2)
+
+
+def test_custom_projection():
+    mesh, prob = _flow_problem()
+    x = prob.set_nodal_field(np.zeros(prob.dofmap.n_dof), "temperature", 0,
+                             lambda X: 3.0 * X[:, 1])
+    out = project_to_nodes(prob, x,
+                           lambda fv, mat, params: fv.grad["temperature"][:, 0, 1])
+    np.testing.assert_allclose(out, 3.0, atol=1e-8)
