@@ -429,10 +429,13 @@ class Problem:
 
         ext_names = self.external_fields
         # shell/curve blocks: reference dimension below the space dimension
-        is_curve = element_type(bd.elem_type).dim < self.mesh.dim
-        from goma_tpu.fem.fields import eval_curvevars
+        edim = element_type(bd.elem_type).dim
+        from goma_tpu.fem.fields import eval_curvevars, eval_surfvars
 
-        eval_fn = eval_curvevars if is_curve else eval_fieldvars
+        if edim < self.mesh.dim:
+            eval_fn = eval_curvevars if edim == 1 else eval_surfvars
+        else:
+            eval_fn = eval_fieldvars
 
         def elem_res(q_e, hist_e, X_e, ext_e, params):
             qdot_e = params["ct"] * q_e + hist_e

@@ -231,6 +231,68 @@ class CurveVars(FieldVars):
         self.curvature = None
 
 
+def eval_surfvars(q_e, qdot_e, X_e, tables: BlockTables, slots, dtype,
+                  ext_e=None, ext_names=()) -> CurveVars:
+    """Field evaluation on a 2D shell element (QUAD/TRI) embedded in 3D.
+
+    Parity: reference 3D shells (BILINEAR/BIQUAD_SHELL, TRISHELL,
+    src/el_elm_info.c; shell machinery src/mm_fill_shell.c). Gradients are
+    *surface* gradients (tangent-plane 3-vectors): grad_s u = J_s G^-1 du/dxi
+    with J_s the (3, 2) tangent map and G = J_s^T J_s the first fundamental
+    form; wdetJ integrates with sqrt(det G) dA."""
+    u = _unpack(q_e, slots)
+    udot = _unpack(qdot_e, slots)
+
+    Ng = jnp.asarray(tables.Ng, dtype=dtype)
+    dNg = jnp.asarray(tables.dNg, dtype=dtype)  # (nq, nn, 2)
+    qwts = jnp.asarray(tables.qwts, dtype=dtype)
+
+    Xc = X_e
+    if MESH_VAR in u:
+        Xc = X_e + u[MESH_VAR].T
+
+    fv = CurveVars()
+    fv.dim = Xc.shape[1]
+    Js = jnp.einsum("qnd,nk->qkd", dNg, Xc)  # (nq, 3, 2)
+    G = jnp.einsum("qkd,qke->qde", Js, Js)  # (nq, 2, 2) metric
+    detG = G[:, 0, 0] * G[:, 1, 1] - G[:, 0, 1] * G[:, 1, 0]
+    inv00 = G[:, 1, 1] / detG
+    inv11 = G[:, 0, 0] / detG
+    inv01 = -G[:, 0, 1] / detG
+    Ginv = jnp.stack(
+        [jnp.stack([inv00, inv01], axis=1), jnp.stack([inv01, inv11], axis=1)],
+        axis=1,
+    )
+    dA = jnp.sqrt(jnp.maximum(detG, 1e-300))
+    fv.wds = qwts * dA
+    fv.wdetJ = fv.wds
+    fv.detJ = dA
+    fv.tangents = Js
+    cr = jnp.cross(Js[:, :, 0], Js[:, :, 1])
+    fv.normal = cr / jnp.linalg.norm(cr, axis=1, keepdims=True)
+    fv.x = jnp.einsum("qn,nk->qk", Ng, Xc)
+    fv.h_elem = jnp.sqrt(jnp.sum(fv.wds)) * jnp.ones_like(dA)
+
+    # surface-gradient operator per interpolation: (nq, nbf, 3)
+    proj = jnp.einsum("qkd,qde->qke", Js, Ginv)  # J_s G^-1
+    for s in slots:
+        Ni = jnp.asarray(tables.N[s.interp], dtype=dtype)
+        dNi = jnp.asarray(tables.dN[s.interp], dtype=dtype)  # (nq, nbf, 2)
+        gphi = jnp.einsum("qke,qne->qnk", proj, dNi)
+        fv.phi[s.var] = Ni
+        fv.gphi[s.var] = gphi
+        fv.val[s.var] = jnp.einsum("qn,cn->qc", Ni, u[s.var])
+        fv.grad[s.var] = jnp.einsum("qnk,cn->qck", gphi, u[s.var])
+        fv.dot[s.var] = jnp.einsum("qn,cn->qc", Ni, udot[s.var])
+    if ext_names:
+        gphi_g = jnp.einsum("qke,qne->qnk", proj, dNg)
+        for k, name in enumerate(ext_names):
+            e = ext_e[:, k]
+            fv.ext[name] = jnp.einsum("qn,n->q", Ng, e)
+            fv.ext_grad[name] = jnp.einsum("qnk,n->qk", gphi_g, e)
+    return fv
+
+
 def eval_curvevars(q_e, qdot_e, X_e, tables: BlockTables, slots, dtype,
                    ext_e=None, ext_names=()) -> CurveVars:
     """Field evaluation on a BAR element embedded in 2D."""

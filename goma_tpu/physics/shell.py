@@ -20,33 +20,77 @@ from goma_tpu.fem.equations import Equation
 from goma_tpu.physics.materials import prop
 
 
+def _face_param_nodes(et, face_id: int):
+    """Local nodes on a face with their face-chart coordinates (s[, t])."""
+    from goma_tpu.elements import faces as elem_faces
+    from goma_tpu.mesh.mesh import _ref_nodes
+
+    face = elem_faces(et.family)[face_id]
+    ref = _ref_nodes(et)
+    p0, J = face.ref_origin, face.ref_jac
+    out = []
+    for i in range(et.n_nodes):
+        d = ref[i] - p0
+        coef, *_ = np.linalg.lstsq(J, d, rcond=None)
+        if np.linalg.norm(d - J @ coef) < 1e-12:
+            out.append((i, coef))
+    return out
+
+
+# shell element node layouts in the face chart, per (bulk family, n nodes)
+_SHELL_TARGETS = {
+    ("hex", 4): ("QUAD4", [(-1, -1), (1, -1), (1, 1), (-1, 1)]),
+    ("hex", 8): ("QUAD8", [(-1, -1), (1, -1), (1, 1), (-1, 1),
+                           (0, -1), (1, 0), (0, 1), (-1, 0)]),
+    ("hex", 9): ("QUAD9", [(-1, -1), (1, -1), (1, 1), (-1, 1),
+                           (0, -1), (1, 0), (0, 1), (-1, 0), (0, 0)]),
+    ("tet", 3): ("TRI3", [(0, 0), (1, 0), (0, 1)]),
+    ("tet", 6): ("TRI6", [(0, 0), (1, 0), (0, 1),
+                          (0.5, 0), (0.5, 0.5), (0, 0.5)]),
+}
+
+
 def attach_shell_block(mesh, sideset: str, name: str = "shell") -> int:
-    """Create a BAR2/BAR3 block along a sideset's faces (2D bulk only).
+    """Create a shell block along a sideset's faces: BAR2/BAR3 on 2D bulk,
+    QUAD4/8/9 or TRI3/6 surface elements on 3D bulk (reference:
+    BILINEAR/BIQUAD_SHELL, TRISHELL on hexes/tets; shells share the bulk's
+    boundary nodes so shared variables couple through the dof map — the
+    friend-element gather of src/mm_shell_util.c:1330 is unnecessary).
     Returns the new block index."""
     from goma_tpu.elements import element_type
     from goma_tpu.mesh.mesh import Block, _face_all_nodes
 
     ss = mesh.sidesets[sideset]
     conn = []
-    order = None
+    etname = None
     for e, f in zip(ss.elems, ss.faces):
         bi, le = mesh.global_elem_block(int(e))
         b = mesh.blocks[bi]
         et = element_type(b.elem_type)
-        if et.dim != 2:
-            raise NotImplementedError("shell blocks on 3D bulk: later round")
-        nodes = _face_all_nodes(et, int(f))
-        face_corners = nodes[:2]
-        mids = nodes[2:]
-        if mids:
-            row = [b.conn[le, face_corners[0]], b.conn[le, face_corners[1]],
-                   b.conn[le, mids[0]]]
-            order = 2
+        if et.dim == 2:
+            nodes = _face_all_nodes(et, int(f))
+            face_corners = nodes[:2]
+            mids = nodes[2:]
+            if mids:
+                row = [b.conn[le, face_corners[0]], b.conn[le, face_corners[1]],
+                       b.conn[le, mids[0]]]
+                etname = "BAR3"
+            else:
+                row = [b.conn[le, face_corners[0]], b.conn[le, face_corners[1]]]
+                etname = "BAR2"
         else:
-            row = [b.conn[le, face_corners[0]], b.conn[le, face_corners[1]]]
-            order = 1
+            pn = _face_param_nodes(et, int(f))
+            key = (et.family, len(pn))
+            if key not in _SHELL_TARGETS:
+                raise NotImplementedError(f"shell on {et.name} faces")
+            etname, targets = _SHELL_TARGETS[key]
+            row = []
+            for tgt in targets:
+                hit = min(pn, key=lambda ic: np.linalg.norm(ic[1] - np.asarray(tgt)))
+                if np.linalg.norm(hit[1] - np.asarray(tgt)) > 1e-10:
+                    raise RuntimeError("face chart mismatch building shell block")
+                row.append(b.conn[le, hit[0]])
         conn.append(row)
-    etname = "BAR3" if order == 2 else "BAR2"
     mesh.blocks.append(Block(name, etname, np.asarray(conn, dtype=np.int32)))
     return len(mesh.blocks) - 1
 
@@ -61,9 +105,11 @@ class ShellConduction(Equation):
         self.ks = ks
 
     def residual(self, fv, mat, params):
-        dT = fv.grad_s[self.var][:, 0]
-        dphi = fv.dphi_ds[self.var]
-        return (self.ks * jnp.einsum("q,qi->qi", dT, dphi))[:, None, :]
+        # surface gradients (tangent-plane vectors): uniform for BAR-in-2D
+        # curves and QUAD/TRI-in-3D shells (Laplace-Beltrami weak form)
+        gT = fv.grad[self.var][:, 0, :]
+        gphi = fv.gphi[self.var]
+        return (self.ks * jnp.einsum("qk,qik->qi", gT, gphi))[:, None, :]
 
 
 class TensionedString(Equation):
@@ -79,12 +125,12 @@ class TensionedString(Equation):
         self.transient = transient
 
     def residual(self, fv, mat, params):
-        dw = fv.grad_s[self.var][:, 0]
-        dphi = fv.dphi_ds[self.var]
+        gw = fv.grad[self.var][:, 0, :]  # surface gradient (membrane form)
+        gphi = fv.gphi[self.var]
         phi = fv.phi[self.var]
         q = self.load(fv, mat, params) if callable(self.load) else self.load
-        q = jnp.broadcast_to(jnp.asarray(q), dw.shape)
-        c = self.T * jnp.einsum("q,qi->qi", dw, dphi) - jnp.einsum("q,qi->qi", q, phi)
+        q = jnp.broadcast_to(jnp.asarray(q), gw.shape[:1])
+        c = self.T * jnp.einsum("qk,qik->qi", gw, gphi) - jnp.einsum("q,qi->qi", q, phi)
         if self.transient:
             rho = prop(mat, "shell_rho", fv, params, 1.0)
             c = c + rho * jnp.einsum("q,qi->qi", fv.dot[self.var][:, 0], phi)
