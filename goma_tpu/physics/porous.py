@@ -46,6 +46,96 @@ class VanGenuchten:
         return jnp.maximum(kr, self.kr_min)
 
 
+class TwoPhasePorous(Equation):
+    """Two-phase (liquid + gas) porous flow, components (p_liq, p_gas) of
+    ``porous_pressure``. Reference: POROUS_TWO_PHASE media
+    (``src/mm_fill_porous.c assemble_porous_transport:106`` gas-phase branch).
+
+    Liquid:  phi dS/dt - div( k k_rl/mu_l (grad p_l - rho_l g) ) = 0
+    Gas:     phi d[(1-S) rho_g]/dt
+             - div( rho_g k k_rg/mu_g (grad p_g - rho_g g) ) = 0
+
+    with S = S(p_c), p_c = p_g - p_l (van Genuchten), Mualem relative
+    permeabilities k_rl(S), k_rg = sqrt(1-Se)(1 - Se^(1/m))^(2m). Gas is
+    ideal-compressible when ``compressible`` (rho_g = rho_g_ref p_g/p_ref),
+    else constant density.
+
+    Material keys: permeability, porosity, mu_liquid, mu_gas, rho_liquid,
+    rho_gas (reference density), p_ref, gravity_vec optional.
+    """
+
+    def __init__(self, model: VanGenuchten, interp: str = "Q1",
+                 transient: bool = True, compressible: bool = False):
+        super().__init__(POR_VAR, 2, interp)
+        self.model = model
+        self.transient = transient
+        self.compressible = compressible
+
+    def _sat_of_pc(self, pc):
+        """S(p_c): suction = p_c > 0 dries the medium (same VG closure with
+        p = -p_c)."""
+        return self.model.saturation(-pc)
+
+    def _krg(self, pc):
+        m = self.model.m
+        suction = jnp.where(pc > 0, pc, 0.0)
+        se = (1.0 + (self.model.alpha * suction) ** self.model.n) ** (-m)
+        se = jnp.clip(se, 1e-7, 1.0 - 1e-7)
+        krg = jnp.sqrt(1.0 - se) * (1.0 - se ** (1.0 / m)) ** (2.0 * m)
+        return jnp.maximum(krg, self.model.kr_min)
+
+    def residual(self, fv, mat, params):
+        import jax as _jax
+
+        nq = fv.x.shape[0]
+        pl = fv.val[POR_VAR][:, 0]
+        pg = fv.val[POR_VAR][:, 1]
+        gpl = fv.grad[POR_VAR][:, 0, :]
+        gpg = fv.grad[POR_VAR][:, 1, :]
+        pc = pg - pl
+
+        k = prop(mat, "permeability", fv, params, 1.0)
+        phi_por = prop(mat, "porosity", fv, params, 1.0)
+        mul = prop(mat, "mu_liquid", fv, params, 1.0)
+        mug = prop(mat, "mu_gas", fv, params, 1.0)
+        rho_l = prop(mat, "rho_liquid", fv, params, 1.0)
+        rho_g_ref = prop(mat, "rho_gas", fv, params, 1.0)
+        p_ref = mat.get("p_ref", 1.0)
+        rho_g = rho_g_ref * pg / p_ref if self.compressible else \
+            rho_g_ref * jnp.ones_like(pg)
+
+        krl = self.model.krel(-pc)
+        krg = self._krg(pc)
+        gvec = mat.get("gravity_vec", None)
+
+        drive_l = gpl
+        drive_g = gpg
+        if gvec is not None:
+            g = jnp.asarray(gvec)[None, :]
+            drive_l = gpl - rho_l * g
+            drive_g = gpg - rho_g[:, None] * g
+        flux_l = (k * krl / mul)[:, None] * drive_l
+        flux_g = (rho_g * k * krg / mug)[:, None] * drive_g
+
+        phi_b = fv.phi[POR_VAR]
+        gphi = fv.gphi[POR_VAR]
+        rl = jnp.einsum("qk,qik->qi", flux_l, gphi)
+        rg = jnp.einsum("qk,qik->qi", flux_g, gphi)
+        if self.transient:
+            dS = _jax.vmap(_jax.grad(self._sat_of_pc))(pc)
+            pldot = fv.dot[POR_VAR][:, 0]
+            pgdot = fv.dot[POR_VAR][:, 1]
+            pcdot = pgdot - pldot
+            S = self._sat_of_pc(pc)
+            rl = rl + jnp.einsum("q,qi->qi", phi_por * dS * pcdot, phi_b)
+            # gas storage: phi d[(1-S) rho_g]/dt
+            gas_dot = -dS * pcdot * rho_g
+            if self.compressible:
+                gas_dot = gas_dot + (1.0 - S) * rho_g_ref / p_ref * pgdot
+            rg = rg + jnp.einsum("q,qi->qi", phi_por * gas_dot, phi_b)
+        return jnp.stack([rl, rg], axis=1)
+
+
 class PorousFlow(Equation):
     """Saturated (model=None) or unsaturated (model=VanGenuchten) flow.
 
