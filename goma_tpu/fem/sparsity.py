@@ -38,15 +38,22 @@ class CSRPattern:
 
     def find(self, rows: np.ndarray, cols: np.ndarray) -> np.ndarray:
         """Positions of (row, col) entries; -1 where absent."""
+        from goma_tpu.native import searchsorted_native
+
         k = rows.astype(np.int64) * self.n + cols.astype(np.int64)
-        pos = np.searchsorted(self.keys, k)
+        pos = searchsorted_native(self.keys, k)
         pos = np.clip(pos, 0, self.nnz - 1)
         ok = self.keys[pos] == k
         return np.where(ok, pos, -1)
 
 
 def build_pattern(n_dof: int, gathers: list[np.ndarray]) -> CSRPattern:
-    """Union of element-local dense couplings over all blocks + full diagonal."""
+    """Union of element-local dense couplings over all blocks + full diagonal.
+    The sort+unique over all element key cross-products is the graph-build
+    hot spot at production mesh sizes; it runs in parallel C++
+    (goma_tpu.native.sort_unique, reference create_graph parity)."""
+    from goma_tpu.native import sort_unique
+
     keys_parts = [np.arange(n_dof, dtype=np.int64) * n_dof + np.arange(n_dof)]
     for g in gathers:
         g64 = g.astype(np.int64)
@@ -54,7 +61,7 @@ def build_pattern(n_dof: int, gathers: list[np.ndarray]) -> CSRPattern:
         rows = np.repeat(g64, nl, axis=1)  # (ne, nl*nl)
         cols = np.tile(g64, (1, nl))
         keys_parts.append((rows * n_dof + cols).ravel())
-    keys = np.unique(np.concatenate(keys_parts))
+    keys = sort_unique(np.concatenate(keys_parts))
     rows = (keys // n_dof).astype(np.int32)
     cols = (keys % n_dof).astype(np.int32)
     indptr = np.zeros(n_dof + 1, dtype=np.int64)

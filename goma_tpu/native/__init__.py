@@ -19,7 +19,7 @@ _LIB = None
 _TRIED = False
 
 
-def _compile(name: str = "meshprep") -> Path | None:
+def _compile(name: str = "meshprep", extra_flags: tuple = ()) -> Path | None:
     so = _HERE / "_build" / f"lib{name}.so"
     src = _HERE / f"{name}.cpp"
     if so.exists() and so.stat().st_mtime >= src.stat().st_mtime:
@@ -27,7 +27,8 @@ def _compile(name: str = "meshprep") -> Path | None:
     so.parent.mkdir(exist_ok=True)
     try:
         subprocess.run(
-            ["g++", "-O3", "-march=native", "-shared", "-fPIC", str(src), "-o", str(so)],
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC", *extra_flags,
+             str(src), "-o", str(so)],
             check=True, capture_output=True, timeout=120,
         )
         return so
@@ -135,3 +136,55 @@ def ref_assembly_seconds_per_element(n_rep: int = 20000) -> float | None:
     keep = [p(a) for a in (N2, dN2, N1, qwts, X, q)]
     return float(lib.ref_assembly_seconds_per_element(
         qpts.shape[0], *(k[1] for k in keep), n_rep))
+
+
+# ------------------------------------------------------ CSR graph kernels
+_GRAPH_LIB = None
+_GRAPH_TRIED = False
+
+
+def _graph_lib():
+    global _GRAPH_LIB, _GRAPH_TRIED
+    if _GRAPH_LIB is None and not _GRAPH_TRIED:
+        _GRAPH_TRIED = True
+        so = _compile("graph", extra_flags=("-pthread",))
+        if so is not None:
+            lib = ctypes.CDLL(str(so))
+            lib.sort_unique_i64.restype = ctypes.c_int64
+            lib.sort_unique_i64.argtypes = [
+                ctypes.POINTER(ctypes.c_int64), ctypes.c_int64, ctypes.c_int]
+            lib.searchsorted_i64.argtypes = [
+                ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int64), ctypes.c_int]
+            _GRAPH_LIB = lib
+    return _GRAPH_LIB
+
+
+def sort_unique(keys: np.ndarray) -> np.ndarray:
+    """Sorted unique int64 keys (parallel C++ when available; the matrix
+    graph-construction primitive, reference src/linalg/sparse_matrix.cpp
+    create_graph)."""
+    keys = np.ascontiguousarray(keys, dtype=np.int64)
+    lib = _graph_lib()
+    if lib is None:
+        return np.unique(keys)
+    buf = keys.copy()
+    m = lib.sort_unique_i64(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), buf.shape[0], 0)
+    return buf[:m]
+
+
+def searchsorted_native(sorted_keys: np.ndarray, queries: np.ndarray) -> np.ndarray:
+    """Parallel lower_bound lookup (falls back to np.searchsorted)."""
+    lib = _graph_lib()
+    q = np.ascontiguousarray(queries, dtype=np.int64)
+    if lib is None:
+        return np.searchsorted(sorted_keys, q)
+    s = np.ascontiguousarray(sorted_keys, dtype=np.int64)
+    out = np.empty(q.shape[0], dtype=np.int64)
+    lib.searchsorted_i64(
+        s.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), s.shape[0],
+        q.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), q.shape[0],
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), 0)
+    return out
