@@ -62,3 +62,84 @@ def solve_stability(problem, x, params, n_modes: int = 6, shift: float = 0.0) ->
     sigma = sigma[order]
     z = z[:, order]
     return StabilityResult(growth_rates=sigma, modes=z, stable=bool(np.all(sigma.real < 0)))
+
+
+def solve_stability_device(problem, x, params, n_modes: int = 6,
+                           shift: float = 0.0, m: int | None = None,
+                           inner_tol: float = 1e-9, inner_maxiter: int = 600,
+                           gmres_restart: int = 120,
+                           seed: int = 0) -> StabilityResult:
+    """Shift-invert Arnoldi running on device (TPU-native LSA).
+
+    The reference delegates this to serial eggroll or ARPACK+Cayley
+    (src/sl_eggrollwrap.c:69, src/loca_eigen_cayley.F); here the inner
+    (J - mu0 M)^-1 solves use the framework's own preconditioned GMRES and
+    the Arnoldi basis lives on device (CGS2 orthogonalization = batched
+    matmuls on the MXU). The small Hessenberg eigenproblem is solved on host.
+    """
+    import jax
+    from goma_tpu.fem.sparsity import EllOperator
+    from goma_tpu.solvers.linear import BlockJacobi, gmres
+
+    Jv, Mv = mass_and_jacobian(problem, x, params)
+    dtype = problem.dtype
+    mu0 = -shift
+    Cv = jnp.asarray(Jv - mu0 * Mv, dtype=dtype)
+    Mvj = jnp.asarray(Mv, dtype=dtype)
+    pat = problem.pattern
+    n = pat.n
+    ell = EllOperator(pat)
+    pre = BlockJacobi(pat, problem.dofmap)
+    fac = pre.factor(Cv)
+
+    mvC = lambda v: ell.matvec(Cv, v)
+    mvM = lambda v: ell.matvec(Mvj, v)
+    prec = lambda r: pre.apply(fac, r)
+
+    @jax.jit
+    def op(v):
+        lr = gmres(mvC, mvM(v), precond=prec, tol=inner_tol,
+                   restart=gmres_restart, maxiter=inner_maxiter)
+        return lr.x
+
+    if m is None:
+        m = max(4 * n_modes + 8, n_modes + 12)
+    m = min(m, n - 1)
+    rng = np.random.RandomState(seed)
+    V = jnp.zeros((m + 1, n), dtype=dtype)
+    v0 = jnp.asarray(rng.standard_normal(n), dtype=dtype)
+    V = V.at[0].set(v0 / jnp.linalg.norm(v0))
+    H = np.zeros((m + 1, m))
+
+    hi = None
+    import jax as _jax
+    prec_hi = _jax.lax.Precision.HIGHEST
+    for j in range(m):
+        w = op(V[j])
+        mask = (jnp.arange(m + 1) <= j).astype(dtype)
+        h = jnp.matmul(V, w, precision=prec_hi) * mask
+        w = w - jnp.matmul(V.T, h, precision=prec_hi)
+        h2 = jnp.matmul(V, w, precision=prec_hi) * mask
+        w = w - jnp.matmul(V.T, h2, precision=prec_hi)
+        h = np.asarray(h + h2)
+        wn = float(jnp.linalg.norm(w))
+        H[: m + 1, j] = h
+        H[j + 1, j] = wn
+        if wn < 1e-13:
+            m = j + 1
+            break
+        V = V.at[j + 1].set(w / wn)
+
+    theta, Y = np.linalg.eig(H[:m, :m])
+    keep = np.argsort(-np.abs(theta))[:n_modes]
+    theta = theta[keep]
+    Y = Y[:, keep]
+    mu = mu0 + 1.0 / theta
+    sigma = -mu
+    Vh = np.asarray(V[:m])
+    modes = (Vh.T @ Y)
+    order = np.argsort(-sigma.real)
+    sigma = sigma[order]
+    modes = modes[:, order]
+    return StabilityResult(growth_rates=sigma, modes=modes,
+                           stable=bool(np.all(sigma.real < 0)))

@@ -134,3 +134,24 @@ def test_fold_tracking_moore_spence():
                  (jnp.asarray(fr.x),), (jnp.asarray(fr.null_vector),))[1]
     assert float(jnp.abs(Jv).max()) < 1e-6
     assert np.linalg.norm(fr.null_vector) > 0.5
+
+
+def test_lsa_device_arnoldi_matches_host():
+    """Device shift-invert Arnoldi (framework GMRES inner solves) reproduces
+    the scipy host path on the heat spectrum."""
+    from goma_tpu.continuation.stability import solve_stability_device
+
+    mesh = rectangle_mesh(8, 8, elem="QUAD9")
+    prob = Problem(mesh, [Energy(interp="Q2", transient=True, convection=False)],
+                   {"rho": 1.0, "Cp": 1.0, "k": 1.0})
+    for ns in ("left", "right", "top", "bottom"):
+        prob.add_dirichlet(ns, "temperature", 0, 0.0)
+    prob.finalize()
+    x0 = np.zeros(prob.dofmap.n_dof)
+    res = solve_stability_device(prob, x0, prob.base_params(), n_modes=4,
+                                 shift=-2 * np.pi**2)
+    sig = np.sort(-res.growth_rates.real)
+    pi2 = np.pi**2
+    exact = np.array([2 * pi2, 5 * pi2, 5 * pi2, 8 * pi2])
+    np.testing.assert_allclose(sig[:4], exact, rtol=2e-3)
+    assert res.stable
