@@ -104,6 +104,22 @@ class _FaceSet:
     name: str = ""
 
 
+@dataclass
+class _IfcSet:
+    """Paired-face interface set (cross-block coupling)."""
+
+    block_a: int
+    block_b: int
+    kernels: list
+    elems_a: np.ndarray  # (np,)
+    elems_b: np.ndarray
+    ftabs_a: dict[str, np.ndarray]
+    ftabs_b: dict[str, np.ndarray]
+    fwts: np.ndarray
+    gather_ab: np.ndarray  # (np, nla + nlb) combined dof gather
+    nla: int
+
+
 class Problem:
     """A coupled multiphysics problem on a mesh.
 
@@ -147,6 +163,7 @@ class Problem:
         self._rot_specs: list = []
         self._rot_constraints: list = []
         self._point_specs: list = []
+        self._ifc_specs: list = []
         self._devcache: dict = {}
         self._devcache_keep: list = []
         # optional lower-precision Jacobian (mixed-precision Newton-Krylov);
@@ -180,6 +197,17 @@ class Problem:
             T[f"fn{j}"] = dev(self._nnz_maps[fs.block_index][fs.face_elems])
             for k, v in fs.ftabs.items():
                 T[f"ft{j}:{k}"] = dev(np.asarray(v).astype(dt))
+        for j, s in enumerate(self.ifc_sets):
+            T[f"ig{j}"] = dev(s.gather_ab.astype(np.int32))
+            T[f"ixa{j}"] = dev(self.mesh.coords[
+                self.mesh.blocks[s.block_a].conn[s.elems_a]].astype(dt))
+            T[f"ixb{j}"] = dev(self.mesh.coords[
+                self.mesh.blocks[s.block_b].conn[s.elems_b]].astype(dt))
+            T[f"in{j}"] = dev(self._ifc_nnz[j])
+            for k, v in s.ftabs_a.items():
+                T[f"ita{j}:{k}"] = dev(np.asarray(v).astype(dt))
+            for k, v in s.ftabs_b.items():
+                T[f"itb{j}:{k}"] = dev(np.asarray(v).astype(dt))
         T["tg"] = dev(self._tgather_pos)
         T["dirmask"] = dev(self._dir_mask)
         T["dirdofs"] = dev(self.dirichlet_dofs)
@@ -218,6 +246,13 @@ class Problem:
     def add_face_kernel(self, sideset: str, kernel: FaceKernel):
         self._face_sets.append((sideset, kernel))
 
+    def add_interface_kernel(self, pairs, kernel):
+        """Cross-block interface term over the paired faces (see
+        goma_tpu.mesh.interface.find_interface_faces / split_interface).
+        Reference: interfacial sources between discontinuous variables,
+        src/mm_interface.c."""
+        self._ifc_specs.append((pairs, kernel))
+
     def add_rotation(self, sidesets, var: str):
         """Rotate the nodal equations of ``var`` into normal-tangent frames
         on the given sideset(s) (reference: auto-rotation,
@@ -250,10 +285,15 @@ class Problem:
             [(eq.var, eq.ncomp, eq.interp) for eq in eqs] for eqs in self.equations
         ]
         self.dofmap: DofMap = build_dofmap(mesh, block_vars)
+        # interface (paired-face) sets add cross-block couplings to the graph
+        self.ifc_sets: list[_IfcSet] = self._build_interface_sets()
         self.pattern: CSRPattern = build_pattern(
-            self.dofmap.n_dof, [b.gather for b in self.dofmap.blocks]
+            self.dofmap.n_dof,
+            [b.gather for b in self.dofmap.blocks]
+            + [s.gather_ab for s in self.ifc_sets],
         )
         self._nnz_maps = [nnz_map_for_gather(self.pattern, b.gather) for b in self.dofmap.blocks]
+        self._ifc_nnz = [nnz_map_for_gather(self.pattern, s.gather_ab) for s in self.ifc_sets]
 
         # volume tables
         self.tables: list[BlockTables] = []
@@ -350,6 +390,97 @@ class Problem:
         self._finalized = True
         self._assemble_jit = jax.jit(self._assemble)
         self._residual_jit = jax.jit(self._residual_only)
+
+    def _build_interface_sets(self) -> list["_IfcSet"]:
+        """Per registered interface: A-side face quadrature tables, B-side
+        basis tables at the *matching* reference points (host Newton
+        inversion of B's face map at A's physical qps), and the combined
+        (nla + nlb) dof gather that gives the cross-block Jacobian blocks."""
+        out = []
+        bykey: dict[int, tuple] = {}
+        for pairs, k in self._ifc_specs:
+            bykey.setdefault(id(pairs), (pairs, []))[1].append(k)
+        mesh = self.mesh
+        for pairs, kernels in bykey.values():
+            ba, bb = pairs.block_a, pairs.block_b
+            blk_a, blk_b = mesh.blocks[ba], mesh.blocks[bb]
+            bd_a, bd_b = self.dofmap.blocks[ba], self.dofmap.blocks[bb]
+            et_a, et_b = element_type(blk_a.elem_type), element_type(blk_b.elem_type)
+            gi_a, gi_b = geom_interp(et_a), geom_interp(et_b)
+            fpts, fwts = face_rule(et_a.family, self.quad_order)
+            faces_a = elem_faces(et_a.family)
+            faces_b = elem_faces(et_b.family)
+            interps_a = {s.interp for s in bd_a.slots}
+            interps_b = {s.interp for s in bd_b.slots}
+
+            ta = {"Ng": [], "dNg": [], "refjac": []}
+            tb = {"Ng": [], "dNg": [], "refjac": []}
+            Na = {i: [] for i in interps_a}
+            dNa = {i: [] for i in interps_a}
+            Nb = {i: [] for i in interps_b}
+            dNb = {i: [] for i in interps_b}
+            for la, fa, lb, fb in zip(pairs.elems_a, pairs.faces_a,
+                                      pairs.elems_b, pairs.faces_b):
+                face_a = faces_a[int(fa)]
+                epts_a = face_a.ref_map(fpts)
+                Ng_a, dNg_a = eval_basis(et_a.family, gi_a, epts_a)
+                Xa = mesh.coords[blk_a.conn[int(la)]]
+                xq = Ng_a @ Xa  # physical qps (nq, dim)
+
+                # invert B's face map at each physical qp (host Newton)
+                face_b_o = faces_b[int(fb)]
+                Xb = mesh.coords[blk_b.conn[int(lb)]]
+                dim_f = face_b_o.ref_jac.shape[1]
+                s = np.zeros((fpts.shape[0], dim_f))
+                for _ in range(30):
+                    epts_b = face_b_o.ref_map(s)
+                    Ng_b, dNg_b = eval_basis(et_b.family, gi_b, epts_b)
+                    xb = Ng_b @ Xb
+                    # dX/ds = (dNg_b . refjac)^T Xb
+                    dxds = np.einsum("qnd,df,nk->qkf", dNg_b,
+                                     face_b_o.ref_jac, Xb)
+                    r = xb - xq
+                    JtJ = np.einsum("qkf,qkg->qfg", dxds, dxds)
+                    Jtr = np.einsum("qkf,qk->qf", dxds, r)
+                    ds = np.linalg.solve(JtJ, Jtr[:, :, None])[:, :, 0]
+                    s = s - ds
+                    if np.abs(ds).max() < 1e-13:
+                        break
+                epts_b = face_b_o.ref_map(s)
+                if np.abs((eval_basis(et_b.family, gi_b, epts_b)[0] @ Xb) - xq).max() > 1e-8:
+                    raise RuntimeError("interface faces are not conforming")
+                Ng_b, dNg_b = eval_basis(et_b.family, gi_b, epts_b)
+                ta["Ng"].append(Ng_a)
+                ta["dNg"].append(dNg_a)
+                ta["refjac"].append(face_a.ref_jac)
+                tb["Ng"].append(Ng_b)
+                tb["dNg"].append(dNg_b)
+                tb["refjac"].append(face_b_o.ref_jac)
+                for itp in interps_a:
+                    N, dN = eval_basis(et_a.family, itp, epts_a)
+                    Na[itp].append(N)
+                    dNa[itp].append(dN)
+                for itp in interps_b:
+                    N, dN = eval_basis(et_b.family, itp, epts_b)
+                    Nb[itp].append(N)
+                    dNb[itp].append(dN)
+            ftabs_a = {k: np.stack(v) for k, v in ta.items()}
+            ftabs_b = {k: np.stack(v) for k, v in tb.items()}
+            for itp in interps_a:
+                ftabs_a[f"N:{itp}"] = np.stack(Na[itp])
+                ftabs_a[f"dN:{itp}"] = np.stack(dNa[itp])
+            for itp in interps_b:
+                ftabs_b[f"N:{itp}"] = np.stack(Nb[itp])
+                ftabs_b[f"dN:{itp}"] = np.stack(dNb[itp])
+            ga = bd_a.gather[pairs.elems_a]
+            gb = bd_b.gather[pairs.elems_b]
+            out.append(_IfcSet(
+                block_a=ba, block_b=bb, kernels=kernels,
+                elems_a=np.asarray(pairs.elems_a), elems_b=np.asarray(pairs.elems_b),
+                ftabs_a=ftabs_a, ftabs_b=ftabs_b, fwts=fwts,
+                gather_ab=np.concatenate([ga, gb], axis=1), nla=ga.shape[1],
+            ))
+        return out
 
     def _build_face_set(self, sideset_name: str, kernels: list[FaceKernel]) -> list["_FaceSet"]:
         mesh = self.mesh
@@ -470,6 +601,68 @@ class Problem:
             return r, r
 
         return face_res
+
+    def _ifc_residual_fn(self, si: int, dtype=None) -> Callable:
+        """Residual of one paired interface face over the COMBINED local dofs
+        (nla + nlb): jacfwd of this yields the full two-sided Jacobian incl.
+        the cross-block (neighbor) blocks — the lec->J_stress_neighbor analog."""
+        s = self.ifc_sets[si]
+        bd_a = self.dofmap.blocks[s.block_a]
+        bd_b = self.dofmap.blocks[s.block_b]
+        mat_a = self.materials[s.block_a]
+        mat_b = self.materials[s.block_b]
+        dtype = dtype or self.dtype
+        dim = self.mesh.dim
+        fwts = jnp.asarray(s.fwts, dtype=dtype)
+        nla = s.nla
+
+        def ifc_res(q_ab, hist_ab, Xa_e, Xb_e, fta, ftb, params):
+            qa, qb = q_ab[:nla], q_ab[nla:]
+            ha, hb = hist_ab[:nla], hist_ab[nla:]
+            sa = eval_surfacevars(qa, params["ct"] * qa + ha, Xa_e, fta, fwts,
+                                  bd_a.slots, dim, dtype)
+            sb = eval_surfacevars(qb, params["ct"] * qb + hb, Xb_e, ftb, fwts,
+                                  bd_b.slots, dim, dtype)
+            r = jnp.zeros((q_ab.shape[0],), dtype=q_ab.dtype)
+            for k in s.kernels:
+                ca, cb = k.residual(sa, sb, mat_a, mat_b, params)
+                sla = bd_a.slot(k.var)
+                slb = bd_b.slot(k.var)
+                acc_a = jnp.einsum("q,qcn->cn", sa.wdA, ca)
+                acc_b = jnp.einsum("q,qcn->cn", sa.wdA, cb)
+                r = r.at[sla.start : sla.start + sla.size].add(acc_a.reshape(-1))
+                r = r.at[nla + slb.start : nla + slb.start + slb.size].add(
+                    acc_b.reshape(-1))
+            return r, r
+
+        return ifc_res
+
+    def _ifc_contribs(self, x, hist, params, T, with_jac=True):
+        """Sum of all interface sets' (R, vals) contributions."""
+        n = self.dofmap.n_dof
+        dtype = x.dtype
+        R = jnp.zeros(n, dtype=dtype)
+        vals = jnp.zeros(self.pattern.nnz, dtype=dtype) if with_jac else None
+        for si, s in enumerate(self.ifc_sets):
+            gather = T[f"ig{si}"]
+            Xa = T[f"ixa{si}"]
+            Xb = T[f"ixb{si}"]
+            fta = {k: T[f"ita{si}:{k}"] for k in s.ftabs_a}
+            ftb = {k: T[f"itb{si}:{k}"] for k in s.ftabs_b}
+            ifc_res = self._ifc_residual_fn(si)
+            if with_jac:
+                jac_fn = jax.jacfwd(ifc_res, argnums=0, has_aux=True)
+                J, r = jax.vmap(jac_fn, in_axes=(0, 0, 0, 0, 0, 0, None))(
+                    x[gather], hist[gather], Xa, Xb, fta, ftb, params)
+                vals = vals + jax.ops.segment_sum(
+                    J.reshape(-1), T[f"in{si}"].reshape(-1),
+                    num_segments=self.pattern.nnz)
+            else:
+                r, _ = jax.vmap(ifc_res, in_axes=(0, 0, 0, 0, 0, 0, None))(
+                    x[gather], hist[gather], Xa, Xb, fta, ftb, params)
+            R = R + jax.ops.segment_sum(r.reshape(-1), gather.reshape(-1),
+                                        num_segments=n)
+        return R, vals
 
     def _ext_gather(self, params, conn):
         if self.external_fields:
@@ -650,6 +843,14 @@ class Problem:
                 J.reshape(-1), nmap.reshape(-1), num_segments=self.pattern.nnz
             )
 
+        if self.ifc_sets:
+            # interface couplings are not in the element-matvec aux; callers
+            # must use the CSR operator (NewtonSolver disables the element
+            # matvec when interfaces are present)
+            dR, dv = self._ifc_contribs(x, hist, params, T, with_jac=True)
+            R = R + dR
+            vals = vals + dv.astype(vals.dtype)
+
         R, vals = self._apply_rotation(x, R, vals, T)
         pc_dg = []
         if self._point_sets:
@@ -803,6 +1004,11 @@ class Problem:
             R = R + dR
             vals = vals + dv
 
+        if self.ifc_sets:
+            dR, dv = self._ifc_contribs(x, hist, params, T, with_jac=True)
+            R = R + dR
+            vals = vals + dv
+
         R, vals = self._apply_rotation(x, R, vals, T)
         if self._point_sets:
             from goma_tpu.bc.pointwise import apply_point_constraints
@@ -839,6 +1045,9 @@ class Problem:
                 x[gather], hist[gather], Xref, ftabs, params
             )
             R = R + jax.ops.segment_sum(r.reshape(-1), gather.reshape(-1), num_segments=n)
+        if self.ifc_sets:
+            dR, _ = self._ifc_contribs(x, hist, params, T, with_jac=False)
+            R = R + dR
         R, _ = self._apply_rotation(x, R, None, T)
         if self._point_sets:
             from goma_tpu.bc.pointwise import apply_point_constraints

@@ -57,6 +57,26 @@ class FaceKernel:
         raise NotImplementedError
 
 
+class InterfaceKernel:
+    """Cross-block interface term over paired faces (reference:
+    ``src/mm_interface.c`` interfacial sources between discontinuous
+    variables; the two-sided Jacobian coupling mirrors
+    ``lec->J_stress_neighbor``). ``residual`` returns contributions to BOTH
+    sides' ``var`` equations, each (nq, ncomp, nbf_side), integrated with the
+    A-side surface measure. ``sa.normal`` points out of side A (into B)."""
+
+    var: str
+    ncomp: int
+
+    def __init__(self, var: str, ncomp: int):
+        self.var = var
+        self.ncomp = ncomp
+
+    def residual(self, sa: "SurfaceVars", sb: "SurfaceVars", mat_a: dict,
+                 mat_b: dict, params: dict):
+        raise NotImplementedError
+
+
 class SurfaceVars(FieldVars):
     """FieldVars at face quadrature points, plus surface geometry.
 

@@ -40,5 +40,6 @@ from goma_tpu.physics.suspension import (
     flow_frame_qtensor,
     particle_drag_force,
 )
+from goma_tpu.physics.interface import InterfaceExchange
 from goma_tpu.physics import materials
 from goma_tpu.physics.em import EMAbsorbingBC, EMWave
