@@ -146,6 +146,57 @@ def _hex_s2(pts):
     return N, dN
 
 
+def eval_nedelec(family: str, pts: np.ndarray):
+    """Lowest-order Nedelec (edge) vector basis on the reference element.
+
+    Reference: I_N1 interpolation (include/mm_as_const.h) used by the
+    time-harmonic EM curl-curl equations (src/mm_fill_em.c Nedelec variant,
+    src/bc_integ.c:2447). One dof per edge = the tangential circulation; the
+    dof is carried by the edge's midside node of the quadratic parent.
+
+    Returns (Nvec (nq, nbf, dim), curl (nq, nbf)); 2D curl is the scalar
+    z-component. Quad edge reference directions: (0->1), (1->2), (3->2),
+    (0->3) — low-corner to high-corner in our structured node ordering, so
+    globally consistent orientation on generator meshes.
+    """
+    pts = np.asarray(pts, dtype=float)
+    nq = pts.shape[0]
+    if family == "quad":
+        x, y = pts[:, 0], pts[:, 1]
+        N = np.zeros((nq, 4, 2))
+        C = np.zeros((nq, 4))
+        N[:, 0, 0] = (1 - y) / 4.0   # bottom, +x
+        C[:, 0] = 0.25
+        N[:, 1, 1] = (1 + x) / 4.0   # right, +y
+        C[:, 1] = 0.25
+        N[:, 2, 0] = (1 + y) / 4.0   # top, +x
+        C[:, 2] = -0.25
+        N[:, 3, 1] = (1 - x) / 4.0   # left, +y
+        C[:, 3] = -0.25
+        return N, C
+    if family == "tri":
+        # Whitney edge functions W_ij = L_i grad L_j - L_j grad L_i,
+        # edges (0,1), (1,2), (2,0); curl = 2 (gLi x gLj)_z
+        r, s = pts[:, 0], pts[:, 1]
+        L = np.stack([1 - r - s, r, s], axis=1)
+        gL = np.array([[-1.0, -1.0], [1.0, 0.0], [0.0, 1.0]])
+        edges = [(0, 1), (1, 2), (2, 0)]
+        N = np.zeros((nq, 3, 2))
+        C = np.zeros((nq, 3))
+        for k, (i, j) in enumerate(edges):
+            N[:, k, :] = L[:, i, None] * gL[j][None, :] - L[:, j, None] * gL[i][None, :]
+            C[:, k] = 2.0 * (gL[i][0] * gL[j][1] - gL[i][1] * gL[j][0])
+        return N, C
+    raise ValueError(f"Nedelec basis for family {family}")
+
+
+# midside node carrying each edge dof (quadratic parents)
+NEDELEC_EDGE_CORNERS = {
+    "quad": ((0, 1), (1, 2), (3, 2), (0, 3)),
+    "tri": ((0, 1), (1, 2), (2, 0)),
+}
+
+
 def _tri_p1(pts):
     r, s = pts[:, 0], pts[:, 1]
     N = np.stack([1 - r - s, r, s], axis=1)
@@ -386,6 +437,9 @@ _NODAL_INTERP_NODES = {
     ("quad", "Q2"): tuple(range(9)),
     ("quad", "S2"): tuple(range(8)),
     ("hex", "S2"): tuple(range(20)),
+    # Nedelec edge dofs ride the midside nodes of quadratic parents
+    ("quad", "N1"): (4, 5, 6, 7),
+    ("tri", "N1"): (3, 4, 5),
     ("tri", "P1"): tuple(range(3)),
     ("tri", "P2"): tuple(range(6)),
     ("hex", "Q1"): tuple(range(8)),

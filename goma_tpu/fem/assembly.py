@@ -410,8 +410,8 @@ class Problem:
             fpts, fwts = face_rule(et_a.family, self.quad_order)
             faces_a = elem_faces(et_a.family)
             faces_b = elem_faces(et_b.family)
-            interps_a = {s.interp for s in bd_a.slots}
-            interps_b = {s.interp for s in bd_b.slots}
+            interps_a = {s.interp for s in bd_a.slots if s.interp != "N1"}
+            interps_b = {s.interp for s in bd_b.slots if s.interp != "N1"}
 
             ta = {"Ng": [], "dNg": [], "refjac": []}
             tb = {"Ng": [], "dNg": [], "refjac": []}
@@ -498,7 +498,9 @@ class Problem:
             gi = geom_interp(et)
             fpts, fwts = face_rule(et.family, self.quad_order)
             all_faces = elem_faces(et.family)
-            interps = {s.interp for s in bd.slots}
+            # edge (N1) slots have no scalar face traces; face kernels on
+            # Nedelec variables are not supported yet
+            interps = {s.interp for s in bd.slots if s.interp != "N1"}
             # per-face tables
             Ngs, dNgs, refjacs = [], [], []
             Ni: dict[str, list] = {i: [] for i in interps}

@@ -131,8 +131,8 @@ def build_dofmap(mesh: Mesh, block_vars: list[list[tuple[str, int, str]]]) -> Do
                 ln = interp_local_nodes(et.family, rint)
                 if max(ln) >= et.n_nodes:
                     raise ValueError(
-                        f"variable '{name}': interpolation {rint} needs "
-                        f"{len(ln)} nodes but block '{blk.name}' has "
+                        f"variable '{name}': interpolation {rint} uses local "
+                        f"nodes up to {max(ln)} but block '{blk.name}' has "
                         f"{et.n_nodes}-node {blk.elem_type} elements; use a "
                         f"higher-order mesh or a lower-order interpolation"
                     )
@@ -179,6 +179,19 @@ def build_dofmap(mesh: Mesh, block_vars: list[list[tuple[str, int, str]]]) -> Do
                 gather[:, s.start : s.start + sz] = idx.astype(np.int32)
                 next_dof += ne * sz
             else:
+                if s.interp == "N1":
+                    # edge-dof orientation: the basis assumes every edge is
+                    # traversed low-global-corner -> high-global-corner
+                    # (true for the structured generators); inconsistent
+                    # orientation needs per-element sign tables (later round)
+                    from goma_tpu.elements.shapes import NEDELEC_EDGE_CORNERS
+
+                    for (c0, c1) in NEDELEC_EDGE_CORNERS[et.family]:
+                        if not np.all(blk.conn[:, c0] < blk.conn[:, c1]):
+                            raise NotImplementedError(
+                                "Nedelec edge dofs need consistently oriented "
+                                "edges (low->high global corner ids); "
+                                "re-number the mesh nodes")
                 ln = list(interp_local_nodes(et.family, s.interp))
                 nodes = blk.conn[:, ln]  # (ne, nbf)
                 for c in range(s.ncomp):

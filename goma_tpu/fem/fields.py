@@ -39,19 +39,28 @@ class BlockTables:
     dNg: np.ndarray  # (nq, n_geom_nodes, dim)
     N: dict[str, np.ndarray]  # interp -> (nq, nbf)
     dN: dict[str, np.ndarray]  # interp -> (nq, nbf, dim) (reference coords)
+    # H(curl) edge interpolations (I_N1): reference vector basis + curl
+    Nvec: dict[str, np.ndarray] = None  # interp -> (nq, nbf, dim)
+    Ncurl: dict[str, np.ndarray] = None  # interp -> (nq, nbf)
 
 
 def build_block_tables(elem_type_name: str, interps: set[str], quad_order: int) -> BlockTables:
     from goma_tpu.elements import volume_rule
+    from goma_tpu.elements.shapes import eval_nedelec
 
     et = element_type(elem_type_name)
     qpts, qwts = volume_rule(et.family, quad_order)
     gi = geom_interp(et)
     Ng, dNg = eval_basis(et.family, gi, qpts)
     N, dN = {}, {}
+    Nvec, Ncurl = {}, {}
     for itp in sorted(interps | {gi}):
+        if itp == "N1":
+            Nvec[itp], Ncurl[itp] = eval_nedelec(et.family, qpts)
+            continue
         N[itp], dN[itp] = eval_basis(et.family, itp, qpts)
-    return BlockTables(elem_type_name, et.dim, qpts.shape[0], qwts, Ng, dNg, N, dN)
+    return BlockTables(elem_type_name, et.dim, qpts.shape[0], qwts, Ng, dNg, N, dN,
+                       Nvec, Ncurl)
 
 
 class FieldVars:
@@ -100,6 +109,10 @@ class FieldVars:
         # (include/mm_as_structs.h:1046): ext[name] (nq,), ext_grad[name] (nq, dim)
         self.ext: dict[str, Any] = {}
         self.ext_grad: dict[str, Any] = {}
+        # H(curl) edge (Nedelec) variables: vector values + scalar curl (2D)
+        # and the transformed basis tables for test functions
+        self.curl: dict[str, Any] = {}
+        self.curl_phi: dict[str, Any] = {}
 
 
 def _unpack(q_e, slots: list[LocalSlot]):
@@ -172,6 +185,21 @@ def eval_fieldvars(
     gphi_cache: dict[str, jnp.ndarray] = {}
     gphi0_cache: dict[str, jnp.ndarray] = {}
     for s in slots:
+        if s.interp == "N1":
+            # Nedelec: covariant (Piola) transform N_phys = J^-T N_ref;
+            # 2D scalar curl transforms as curl_phys = curl_ref / detJ
+            Nv = jnp.asarray(tables.Nvec[s.interp], dtype=dtype)
+            Cv = jnp.asarray(tables.Ncurl[s.interp], dtype=dtype)
+            Nphys = jnp.einsum("qid,qdk->qik", Nv, invJ)
+            Cphys = Cv / detJ[:, None]
+            c = u[s.var][0]  # (nbf,) edge circulations
+            cdot = udot[s.var][0]
+            fv.phi[s.var] = Nphys  # (nq, nbf, dim) vector test functions
+            fv.curl_phi[s.var] = Cphys
+            fv.val[s.var] = jnp.einsum("qik,i->qk", Nphys, c)  # (nq, dim)
+            fv.curl[s.var] = jnp.einsum("qi,i->q", Cphys, c)
+            fv.dot[s.var] = jnp.einsum("qik,i->qk", Nphys, cdot)
+            continue
         Ni = jnp.asarray(tables.N[s.interp], dtype=dtype)
         dNi = jnp.asarray(tables.dN[s.interp], dtype=dtype)
         if s.interp not in gphi_cache:

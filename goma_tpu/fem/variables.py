@@ -42,5 +42,5 @@ def resolve_interp(family: str, interp: str) -> str:
     if interp in ("P0", "P1E"):
         return interp
     if family in ("tri", "tet"):
-        return {"Q1": "P1", "Q2": "P2"}[interp]
+        return {"Q1": "P1", "Q2": "P2"}.get(interp, interp)
     return interp

@@ -42,4 +42,4 @@ from goma_tpu.physics.suspension import (
 )
 from goma_tpu.physics.interface import InterfaceExchange
 from goma_tpu.physics import materials
-from goma_tpu.physics.em import EMAbsorbingBC, EMWave
+from goma_tpu.physics.em import EMAbsorbingBC, EMWave, EMWaveEdge

@@ -30,6 +30,7 @@ from goma_tpu.fem.equations import Equation, FaceKernel
 from goma_tpu.physics.materials import prop
 
 E_RE, E_IM = "em_e_real", "em_e_imag"
+EDGE_RE, EDGE_IM = "em_edge_real", "em_edge_imag"
 
 
 def _curl(gE, dim):
@@ -119,6 +120,64 @@ class EMWave(Equation):
             sgn = w if self.part == "real" else -w
             c = c - sgn * jnp.einsum("qa,qn->qan", Jv, phi)
         return c
+
+
+class EMWaveEdge(Equation):
+    """Nedelec edge-element (H(curl)-conforming) curl-curl equation, 2D.
+
+    Parity: the reference's edge-element discretization of the same operator
+    (``src/mm_fill_em.c`` I_N1 path, ``include/mm_as_const.h`` I_N1). The dof
+    is the tangential circulation on each element edge (carried by the edge's
+    midside node of the quadratic parent); the covariant Piola transform and
+    curl scaling live in ``goma_tpu.fem.fields.eval_fieldvars``.
+
+    Weak form (no grad-div gauge needed — the edge space is curl-conforming):
+
+        int (1/mu) curl E curl phi - omega^2 eps_c E . phi  dV = int f . phi
+
+    part: "real" | "imag". If the opposite-part variable is not registered
+    the sigma coupling is dropped (lossless single-part solves). PEC
+    (n x E = 0) is a strong Dirichlet on the boundary edge circulations.
+    Source: ``J_re``/``J_im`` material entries enter as -i omega J exactly as
+    in the nodal ``EMWave``.
+    """
+
+    def __init__(self, part: str, omega: float, dim: int = 2):
+        if dim != 2:
+            raise NotImplementedError("EMWaveEdge: 2D (quad/tri) only for now")
+        super().__init__(EDGE_RE if part == "real" else EDGE_IM, 1, "N1")
+        self.part = part
+        self.omega = omega
+        self.dim = dim
+
+    def residual(self, fv, mat, params):
+        w = self.omega
+        mu_m = prop(mat, "mu_m", fv, params, 1.0)
+        eps = prop(mat, "eps", fv, params, 1.0)
+        sig = prop(mat, "sigma_em", fv, params, 0.0)
+
+        E = fv.val[self.var]          # (nq, dim)
+        curl = fv.curl[self.var]      # (nq,) scalar curl in 2D
+        phi = fv.phi[self.var]        # (nq, nbf, dim)
+        cphi = fv.curl_phi[self.var]  # (nq, nbf)
+
+        c = cphi * (curl / mu_m)[:, None]  # (nq, nbf)
+
+        other = EDGE_IM if self.part == "real" else EDGE_RE
+        E_o = fv.val.get(other)
+        react = -(w * w) * eps * E
+        if E_o is not None:
+            react = react + (-1.0 if self.part == "real" else 1.0) * w * sig * E_o
+        c = c + jnp.einsum("qk,qnk->qn", react, phi)
+
+        key = "J_im" if self.part == "real" else "J_re"
+        Js = mat.get(key, None)
+        if Js is not None:
+            Jv = Js(fv, mat, params) if callable(Js) else jnp.broadcast_to(
+                jnp.asarray(Js), E.shape)
+            sgn = w if self.part == "real" else -w
+            c = c - sgn * jnp.einsum("qk,qnk->qn", Jv, phi)
+        return c[:, None, :]  # (nq, ncomp=1, nbf)
 
 
 class EMAbsorbingBC(FaceKernel):
