@@ -63,12 +63,16 @@ def continue_problem(
     max_steps: int = 200,
     min_dlam: float = 1e-10,
     growth: float = 1.5,
+    step_bounds: Callable[[float], tuple[float, float]] | None = None,
 ) -> list[ContinuationStep]:
     """March the solution from lam_start to lam_end with adaptive d(lambda).
 
     ``make_params(lam) -> params`` builds the full parameter pytree (including
     Dirichlet values if they depend on lambda). First-order predictor uses
     x' = -J^{-1} dR/dlam (reference: first-order continuation).
+    ``step_bounds(lam) -> (dmin, dmax)`` clamps |dlam| at the current point
+    (reference: per-hunting-condition Delta_s_min/max, ``src/ac_hunt.c``);
+    halving below dmin aborts, like the reference's step-size floor.
     """
     solver = NewtonSolver(problem, newton_options)
 
@@ -96,6 +100,10 @@ def continue_problem(
     steps.append(ContinuationStep(lam, x.copy(), res.iters, True))
 
     while (lam_end - lam) * direction > 1e-14 and len(steps) < max_steps:
+        dmin = min_dlam
+        if step_bounds is not None:
+            dmin, dmax = step_bounds(lam)
+            dlam = direction * min(max(abs(dlam), dmin), dmax)
         dlam = direction * min(abs(dlam), abs(lam_end - lam))
         # predictor: x' = -J^{-1} dR/dlam (first order), else reuse x
         if first_order:
@@ -114,7 +122,7 @@ def continue_problem(
                 dlam *= growth
         else:
             dlam *= 0.5
-            if abs(dlam) < min_dlam:
+            if abs(dlam) < max(min_dlam, dmin):
                 raise RuntimeError(f"continuation stalled at lam={lam}")
     return steps
 

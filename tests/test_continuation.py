@@ -91,6 +91,46 @@ def test_augmenting_condition_hits_target():
     assert abs(direct.x[dof] - 0.3) < 1e-8
 
 
+def test_hunting_multi_parameter():
+    """Hunting (src/ac_hunt.c parity): two parameters marched together — the
+    Bratu amplitude linearly, the conductivity on a logarithmic path — with a
+    per-parameter step cap honored by the shared sweep coordinate."""
+    from goma_tpu.continuation import HuntSpec, hunt_problem
+
+    mesh = rectangle_mesh(6, 6, elem="QUAD9")
+
+    def source(fv, mat, params):
+        T = fv.val["temperature"][:, 0]
+        return params["lam"] * jnp.exp(T)
+
+    prob = Problem(mesh, [Energy(interp="Q2", transient=False, convection=False)],
+                   {"k": lambda fv, mat, params: params["kk"],
+                    "heat_source": source})
+    for ns in ("left", "right", "top", "bottom"):
+        prob.add_dirichlet(ns, "temperature", 0, 0.0)
+    prob.finalize()
+
+    specs = [
+        HuntSpec("lam", 0.5, 4.0, ds_max=0.7),
+        HuntSpec("kk", 1.0, 4.0, log=True),
+    ]
+    steps = hunt_problem(
+        prob, specs, np.zeros(prob.dofmap.n_dof), ds0=0.5,
+        newton_options=NewtonOptions(max_iter=12, tol_residual=1e-10,
+                                     linear_solver="direct"),
+        base_params=prob.base_params(lam=jnp.asarray(0.5), kk=jnp.asarray(1.0)),
+    )
+    assert steps[-1].lam == pytest.approx(1.0)  # normalized sweep completed
+    svals = np.array([s.lam for s in steps])
+    lam_path = 0.5 + 3.5 * svals
+    assert np.max(np.diff(lam_path)) <= 0.7 + 1e-9  # per-parameter cap held
+    # endpoint matches a from-scratch solve at the final parameter values
+    res = NewtonSolver(
+        prob, NewtonOptions(max_iter=20, tol_residual=1e-10, linear_solver="direct")
+    ).solve(steps[-1].x, prob.base_params(lam=jnp.asarray(4.0), kk=jnp.asarray(4.0)))
+    assert res.converged and res.iters <= 1
+
+
 def test_lsa_heat_spectrum():
     mesh = rectangle_mesh(8, 8, elem="QUAD9")
     prob = Problem(mesh, [Energy(interp="Q2", transient=True, convection=False)],
