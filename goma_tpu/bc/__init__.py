@@ -1,1 +1,10 @@
 from goma_tpu.bc.free_surface import CapillaryBC, KinematicBC, NormalFlux, Traction
+from goma_tpu.bc.fluid import (
+    ConvectiveHeatFlux,
+    FlowPressure,
+    MassTransferFlux,
+    NavierSlip,
+    RadiativeHeatFlux,
+    cap_end_force,
+    contact_angle_force,
+)

@@ -1,0 +1,159 @@
+"""Named fluid / thermal / species boundary-condition catalog.
+
+Parity: the most-used cards of the reference's big fluid-BC file
+(``src/mm_ns_bc.c``: VELO_SLIP ``fvelo_slip_bc``, FLOW_PRESSURE /
+FLOW_HYDROSTATIC ``fflow_*``), the heat-flux family of ``src/bc_integ.c``
+(QCONV, QRAD), species mass-transfer fluxes (YFLUX, ``src/mm_ns_bc.c``
+``mass_flux_surf_mtc``), and the contact-line endpoint forces of
+``src/bc_special.c`` (CAP_ENDFORCE, CA) built on ``Problem.add_point_load``.
+
+All are thin AD-differentiated weak kernels: the reference's hand-coded BC
+Jacobian blocks come for free from jacfwd of the face/point residual.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from goma_tpu.fem.equations import FaceKernel
+from goma_tpu.physics.materials import prop
+
+
+class NavierSlip(FaceKernel):
+    """VELO_SLIP (``src/mm_ns_bc.c fvelo_slip_bc``): Navier slip law
+    t . sigma . n = -(1/beta) (u - u_wall) . t, entering the momentum weak
+    form as + int phi (1/beta) (u - u_wall) dG projected tangentially
+    (``tangential_only=True``, the VELO_SLIP_ROT behavior with rotated
+    no-penetration handled separately) or applied to all components (the
+    raw VELO_SLIP card, which relies on a separate normal condition)."""
+
+    def __init__(self, dim: int, beta: float, u_wall=0.0,
+                 tangential_only: bool = True):
+        super().__init__("velocity", dim)
+        self.dim = dim
+        self.beta = beta
+        self.u_wall = u_wall
+        self.tangential_only = tangential_only
+
+    def residual(self, sfv, mat, params):
+        nq = sfv.x.shape[0]
+        uw = self.u_wall(sfv, mat, params) if callable(self.u_wall) else self.u_wall
+        uw = jnp.broadcast_to(jnp.asarray(uw, dtype=sfv.x.dtype), (nq, self.dim))
+        du = sfv.val["velocity"] - uw
+        if self.tangential_only:
+            n = sfv.normal
+            du = du - jnp.einsum("qk,qk->q", n, du)[:, None] * n
+        phi = sfv.phi["velocity"]
+        return (1.0 / self.beta) * jnp.einsum("qa,qi->qai", du, phi)
+
+
+class FlowPressure(FaceKernel):
+    """FLOW_PRESSURE / FLOW_HYDROSTATIC (``src/mm_ns_bc.c``): open boundary
+    with imposed normal traction sigma.n = -P n, P = p0 + rho g.(x - x0).
+    Weak momentum term: + int phi P n dG (the boundary term of the
+    divergence-form momentum equation with sigma.n replaced)."""
+
+    def __init__(self, dim: int, p0=0.0, rho: float = 0.0, g=None, x0=None):
+        super().__init__("velocity", dim)
+        self.dim = dim
+        self.p0 = p0
+        self.rho = rho
+        self.g = np.zeros(dim) if g is None else np.asarray(g, dtype=float)
+        self.x0 = np.zeros(dim) if x0 is None else np.asarray(x0, dtype=float)
+
+    def residual(self, sfv, mat, params):
+        nq = sfv.x.shape[0]
+        p0 = self.p0(sfv, mat, params) if callable(self.p0) else self.p0
+        P = jnp.broadcast_to(jnp.asarray(p0, dtype=sfv.x.dtype), (nq,))
+        if self.rho:
+            P = P + self.rho * jnp.einsum(
+                "qk,k->q", sfv.x - jnp.asarray(self.x0, dtype=sfv.x.dtype),
+                jnp.asarray(self.g, dtype=sfv.x.dtype))
+        phi = sfv.phi["velocity"]
+        return jnp.einsum("q,qa,qi->qai", P, sfv.normal, phi)
+
+
+class ConvectiveHeatFlux(FaceKernel):
+    """QCONV (``src/bc_integ.c``): q_n = h (T - T_inf) out of the domain;
+    weak energy term + int phi h (T - T_inf) dG."""
+
+    def __init__(self, h: float, T_inf: float, var: str = "temperature"):
+        super().__init__(var, 1)
+        self.h = h
+        self.T_inf = T_inf
+
+    def residual(self, sfv, mat, params):
+        T = sfv.val[self.var][:, 0]
+        phi = sfv.phi[self.var]
+        return (self.h * (T - self.T_inf))[:, None, None] * phi[:, None, :]
+
+
+class RadiativeHeatFlux(FaceKernel):
+    """QRAD (``src/bc_integ.c``): q_n = h (T - T_s) + eps*sigB*(T^4 - T_s^4)."""
+
+    def __init__(self, h: float, T_s: float, eps: float = 0.0,
+                 sigB: float = 5.670374419e-8, var: str = "temperature"):
+        super().__init__(var, 1)
+        self.h, self.T_s, self.eps, self.sigB = h, T_s, eps, sigB
+
+    def residual(self, sfv, mat, params):
+        T = sfv.val[self.var][:, 0]
+        q = self.h * (T - self.T_s) + self.eps * self.sigB * (T**4 - self.T_s**4)
+        phi = sfv.phi[self.var]
+        return q[:, None, None] * phi[:, None, :]
+
+
+class MassTransferFlux(FaceKernel):
+    """YFLUX with a mass-transfer coefficient (``src/mm_ns_bc.c``
+    ``mass_flux_surf_mtc``): q_n = k_mtc (c_i - c_inf) for species
+    component ``comp``."""
+
+    def __init__(self, k_mtc: float, c_inf: float, comp: int = 0,
+                 var: str = "species", ncomp: int = 1):
+        super().__init__(var, ncomp)
+        self.k_mtc, self.c_inf, self.comp = k_mtc, c_inf, comp
+
+    def residual(self, sfv, mat, params):
+        nq = sfv.x.shape[0]
+        c = sfv.val[self.var][:, self.comp]
+        phi = sfv.phi[self.var]
+        out = jnp.zeros((nq, self.ncomp, phi.shape[1]), dtype=phi.dtype)
+        return out.at[:, self.comp, :].set(
+            (self.k_mtc * (c - self.c_inf))[:, None] * phi)
+
+
+def cap_end_force(direction, sigma):
+    """CAP_ENDFORCE (``src/bc_special.c``): surface-tension endpoint force
+    sigma * m at a contact-line node, m the unit vector pointing out of the
+    free surface along its tangent. Returns an f for
+    ``Problem.add_point_load(nodeset, "velocity", f)``; the weak form adds
+    -phi . (sigma m) at the node (phi = 1 there)."""
+    m = np.asarray(direction, dtype=float)
+    m = m / np.linalg.norm(m)
+
+    def f(q, X0, params):
+        s = sigma(params) if callable(sigma) else sigma
+        return -s * jnp.asarray(m)
+
+    return f
+
+
+def contact_angle_force(wall_tangent, wall_normal, theta, sigma):
+    """CA (``src/bc_special.c`` contact-angle condition, weak endpoint form):
+    replace the free-surface endpoint tension by sigma * m(theta) with
+    m = cos(theta) t_w + sin(theta) n_w (t_w pointing out of the wetted wall,
+    n_w into the fluid) — equilibrium then enforces the static contact angle
+    theta against the wall. Use as a point load on the momentum equation."""
+    t_w = np.asarray(wall_tangent, dtype=float)
+    t_w = t_w / np.linalg.norm(t_w)
+    n_w = np.asarray(wall_normal, dtype=float)
+    n_w = n_w / np.linalg.norm(n_w)
+
+    def f(q, X0, params):
+        th = theta(params) if callable(theta) else theta
+        s = sigma(params) if callable(sigma) else sigma
+        m = jnp.cos(th) * jnp.asarray(t_w) + jnp.sin(th) * jnp.asarray(n_w)
+        return -s * m
+
+    return f

@@ -66,18 +66,25 @@ class CapillaryBC(FaceKernel):
 
 class KinematicBC(FaceKernel):
     """Material-surface closure for the ALE mesh equation:
-    penalty * phi_i n_a * n.(u - d_dot) added to mesh-displacement rows."""
+    penalty * phi_i n_a * (n.(u - d_dot) - leak) added to mesh-displacement
+    rows. ``leak`` (KIN_LEAK, reference ``src/mm_ns_bc.c kin_bc_leak``) is
+    the normal mass-loss velocity m_dot/rho through the surface (evaporation
+    / dissolution); scalar or callable(sfv, mat, params) -> (nq,)."""
 
-    def __init__(self, dim: int, penalty: float = 1e6):
+    def __init__(self, dim: int, penalty: float = 1e6, leak=0.0):
         super().__init__(MESH_VAR, dim)
         self.dim = dim
         self.penalty = penalty
+        self.leak = leak
 
     def residual(self, sfv, mat, params):
         n = sfv.normal
-        u = sfv.val["velocity"]
+        u = sfv.val["velocity"] if "velocity" in sfv.val else 0.0 * sfv.x
         ddot = sfv.dot[MESH_VAR]
         un = jnp.einsum("qk,qk->q", n, u - ddot)
+        if self.leak is not None:
+            lk = self.leak(sfv, mat, params) if callable(self.leak) else self.leak
+            un = un - lk
         phi = sfv.phi[MESH_VAR]
         return self.penalty * jnp.einsum("q,qa,qi->qai", un, n, phi)
 

@@ -105,6 +105,96 @@ def apply_point_constraints(problem, sets, x, R, vals, params, T=None):
     return R, vals
 
 
+@dataclass
+class PointLoadSet:
+    """Additive nodal (weak point) terms — the reference's "special" BCs
+    applied at single nodes (``src/bc_special.c:77 apply_special_bc``:
+    contact-line forces, CAP_ENDFORCE surface-tension endpoint terms). Unlike
+    point *constraints* these ADD to the residual rows and Jacobian instead
+    of replacing them."""
+
+    f: Callable  # f(q (ncomp_src,), X0 (dim,), params) -> (nload,)
+    rows: np.ndarray  # (n, nload) target dof rows
+    dofs: np.ndarray  # (n, ncomp_src) node-local source dofs
+    coords: np.ndarray  # (n, dim)
+    entry_pos: np.ndarray  # (n, nload, ncomp_src) CSR positions
+
+
+def build_point_loads(problem, specs) -> list[PointLoadSet]:
+    """specs: list of (nodeset, target_var, source_vars, f).
+
+    ``f(q, X0, params) -> (ncomp(target_var),)`` is added to the target
+    variable's residual rows at each node of the set; ``q`` concatenates the
+    components of ``source_vars`` (default: just the target variable) at the
+    node, and the row Jacobian comes from jacfwd of f."""
+    out = []
+    pat = problem.pattern
+    dofmap = problem.dofmap
+    mesh = problem.mesh
+    for nodeset, tvar, svars, f in specs:
+        nodes = mesh.nodesets[nodeset] if isinstance(nodeset, str) else np.asarray(nodeset)
+        svars = [tvar] if svars is None else list(svars)
+        nct = dofmap.var(tvar).ncomp
+        ncs = [dofmap.var(v).ncomp for v in svars]
+        rows, dofs, coords, epos = [], [], [], []
+        for node in np.sort(np.asarray(nodes)):
+            rr = np.array([dofmap.dof_of_node_svar[node, dofmap.svar(tvar, c)]
+                           for c in range(nct)])
+            dd = np.concatenate([
+                np.array([dofmap.dof_of_node_svar[node, dofmap.svar(v, c)]
+                          for c in range(nc)])
+                for v, nc in zip(svars, ncs)
+            ])
+            if np.any(rr < 0) or np.any(dd < 0):
+                continue
+            p = pat.find(np.repeat(rr, dd.shape[0]), np.tile(dd, rr.shape[0]))
+            if np.any(p < 0):
+                raise RuntimeError("point load entries missing from pattern")
+            rows.append(rr)
+            dofs.append(dd)
+            coords.append(mesh.coords[node])
+            epos.append(p.reshape(nct, dd.shape[0]))
+        if not rows:
+            continue
+        out.append(PointLoadSet(
+            f=f,
+            rows=np.stack(rows).astype(np.int64),
+            dofs=np.stack(dofs),
+            coords=np.stack(coords),
+            entry_pos=np.stack(epos),
+        ))
+    return out
+
+
+def apply_point_loads(problem, sets, x, R, vals, params, T=None):
+    """Add point-load residual terms (and, when ``vals`` is given, their row
+    Jacobians). Returns (R, vals, dfs) with dfs the per-set (n, nload, ncomp)
+    derivative tensors for the matrix-free operator."""
+    dtype = R.dtype
+    dfs = []
+    for k, pl in enumerate(sets):
+        if T is not None:
+            dofs, X0 = T[f"pld{k}:dofs"], T[f"pld{k}:coords"]
+            rows, epos = T[f"pld{k}:rows"], T[f"pld{k}:epos"]
+        else:
+            dofs = jnp.asarray(pl.dofs)
+            X0 = jnp.asarray(pl.coords, dtype=dtype)
+            rows = jnp.asarray(pl.rows)
+            epos = jnp.asarray(pl.entry_pos)
+        q = x[dofs]
+
+        def f1(qi, Xi):
+            return pl.f(qi, Xi, params)
+
+        fv = jax.vmap(f1)(q, X0)  # (n, nload)
+        R = R.at[rows.reshape(-1)].add(fv.reshape(-1).astype(dtype))
+        df = jax.vmap(jax.jacfwd(f1, argnums=0))(q, X0)  # (n, nload, ncomp)
+        dfs.append(df)
+        if vals is not None:
+            vals = vals.at[epos.reshape(-1)].add(df.reshape(-1).astype(dtype))
+    return R, vals, dfs
+
+
 # ------------------------------------------------------- geometry functions
 def plane(normal, offset):
     """g = n.x - c = 0 (reference fplane). Constrains mesh nodes to a plane;

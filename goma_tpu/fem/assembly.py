@@ -120,6 +120,23 @@ class _IfcSet:
     nla: int
 
 
+@dataclass
+class _OvsSet:
+    """Overset (fictitious-domain) coupling set: one row per immersed-curve
+    quadrature point, pairing the bar element carrying the Lagrange
+    multiplier with the background (fluid) element containing the point.
+    Reference: src/bc_contact.c overlapping-grid contact."""
+
+    bar_block: int
+    fluid_block: int
+    kernels: list
+    gather: np.ndarray  # (nr, nlb + nlf) combined dof gather
+    nlb: int
+    xq: np.ndarray  # (nr, dim) physical points
+    wq: np.ndarray  # (nr,) arc-length quadrature weights
+    Nf: dict[str, np.ndarray]  # fluid interp -> (nr, nbf) basis at the point
+
+
 class Problem:
     """A coupled multiphysics problem on a mesh.
 
@@ -163,7 +180,9 @@ class Problem:
         self._rot_specs: list = []
         self._rot_constraints: list = []
         self._point_specs: list = []
+        self._point_load_specs: list = []
         self._ifc_specs: list = []
+        self._ovs_specs: list = []
         self._devcache: dict = {}
         self._devcache_keep: list = []
         # optional lower-precision Jacobian (mixed-precision Newton-Krylov);
@@ -208,6 +227,13 @@ class Problem:
                 T[f"ita{j}:{k}"] = dev(np.asarray(v).astype(dt))
             for k, v in s.ftabs_b.items():
                 T[f"itb{j}:{k}"] = dev(np.asarray(v).astype(dt))
+        for j, s in enumerate(self.ovs_sets):
+            T[f"og{j}"] = dev(s.gather.astype(np.int32))
+            T[f"ox{j}"] = dev(s.xq.astype(dt))
+            T[f"ow{j}"] = dev(s.wq.astype(dt))
+            T[f"on{j}"] = dev(self._ovs_nnz[j])
+            for k, v in s.Nf.items():
+                T[f"oN{j}:{k}"] = dev(np.asarray(v).astype(dt))
         T["tg"] = dev(self._tgather_pos)
         T["dirmask"] = dev(self._dir_mask)
         T["dirdofs"] = dev(self.dirichlet_dofs)
@@ -231,6 +257,11 @@ class Problem:
             T[f"pc{k}:coords"] = dev(pc.coords.astype(dt))
             T[f"pc{k}:epos"] = dev(pc.entry_pos)
             T[f"pc{k}:zero"] = dev(pc.zero_pos)
+        for k, pl in enumerate(self._point_loads):
+            T[f"pld{k}:rows"] = dev(pl.rows)
+            T[f"pld{k}:dofs"] = dev(pl.dofs)
+            T[f"pld{k}:coords"] = dev(pl.coords.astype(dt))
+            T[f"pld{k}:epos"] = dev(pl.entry_pos)
         self._tables = T
 
     def _tb(self, params):
@@ -278,6 +309,30 @@ class Problem:
         bc_colloc.c; geometry helpers in goma_tpu.bc.pointwise)."""
         self._point_specs.append((nodeset, var, replace_comp, g))
 
+    def add_overset(self, bar_block, fluid_block, kernel, quad_order=None):
+        """Overset (fictitious-domain) coupling between an immersed BAR
+        block (carrying the P0 Lagrange-multiplier variable, see
+        ``goma_tpu.physics.overset``) and a background block. At every
+        immersed-curve quadrature point the containing background element is
+        located on the host (kd-tree + isoparametric inversion) and the
+        kernel ties the background field there to the boundary motion.
+        Reference: overlapping-grid contact, ``src/bc_contact.c:79``;
+        multiplier bookkeeping ``src/mm_augc_util.c:2914``. ``quad_order=1``
+        collocates one multiplier constraint at each segment midpoint (the
+        reference's one-AC-per-quadrature-point choice); higher orders
+        enforce segment averages (mortar sense, default: problem order)."""
+        self._ovs_specs.append((bar_block, fluid_block, kernel, quad_order))
+
+    def add_point_load(self, nodeset, var: str, f, source_vars=None):
+        """Additive weak nodal term (reference "special" BCs,
+        ``src/bc_special.c:77``): ``f(q, X0, params) -> (ncomp(var),)`` is
+        ADDED to the residual rows of ``var`` at each node of the set, with
+        its row Jacobian from AD. ``q`` concatenates the components of
+        ``source_vars`` (default ``[var]``) at the node. Used for
+        contact-line / surface-tension endpoint forces (CAP_ENDFORCE, CA) and
+        point sources."""
+        self._point_load_specs.append((nodeset, var, source_vars, f))
+
     # ------------------------------------------------------------- finalize
     def finalize(self):
         mesh = self.mesh
@@ -287,13 +342,17 @@ class Problem:
         self.dofmap: DofMap = build_dofmap(mesh, block_vars)
         # interface (paired-face) sets add cross-block couplings to the graph
         self.ifc_sets: list[_IfcSet] = self._build_interface_sets()
+        # overset (fictitious-domain) couplings likewise
+        self.ovs_sets: list[_OvsSet] = self._build_overset_sets()
         self.pattern: CSRPattern = build_pattern(
             self.dofmap.n_dof,
             [b.gather for b in self.dofmap.blocks]
-            + [s.gather_ab for s in self.ifc_sets],
+            + [s.gather_ab for s in self.ifc_sets]
+            + [s.gather for s in self.ovs_sets],
         )
         self._nnz_maps = [nnz_map_for_gather(self.pattern, b.gather) for b in self.dofmap.blocks]
         self._ifc_nnz = [nnz_map_for_gather(self.pattern, s.gather_ab) for s in self.ifc_sets]
+        self._ovs_nnz = [nnz_map_for_gather(self.pattern, s.gather) for s in self.ovs_sets]
 
         # volume tables
         self.tables: list[BlockTables] = []
@@ -354,6 +413,11 @@ class Problem:
         from goma_tpu.bc.pointwise import build_point_constraints
 
         self._point_sets = build_point_constraints(self, self._point_specs)
+
+        # additive weak nodal terms (bc_special parity)
+        from goma_tpu.bc.pointwise import build_point_loads
+
+        self._point_loads = build_point_loads(self, self._point_load_specs)
 
         # face sets: group registered kernels by sideset
         bysset: dict[str, list[FaceKernel]] = {}
@@ -481,6 +545,141 @@ class Problem:
                 gather_ab=np.concatenate([ga, gb], axis=1), nla=ga.shape[1],
             ))
         return out
+
+    def _build_overset_sets(self) -> list["_OvsSet"]:
+        """Host precomputation for overset couplings: immersed-curve
+        quadrature points + arc weights from the BAR geometry, containing
+        background elements via centroid kd-tree + isoparametric Newton
+        inversion (the host analog of the reference's
+        ``jksd``/``find_id_elem`` search in src/bc_contact.c), background
+        basis tables at the landed reference points, and the combined
+        [bar, fluid] dof gather whose jacfwd gives every coupling block."""
+        if not self._ovs_specs:
+            return []
+        from goma_tpu.elements import volume_rule
+        from goma_tpu.post.particles import _invert_map
+
+        mesh = self.mesh
+        name2bi = {b.name: i for i, b in enumerate(mesh.blocks)}
+        out = []
+        bykey: dict[tuple, tuple] = {}
+        for bb, fb, k, qo in self._ovs_specs:
+            bb = name2bi[bb] if isinstance(bb, str) else int(bb)
+            fb = name2bi[fb] if isinstance(fb, str) else int(fb)
+            bykey.setdefault((bb, fb, qo), []).append(k)
+        for (bb, fb, qo), kernels in bykey.items():
+            blk_b, blk_f = mesh.blocks[bb], mesh.blocks[fb]
+            bd_b, bd_f = self.dofmap.blocks[bb], self.dofmap.blocks[fb]
+            et_b, et_f = element_type(blk_b.elem_type), element_type(blk_f.elem_type)
+            if et_b.family != "bar":
+                raise ValueError("overset multiplier block must be a BAR block")
+            qpts, qwts = volume_rule("bar", qo or self.quad_order)
+            Ng, dNg = eval_basis("bar", geom_interp(et_b), qpts)
+            nq = qpts.shape[0]
+            interps_f = sorted({s.interp for s in bd_f.slots if s.interp != "N1"})
+
+            from scipy.spatial import cKDTree
+
+            cents = mesh.coords[blk_f.conn].mean(axis=1)
+            tree = cKDTree(cents)
+
+            rows_g, xs, ws, Nfs = [], [], [], {i: [] for i in interps_f}
+            for le in range(blk_b.n_elem):
+                Xb = mesh.coords[blk_b.conn[le]]
+                xq = Ng @ Xb  # (nq, dim)
+                tang = np.einsum("qn,nk->qk", dNg[:, :, 0], Xb)
+                wq = qwts * np.linalg.norm(tang, axis=1)
+                _, cand = tree.query(xq, k=min(8, cents.shape[0]))
+                cand = np.atleast_2d(cand)
+                for iq in range(nq):
+                    fe = -1
+                    for ge in cand[iq]:
+                        xi, ok = _invert_map(et_f, mesh.coords[blk_f.conn[ge]],
+                                             xq[iq])
+                        if ok:
+                            fe = int(ge)
+                            break
+                    if fe < 0:
+                        raise RuntimeError(
+                            f"overset point {xq[iq]} lies outside the "
+                            f"background block '{blk_f.name}'")
+                    rows_g.append(np.concatenate([bd_b.gather[le],
+                                                  bd_f.gather[fe]]))
+                    xs.append(xq[iq])
+                    ws.append(wq[iq])
+                    for itp in interps_f:
+                        N, _ = eval_basis(et_f.family, itp, xi[None, :])
+                        Nfs[itp].append(N[0])
+            out.append(_OvsSet(
+                bar_block=bb, fluid_block=fb, kernels=kernels,
+                gather=np.stack(rows_g).astype(np.int32), nlb=bd_b.n_ldof,
+                xq=np.stack(xs), wq=np.asarray(ws),
+                Nf={i: np.stack(v) for i, v in Nfs.items()},
+            ))
+        return out
+
+    def _ovs_residual_fn(self, si: int, dtype=None) -> Callable:
+        """Residual of one overset quadrature point over the combined
+        [bar, fluid] local dofs; jacfwd yields the multiplier/velocity
+        coupling blocks (the reference's hand-coded bAC/cAC/dAC arrays)."""
+        from goma_tpu.physics.overset import LM_VAR, OversetVars
+
+        s = self.ovs_sets[si]
+        bd_b = self.dofmap.blocks[s.bar_block]
+        bd_f = self.dofmap.blocks[s.fluid_block]
+        nlb, nl = s.nlb, s.nlb + bd_f.n_ldof
+        lam = bd_b.slot(LM_VAR)
+
+        def row_res(q, xp, wp, Nf, params):
+            qf = q[nlb:]
+            ov = OversetVars()
+            ov.x = xp
+            ov.w = wp
+            for sl in bd_f.slots:
+                if sl.interp == "N1":
+                    continue
+                N = Nf[sl.interp]  # (nbf,)
+                qv = qf[sl.start : sl.start + sl.size].reshape(sl.ncomp, sl.nbf)
+                ov.vals[sl.var] = qv @ N
+                ov.phi[sl.var] = N
+            r = jnp.zeros(nl, dtype=q.dtype)
+            q_lam = q[lam.start : lam.start + lam.size].reshape(lam.ncomp)
+            for k in s.kernels:
+                r_lam, rf = k.residual(ov, q_lam, params)
+                r = r.at[lam.start : lam.start + lam.size].add(r_lam)
+                for var, contrib in rf.items():
+                    sl = bd_f.slot(var)
+                    r = r.at[nlb + sl.start : nlb + sl.start + sl.size].add(
+                        contrib.reshape(-1))
+            return r, r
+
+        return row_res
+
+    def _ovs_contribs(self, x, params, T, with_jac=True):
+        """Sum of all overset sets' (R, vals) contributions."""
+        n = self.dofmap.n_dof
+        dtype = x.dtype
+        R = jnp.zeros(n, dtype=dtype)
+        vals = jnp.zeros(self.pattern.nnz, dtype=dtype) if with_jac else None
+        for si, s in enumerate(self.ovs_sets):
+            gather = T[f"og{si}"]
+            xs = T[f"ox{si}"]
+            ws = T[f"ow{si}"]
+            Nf = {k: T[f"oN{si}:{k}"] for k in s.Nf}
+            row_res = self._ovs_residual_fn(si)
+            if with_jac:
+                jac_fn = jax.jacfwd(row_res, argnums=0, has_aux=True)
+                J, r = jax.vmap(jac_fn, in_axes=(0, 0, 0, 0, None))(
+                    x[gather], xs, ws, Nf, params)
+                vals = vals + jax.ops.segment_sum(
+                    J.reshape(-1), T[f"on{si}"].reshape(-1),
+                    num_segments=self.pattern.nnz)
+            else:
+                r, _ = jax.vmap(row_res, in_axes=(0, 0, 0, 0, None))(
+                    x[gather], xs, ws, Nf, params)
+            R = R + jax.ops.segment_sum(r.reshape(-1), gather.reshape(-1),
+                                        num_segments=n)
+        return R, vals
 
     def _build_face_set(self, sideset_name: str, kernels: list[FaceKernel]) -> list["_FaceSet"]:
         mesh = self.mesh
@@ -852,7 +1051,17 @@ class Problem:
             dR, dv = self._ifc_contribs(x, hist, params, T, with_jac=True)
             R = R + dR
             vals = vals + dv.astype(vals.dtype)
+        if self.ovs_sets:
+            dR, dv = self._ovs_contribs(x, params, T, with_jac=True)
+            R = R + dR
+            vals = vals + dv.astype(vals.dtype)
 
+        pl_dfs = []
+        if self._point_loads:
+            from goma_tpu.bc.pointwise import apply_point_loads
+
+            R, vals, pl_dfs = apply_point_loads(
+                self, self._point_loads, x, R, vals, params, T)
         R, vals = self._apply_rotation(x, R, vals, T)
         pc_dg = []
         if self._point_sets:
@@ -867,7 +1076,7 @@ class Problem:
                 pc_dg.append(dg)
             R, vals = apply_point_constraints(self, self._point_sets, x, R, vals, params, T)
         R, vals = self._apply_dirichlet(x, R, vals, params)
-        return R, vals, (tuple(blockJ), tuple(faceJ), tuple(pc_dg))
+        return R, vals, (tuple(blockJ), tuple(faceJ), tuple(pc_dg), tuple(pl_dfs))
 
     def element_matvec(self, T, aux, scale, v):
         """Matrix-free y = A@v from the stored element Jacobians, reproducing
@@ -880,7 +1089,7 @@ class Problem:
         (~30x faster on TPU than parameter-index gathers), and these tables
         are small enough for the remote-compile payload limit."""
         T = T if T is not None else self._tables
-        blockJ, faceJ, pc_dg = aux
+        blockJ, faceJ, pc_dg, pl_dfs = aux
         n = self.dofmap.n_dof
         parts = []
         for bi, bd in enumerate(self.dofmap.blocks):
@@ -902,11 +1111,19 @@ class Problem:
             )
         ye_flat = jnp.concatenate(parts + [jnp.zeros(1, dtype=v.dtype)])
         y = jnp.sum(ye_flat[T["tg"]], axis=1)
-        return self._matvec_post(T, pc_dg, scale, v, y)
+        return self._matvec_post(T, pc_dg, scale, v, y, pl_dfs)
 
-    def _matvec_post(self, T, pc_dg, scale, v, y):
-        """Shared compact-space matvec post-processing: rotated rows,
-        point-constraint rows, Dirichlet identity rows, row scale."""
+    def _matvec_post(self, T, pc_dg, scale, v, y, pl_dfs=()):
+        """Shared compact-space matvec post-processing: point-load rows,
+        rotated rows, point-constraint rows, Dirichlet identity rows, row
+        scale."""
+        # additive nodal terms come BEFORE rotation (they are physical
+        # contributions whose rows may then be rotated), matching _assemble
+        for k, df in enumerate(pl_dfs):
+            rows = T[f"pld{k}:rows"]
+            dofs = T[f"pld{k}:dofs"]
+            contrib = jnp.einsum("nlc,nc->nl", df.astype(v.dtype), v[dofs])
+            y = y.at[rows.reshape(-1)].add(contrib.reshape(-1))
         rd = self._rotation
         if rd is not None:
             Q = T["rQ"].astype(v.dtype)
@@ -951,8 +1168,9 @@ class Problem:
         from goma_tpu.fem.padded import pad_block_jacobians
 
         T = T if T is not None else self._tables
-        blockJ, faceJ, pc_dg = aux
-        return (pad_block_jacobians(self._padded_meta, T, blockJ), faceJ, pc_dg)
+        blockJ, faceJ, pc_dg, pl_dfs = aux
+        return (pad_block_jacobians(self._padded_meta, T, blockJ), faceJ, pc_dg,
+                pl_dfs)
 
     def padded_matvec(self, T, auxp, scale, v):
         """element_matvec on the padded node-slot layout (row gathers instead
@@ -960,7 +1178,7 @@ class Problem:
         from goma_tpu.fem.padded import padded_matvec as _pmv
 
         T = T if T is not None else self._tables
-        Jp, faceJ, pc_dg = auxp
+        Jp, faceJ, pc_dg, pl_dfs = auxp
         y = _pmv(self, self._padded_meta, T, Jp, v)
         if self.face_sets:
             parts = []
@@ -972,7 +1190,7 @@ class Problem:
                 )
             flat = jnp.concatenate(parts + [jnp.zeros(1, dtype=v.dtype)])
             y = y + jnp.sum(flat[T["pl:tgf"]], axis=1)
-        return self._matvec_post(T, pc_dg, scale, v, y)
+        return self._matvec_post(T, pc_dg, scale, v, y, pl_dfs)
 
     def _assemble(self, x, params):
         """Returns (R, vals): global residual and CSR Jacobian values, with
@@ -1010,7 +1228,15 @@ class Problem:
             dR, dv = self._ifc_contribs(x, hist, params, T, with_jac=True)
             R = R + dR
             vals = vals + dv
+        if self.ovs_sets:
+            dR, dv = self._ovs_contribs(x, params, T, with_jac=True)
+            R = R + dR
+            vals = vals + dv
 
+        if self._point_loads:
+            from goma_tpu.bc.pointwise import apply_point_loads
+
+            R, vals, _ = apply_point_loads(self, self._point_loads, x, R, vals, params, T)
         R, vals = self._apply_rotation(x, R, vals, T)
         if self._point_sets:
             from goma_tpu.bc.pointwise import apply_point_constraints
@@ -1050,6 +1276,13 @@ class Problem:
         if self.ifc_sets:
             dR, _ = self._ifc_contribs(x, hist, params, T, with_jac=False)
             R = R + dR
+        if self.ovs_sets:
+            dR, _ = self._ovs_contribs(x, params, T, with_jac=False)
+            R = R + dR
+        if self._point_loads:
+            from goma_tpu.bc.pointwise import apply_point_loads
+
+            R, _, _ = apply_point_loads(self, self._point_loads, x, R, None, params, T)
         R, _ = self._apply_rotation(x, R, None, T)
         if self._point_sets:
             from goma_tpu.bc.pointwise import apply_point_constraints

@@ -133,8 +133,10 @@ class NewtonSolver:
             self.precond = BlockJacobi(problem.pattern, problem.dofmap)
         # interface (paired-face) couplings are not represented in the
         # element-matvec aux -> use the CSR (ELL) operator for such problems
-        self._use_elem_mv = hasattr(problem, "_assemble_with_elem") and not getattr(
-            problem, "ifc_sets", None
+        self._use_elem_mv = (
+            hasattr(problem, "_assemble_with_elem")
+            and not getattr(problem, "ifc_sets", None)
+            and not getattr(problem, "ovs_sets", None)
         )
         # padded node-slot matvec: row gathers instead of scalar gathers
         # (see fem/padded.py); falls back when padding doesn't pay off
