@@ -43,3 +43,4 @@ from goma_tpu.physics.suspension import (
 from goma_tpu.physics.interface import InterfaceExchange
 from goma_tpu.physics import materials
 from goma_tpu.physics.em import EMAbsorbingBC, EMWave, EMWaveEdge
+from goma_tpu.physics.overset import OversetLM, OversetNoSlip

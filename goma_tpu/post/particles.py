@@ -22,24 +22,32 @@ from goma_tpu.elements import element_type, eval_basis, geom_interp, interp_loca
 class FieldSampler:
     """Evaluate nodal fields of a solution at arbitrary physical points."""
 
-    def __init__(self, problem, n_candidates: int = 8):
+    def __init__(self, problem, n_candidates: int = 8, blocks=None):
+        """``blocks``: optional block indices to search (default: all bulk
+        blocks of full dimension — lower-dimensional shell/immersed-curve
+        blocks have no volume to locate points in)."""
         from scipy.spatial import cKDTree
 
         self.problem = problem
         mesh = problem.mesh
+        if blocks is None:
+            from goma_tpu.elements import element_type
+
+            blocks = [bi for bi, b in enumerate(mesh.blocks)
+                      if element_type(b.elem_type).dim == mesh.dim]
         cents = []
-        self._blocks = []
-        for bi, b in enumerate(mesh.blocks):
+        self._blocks = {}
+        bi_of, le_of = [], []
+        for bi in blocks:
+            b = mesh.blocks[bi]
             cents.append(mesh.coords[b.conn].mean(axis=1))
-            self._blocks.append(b)
+            self._blocks[bi] = b
+            bi_of.append(np.full(b.n_elem, bi))
+            le_of.append(np.arange(b.n_elem))
         self._cent = np.concatenate(cents, axis=0)
         self._tree = cKDTree(self._cent)
-        self._block_of = np.concatenate(
-            [np.full(b.n_elem, bi) for bi, b in enumerate(mesh.blocks)]
-        )
-        self._local_of = np.concatenate(
-            [np.arange(b.n_elem) for b in mesh.blocks]
-        )
+        self._block_of = np.concatenate(bi_of)
+        self._local_of = np.concatenate(le_of)
         self.k = n_candidates
 
     def locate(self, pts: np.ndarray):
@@ -77,6 +85,8 @@ class FieldSampler:
             if bs[p] < 0:
                 continue
             bd = prob.dofmap.blocks[bs[p]]
+            if not bd.has(var):
+                continue  # located in a block without this variable -> NaN
             s = bd.slot(var)
             et = element_type(bd.elem_type)
             N, _ = eval_basis(et.family, s.interp, xis[p][None, :])

@@ -1,0 +1,86 @@
+"""Overset (fictitious-domain) Lagrange-multiplier coupling.
+
+Parity: reference overlapping-grid contact (src/bc_contact.c apply_contact_bc,
+src/mm_augc_util.c create_overlap_acs): an immersed boundary not conforming
+to the background fluid mesh enforces no-slip there through multipliers that
+feed reaction forces back to the fluid.
+
+Validation: Couette channel with an immersed line at y = y_c moving at U_s.
+The exact solution is piecewise linear (u = 0 at y=0, U_s at y_c, U_top at
+1); the P0 multipliers enforce segment-average no-slip (mortar sense), so
+the profile matches to the mortar averaging error and each multiplier
+equals the shear-traction jump across the line.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from goma_tpu.fem import Problem
+from goma_tpu.mesh import polyline_block, rectangle_mesh
+from goma_tpu.physics import Continuity, Momentum, OversetLM, OversetNoSlip
+from goma_tpu.solvers import NewtonOptions, NewtonSolver
+
+OPTS = NewtonOptions(max_iter=8, tol_residual=1e-11, linear_solver="direct")
+
+
+def couette_overset(y_c, ny, U_s=0.4, U_top=1.0, mu=0.7, nseg=7):
+    mesh = rectangle_mesh(4, ny, elem="QUAD9", xlim=(0, 0.8), ylim=(0, 1))
+    mesh.nodesets["pin"] = np.array([0], dtype=np.int32)
+    line = np.stack([np.linspace(0, 0.8, nseg + 1),
+                     np.full(nseg + 1, y_c)], axis=1)
+    bi = polyline_block(mesh, line, name="wall")
+    eqs = [
+        [Momentum(dim=2, interp="Q2", transient=False, convection=False),
+         Continuity(interp="Q1")],
+        [OversetLM(dim=2)],
+    ]
+    prob = Problem(mesh, eqs, [{"rho": 1.0, "mu": mu}, {}])
+    prob.add_dirichlet("top", "velocity", 0, U_top)
+    prob.add_dirichlet("bottom", "velocity", 0, 0.0)
+    for ns in ("top", "bottom", "left", "right"):
+        prob.add_dirichlet(ns, "velocity", 1, 0.0)
+    prob.add_dirichlet("pin", "pressure", 0, 0.0)
+    prob.add_overset(bi, 0, OversetNoSlip(
+        dim=2, u_target=lambda x, params: jnp.asarray([U_s, 0.0])))
+    prob.finalize()
+    res = NewtonSolver(prob, OPTS).solve(np.zeros(prob.dofmap.n_dof),
+                                         prob.base_params())
+    assert res.converged, res.summary()
+    return mesh, prob, res
+
+
+def test_overset_couette_aligned_exact():
+    U_s, U_top, mu, y_c = 0.4, 1.0, 0.7, 0.3
+    mesh, prob, res = couette_overset(y_c=y_c, ny=10, U_s=U_s, U_top=U_top, mu=mu)
+    ux = prob.get_nodal_field(res.x, "velocity", 0)
+    y = mesh.coords[:, 1]
+    exact = np.where(y <= y_c, U_s * y / y_c,
+                     U_s + (U_top - U_s) * (y - y_c) / (1 - y_c))
+    mask = ~np.isnan(ux)
+    # P0 mortar: segment-average constraints -> O(1e-4) wiggle at this size
+    np.testing.assert_allclose(ux[mask], exact[mask], atol=1e-3)
+
+    # multiplier = shear-traction jump across the immersed line:
+    # mu du/dy above - mu du/dy below
+    tau_jump = mu * ((U_top - U_s) / (1 - y_c) - U_s / y_c)
+    bd = prob.dofmap.blocks[1]
+    s = bd.slot("lm")
+    lam_x = res.x[bd.gather[:, s.start]]  # x-component, one per segment
+    # P0 multipliers checkerboard a little; the mean traction (the physical
+    # drag per unit length) is exact, each segment within ~10%
+    np.testing.assert_allclose(lam_x.mean(), tau_jump, rtol=1e-4)
+    np.testing.assert_allclose(lam_x, tau_jump, rtol=0.12)
+
+
+def test_overset_couette_nonaligned():
+    U_s, U_top, y_c = 0.4, 1.0, 0.37
+    mesh, prob, res = couette_overset(y_c=y_c, ny=8, U_s=U_s, U_top=U_top)
+    ux = prob.get_nodal_field(res.x, "velocity", 0)
+    y = mesh.coords[:, 1]
+    exact = np.where(y <= y_c, U_s * y / y_c,
+                     U_s + (U_top - U_s) * (y - y_c) / (1 - y_c))
+    # away from the cut row the profile is accurate
+    mask = ~np.isnan(ux) & (np.abs(y - y_c) > 0.25)
+    err = np.max(np.abs(ux[mask] - exact[mask]))
+    assert err < 0.02, err
