@@ -14,6 +14,7 @@ from goma_tpu.physics.solid import (
 )
 from goma_tpu.physics.viscoelastic import (
     LogConformationStress,
+    SqrtConformationStress,
     VelocityGradientProjection,
     VEStress,
     stress_var,

@@ -55,6 +55,7 @@ class Momentum(Equation):
         ve_stress_modes: int = 0,
         devss_mu: float = 0.0,
         logconf_modes: tuple = (),
+        sqrtconf_modes: tuple = (),
         supg: float = 0.0,
     ):
         super().__init__("velocity", dim, interp)
@@ -65,6 +66,9 @@ class Momentum(Equation):
         # ((mode, lam, mu_p), ...) log-conformation modes contributing
         # tau = mu_p/lam (exp(Psi) - I)
         self.logconf_modes = tuple(logconf_modes)
+        # ((mode, lam, mu_p), ...) sqrt-conformation modes:
+        # tau = mu_p/lam (b b^T - I)
+        self.sqrtconf_modes = tuple(sqrtconf_modes)
         # momentum SUPG (reference supg in assemble_momentum / Shakib tau)
         self.supg = supg
         # DEVSS stabilization 2*mu_d*(D(u) - sym(G)) with G the projected
@@ -106,6 +110,10 @@ class Momentum(Equation):
             from goma_tpu.physics.viscoelastic import logconf_stress_tensor
 
             sigma = sigma + logconf_stress_tensor(fv, m, lam_m, mup_m)
+        for m, lam_m, mup_m in self.sqrtconf_modes:
+            from goma_tpu.physics.viscoelastic import sqrtconf_stress_tensor
+
+            sigma = sigma + sqrtconf_stress_tensor(fv, m, lam_m, mup_m)
         if self.devss_mu > 0.0 and "velocity_gradient" in fv.val:
             G = fv.val["velocity_gradient"].reshape(-1, dim, dim)
             Dg = 0.5 * (G + jnp.swapaxes(G, 1, 2))

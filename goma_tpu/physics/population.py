@@ -117,3 +117,30 @@ class MomentEquations(Equation):
         else:
             w_t = phi
         return jnp.einsum("qc,qi->qci", r, w_t)
+
+
+def lognormal_moments(m, i: int = 1, j: int = 3, n_moments: int = 4):
+    """Moments of the log-normal distribution fitted through (m0, m_i, m_j).
+
+    Reference: ``moments_set_lognormal`` (src/mm_fill_population.c:55):
+    mu and sigma^2 from two moment ratios, then
+    M_k = m0 exp(k mu + k^2 sigma^2 / 2). Batched over leading axes."""
+    m0 = jnp.maximum(m[..., 0], 1e-300)
+    ri = jnp.log(jnp.maximum(m[..., i], 1e-300) / m0)
+    rj = jnp.log(jnp.maximum(m[..., j], 1e-300) / m0)
+    mu = (j / (i * j - i * i)) * ri + (i / (i * j - j * j)) * rj
+    sig2 = ((2.0 / (j * j)) * rj - (2.0 / (i * j)) * ri) / (1.0 - i / j)
+    sig2 = jnp.maximum(sig2, 0.0)
+    ks = jnp.arange(float(n_moments))
+    return m0[..., None] * jnp.exp(ks * mu[..., None]
+                                   + 0.5 * ks**2 * sig2[..., None])
+
+
+def moment_correction_wright(m, n_moments: int = 4):
+    """Wright log-normal moment correction (reference
+    ``moment_correction_wright:78``, after Marchisio & Fox 2013): replace an
+    unrealizable moment set by the average of the log-normal reconstructions
+    through (m0, m1, m3) and (m0, m2, m3)."""
+    m1 = lognormal_moments(m, 1, 3, n_moments)
+    m2 = lognormal_moments(m, 2, 3, n_moments)
+    return 0.5 * (m1 + m2)

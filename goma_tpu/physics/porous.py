@@ -176,4 +176,47 @@ class PorousFlow(Equation):
             dS = _jax.vmap(_jax.grad(lambda pp: self.model.saturation(pp)))(p)
             pdot = fv.dot[POR_VAR][:, 0]
             contrib = contrib + jnp.einsum("q,qi->qi", phi_por * dS * pdot, phi_b)
+        if "sink_linear" in mat and SINK_VAR in fv.val:
+            # absorbing-particle sink (reference porous sink mass coupling,
+            # J_pm_sink_mass blocks via AD): liquid removed at rate A
+            S = self.model.saturation(p) if self.model is not None else 1.0
+            A = sink_absorption_rate(fv, mat, params, S)
+            contrib = contrib + jnp.einsum("q,qi->qi", A, phi_b)
         return contrib[:, None, :]
+
+
+SINK_VAR = "sink_mass"
+
+
+def sink_absorption_rate(fv, mat, params, saturation):
+    """LINEAR porous-sink absorption rate (reference
+    ``por_mass_source_model``, src/mm_fill_porous.c:11271):
+
+        A = tau * k2 * (s_max - s) * S / s_max   (>= 0, gated on S >= S_on)
+
+    Material key ``sink_linear`` = (tau, s_max, k2, S_on)."""
+    tau, smax, k2, S_on = mat["sink_linear"]
+    s = fv.val[SINK_VAR][:, 0]
+    gate = jnp.where(saturation >= S_on, tau, 0.0)
+    return gate * k2 * (smax - s) * saturation / smax
+
+
+class PorousSinkMass(Equation):
+    """Absorbed-mass evolution (reference ``assemble_pore_sink_mass``,
+    src/mm_fill_porous.c:734): s_dot = rho_liquid * A with A the absorption
+    rate; couple the matching ``-A`` liquid sink into ``PorousFlow`` via the
+    ``sink_linear`` material key so total liquid + absorbed mass conserves."""
+
+    def __init__(self, model: VanGenuchten | None = None, interp: str = "Q1"):
+        super().__init__(SINK_VAR, 1, interp)
+        self.model = model
+
+    def residual(self, fv, mat, params):
+        rho = prop(mat, "rho_liquid", fv, params, 1.0)
+        if self.model is not None and POR_VAR in fv.val:
+            S = self.model.saturation(fv.val[POR_VAR][:, 0])
+        else:
+            S = jnp.ones_like(fv.val[SINK_VAR][:, 0])
+        A = sink_absorption_rate(fv, mat, params, S)
+        r = fv.dot[SINK_VAR][:, 0] - rho * A
+        return (r[:, None] * fv.phi[SINK_VAR])[:, None, :]

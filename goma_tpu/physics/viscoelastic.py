@@ -307,3 +307,100 @@ def _sym_grad_expand(gS, d):
         cols = [gS[:, idx[(a, b)], :] for b in range(d)]
         rows.append(jnp.stack(cols, axis=1))
     return jnp.stack(rows, axis=1)  # (nq, d, d, dim)
+
+
+class SqrtConformationStress(Equation):
+    """Square-root conformation evolution (Balci-Thomases-Renardy-Shelley):
+    c = b b^T stays SPD by construction, with the rotation tensor a keeping
+    b symmetric. Reference: ``assemble_stress_sqrt_conf``
+    (src/mm_fill_stress.c:7416), source ``sqrt_conf_source:7210``, rotation
+    ``compute_a_dot_b:6747``.
+
+        lam (b_dot + u.grad b - b.g - a.b) + source(b) = 0
+        source = -Z/2 (b^{-1} - b),  Z = 1 (Oldroyd-B) or the PTT factor
+        a12 = (b01 g00 - b00 g01 + b11 g10 - b10 g11) / tr(b)   (2D)
+
+    All Jacobian blocks (the reference's hand-coded d_source/d_a arrays) come
+    from AD. 2D only (like the reference's primary use); variable
+    "bconf<mode>" holds (b11, b12, b22), initialized to the identity.
+    """
+
+    def __init__(self, mode: int, lam: float, mu_p: float,
+                 model: str = "oldroyd_b", eps_ptt: float = 0.0,
+                 interp: str = "Q1", supg: float = 0.5,
+                 use_projected_gradient: bool = False,
+                 transient: bool = True):
+        super().__init__(f"bconf{mode}", 3, interp)
+        self.mode, self.lam, self.mu_p = mode, lam, mu_p
+        self.model = model
+        self.eps_ptt = eps_ptt
+        self.supg = supg
+        self.use_projected_gradient = use_projected_gradient
+        self.transient = transient
+
+    def residual(self, fv, mat, params):
+        from goma_tpu.physics.fluid import advective_velocity
+
+        d = 2
+        var = self.var
+        b = _sym_expand(fv.val[var], d)  # (nq, 2, 2)
+        gu = fv.grad["velocity"]  # gu[q, a, k] = du_a/dx_k
+        if self.use_projected_gradient and "velocity_gradient" in fv.val:
+            gu = full_from_comps(fv.val["velocity_gradient"], d)
+        u_adv = advective_velocity(fv)
+
+        # reference index convention: g[a][b] = dv_b/dx_a = gu[b, a]
+        # b.g:  (b g)_ij = b_ik g_kj = b_ik du_j/dx_k
+        b_g = jnp.einsum("qik,qjk->qij", b, gu)
+        # rotation: a12 from compute_a_dot_b (2D closed form)
+        trb = b[:, 0, 0] + b[:, 1, 1] + 1e-16
+        a12 = (b[:, 0, 1] * gu[:, 0, 0] - b[:, 0, 0] * gu[:, 1, 0]
+               + b[:, 1, 1] * gu[:, 0, 1] - b[:, 1, 0] * gu[:, 1, 1]) / trb
+        z = jnp.zeros_like(a12)
+        a = jnp.stack([jnp.stack([z, a12], axis=-1),
+                       jnp.stack([-a12, z], axis=-1)], axis=-2)
+        a_b = jnp.einsum("qik,qkj->qij", a, b)
+
+        det = b[:, 0, 0] * b[:, 1, 1] - b[:, 0, 1] * b[:, 1, 0] + 1e-16
+        binv = jnp.stack([
+            jnp.stack([b[:, 1, 1], -b[:, 0, 1]], axis=-1),
+            jnp.stack([-b[:, 1, 0], b[:, 0, 0]], axis=-1),
+        ], axis=-2) / det[:, None, None]
+        if self.model in ("ptt", "ptt_linear") and self.eps_ptt != 0.0:
+            trc = jnp.sum(b * b, axis=(1, 2))
+            inner = self.eps_ptt * (trc - d)
+            Z = jnp.exp(inner) if self.model == "ptt" else 1.0 + inner
+        else:
+            Z = jnp.ones_like(det)
+        source = -0.5 * Z[:, None, None] * (binv - b)
+
+        core = source
+        if self.lam > 0:
+            conv = jnp.einsum("qk,qabk->qab", u_adv,
+                              _sym_grad_expand(fv.grad[var], d))
+            upper = conv - b_g - a_b
+            if self.transient:
+                upper = upper + _sym_expand(fv.dot[var], d)
+            core = core + self.lam * upper
+
+        phi = fv.phi[var]
+        if self.supg > 0:
+            gphi = fv.gphi[var]
+            u2 = jnp.sum(u_adv * u_adv, axis=1)
+            tau_s = self.supg * fv.h_elem * jnp.sqrt(u2 + 1e-30) / (2.0 * u2 + 1e-12)
+            wt = phi + tau_s[:, None] * jnp.einsum("qk,qik->qi", u_adv, gphi)
+        else:
+            wt = phi
+        comps = sym_comps(d)
+        # b12 equation: symmetrize (the a-rotation keeps b symmetric only
+        # up to the discrete residual; test with the symmetric part)
+        core = 0.5 * (core + jnp.swapaxes(core, 1, 2))
+        core_c = jnp.stack([core[:, a_, b_] for (a_, b_) in comps], axis=1)
+        return jnp.einsum("qc,qi->qci", core_c, wt)
+
+
+def sqrtconf_stress_tensor(fv, mode: int, lam: float, mu_p: float):
+    """tau = (mu_p/lam)(b b^T - I) for the momentum equation."""
+    b = _sym_expand(fv.val[f"bconf{mode}"], 2)
+    c = jnp.einsum("qik,qjk->qij", b, b)
+    return (mu_p / lam) * (c - jnp.eye(2)[None])

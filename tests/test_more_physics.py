@@ -301,3 +301,30 @@ def test_power_law_poiseuille():
     ok = ~np.isnan(u)
     err = np.max(np.abs(u[ok] - uex(mesh.coords[ok]))) / np.max(uex(mesh.coords[ok]))
     assert err < 0.01, err
+
+
+def test_lognormal_moment_closure():
+    """Log-normal closure + Wright correction (mm_fill_population.c
+    moments_set_lognormal:55 / moment_correction_wright:78): moments of an
+    exact log-normal are reproduced to machine precision, and a perturbed
+    (unrealizable) set is corrected onto a realizable one."""
+    import jax.numpy as jnp
+    from goma_tpu.physics.population import (lognormal_moments,
+                                             moment_correction_wright,
+                                             wheeler_n2)
+
+    mu, s2, m0 = 0.3, 0.4, 2.0
+    ks = np.arange(4.0)
+    M = m0 * np.exp(ks * mu + 0.5 * ks**2 * s2)
+    np.testing.assert_allclose(np.asarray(lognormal_moments(jnp.asarray(M))),
+                               M, rtol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(moment_correction_wright(jnp.asarray(M))), M, rtol=1e-12)
+
+    # corrupt m2 so the Hankel condition fails; the corrected set must be
+    # realizable (Wheeler inversion yields positive weights and nodes)
+    Mbad = M.copy()
+    Mbad[2] = 0.3 * M[1] ** 2 / M[0]  # violates m2 m0 >= m1^2
+    Mc = np.asarray(moment_correction_wright(jnp.asarray(Mbad)))
+    w, L = wheeler_n2(jnp.asarray(Mc))
+    assert np.all(np.asarray(w) >= 0) and np.all(np.isfinite(np.asarray(L)))

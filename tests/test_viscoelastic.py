@@ -169,3 +169,54 @@ def test_logconf_simple_shear():
     c = vv @ np.diag(np.exp(wv)) @ vv.T
     tau = mu_p / lam * (c - np.eye(2))
     np.testing.assert_allclose(tau, tau_exact, atol=1e-6)
+
+
+def test_sqrt_conformation_simple_shear():
+    """SQRT_CONF parity (assemble_stress_sqrt_conf): steady simple shear,
+    exact Oldroyd-B conformation c = [[1+2W^2, W], [W, 1]], W = lam*gd; the
+    recovered stress mu_p/lam (b b^T - I) must match the analytic tau."""
+    from goma_tpu.physics import SqrtConformationStress
+    from goma_tpu.physics.viscoelastic import _sym_expand
+
+    lam, mu_p, mu_s, V = 0.5, 1.0, 0.5, 1.0
+    mesh = rectangle_mesh(4, 4, elem="QUAD9")
+    mesh.nodesets["pin"] = np.array([0], dtype=np.int32)
+    eqs = [
+        Momentum(dim=2, interp="Q2", transient=False,
+                 sqrtconf_modes=((0, lam, mu_p),)),
+        Continuity(interp="Q1"),
+        SqrtConformationStress(0, lam=lam, mu_p=mu_p, interp="Q1",
+                               transient=False),
+    ]
+    prob = Problem(mesh, eqs, {"rho": 0.0, "mu": mu_s})
+    shear = lambda c: V * c[:, 1]
+    for ns in ("left", "right", "top", "bottom"):
+        prob.add_dirichlet(ns, "velocity", 0, shear)
+        prob.add_dirichlet(ns, "velocity", 1, 0.0)
+    prob.add_dirichlet("pin", "pressure", 0, 0.0)
+    prob.finalize()
+    # b must start at the identity (b = 0 is singular through b^{-1})
+    x0 = np.zeros(prob.dofmap.n_dof)
+    x0 = prob.set_nodal_field(x0, "bconf0", 0, 1.0)
+    x0 = prob.set_nodal_field(x0, "bconf0", 2, 1.0)
+    res = NewtonSolver(
+        prob, NewtonOptions(max_iter=20, tol_residual=1e-10,
+                            linear_solver="direct")
+    ).solve(x0, prob.base_params())
+    assert res.converged, res.summary()
+
+    b11 = prob.get_nodal_field(res.x, "bconf0", 0)
+    b12 = prob.get_nodal_field(res.x, "bconf0", 1)
+    b22 = prob.get_nodal_field(res.x, "bconf0", 2)
+    mask = ~np.isnan(b11)
+    B = np.zeros((mask.sum(), 2, 2))
+    B[:, 0, 0], B[:, 0, 1] = b11[mask], b12[mask]
+    B[:, 1, 0], B[:, 1, 1] = b12[mask], b22[mask]
+    c = np.einsum("qik,qjk->qij", B, B)
+    W = lam * V
+    c_exact = np.array([[1 + 2 * W**2, W], [W, 1.0]])
+    np.testing.assert_allclose(c, np.broadcast_to(c_exact, c.shape), atol=1e-7)
+    # recovered polymer stress
+    tau = mu_p / lam * (c - np.eye(2))
+    np.testing.assert_allclose(tau[:, 0, 1], mu_p * V, atol=1e-7)
+    np.testing.assert_allclose(tau[:, 0, 0], 2 * lam * mu_p * V**2, atol=1e-6)
