@@ -135,3 +135,53 @@ class TensionedString(Equation):
             rho = prop(mat, "shell_rho", fv, params, 1.0)
             c = c + rho * jnp.einsum("q,qi->qi", fv.dot[self.var][:, 0], phi)
         return c[:, None, :]
+
+
+class ShellCurvature(Equation):
+    """Structural-shell normal force balance (inextensible elastica):
+
+        D K'' = K T + P      (weak: -D ds(phi) ds(K) - (K T + P) phi)
+
+    Reference: ``assemble_shell_structure`` (src/mm_fill_shell.c:802),
+    R_SHELL_CURVATURE rows — bending stiffness D = elc->bend_stiffness, the
+    pressure load P from the lubrication field when present (LUBP coupling)
+    or the ``p_load`` material key."""
+
+    def __init__(self, bend_stiffness: float, interp: str = "Q2"):
+        super().__init__("sh_K", 1, interp)
+        self.D = bend_stiffness
+
+    def _p_load(self, fv, mat, params):
+        if "lub_pressure" in fv.val:
+            return fv.val["lub_pressure"][:, 0]
+        P = mat.get("p_load", 0.0)
+        if callable(P):
+            return P(fv, mat, params)
+        return jnp.broadcast_to(jnp.asarray(P), fv.x.shape[:1])
+
+    def residual(self, fv, mat, params):
+        K = fv.val["sh_K"][:, 0]
+        T = fv.val["sh_tens"][:, 0]
+        dK = fv.grad_s["sh_K"][:, 0]
+        P = self._p_load(fv, mat, params)
+        phi = fv.phi["sh_K"]
+        dphi = fv.dphi_ds["sh_K"]
+        c = -self.D * dK[:, None] * dphi - (K * T + P)[:, None] * phi
+        return c[:, None, :]
+
+
+class ShellTension(Equation):
+    """Structural-shell tangential balance: ds(T) + D K ds(K) = 0
+    (reference R_SHELL_TENSION rows, src/mm_fill_shell.c:952)."""
+
+    def __init__(self, bend_stiffness: float, interp: str = "Q2"):
+        super().__init__("sh_tens", 1, interp)
+        self.D = bend_stiffness
+
+    def residual(self, fv, mat, params):
+        K = fv.val["sh_K"][:, 0]
+        dK = fv.grad_s["sh_K"][:, 0]
+        dT = fv.grad_s["sh_tens"][:, 0]
+        phi = fv.phi["sh_tens"]
+        c = (dT + self.D * K * dK)[:, None] * phi
+        return c[:, None, :]

@@ -116,3 +116,51 @@ def test_shell_bulk_coupled_conduction():
     prof1 = T_big[bot][order]
     assert np.std(prof0) > 1e-3  # baseline profile is genuinely curved
     assert np.std(prof1) < 0.3 * np.std(prof0)
+
+def test_shell_structure_elastica():
+    """Structural shell pair (assemble_shell_structure parity): with the
+    tension pinned to T0 the curvature obeys D K'' - T0 K = P exactly.
+    T0 = 0: K = -P x (L-x) / (2D), a parabola exact in the Q2 basis."""
+    from goma_tpu.physics.shell import ShellCurvature, ShellTension
+
+    D, P, L = 2.0, 1.5, 2.0
+    mesh = rectangle_mesh(8, 2, elem="QUAD9", xlim=(0, L))
+    attach_shell_block(mesh, "bottom", "sheet")
+    eqs = [[], [ShellCurvature(bend_stiffness=D, interp="Q2"),
+                ShellTension(bend_stiffness=D, interp="Q2")]]
+    prob = Problem(mesh, eqs, [{}, {"p_load": P}])
+    ends = np.array([n for n in mesh.nodesets["bottom"]
+                     if abs(mesh.coords[n, 0]) < 1e-12
+                     or abs(mesh.coords[n, 0] - L) < 1e-12], dtype=np.int32)
+    mesh.nodesets["sheet_ends"] = ends
+    prob.add_dirichlet("sheet_ends", "sh_K", 0, 0.0)
+    # pin the tension everywhere -> decoupled linear curvature equation
+    prob.add_dirichlet("bottom", "sh_tens", 0, 0.0)
+    prob.finalize()
+    res = NewtonSolver(prob, NewtonOptions(max_iter=6, tol_residual=1e-11,
+                                           linear_solver="direct")).solve(
+        np.zeros(prob.dofmap.n_dof), prob.base_params())
+    assert res.converged
+    K = prob.get_nodal_field(res.x, "sh_K")
+    bot = mesh.nodesets["bottom"]
+    xb = mesh.coords[bot, 0]
+    np.testing.assert_allclose(K[bot], -P * xb * (L - xb) / (2 * D), atol=1e-9)
+
+    # coupled (free tension, one end anchored): first integral
+    # T = -D K^2 / 2 + C must hold along the sheet
+    prob2 = Problem(mesh, eqs, [{}, {"p_load": P}])
+    prob2.add_dirichlet("sheet_ends", "sh_K", 0, 0.0)
+    mesh.nodesets["sheet_left"] = ends[:1]
+    prob2.add_dirichlet("sheet_left", "sh_tens", 0, 1.0)
+    prob2.finalize()
+    res2 = NewtonSolver(prob2, NewtonOptions(max_iter=12, tol_residual=1e-11,
+                                             linear_solver="direct")).solve(
+        np.zeros(prob2.dofmap.n_dof), prob2.base_params())
+    assert res2.converged
+    K2 = prob2.get_nodal_field(res2.x, "sh_K")[bot]
+    T2 = prob2.get_nodal_field(res2.x, "sh_tens")[bot]
+    # the first integral holds pointwise only in the continuum; check it to
+    # a few % of the tension variation D K^2/2 it balances
+    C = T2 + D * K2**2 / 2
+    span = np.nanmax(D * K2**2 / 2) - np.nanmin(D * K2**2 / 2)
+    assert np.nanstd(C) < 0.05 * span, (np.nanstd(C), span)
