@@ -91,3 +91,34 @@ def split_interface(mesh: Mesh, pairs: InterfacePairs):
             flat[i] = lookup[int(v)]
     b.conn = flat.reshape(conn.shape).astype(conn.dtype)
     return orig, new
+
+
+def interior_face_pairs(mesh: Mesh, bi: int) -> InterfacePairs:
+    """All interior (element-to-element) face pairs WITHIN one block, for
+    discontinuous-Galerkin face terms (reference: the neighbor-element stress
+    coupling of ``assemble_surface_stress``, src/mm_fill_stress.c:5017, via
+    ``exo_conn.c build_elem_elem``). Each shared face appears once, A being
+    the lower element id."""
+    b = mesh.blocks[bi]
+    et = element_type(b.elem_type)
+    nf = len(elem_faces(et.family))
+    seen: dict = {}
+    ea, fa, eb, fb = [], [], [], []
+    for f in range(nf):
+        ln = list(_face_all_nodes(et, f))
+        corners = b.conn[:, ln]
+        for le in range(b.n_elem):
+            key = tuple(sorted(corners[le].tolist()))
+            if key in seen:
+                la, ffa = seen.pop(key)
+                ea.append(la)
+                fa.append(ffa)
+                eb.append(le)
+                fb.append(f)
+            else:
+                seen[key] = (le, f)
+    return InterfacePairs(
+        bi, bi,
+        np.asarray(ea, dtype=np.int64), np.asarray(fa, dtype=np.int64),
+        np.asarray(eb, dtype=np.int64), np.asarray(fb, dtype=np.int64),
+    )

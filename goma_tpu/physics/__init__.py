@@ -13,6 +13,8 @@ from goma_tpu.physics.solid import (
     tie_mesh_to_solid,
 )
 from goma_tpu.physics.viscoelastic import (
+    DGStressInflow,
+    DGStressUpwind,
     LogConformationStress,
     SqrtConformationStress,
     VelocityGradientProjection,

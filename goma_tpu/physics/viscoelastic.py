@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from goma_tpu.fem.equations import Equation
+from goma_tpu.fem.equations import Equation, FaceKernel, InterfaceKernel
 from goma_tpu.fem.variables import sym_comps
 from goma_tpu.physics.fluid import _as_nq, _sym_expand, advective_velocity
 from goma_tpu.physics.materials import prop
@@ -404,3 +404,45 @@ def sqrtconf_stress_tensor(fv, mode: int, lam: float, mu_p: float):
     b = _sym_expand(fv.val[f"bconf{mode}"], 2)
     c = jnp.einsum("qik,qjk->qij", b, b)
     return (mu_p / lam) * (c - jnp.eye(2)[None])
+
+
+class DGStressUpwind(InterfaceKernel):
+    """Interior-face upwind advection for DISCONTINUOUS (P0/P1E) stress:
+    the DG analog of the reference's neighbor-element stress coupling
+    (``assemble_surface_stress``, src/mm_fill_stress.c:5017; the
+    ``lec->J_stress_neighbor`` blocks come from jacfwd over the combined
+    pair dofs). Adds lam (v.n)^- (s_ext - s_in) phi on the inflow side of
+    every interior face (pairs from ``mesh.interface.interior_face_pairs``)."""
+
+    def __init__(self, mode: int, lam: float, dim: int = 2):
+        super().__init__(stress_var(mode), len(sym_comps(dim)))
+        self.lam = lam
+
+    def residual(self, sa, sb, mat_a, mat_b, params):
+        v = sa.val["velocity"]
+        vn = jnp.einsum("qk,qk->q", v, sa.normal)  # out of A into B
+        s_a = sa.val[self.var]
+        s_b = sb.val[self.var]
+        ca = self.lam * jnp.minimum(vn, 0.0)[:, None, None] \
+            * (s_b - s_a)[:, :, None] * sa.phi[self.var][:, None, :]
+        cb = self.lam * jnp.minimum(-vn, 0.0)[:, None, None] \
+            * (s_a - s_b)[:, :, None] * sb.phi[self.var][:, None, :]
+        return ca, cb
+
+
+class DGStressInflow(FaceKernel):
+    """Inflow boundary closure for DG stress: exterior state = prescribed
+    s_in (reference: stress inflow via tables in assemble_surface_stress)."""
+
+    def __init__(self, mode: int, lam: float, s_in, dim: int = 2):
+        super().__init__(stress_var(mode), len(sym_comps(dim)))
+        self.lam = lam
+        self.s_in = jnp.asarray(s_in)
+
+    def residual(self, sfv, mat, params):
+        v = sfv.val["velocity"]
+        vn = jnp.einsum("qk,qk->q", v, sfv.normal)
+        s = sfv.val[self.var]
+        ds = self.s_in[None, :] - s
+        return self.lam * jnp.minimum(vn, 0.0)[:, None, None] \
+            * ds[:, :, None] * sfv.phi[self.var][:, None, :]

@@ -220,3 +220,52 @@ def test_sqrt_conformation_simple_shear():
     tau = mu_p / lam * (c - np.eye(2))
     np.testing.assert_allclose(tau[:, 0, 1], mu_p * V, atol=1e-7)
     np.testing.assert_allclose(tau[:, 0, 0], 2 * lam * mu_p * V**2, atol=1e-6)
+
+
+def test_dg_stress_advection_decay():
+    """Discontinuous (P1E) stress with interior-face upwinding
+    (assemble_surface_stress / J_stress_neighbor parity): uniform flow
+    relaxes the inflow stress exponentially, s(x) = s_in exp(-x/(U lam))."""
+    from goma_tpu.mesh.interface import interior_face_pairs
+    from goma_tpu.physics.viscoelastic import DGStressInflow, DGStressUpwind
+
+    U, lam, mu_p, L = 1.0, 0.5, 1.0, 2.0
+    nx = 16
+    mesh = rectangle_mesh(nx, 2, elem="QUAD9", xlim=(0, L), ylim=(0, 0.25))
+    mesh.nodesets["pin"] = np.array([0], dtype=np.int32)
+    s_in = np.array([1.0, 0.5, 0.25])
+    eqs = [
+        Momentum(dim=2, interp="Q2", transient=False),
+        Continuity(interp="Q1"),
+        VEStress(0, dim=2, lam=lam, mu_p=mu_p, interp="P1E", supg=0.0,
+                 use_projected_gradient=False, transient=False),
+    ]
+    prob = Problem(mesh, eqs, {"rho": 0.0, "mu": 1.0})
+    for ns in ("left", "right", "top", "bottom"):
+        prob.add_dirichlet(ns, "velocity", 0, U)
+        prob.add_dirichlet(ns, "velocity", 1, 0.0)
+    prob.add_dirichlet("pin", "pressure", 0, 0.0)
+    prob.add_interface_kernel(interior_face_pairs(mesh, 0),
+                              DGStressUpwind(0, lam=lam))
+    prob.add_face_kernel("left", DGStressInflow(0, lam=lam, s_in=s_in))
+    prob.finalize()
+    res = NewtonSolver(prob, NewtonOptions(max_iter=8, tol_residual=1e-11,
+                                           linear_solver="direct")).solve(
+        np.zeros(prob.dofmap.n_dof), prob.base_params())
+    assert res.converged, res.summary()
+
+    bd = prob.dofmap.blocks[0]
+    s = bd.slot("stress0")
+    # P1E basis [1, xi, eta]: dof 0 is the element-centroid value
+    vals = res.x[bd.gather[:, s.start]]  # stress0 comp 0, per element
+    xc = mesh.coords[mesh.blocks[0].conn].mean(axis=1)[:, 0]
+    # the DG solution is exact in the cell-averaged transfer sense; fit the
+    # decay rate and check the inflow amplitude
+    order = np.argsort(xc)
+    rate = np.polyfit(xc[order], np.log(vals[order]), 1)[0]
+    np.testing.assert_allclose(rate, -1.0 / (U * lam), rtol=0.02)
+    exact = s_in[0] * np.exp(-xc / (U * lam))
+    np.testing.assert_allclose(vals, exact, rtol=0.08)
+    # all three components decay with the same profile scaling
+    v12 = res.x[bd.gather[:, s.start + s.nbf]]
+    np.testing.assert_allclose(v12 / vals, s_in[1] / s_in[0], rtol=1e-6)
