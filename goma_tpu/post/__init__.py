@@ -6,3 +6,4 @@ from goma_tpu.post.postproc import (
     traction_integrand,
     volume_integral,
 )
+from goma_tpu.post.stats import format_stats, variable_stats

@@ -52,6 +52,9 @@ class TimeOptions:
     quality_guard: bool = False
     # print a per-step line (the reference's transient console output)
     verbose: bool = False
+    # per-variable min/max/mean/L2 table each accepted step (reference
+    # variable_stats, src/rf_solve.c:3370); needs verbose
+    variable_stats: bool = False
 
 
 @dataclass
@@ -128,6 +131,11 @@ class TransientSolver:
                     f"finite={bool(np.all(np.isfinite(res.x)))}",
                     file=sys.stderr, flush=True,
                 )
+                if ok and to.variable_stats:
+                    from goma_tpu.post.stats import format_stats, variable_stats
+
+                    print(format_stats(variable_stats(self.problem, res.x)),
+                          file=sys.stderr, flush=True)
             if ok and to.quality_guard:
                 if self._quality_fn is None:
                     from goma_tpu.post.quality import make_quality_fn

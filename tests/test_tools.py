@@ -98,3 +98,27 @@ def test_particles_leave_domain():
     tr = trace_particles(prob, x, np.array([[0.9, 0.5]]), t_end=0.5, dt=0.05)
     assert not tr.alive.any()
     assert tr.positions[-1, 0, 0] <= 1.0 + 1e-6
+
+
+def test_variable_stats():
+    """variable_stats parity (src/rf_solve.c:3370): per-variable min/max/
+    mean/L2 incl. elemental (P0/P1E) dofs."""
+    import jax.numpy as jnp
+    from goma_tpu.fem import Problem
+    from goma_tpu.mesh import rectangle_mesh
+    from goma_tpu.physics import Continuity, Momentum, VEStress
+    from goma_tpu.post import format_stats, variable_stats
+
+    mesh = rectangle_mesh(3, 3, elem="QUAD9")
+    prob = Problem(mesh, [Momentum(dim=2, interp="Q2", transient=False),
+                          Continuity(interp="Q1"),
+                          VEStress(0, dim=2, lam=0.1, mu_p=1.0, interp="P1E",
+                                   transient=False)], {"rho": 1.0, "mu": 1.0})
+    prob.finalize()
+    x = np.arange(prob.dofmap.n_dof, dtype=float)
+    st = variable_stats(prob, x)
+    assert "velocity[0]" in st and "pressure" in st and "stress0[0]" in st
+    for s in st.values():
+        assert s["min"] <= s["mean"] <= s["max"]
+    txt = format_stats(st)
+    assert "velocity[0]" in txt and "L2" in txt
