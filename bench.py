@@ -122,14 +122,18 @@ def main():
     params = prob.base_params()
     x = jnp.zeros(prob.dofmap.n_dof, dtype=prob.dtype)
 
-    # warmup (compile)
-    log("bench: compiling assembly...")
+    # warmup (compile): a FULL untimed Newton solve so every jitted variant
+    # the solve path touches is compiled before the timed section — the axon
+    # remote-compile tunnel costs 30-90 s per cold compile and (unlike CPU)
+    # bypasses the persistent cache, so any compile inside the timed region
+    # would corrupt the per-iteration metric
+    log("bench: warmup full solve (compiles everything)...")
     R, vals, norms, scale, aux = solver._prep(x, params)
     jax.block_until_ready(R)
-    log("bench: compiling linear solve...")
-    lr = solver._solve_gmres(vals, R, scale, aux)
-    jax.block_until_ready(lr.x)
-    log(f"bench: warmup done (lin iters {int(lr.iters)}, res {float(lr.resnorm):.2e})")
+    t0 = time.perf_counter()
+    res_w = solver.solve(x, params)
+    log(f"bench: warmup solve done in {time.perf_counter()-t0:.0f}s "
+        f"(iters={res_w.iters}, lin={res_w.linear_iters})")
 
     # timed: one REAL full-Newton solve end-to-end (assembly + linear solves
     # + preconditioner factorizations incl. lagged reuse), divided by the

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from goma_tpu.fem.equations import Equation
+from goma_tpu.fem.equations import Equation, FaceKernel
 from goma_tpu.physics.materials import prop
 
 LUB_VAR = "lub_pressure"
@@ -64,3 +64,143 @@ class ReynoldsFilm(Equation):
             _, dhdt = _jax.jvp(h_of_t, (params["time"],), (jnp.ones((), params["time"].dtype),))
             contrib = contrib + jnp.einsum("q,qi->qi", dhdt, phi)
         return contrib[:, None, :]
+
+
+TFMP_P, TFMP_S = "tfmp_pres", "tfmp_sat"
+
+
+def _tfmp_common(fv, mat, params):
+    nq = fv.x.shape[0]
+    hfun = mat["gap"]
+    h = hfun(fv, mat, params) if callable(hfun) else jnp.broadcast_to(
+        jnp.asarray(hfun), (nq,))
+    S = fv.val[TFMP_S][:, 0]
+    gP = fv.grad[TFMP_P][:, 0, :]
+    krl = mat.get("krl", lambda s: s**3)
+    krg = mat.get("krg", lambda s: (1.0 - s) ** 3)
+    return h, S, gP, krl(S), krg(S)
+
+
+class TFMPMass(Equation):
+    """Thin-film multiphase LIQUID conservation (reference R_TFMP_MASS rows
+    of ``assemble_shell_tfmp``, src/mm_fill_shell.c:17422):
+
+        h dS/dt + S dh/dt - div( h^3/(12 mu_l) Krl(S) grad P )
+                 + U_avg . (S grad h + h grad S) + artificial D Krd grad S = 0
+
+    Material keys: gap (h), mu_l, krl(S) (default S^3), D_tfmp (artificial
+    molecular diffusion, the reference's load_molecular_diffusion_model;
+    regularizes dR_S/dS where grad P vanishes), wall_velocity (average plate
+    motion). Pair with ``TFMPOutflow`` on open boundaries — the IBP'd flux
+    otherwise imposes zero liquid flux there."""
+
+    def __init__(self, interp: str = "Q1", transient: bool = True,
+                 supg: float = 0.0):
+        super().__init__(TFMP_S, 1, interp)
+        self.transient = transient
+        self.supg = supg
+
+    def residual(self, fv, mat, params):
+        import jax as _jax
+
+        nq = fv.x.shape[0]
+        mu_l = prop(mat, "mu_l", fv, params)
+        h, S, gP, Krl, _ = _tfmp_common(fv, mat, params)
+        gS = fv.grad[TFMP_S][:, 0, :]
+        phi = fv.phi[TFMP_S]
+        gphi = fv.gphi[TFMP_S]
+
+        mob = h**3 / (12.0 * mu_l) * Krl
+        c = jnp.einsum("q,qk,qik->qi", mob, gP, gphi)
+        D = mat.get("D_tfmp", 0.0)
+        if D:
+            c = c + D * jnp.einsum("qk,qik->qi", gS, gphi)
+        U = mat.get("wall_velocity", None)
+        if U is not None:
+            Uv = U(fv, mat, params) if callable(U) else jnp.broadcast_to(
+                jnp.asarray(U), (nq, fv.x.shape[1]))
+            hfun = mat["gap"]
+
+            def h_of_x(x):
+                import types
+                fv2 = types.SimpleNamespace(**fv.__dict__)
+                fv2.x = x
+                return hfun(fv2, mat, params) if callable(hfun) else h
+
+            gh = _jax.jacfwd(lambda xx: h_of_x(xx).sum())(fv.x) if callable(hfun) \
+                else jnp.zeros_like(fv.x)
+            adv = S * jnp.einsum("qk,qk->q", Uv, gh) \
+                + h * jnp.einsum("qk,qk->q", Uv, gS)
+            c = c + adv[:, None] * phi
+        if self.transient:
+            dhdt = _gap_dot(fv, mat, params, h)
+            c = c + (h * fv.dot[TFMP_S][:, 0] + S * dhdt)[:, None] * phi
+        if self.supg > 0:
+            # streamline-upwind along the saturation characteristic
+            # a = -(h^3/12 mu_l) Krl'(S) grad P (the reference feeds pg_data
+            # upwinding into assemble_shell_tfmp); vanishes on uniform S
+            krl = mat.get("krl", lambda s: s**3)
+            dkrl = _jax.vmap(_jax.grad(krl))(S)
+            a = -(h**3 / (12.0 * mu_l) * dkrl)[:, None] * gP
+            a2 = jnp.sum(a * a, axis=1)
+            tau = self.supg * fv.h_elem * jnp.sqrt(a2 + 1e-30) / (2 * a2 + 1e-12)
+            adS = jnp.einsum("qk,qk->q", a, gS)
+            c = c + tau[:, None] * adS[:, None] * jnp.einsum("qk,qik->qi", a, gphi)
+        return c[:, None, :]
+
+
+class TFMPBound(Equation):
+    """Thin-film multiphase GAS conservation (reference R_TFMP_BOUND rows):
+
+        d/dt( rho_g h (1-S) ) - div( rho_g h^3/(12 mu_g) Krg(S) grad P ) = 0
+
+    ``rho_g``: constant or callable(P) for compressible gas (the reference's
+    load_gas_density_model)."""
+
+    def __init__(self, interp: str = "Q1", transient: bool = True):
+        super().__init__(TFMP_P, 1, interp)
+        self.transient = transient
+
+    def residual(self, fv, mat, params):
+        mu_g = prop(mat, "mu_g", fv, params)
+        h, S, gP, _, Krg = _tfmp_common(fv, mat, params)
+        P = fv.val[TFMP_P][:, 0]
+        rg = mat.get("rho_g", 1.0)
+        rho = rg(P) if callable(rg) else rg
+        phi = fv.phi[TFMP_P]
+        gphi = fv.gphi[TFMP_P]
+        mob = rho * h**3 / (12.0 * mu_g) * Krg
+        c = jnp.einsum("q,qk,qik->qi", mob, gP, gphi)
+        if self.transient:
+            Sdot = fv.dot[TFMP_S][:, 0]
+            Pdot = fv.dot[TFMP_P][:, 0]
+            if callable(rg):
+                import jax as _jax
+
+                drho = _jax.vmap(_jax.grad(rg))(P)
+            else:
+                drho = jnp.zeros_like(P)
+            dhdt = _gap_dot(fv, mat, params, h)
+            ddt = h * (-rho * Sdot + (1.0 - S) * drho * Pdot) \
+                + rho * (1.0 - S) * dhdt
+            c = c + ddt[:, None] * phi
+        return c[:, None, :]
+
+
+def _gap_dot(fv, mat, params, h):
+    """dh/dt of the prescribed gap via AD in params["time"] (the squeeze
+    terms of the reference TFMP/LUBP equations)."""
+    import jax as _jax
+
+    hfun = mat["gap"]
+    if not callable(hfun):
+        return jnp.zeros_like(h)
+
+    def h_of_t(t):
+        p2 = dict(params)
+        p2["time"] = t
+        return hfun(fv, mat, p2)
+
+    t = params["time"]
+    _, dhdt = _jax.jvp(h_of_t, (t,), (jnp.ones((), t.dtype),))
+    return dhdt

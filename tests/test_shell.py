@@ -164,3 +164,44 @@ def test_shell_structure_elastica():
     C = T2 + D * K2**2 / 2
     span = np.nanmax(D * K2**2 / 2) - np.nanmin(D * K2**2 / 2)
     assert np.nanstd(C) < 0.05 * span, (np.nanstd(C), span)
+
+
+def test_tfmp_sealed_squeeze_film():
+    """Thin-film multiphase (assemble_shell_tfmp parity): sealed squeeze
+    film with compressible gas — closing the gap conserves liquid volume
+    (h S = h0 S0) and gas mass (rho_g h (1-S) = const, rho_g ~ P), giving
+    the exact 0-D solution S = S0 h0/h, P = P0 h0 (1-S0)/(h - h0 S0).
+    Exercises both transient terms incl. the S dh/dt and rho (1-S) dh/dt
+    squeeze couplings."""
+    from goma_tpu.physics.lubrication import TFMPBound, TFMPMass
+    from goma_tpu.solvers.transient import TimeOptions, TransientSolver
+
+    h0, S0, P0, a = 0.2, 0.6, 1.0, 0.5
+    mesh = rectangle_mesh(6, 1, elem="QUAD9", xlim=(0, 1), ylim=(0, 0.05))
+    attach_shell_block(mesh, "bottom", "film")
+
+    def gap(fv, mat, params):
+        return h0 * (1.0 - a * params["time"]) * jnp.ones_like(fv.x[:, 0])
+
+    eqs = [[], [TFMPMass(interp="Q2", transient=True),
+                TFMPBound(interp="Q2", transient=True)]]
+    mat = {"gap": gap, "mu_l": 1.0, "mu_g": 0.5,
+           "rho_g": lambda P: 0.8 * P}
+    prob = Problem(mesh, eqs, [{}, mat])
+    prob.finalize()
+    x0 = prob.set_nodal_field(np.zeros(prob.dofmap.n_dof), "tfmp_sat", 0, S0)
+    x0 = prob.set_nodal_field(x0, "tfmp_pres", 0, P0)
+    t_end = 0.6  # h shrinks to 0.7 h0
+    ts = TimeOptions(dt0=0.005, t_end=t_end, theta=0.5, adapt=False)
+    res = TransientSolver(
+        prob, NewtonOptions(max_iter=10, tol_residual=1e-12,
+                            linear_solver="direct"), ts).run(
+        x0, prob.base_params())
+    bot = mesh.nodesets["bottom"]
+    S = prob.get_nodal_field(res.x, "tfmp_sat")[bot]
+    P = prob.get_nodal_field(res.x, "tfmp_pres")[bot]
+    h = h0 * (1 - a * res.t)
+    S_exact = S0 * h0 / h
+    P_exact = P0 * h0 * (1 - S0) / (h - h0 * S0)
+    np.testing.assert_allclose(S, S_exact, rtol=2e-4)
+    np.testing.assert_allclose(P, P_exact, rtol=2e-3)
