@@ -197,6 +197,36 @@ NEDELEC_EDGE_CORNERS = {
 }
 
 
+def eval_hermite_bar(pts: np.ndarray):
+    """Cubic Hermite basis on the reference bar xi in [-1, 1] (the
+    reference's I_H3 interpolation, include/mm_as_const.h): two dofs per
+    node — value and xi-slope. Order [N1, N2, M1, M2] (values then slopes).
+
+    Returns (N (nq, 4), dN (nq, 4), d2N (nq, 4)) w.r.t. xi; the physical
+    (arc-length) transform — slope basis scaled by ds/dxi, derivatives
+    divided by it — happens per element in eval_curvevars."""
+    xi = np.asarray(pts, dtype=float).reshape(-1)
+    N = np.stack([
+        0.25 * (xi - 1.0) ** 2 * (xi + 2.0),
+        0.25 * (xi + 1.0) ** 2 * (2.0 - xi),
+        0.25 * (xi - 1.0) ** 2 * (xi + 1.0),
+        0.25 * (xi + 1.0) ** 2 * (xi - 1.0),
+    ], axis=1)
+    dN = np.stack([
+        0.75 * (xi**2 - 1.0),
+        -0.75 * (xi**2 - 1.0),
+        0.25 * (3.0 * xi**2 - 2.0 * xi - 1.0),
+        0.25 * (3.0 * xi**2 + 2.0 * xi - 1.0),
+    ], axis=1)
+    d2N = np.stack([
+        1.5 * xi,
+        -1.5 * xi,
+        0.5 * (3.0 * xi - 1.0),
+        0.5 * (3.0 * xi + 1.0),
+    ], axis=1)
+    return N, dN, d2N
+
+
 def _tri_p1(pts):
     r, s = pts[:, 0], pts[:, 1]
     N = np.stack([1 - r - s, r, s], axis=1)
@@ -448,6 +478,9 @@ _NODAL_INTERP_NODES = {
     ("tet", "P2"): tuple(range(10)),
     ("bar", "Q1"): (0, 1),
     ("bar", "Q2"): (0, 1, 2),
+    # Hermite cubic: 2 dofs (value, slope) per end node; declare the var
+    # with ncomp=2 (reference I_H3, include/mm_as_const.h)
+    ("bar", "H3"): (0, 1),
 }
 
 # Elemental (discontinuous) interpolations: dofs live on the element, basis

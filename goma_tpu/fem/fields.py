@@ -42,11 +42,13 @@ class BlockTables:
     # H(curl) edge interpolations (I_N1): reference vector basis + curl
     Nvec: dict[str, np.ndarray] = None  # interp -> (nq, nbf, dim)
     Ncurl: dict[str, np.ndarray] = None  # interp -> (nq, nbf)
+    # Hermite (I_H3) raw xi-tables: interp -> (nq, 4) for N/dN/d2N
+    H3: dict[str, tuple] = None
 
 
 def build_block_tables(elem_type_name: str, interps: set[str], quad_order: int) -> BlockTables:
     from goma_tpu.elements import volume_rule
-    from goma_tpu.elements.shapes import eval_nedelec
+    from goma_tpu.elements.shapes import eval_hermite_bar, eval_nedelec
 
     et = element_type(elem_type_name)
     qpts, qwts = volume_rule(et.family, quad_order)
@@ -54,13 +56,19 @@ def build_block_tables(elem_type_name: str, interps: set[str], quad_order: int) 
     Ng, dNg = eval_basis(et.family, gi, qpts)
     N, dN = {}, {}
     Nvec, Ncurl = {}, {}
+    H3 = {}
     for itp in sorted(interps | {gi}):
         if itp == "N1":
             Nvec[itp], Ncurl[itp] = eval_nedelec(et.family, qpts)
             continue
+        if itp == "H3":
+            if et.family != "bar":
+                raise ValueError("I_H3 Hermite interpolation is bar-only")
+            H3[itp] = eval_hermite_bar(qpts)
+            continue
         N[itp], dN[itp] = eval_basis(et.family, itp, qpts)
     return BlockTables(elem_type_name, et.dim, qpts.shape[0], qwts, Ng, dNg, N, dN,
-                       Nvec, Ncurl)
+                       Nvec, Ncurl, H3)
 
 
 class FieldVars:
@@ -257,6 +265,9 @@ class CurveVars(FieldVars):
         self.dphi_ds: dict[str, Any] = {}
         self.grad_s: dict[str, Any] = {}
         self.curvature = None
+        # Hermite (I_H3) second arc-length derivatives
+        self.d2s: dict[str, Any] = {}
+        self.d2phi_ds2: dict[str, Any] = {}
 
 
 def eval_surfvars(q_e, qdot_e, X_e, tables: BlockTables, slots, dtype,
@@ -352,6 +363,31 @@ def eval_curvevars(q_e, qdot_e, X_e, tables: BlockTables, slots, dtype,
     # nodes is available through curvature projections instead.
 
     for s in slots:
+        if s.interp == "H3":
+            # Hermite cubic (I_H3): dofs [v1, v2, s1, s2] with s the PHYSICAL
+            # arc-length slope; slope basis scales by ds/dxi = J per element
+            # (straight BAR2: J constant), derivatives divide by J
+            Nh, dNh, d2Nh = (jnp.asarray(a, dtype=dtype) for a in
+                             tables.H3[s.interp])
+            J = mag  # (nq,) ds/dxi
+            sc = jnp.concatenate([jnp.ones((Nh.shape[0], 2), dtype=dtype),
+                                  J[:, None] * jnp.ones((1, 2), dtype=dtype)],
+                                 axis=1)
+            phi = Nh * sc
+            dphi = dNh * sc / J[:, None]
+            d2phi = d2Nh * sc / (J**2)[:, None]
+            c = u[s.var].reshape(-1)  # [v1, v2, s1, s2]
+            cdot = udot[s.var].reshape(-1)
+            fv.phi[s.var] = phi
+            fv.dphi_ds[s.var] = dphi
+            fv.d2phi_ds2[s.var] = d2phi
+            fv.gphi[s.var] = dphi[:, :, None] * fv.tangent[:, None, :]
+            fv.val[s.var] = jnp.einsum("qn,n->q", phi, c)[:, None]
+            fv.grad_s[s.var] = jnp.einsum("qn,n->q", dphi, c)[:, None]
+            fv.d2s[s.var] = jnp.einsum("qn,n->q", d2phi, c)[:, None]
+            fv.grad[s.var] = fv.grad_s[s.var][:, :, None] * fv.tangent[:, None, :]
+            fv.dot[s.var] = jnp.einsum("qn,n->q", phi, cdot)[:, None]
+            continue
         Ni = jnp.asarray(tables.N[s.interp], dtype=dtype)
         dNi = jnp.asarray(tables.dN[s.interp], dtype=dtype)[:, :, 0]
         dphi = dNi / mag[:, None]

@@ -185,3 +185,35 @@ class ShellTension(Equation):
         phi = fv.phi["sh_tens"]
         c = (dT + self.D * K * dK)[:, None] * phi
         return c[:, None, :]
+
+
+class BeamBending(Equation):
+    """Euler-Bernoulli beam on a curve block with Hermite cubic (I_H3)
+    elements: EI w'''' - T w'' = q, weak form
+
+        int EI w'' phi'' + T w' phi' - q phi  ds
+
+    The C1 Hermite basis (reference I_H3 interpolation,
+    include/mm_as_const.h; basis tables el_elm_info/rf_shape) carries value
+    + arc-slope dofs per node: declare ncomp=2 and constrain comp 0 (value)
+    / comp 1 (slope) independently for clamped/pinned supports."""
+
+    def __init__(self, EI: float, load=0.0, tension: float = 0.0,
+                 var: str = "beam_w"):
+        super().__init__(var, 2, "H3")
+        self.EI = EI
+        self.load = load
+        self.tension = tension
+
+    def residual(self, fv, mat, params):
+        nq = fv.x.shape[0]
+        w2 = fv.d2s[self.var][:, 0]
+        phi = fv.phi[self.var]        # (nq, 4)
+        d2phi = fv.d2phi_ds2[self.var]
+        q = self.load(fv, mat, params) if callable(self.load) else self.load
+        q = jnp.broadcast_to(jnp.asarray(q), (nq,))
+        c = self.EI * w2[:, None] * d2phi - q[:, None] * phi
+        if self.tension:
+            w1 = fv.grad_s[self.var][:, 0]
+            c = c + self.tension * w1[:, None] * fv.dphi_ds[self.var]
+        return c.reshape(nq, 2, 2)

@@ -205,3 +205,42 @@ def test_tfmp_sealed_squeeze_film():
     P_exact = P0 * h0 * (1 - S0) / (h - h0 * S0)
     np.testing.assert_allclose(S, S_exact, rtol=2e-4)
     np.testing.assert_allclose(P, P_exact, rtol=2e-3)
+
+
+def test_hermite_beam_bending():
+    """I_H3 Hermite cubic elements (include/mm_as_const.h parity):
+    clamped-clamped Euler-Bernoulli beam under uniform load — the Hermite
+    FEM is nodally EXACT: w = q x^2 (L-x)^2 / (24 EI), slopes likewise."""
+    from goma_tpu.physics.shell import BeamBending
+
+    EI, q, L = 2.0, 1.5, 2.0
+    mesh = rectangle_mesh(5, 1, elem="QUAD9", xlim=(0, L), ylim=(0, 0.1))
+    attach_shell_block(mesh, "bottom", "beam")
+    # Hermite needs BAR2 (2-node) shell elements: rebuild conn from corners
+    blk = mesh.blocks[-1]
+    blk.elem_type = "BAR2"
+    blk.conn = blk.conn[:, :2].copy()
+    eqs = [[], [BeamBending(EI=EI, load=q)]]
+    prob = Problem(mesh, eqs, [{}, {}])
+    ends = np.array([n for n in mesh.nodesets["bottom"]
+                     if abs(mesh.coords[n, 0]) < 1e-12
+                     or abs(mesh.coords[n, 0] - L) < 1e-12], dtype=np.int32)
+    mesh.nodesets["beam_ends"] = ends
+    prob.add_dirichlet("beam_ends", "beam_w", 0, 0.0)  # clamped: w = 0
+    prob.add_dirichlet("beam_ends", "beam_w", 1, 0.0)  # and w' = 0
+    prob.finalize()
+    res = NewtonSolver(prob, NewtonOptions(max_iter=3, tol_residual=1e-12,
+                                           linear_solver="direct")).solve(
+        np.zeros(prob.dofmap.n_dof), prob.base_params())
+    assert res.converged
+    w = prob.get_nodal_field(res.x, "beam_w", 0)
+    s = prob.get_nodal_field(res.x, "beam_w", 1)
+    # only the BAR2 corner nodes carry beam dofs
+    nodes = np.unique(blk.conn)
+    xb = mesh.coords[nodes, 0]
+    w_exact = q * xb**2 * (L - xb) ** 2 / (24 * EI)
+    s_exact = q * xb * (L - xb) * (L - 2 * xb) * (-1) / (12 * EI)
+    # slope of w: dw/dx = q (2x(L-x)^2 - 2x^2(L-x)) / 24EI
+    s_exact = q * (2 * xb * (L - xb) ** 2 - 2 * xb**2 * (L - xb)) / (24 * EI)
+    np.testing.assert_allclose(w[nodes], w_exact, atol=1e-12)
+    np.testing.assert_allclose(s[nodes], s_exact, atol=1e-12)
