@@ -92,6 +92,46 @@ def _init_registry():
         reynolds_film=lambda a: ReynoldsFilm(**a),
     )
 
+    from goma_tpu.physics import (
+        EMWave,
+        EMWaveEdge,
+        LogConformationStress,
+        NormalModeContinuity,
+        NormalModeEnergy,
+        NormalModeMomentum,
+        NormalModeW,
+        OversetLM,
+        SqrtConformationStress,
+    )
+    from goma_tpu.physics.lubrication import TFMPBound, TFMPMass
+    from goma_tpu.physics.porous import PorousSinkMass
+    from goma_tpu.physics.projection_ns import PressureIncrement, UStar
+    from goma_tpu.physics.shell import (BeamBending, ShellConduction,
+                                        ShellCurvature, ShellTension,
+                                        TensionedString)
+
+    _EQUATIONS.update(
+        em_wave=lambda a: EMWave(**a),
+        em_wave_edge=lambda a: EMWaveEdge(**a),
+        logconf_stress=lambda a: LogConformationStress(**a),
+        sqrtconf_stress=lambda a: SqrtConformationStress(**a),
+        normal_mode_momentum=lambda a: NormalModeMomentum(**a),
+        normal_mode_w=lambda a: NormalModeW(**a),
+        normal_mode_continuity=lambda a: NormalModeContinuity(**a),
+        normal_mode_energy=lambda a: NormalModeEnergy(**a),
+        overset_lm=lambda a: OversetLM(**a),
+        tfmp_mass=lambda a: TFMPMass(**a),
+        tfmp_bound=lambda a: TFMPBound(**a),
+        porous_sink_mass=lambda a: PorousSinkMass(**a),
+        ustar=lambda a: UStar(**a),
+        pressure_increment=lambda a: PressureIncrement(**a),
+        beam_bending=lambda a: BeamBending(**a),
+        shell_conduction=lambda a: ShellConduction(**a),
+        shell_curvature=lambda a: ShellCurvature(**a),
+        shell_tension=lambda a: ShellTension(**a),
+        tensioned_string=lambda a: TensionedString(**a),
+    )
+
 
 _FACE_KERNELS = {}
 
@@ -100,6 +140,11 @@ def _init_face_registry():
     from goma_tpu.bc import CapillaryBC, KinematicBC, NormalFlux, Traction
     from goma_tpu.physics import ButlerVolmerBC, SommerfeldBC
 
+    from goma_tpu.bc import (ConvectiveHeatFlux, FlowPressure, MassTransferFlux,
+                             NavierSlip, RadiativeHeatFlux)
+    from goma_tpu.physics import EMAbsorbingBC
+    from goma_tpu.physics.viscoelastic import DGStressInflow
+
     _FACE_KERNELS.update(
         capillary=lambda a: CapillaryBC(**a),
         kinematic=lambda a: KinematicBC(**a),
@@ -107,6 +152,13 @@ def _init_face_registry():
         traction=lambda a: Traction(**a),
         butler_volmer=lambda a: ButlerVolmerBC(**a),
         sommerfeld=lambda a: SommerfeldBC(**a),
+        navier_slip=lambda a: NavierSlip(**a),
+        flow_pressure=lambda a: FlowPressure(**a),
+        qconv=lambda a: ConvectiveHeatFlux(**a),
+        qrad=lambda a: RadiativeHeatFlux(**a),
+        yflux_mtc=lambda a: MassTransferFlux(**a),
+        em_absorbing=lambda a: EMAbsorbingBC(**a),
+        dg_stress_inflow=lambda a: DGStressInflow(**a),
     )
 
 

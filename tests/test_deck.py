@@ -67,3 +67,46 @@ def test_transient_heat_deck_with_output(tmp_path):
     exact_mid = np.exp(-lam * 0.05) * 1.0
     mid = np.argmin(np.sum((m2.coords - 0.5) ** 2, axis=1))
     np.testing.assert_allclose(fields["temperature"][0][mid], exact_mid, rtol=2e-2)
+
+
+def test_deck_navier_slip_couette():
+    """New BC-catalog cards through the declarative deck: Navier slip wall,
+    exact slip-Couette profile u(y) = U (y + Ls)/(H + Ls)."""
+    import numpy as np
+    from goma_tpu.input.deck import run_deck
+
+    U, mu, beta, H = 1.0, 0.5, 2.0, 1.0
+    Ls = mu * beta
+    deck = {
+        "mesh": {"kind": "rectangle", "nx": 3, "ny": 6, "elem": "QUAD9",
+                 "xlim": (0, 0.5), "ylim": (0, H)},
+        "equations": [
+            {"type": "momentum", "dim": 2, "interp": "Q2", "transient": False},
+            {"type": "continuity", "interp": "Q1"},
+        ],
+        "material": {"rho": 1.0, "mu": mu},
+        "bcs": [
+            {"kind": "dirichlet", "nodeset": "top", "var": "velocity",
+             "comp": 0, "value": U},
+            {"kind": "dirichlet", "nodeset": "top", "var": "velocity",
+             "comp": 1, "value": 0.0},
+            {"kind": "dirichlet", "nodeset": "bottom", "var": "velocity",
+             "comp": 1, "value": 0.0},
+            {"kind": "dirichlet", "nodeset": "left", "var": "velocity",
+             "comp": 1, "value": 0.0},
+            {"kind": "dirichlet", "nodeset": "right", "var": "velocity",
+             "comp": 1, "value": 0.0},
+            {"kind": "face", "sideset": "bottom", "type": "navier_slip",
+             "args": {"dim": 2, "beta": beta}},
+            {"kind": "pin", "var": "pressure", "value": 0.0},
+        ],
+        "solver": {"max_iter": 8, "tol_residual": 1e-10,
+                   "linear_solver": "direct"},
+    }
+    prob, res, echo = run_deck(deck)
+    assert res.converged
+    ux = prob.get_nodal_field(res.x, "velocity", 0)
+    y = prob.mesh.coords[:, 1]
+    exact = U * (y + Ls) / (H + Ls)
+    mask = ~np.isnan(ux)
+    np.testing.assert_allclose(ux[mask], exact[mask], atol=1e-8)
