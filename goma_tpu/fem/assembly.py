@@ -208,6 +208,8 @@ class Problem:
             T[f"x{bi}"] = dev(self.mesh.coords[blk.conn].astype(dt))
             T[f"n{bi}"] = dev(self._nnz_maps[bi])
             T[f"c{bi}"] = dev(blk.conn.astype(np.int32))
+            if bd.edge_signs is not None:
+                T[f"sg{bi}"] = dev(bd.edge_signs.astype(dt))
         for j, fs in enumerate(self.face_sets):
             bd = self.dofmap.blocks[fs.block_index]
             blk = self.mesh.blocks[fs.block_index]
@@ -769,8 +771,11 @@ class Problem:
         else:
             eval_fn = eval_fieldvars
 
-        def elem_res(q_e, hist_e, X_e, ext_e, params):
-            qdot_e = params["ct"] * q_e + hist_e
+        def elem_res(q_e, hist_e, X_e, ext_e, sgn_e, params):
+            # sgn_e: per-element dof sign conjugation (Nedelec orientation,
+            # dofmap.edge_signs); 1.0 for consistently oriented blocks
+            q_e = q_e * sgn_e
+            qdot_e = params["ct"] * q_e + hist_e * sgn_e
             fv = eval_fn(q_e, qdot_e, X_e, tables, bd.slots, dtype, ext_e, ext_names)
             r = jnp.zeros((bd.n_ldof,), dtype=q_e.dtype)
             for eq in eqs:
@@ -779,6 +784,7 @@ class Problem:
                 w = fv.wdetJ0 if eq.measure == "reference" else fv.wdetJ
                 acc = jnp.einsum("q,qcn->cn", w, contrib)
                 r = r.at[s.start : s.start + s.size].add(acc.reshape(-1))
+            r = r * sgn_e
             return r, r
 
         return elem_res
@@ -881,8 +887,17 @@ class Problem:
         h = hist[gather]
         ext = self._ext_gather(params, conn)
         elem_res = self._elem_residual_fn(bi)
+        sgn = self.dofmap.blocks[bi].edge_signs
+        if sgn is not None:
+            if q.shape[0] != sgn.shape[0]:
+                raise NotImplementedError(
+                    "sharded assembly with Nedelec edge signs not supported yet")
+            sg, sax = jnp.asarray(sgn, dtype=q.dtype), 0
+        else:
+            sg, sax = 1.0, None
         jac_fn = jax.jacfwd(elem_res, argnums=0, has_aux=True)
-        J, r = jax.vmap(jac_fn, in_axes=(0, 0, 0, 0, None))(q, h, Xref, ext, params)
+        J, r = jax.vmap(jac_fn, in_axes=(0, 0, 0, 0, sax, None))(
+            q, h, Xref, ext, sg, params)
         if wmask is not None:
             r = r * wmask[:, None]
             J = J * wmask[:, None, None]
@@ -992,20 +1007,26 @@ class Problem:
             conn = T[f"c{bi}"]
             ext = self._ext_gather(params, conn)
             elem_res = self._elem_residual_fn(bi)
-            r, _ = jax.vmap(elem_res, in_axes=(0, 0, 0, 0, None))(
-                x[gather], hist[gather], Xref, ext, params
+            sgn = bd.edge_signs
+            if sgn is not None:
+                sg, sax = T[f"sg{bi}"], 0
+            else:
+                sg, sax = 1.0, None
+            r, _ = jax.vmap(elem_res, in_axes=(0, 0, 0, 0, sax, None))(
+                x[gather], hist[gather], Xref, ext, sg, params
             )
             if mixed:
                 jac_fn = jax.jacfwd(self._elem_residual_fn(bi, jdt), argnums=0,
                                     has_aux=True)
-                J, _ = jax.vmap(jac_fn, in_axes=(0, 0, 0, 0, None))(
+                J, _ = jax.vmap(jac_fn, in_axes=(0, 0, 0, 0, sax, None))(
                     xj[gather], histj[gather], Xref.astype(jdt),
-                    ext.astype(jdt), params_j
+                    ext.astype(jdt), sg if sgn is None else sg.astype(jdt),
+                    params_j
                 )
             else:
                 jac_fn = jax.jacfwd(elem_res, argnums=0, has_aux=True)
-                J, r = jax.vmap(jac_fn, in_axes=(0, 0, 0, 0, None))(
-                    x[gather], hist[gather], Xref, ext, params
+                J, r = jax.vmap(jac_fn, in_axes=(0, 0, 0, 0, sax, None))(
+                    x[gather], hist[gather], Xref, ext, sg, params
                 )
             blockJ.append(J)
             R = R + jax.ops.segment_sum(r.reshape(-1), gather.reshape(-1), num_segments=n)
@@ -1257,8 +1278,12 @@ class Problem:
             conn = T[f"c{bi}"]
             ext = self._ext_gather(params, conn)
             elem_res = self._elem_residual_fn(bi)
-            r, _ = jax.vmap(elem_res, in_axes=(0, 0, 0, 0, None))(
-                x[gather], hist[gather], Xref, ext, params
+            if bd.edge_signs is not None:
+                sg, sax = T[f"sg{bi}"], 0
+            else:
+                sg, sax = 1.0, None
+            r, _ = jax.vmap(elem_res, in_axes=(0, 0, 0, 0, sax, None))(
+                x[gather], hist[gather], Xref, ext, sg, params
             )
             R = R + jax.ops.segment_sum(r.reshape(-1), gather.reshape(-1), num_segments=n)
         for fsi, fs in enumerate(self.face_sets):

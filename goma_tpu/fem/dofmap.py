@@ -46,6 +46,9 @@ class BlockDofs:
     slots: list[LocalSlot]
     gather: np.ndarray  # (n_elem, n_ldof) int32
     n_ldof: int
+    # per-element dof sign conjugation (Nedelec edge orientation): u_local =
+    # sign * u_global and R_global = sign * R_local; None when not needed
+    edge_signs: np.ndarray | None = None
 
     def slot(self, var: str) -> LocalSlot:
         for s in self.slots:
@@ -171,6 +174,7 @@ def build_dofmap(mesh: Mesh, block_vars: list[list[tuple[str, int, str]]]) -> Do
         n_ldof = start
 
         gather = np.empty((ne, n_ldof), dtype=np.int32)
+        signs = None
         for s in slots:
             if s.interp in ("P0", "P1E"):
                 sz = s.size
@@ -180,18 +184,19 @@ def build_dofmap(mesh: Mesh, block_vars: list[list[tuple[str, int, str]]]) -> Do
                 next_dof += ne * sz
             else:
                 if s.interp == "N1":
-                    # edge-dof orientation: the basis assumes every edge is
-                    # traversed low-global-corner -> high-global-corner
-                    # (true for the structured generators); inconsistent
-                    # orientation needs per-element sign tables (later round)
+                    # edge-dof orientation: the GLOBAL dof is the circulation
+                    # along the low->high-global-corner direction; elements
+                    # whose local traversal opposes it get a -1 sign in the
+                    # per-element conjugation u_local = sign * u_global
+                    # (the standard H(curl) orientation fix)
                     from goma_tpu.elements.shapes import NEDELEC_EDGE_CORNERS
 
-                    for (c0, c1) in NEDELEC_EDGE_CORNERS[et.family]:
-                        if not np.all(blk.conn[:, c0] < blk.conn[:, c1]):
-                            raise NotImplementedError(
-                                "Nedelec edge dofs need consistently oriented "
-                                "edges (low->high global corner ids); "
-                                "re-number the mesh nodes")
+                    if signs is None:
+                        signs = np.ones((ne, n_ldof))
+                    for k, (c0, c1) in enumerate(NEDELEC_EDGE_CORNERS[et.family]):
+                        flip = blk.conn[:, c0] > blk.conn[:, c1]
+                        for c in range(s.ncomp):
+                            signs[flip, s.start + c * s.nbf + k] = -1.0
                 ln = list(interp_local_nodes(et.family, s.interp))
                 nodes = blk.conn[:, ln]  # (ne, nbf)
                 for c in range(s.ncomp):
@@ -200,7 +205,10 @@ def build_dofmap(mesh: Mesh, block_vars: list[list[tuple[str, int, str]]]) -> Do
                     if np.any(cols < 0):
                         raise RuntimeError(f"inactive dof gathered: {s.var}[{c}] block {bi}")
                     gather[:, s.start + c * s.nbf : s.start + (c + 1) * s.nbf] = cols
-        blocks_out.append(BlockDofs(bi, blk.elem_type, slots, gather, n_ldof))
+        if signs is not None and np.all(signs == 1.0):
+            signs = None  # consistently oriented mesh: no conjugation needed
+        blocks_out.append(BlockDofs(bi, blk.elem_type, slots, gather, n_ldof,
+                                    edge_signs=signs))
 
     return DofMap(
         mesh=mesh,

@@ -21,25 +21,27 @@ from goma_tpu.physics import EMWaveEdge
 from goma_tpu.physics.em import EDGE_RE
 from goma_tpu.solvers import NewtonOptions, NewtonSolver
 
-# QUAD9 midside node carrying each edge's circulation dof
-_QUAD_EDGE_MIDS = (4, 5, 6, 7)
+# midside node carrying each edge's circulation dof per family
+_EDGE_MIDS = {"quad": (4, 5, 6, 7), "tri": (3, 4, 5)}
 
 
-def _edge_list(mesh):
-    """(midside_node, corner_lo, corner_hi) for every unique edge."""
+def _edge_list(mesh, family="quad"):
+    """(midside_node -> (corner_lo, corner_hi)) for every unique edge; the
+    GLOBAL dof direction is low -> high node id (edge-sign convention)."""
     conn = mesh.blocks[0].conn
     out = {}
-    for (c0, c1), m in zip(NEDELEC_EDGE_CORNERS["quad"], _QUAD_EDGE_MIDS):
+    for (c0, c1), m in zip(NEDELEC_EDGE_CORNERS[family], _EDGE_MIDS[family]):
         for e in range(conn.shape[0]):
-            out[int(conn[e, m])] = (int(conn[e, c0]), int(conn[e, c1]))
+            a, b = int(conn[e, c0]), int(conn[e, c1])
+            out[int(conn[e, m])] = (min(a, b), max(a, b))
     return out
 
 
-def _exact_circulations(mesh, Efun):
+def _exact_circulations(mesh, Efun, family="quad"):
     """Exact int E . t dl per edge (5-pt Gauss), keyed by midside node."""
     gp, gw = np.polynomial.legendre.leggauss(5)
     circ = {}
-    for mid, (n0, n1) in _edge_list(mesh).items():
+    for mid, (n0, n1) in _edge_list(mesh, family).items():
         p0, p1 = mesh.coords[n0], mesh.coords[n1]
         t = p1 - p0
         pts = p0[None, :] + (gp[:, None] + 1) / 2 * t[None, :]
@@ -48,8 +50,8 @@ def _exact_circulations(mesh, Efun):
     return circ
 
 
-def _solve(n, omega, source, pec):
-    mesh = rectangle_mesh(n, n, elem="QUAD9", xlim=(0, 1), ylim=(0, 1))
+def _solve(n, omega, source, pec, elem="QUAD9"):
+    mesh = rectangle_mesh(n, n, elem=elem, xlim=(0, 1), ylim=(0, 1))
     prob = Problem(mesh, [EMWaveEdge("real", omega=omega)],
                    {"mu_m": 1.0, "eps": 1.0, "J_im": source})
     if pec:
@@ -75,7 +77,7 @@ def test_edge_constant_patch():
         assert abs(got[mid] - c) < 1e-9, (mid, got[mid], c)
 
 
-def _mode_problem(n):
+def _mode_problem(n, elem="QUAD9"):
     m_, n_ = 1, 1
     k2 = (m_ ** 2 + n_ ** 2) * np.pi ** 2
 
@@ -94,9 +96,10 @@ def _mode_problem(n):
         Ey = m_ * jnp.pi * jnp.sin(m_ * jnp.pi * x) * jnp.cos(n_ * jnp.pi * y)
         return (k2 - 1.0) * jnp.stack([Ex, Ey], axis=1)
 
-    mesh, prob, res = _solve(n, 1.0, source, pec=True)
+    mesh, prob, res = _solve(n, 1.0, source, pec=True, elem=elem)
+    fam = "tri" if elem.startswith("TRI") else "quad"
     got = prob.get_nodal_field(res.x, EDGE_RE, 0)
-    exact = _exact_circulations(mesh, Efun)
+    exact = _exact_circulations(mesh, Efun, fam)
     mids = np.array(sorted(exact))
     g = got[mids]
     e = np.array([exact[m] for m in mids])
@@ -107,4 +110,14 @@ def test_edge_te_mode_convergence():
     e8 = _mode_problem(8)
     e16 = _mode_problem(16)
     assert e16 < 0.05, e16
+    assert e8 / e16 > 1.7, (e8, e16)
+
+
+def test_edge_te_mode_tri_whitney():
+    """TRI6 meshes exercise the per-element edge-sign conjugation (the
+    structured tri split has opposing edge orientations): same TE(1,1)
+    mode, Whitney edge elements, O(h) convergence."""
+    e8 = _mode_problem(8, elem="TRI6")
+    e16 = _mode_problem(16, elem="TRI6")
+    assert e16 < 0.06, e16
     assert e8 / e16 > 1.7, (e8, e16)
