@@ -48,3 +48,12 @@ def test_example_two_phase_static():
 
     _, _, dp = run_static(n=12, linear_solver="direct")
     np.testing.assert_allclose(dp, 2.0, rtol=0.08)  # Laplace sigma/r
+
+
+def test_example_immersed_cylinder():
+    from examples.immersed_cylinder import run
+
+    prob, res, drag = run(nx=16, ny=8, n_seg=24, linear_solver="direct")
+    assert res.converged
+    # the flow pushes the cylinder downstream: positive drag, O(mu U) scale
+    assert drag > 0.5, drag
