@@ -122,3 +122,29 @@ def test_variable_stats():
         assert s["min"] <= s["mean"] <= s["max"]
     txt = format_stats(st)
     assert "velocity[0]" in txt and "L2" in txt
+
+
+def test_matrix_dump_roundtrip(tmp_path):
+    """sl_matrix_dump parity: dumped CSR system reloads and reproduces the
+    assembled operator action."""
+    import jax.numpy as jnp
+    from goma_tpu.fem import Problem
+    from goma_tpu.mesh import rectangle_mesh
+    from goma_tpu.physics import Energy
+    from goma_tpu.utils.matrix_dump import dump_matrix, load_matrix
+
+    mesh = rectangle_mesh(4, 4, elem="QUAD9")
+    prob = Problem(mesh, [Energy(interp="Q2", transient=False,
+                                 convection=False)], {"k": 1.0})
+    prob.add_dirichlet("left", "temperature", 0, 1.0)
+    prob.finalize()
+    x = np.random.RandomState(0).rand(prob.dofmap.n_dof)
+    p = prob.base_params()
+    f = dump_matrix(prob, x, p, str(tmp_path / "sys.npz"))
+    A, R = load_matrix(f)
+    # operator action matches a finite difference of the residual
+    v = np.random.RandomState(1).rand(prob.dofmap.n_dof)
+    eps = 1e-7
+    Rp = np.asarray(prob.residual(jnp.asarray(x + eps * v), p))
+    Rm = np.asarray(prob.residual(jnp.asarray(x - eps * v), p))
+    np.testing.assert_allclose(A @ v, (Rp - Rm) / (2 * eps), atol=1e-6)
