@@ -187,6 +187,32 @@ def eval_nedelec(family: str, pts: np.ndarray):
             N[:, k, :] = L[:, i, None] * gL[j][None, :] - L[:, j, None] * gL[i][None, :]
             C[:, k] = 2.0 * (gL[i][0] * gL[j][1] - gL[i][1] * gL[j][0])
         return N, C
+    if family == "hex":
+        # 12 edge functions on [-1,1]^3: for the edge c0 -> c1 along axis a
+        # with the two transverse coords fixed at signs s_b, the basis is
+        #   N = d_a * prod_b (1 + s_b xi_b) / 8 * e_a   (circulation = 1)
+        # and the 3D curl is returned as a VECTOR (nq, 12, 3)
+        corners = np.array(
+            [[-1, -1, -1], [1, -1, -1], [1, 1, -1], [-1, 1, -1],
+             [-1, -1, 1], [1, -1, 1], [1, 1, 1], [-1, 1, 1]], dtype=float)
+        N = np.zeros((nq, 12, 3))
+        C = np.zeros((nq, 12, 3))
+        for k, (i, j) in enumerate(NEDELEC_EDGE_CORNERS["hex"]):
+            d = 0.5 * (corners[j] - corners[i])
+            a = int(np.argmax(np.abs(d)))
+            da = float(np.sign(d[a]))
+            bs = [b for b in range(3) if b != a]
+            s0, s1 = corners[i][bs[0]], corners[i][bs[1]]
+            g = da * (1 + s0 * pts[:, bs[0]]) * (1 + s1 * pts[:, bs[1]]) / 8.0
+            N[:, k, a] = g
+            # curl(g e_a): (curl)_c = eps_{c b a} d g / d xi_b
+            dg = np.zeros((nq, 3))
+            dg[:, bs[0]] = da * s0 * (1 + s1 * pts[:, bs[1]]) / 8.0
+            dg[:, bs[1]] = da * s1 * (1 + s0 * pts[:, bs[0]]) / 8.0
+            ea = np.zeros(3)
+            ea[a] = 1.0
+            C[:, k, :] = np.cross(dg, ea[None, :])
+        return N, C
     raise ValueError(f"Nedelec basis for family {family}")
 
 
@@ -194,6 +220,10 @@ def eval_nedelec(family: str, pts: np.ndarray):
 NEDELEC_EDGE_CORNERS = {
     "quad": ((0, 1), (1, 2), (3, 2), (0, 3)),
     "tri": ((0, 1), (1, 2), (2, 0)),
+    # order matches the HEX20/27 midside nodes 8..19
+    "hex": ((0, 1), (1, 2), (2, 3), (3, 0),
+            (4, 5), (5, 6), (6, 7), (7, 4),
+            (0, 4), (1, 5), (2, 6), (3, 7)),
 }
 
 
@@ -470,6 +500,7 @@ _NODAL_INTERP_NODES = {
     # Nedelec edge dofs ride the midside nodes of quadratic parents
     ("quad", "N1"): (4, 5, 6, 7),
     ("tri", "N1"): (3, 4, 5),
+    ("hex", "N1"): tuple(range(8, 20)),
     ("tri", "P1"): tuple(range(3)),
     ("tri", "P2"): tuple(range(6)),
     ("hex", "Q1"): tuple(range(8)),

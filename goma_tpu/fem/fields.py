@@ -194,18 +194,25 @@ def eval_fieldvars(
     gphi0_cache: dict[str, jnp.ndarray] = {}
     for s in slots:
         if s.interp == "N1":
-            # Nedelec: covariant (Piola) transform N_phys = J^-T N_ref;
-            # 2D scalar curl transforms as curl_phys = curl_ref / detJ
+            # Nedelec: covariant (Piola) transform N_phys = J^-T N_ref; the
+            # curl transforms as curl_ref/detJ (2D scalar) or
+            # J . curl_ref / detJ (3D vector)
             Nv = jnp.asarray(tables.Nvec[s.interp], dtype=dtype)
             Cv = jnp.asarray(tables.Ncurl[s.interp], dtype=dtype)
             Nphys = jnp.einsum("qid,qdk->qik", Nv, invJ)
-            Cphys = Cv / detJ[:, None]
+            if dim == 3:
+                Cphys = jnp.einsum("qkd,qid->qik", Jmat, Cv) / detJ[:, None, None]
+            else:
+                Cphys = Cv / detJ[:, None]
             c = u[s.var][0]  # (nbf,) edge circulations
             cdot = udot[s.var][0]
             fv.phi[s.var] = Nphys  # (nq, nbf, dim) vector test functions
             fv.curl_phi[s.var] = Cphys
             fv.val[s.var] = jnp.einsum("qik,i->qk", Nphys, c)  # (nq, dim)
-            fv.curl[s.var] = jnp.einsum("qi,i->q", Cphys, c)
+            if dim == 3:
+                fv.curl[s.var] = jnp.einsum("qik,i->qk", Cphys, c)
+            else:
+                fv.curl[s.var] = jnp.einsum("qi,i->q", Cphys, c)
             fv.dot[s.var] = jnp.einsum("qik,i->qk", Nphys, cdot)
             continue
         Ni = jnp.asarray(tables.N[s.interp], dtype=dtype)

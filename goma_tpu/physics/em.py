@@ -143,8 +143,6 @@ class EMWaveEdge(Equation):
     """
 
     def __init__(self, part: str, omega: float, dim: int = 2):
-        if dim != 2:
-            raise NotImplementedError("EMWaveEdge: 2D (quad/tri) only for now")
         super().__init__(EDGE_RE if part == "real" else EDGE_IM, 1, "N1")
         self.part = part
         self.omega = omega
@@ -157,11 +155,14 @@ class EMWaveEdge(Equation):
         sig = prop(mat, "sigma_em", fv, params, 0.0)
 
         E = fv.val[self.var]          # (nq, dim)
-        curl = fv.curl[self.var]      # (nq,) scalar curl in 2D
+        curl = fv.curl[self.var]      # (nq,) 2D scalar | (nq, 3) 3D vector
         phi = fv.phi[self.var]        # (nq, nbf, dim)
-        cphi = fv.curl_phi[self.var]  # (nq, nbf)
+        cphi = fv.curl_phi[self.var]  # (nq, nbf) | (nq, nbf, 3)
 
-        c = cphi * (curl / mu_m)[:, None]  # (nq, nbf)
+        if self.dim == 3:
+            c = jnp.einsum("qk,qnk->qn", curl, cphi) / mu_m
+        else:
+            c = cphi * (curl / mu_m)[:, None]  # (nq, nbf)
 
         other = EDGE_IM if self.part == "real" else EDGE_RE
         E_o = fv.val.get(other)

