@@ -130,11 +130,15 @@ class _OvsSet:
     bar_block: int
     fluid_block: int
     kernels: list
-    gather: np.ndarray  # (nr, nlb + nlf) combined dof gather
+    gather: np.ndarray  # (nr, nlb + nlf [+ nls]) combined dof gather
     nlb: int
     xq: np.ndarray  # (nr, dim) physical points
     wq: np.ndarray  # (nr,) arc-length quadrature weights
     Nf: dict[str, np.ndarray]  # fluid interp -> (nr, nbf) basis at the point
+    # optional solid side (two-way FSI): parent-element basis at the points
+    solid_block: int = -1
+    nlf: int = 0
+    Ns: dict[str, np.ndarray] = None  # solid interp -> (nr, nbf)
 
 
 class Problem:
@@ -236,6 +240,8 @@ class Problem:
             T[f"on{j}"] = dev(self._ovs_nnz[j])
             for k, v in s.Nf.items():
                 T[f"oN{j}:{k}"] = dev(np.asarray(v).astype(dt))
+            for k, v in (s.Ns or {}).items():
+                T[f"oNs{j}:{k}"] = dev(np.asarray(v).astype(dt))
         T["tg"] = dev(self._tgather_pos)
         T["dirmask"] = dev(self._dir_mask)
         T["dirdofs"] = dev(self.dirichlet_dofs)
@@ -311,7 +317,8 @@ class Problem:
         bc_colloc.c; geometry helpers in goma_tpu.bc.pointwise)."""
         self._point_specs.append((nodeset, var, replace_comp, g))
 
-    def add_overset(self, bar_block, fluid_block, kernel, quad_order=None):
+    def add_overset(self, bar_block, fluid_block, kernel, quad_order=None,
+                    solid=None):
         """Overset (fictitious-domain) coupling between an immersed BAR
         block (carrying the P0 Lagrange-multiplier variable, see
         ``goma_tpu.physics.overset``) and a background block. At every
@@ -322,8 +329,15 @@ class Problem:
         multiplier bookkeeping ``src/mm_augc_util.c:2914``. ``quad_order=1``
         collocates one multiplier constraint at each segment midpoint (the
         reference's one-AC-per-quadrature-point choice); higher orders
-        enforce segment averages (mortar sense, default: problem order)."""
-        self._ovs_specs.append((bar_block, fluid_block, kernel, quad_order))
+        enforce segment averages (mortar sense, default: problem order).
+
+        ``solid=(solid_block, sideset)`` enables TWO-WAY coupling (the
+        BAAIJENS_SOLID_FLUID pair): the bar block must have been built by
+        ``attach_shell_block(mesh, sideset)`` so bar element i is sideset
+        face i; the solid parent element's dofs join the combined gather and
+        the kernel may return a third contribution dict for the solid rows."""
+        self._ovs_specs.append((bar_block, fluid_block, kernel, quad_order,
+                                solid))
 
     def add_point_load(self, nodeset, var: str, f, source_vars=None):
         """Additive weak nodal term (reference "special" BCs,
@@ -565,11 +579,11 @@ class Problem:
         name2bi = {b.name: i for i, b in enumerate(mesh.blocks)}
         out = []
         bykey: dict[tuple, tuple] = {}
-        for bb, fb, k, qo in self._ovs_specs:
+        for bb, fb, k, qo, solid in self._ovs_specs:
             bb = name2bi[bb] if isinstance(bb, str) else int(bb)
             fb = name2bi[fb] if isinstance(fb, str) else int(fb)
-            bykey.setdefault((bb, fb, qo), []).append(k)
-        for (bb, fb, qo), kernels in bykey.items():
+            bykey.setdefault((bb, fb, qo, solid), []).append(k)
+        for (bb, fb, qo, solid), kernels in bykey.items():
             blk_b, blk_f = mesh.blocks[bb], mesh.blocks[fb]
             bd_b, bd_f = self.dofmap.blocks[bb], self.dofmap.blocks[fb]
             et_b, et_f = element_type(blk_b.elem_type), element_type(blk_f.elem_type)
@@ -585,7 +599,26 @@ class Problem:
             cents = mesh.coords[blk_f.conn].mean(axis=1)
             tree = cKDTree(cents)
 
+            # optional solid side: bar element i == sideset face i
+            sb = -1
+            interps_s = []
+            if solid is not None:
+                sb, ssname = solid
+                sb = name2bi[sb] if isinstance(sb, str) else int(sb)
+                ss = mesh.sidesets[ssname]
+                if len(ss.elems) != blk_b.n_elem:
+                    raise ValueError(
+                        "overset solid coupling: bar block must be the shell "
+                        "block attached to the given sideset (one bar element "
+                        "per face)")
+                blk_s = mesh.blocks[sb]
+                bd_s = self.dofmap.blocks[sb]
+                et_s = element_type(blk_s.elem_type)
+                interps_s = sorted({s.interp for s in bd_s.slots
+                                    if s.interp not in ("N1",)})
+
             rows_g, xs, ws, Nfs = [], [], [], {i: [] for i in interps_f}
+            Nss = {i: [] for i in interps_s}
             for le in range(blk_b.n_elem):
                 Xb = mesh.coords[blk_b.conn[le]]
                 xq = Ng @ Xb  # (nq, dim)
@@ -605,8 +638,21 @@ class Problem:
                         raise RuntimeError(
                             f"overset point {xq[iq]} lies outside the "
                             f"background block '{blk_f.name}'")
-                    rows_g.append(np.concatenate([bd_b.gather[le],
-                                                  bd_f.gather[fe]]))
+                    row = [bd_b.gather[le], bd_f.gather[fe]]
+                    if solid is not None:
+                        se = int(mesh.global_elem_block(int(ss.elems[le]))[1])
+                        xi_s, ok = _invert_map(et_s,
+                                               mesh.coords[blk_s.conn[se]],
+                                               xq[iq])
+                        if not ok:
+                            raise RuntimeError(
+                                "overset point does not invert into its "
+                                "solid parent element")
+                        for itp in interps_s:
+                            N, _ = eval_basis(et_s.family, itp, xi_s[None, :])
+                            Nss[itp].append(N[0])
+                        row.append(bd_s.gather[se])
+                    rows_g.append(np.concatenate(row))
                     xs.append(xq[iq])
                     ws.append(wq[iq])
                     for itp in interps_f:
@@ -617,6 +663,8 @@ class Problem:
                 gather=np.stack(rows_g).astype(np.int32), nlb=bd_b.n_ldof,
                 xq=np.stack(xs), wq=np.asarray(ws),
                 Nf={i: np.stack(v) for i, v in Nfs.items()},
+                solid_block=sb, nlf=bd_f.n_ldof,
+                Ns={i: np.stack(v) for i, v in Nss.items()} if interps_s else None,
             ))
         return out
 
@@ -629,11 +677,15 @@ class Problem:
         s = self.ovs_sets[si]
         bd_b = self.dofmap.blocks[s.bar_block]
         bd_f = self.dofmap.blocks[s.fluid_block]
-        nlb, nl = s.nlb, s.nlb + bd_f.n_ldof
+        has_solid = s.solid_block >= 0
+        bd_s = self.dofmap.blocks[s.solid_block] if has_solid else None
+        nlb = s.nlb
+        nlbf = nlb + bd_f.n_ldof
+        nl = nlbf + (bd_s.n_ldof if has_solid else 0)
         lam = bd_b.slot(LM_VAR)
 
-        def row_res(q, xp, wp, Nf, params):
-            qf = q[nlb:]
+        def row_res(q, h, xp, wp, Nf, Ns, params):
+            qf = q[nlb:nlbf]
             ov = OversetVars()
             ov.x = xp
             ov.w = wp
@@ -644,20 +696,38 @@ class Problem:
                 qv = qf[sl.start : sl.start + sl.size].reshape(sl.ncomp, sl.nbf)
                 ov.vals[sl.var] = qv @ N
                 ov.phi[sl.var] = N
+            if has_solid:
+                qs = q[nlbf:]
+                qsdot = params["ct"] * qs + h[nlbf:]
+                for sl in bd_s.slots:
+                    if sl.interp in ("N1",):
+                        continue
+                    N = Ns[sl.interp]
+                    qv = qs[sl.start : sl.start + sl.size].reshape(sl.ncomp, sl.nbf)
+                    dv = qsdot[sl.start : sl.start + sl.size].reshape(sl.ncomp, sl.nbf)
+                    ov.vals_s[sl.var] = qv @ N
+                    ov.dots_s[sl.var] = dv @ N
+                    ov.phi_s[sl.var] = N
             r = jnp.zeros(nl, dtype=q.dtype)
             q_lam = q[lam.start : lam.start + lam.size].reshape(lam.ncomp)
             for k in s.kernels:
-                r_lam, rf = k.residual(ov, q_lam, params)
+                parts = k.residual(ov, q_lam, params)
+                r_lam, rf = parts[0], parts[1]
                 r = r.at[lam.start : lam.start + lam.size].add(r_lam)
                 for var, contrib in rf.items():
                     sl = bd_f.slot(var)
                     r = r.at[nlb + sl.start : nlb + sl.start + sl.size].add(
                         contrib.reshape(-1))
+                if len(parts) > 2 and has_solid:
+                    for var, contrib in parts[2].items():
+                        sl = bd_s.slot(var)
+                        r = r.at[nlbf + sl.start : nlbf + sl.start + sl.size].add(
+                            contrib.reshape(-1))
             return r, r
 
         return row_res
 
-    def _ovs_contribs(self, x, params, T, with_jac=True):
+    def _ovs_contribs(self, x, hist, params, T, with_jac=True):
         """Sum of all overset sets' (R, vals) contributions."""
         n = self.dofmap.n_dof
         dtype = x.dtype
@@ -668,17 +738,18 @@ class Problem:
             xs = T[f"ox{si}"]
             ws = T[f"ow{si}"]
             Nf = {k: T[f"oN{si}:{k}"] for k in s.Nf}
+            Ns = {k: T[f"oNs{si}:{k}"] for k in (s.Ns or {})}
             row_res = self._ovs_residual_fn(si)
             if with_jac:
                 jac_fn = jax.jacfwd(row_res, argnums=0, has_aux=True)
-                J, r = jax.vmap(jac_fn, in_axes=(0, 0, 0, 0, None))(
-                    x[gather], xs, ws, Nf, params)
+                J, r = jax.vmap(jac_fn, in_axes=(0, 0, 0, 0, 0, 0, None))(
+                    x[gather], hist[gather], xs, ws, Nf, Ns, params)
                 vals = vals + jax.ops.segment_sum(
                     J.reshape(-1), T[f"on{si}"].reshape(-1),
                     num_segments=self.pattern.nnz)
             else:
-                r, _ = jax.vmap(row_res, in_axes=(0, 0, 0, 0, None))(
-                    x[gather], xs, ws, Nf, params)
+                r, _ = jax.vmap(row_res, in_axes=(0, 0, 0, 0, 0, 0, None))(
+                    x[gather], hist[gather], xs, ws, Nf, Ns, params)
             R = R + jax.ops.segment_sum(r.reshape(-1), gather.reshape(-1),
                                         num_segments=n)
         return R, vals
@@ -1073,7 +1144,7 @@ class Problem:
             R = R + dR
             vals = vals + dv.astype(vals.dtype)
         if self.ovs_sets:
-            dR, dv = self._ovs_contribs(x, params, T, with_jac=True)
+            dR, dv = self._ovs_contribs(x, hist, params, T, with_jac=True)
             R = R + dR
             vals = vals + dv.astype(vals.dtype)
 
@@ -1250,7 +1321,7 @@ class Problem:
             R = R + dR
             vals = vals + dv
         if self.ovs_sets:
-            dR, dv = self._ovs_contribs(x, params, T, with_jac=True)
+            dR, dv = self._ovs_contribs(x, hist, params, T, with_jac=True)
             R = R + dR
             vals = vals + dv
 
@@ -1302,7 +1373,7 @@ class Problem:
             dR, _ = self._ifc_contribs(x, hist, params, T, with_jac=False)
             R = R + dR
         if self.ovs_sets:
-            dR, _ = self._ovs_contribs(x, params, T, with_jac=False)
+            dR, _ = self._ovs_contribs(x, hist, params, T, with_jac=False)
             R = R + dR
         if self._point_loads:
             from goma_tpu.bc.pointwise import apply_point_loads

@@ -40,3 +40,27 @@ def circle_block(mesh: Mesh, center, radius: float, n: int = 32,
     c = np.asarray(center, dtype=float)
     pts = c[None, :] + radius * np.stack([np.cos(th), np.sin(th)], axis=1)
     return polyline_block(mesh, pts, name=name, closed=True)
+
+
+def merge_mesh(mesh: Mesh, other: Mesh, prefix: str = "m2") -> int:
+    """Append all blocks of ``other`` (with their own, unshared nodes) to
+    ``mesh`` — the overlapping-mesh setup of the reference's overset contact.
+    Node/side sets arrive as ``prefix:name``. Returns the block index of
+    ``other``'s first block."""
+    n0 = mesh.n_nodes
+    e0 = mesh.n_elem
+    first = len(mesh.blocks)
+    mesh.coords = np.concatenate([mesh.coords, other.coords], axis=0)
+    for b in other.blocks:
+        mesh.blocks.append(Block(f"{prefix}:{b.name}", b.elem_type,
+                                 (b.conn + n0).astype(np.int32), b.material))
+    for name, nodes in other.nodesets.items():
+        mesh.nodesets[f"{prefix}:{name}"] = (np.asarray(nodes) + n0).astype(
+            np.int32)
+    from goma_tpu.mesh.mesh import SideSet
+
+    for name, ss in other.sidesets.items():
+        mesh.sidesets[f"{prefix}:{name}"] = SideSet(
+            (np.asarray(ss.elems) + e0).astype(np.int32),
+            np.asarray(ss.faces).astype(np.int32))
+    return first

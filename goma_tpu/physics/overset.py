@@ -83,10 +83,44 @@ class OversetNoSlip:
 
 
 class OversetVars:
-    """Fluid-side state at one immersed quadrature point."""
+    """Fluid-side (and optionally solid-side) state at one immersed
+    quadrature point."""
 
     def __init__(self):
         self.x = None  # (dim,)
         self.w = None  # scalar arc-length weight
-        self.vals = {}  # var -> (ncomp,)
-        self.phi = {}  # var -> (nbf,)
+        self.vals = {}  # fluid var -> (ncomp,)
+        self.phi = {}  # fluid var -> (nbf,)
+        self.vals_s = {}  # solid var -> (ncomp,)
+        self.dots_s = {}  # solid var material time derivative -> (ncomp,)
+        self.phi_s = {}  # solid var -> (nbf,)
+
+
+class OversetFSI:
+    """Two-way flexible-solid coupling (the BAAIJENS_SOLID_FLUID /
+    BAAIJENS_FLUID_SOLID pair of src/bc_contact.c): at each immersed point,
+
+        multiplier rows:   + w ( u_f(x_q) - d_dot_solid(x_q) )
+        fluid rows:        + w lambda . phi_f     (reaction on the fluid)
+        solid rows:        - w lambda . phi_s     (equal and opposite)
+
+    Register with ``Problem.add_overset(..., solid=(solid_block, sideset))``
+    where the bar block was built by attach_shell_block on that sideset.
+    ``solid_var``: the solid displacement variable whose material velocity
+    the fluid must match."""
+
+    fluid_var = "velocity"
+
+    def __init__(self, dim: int, solid_var: str = "solid_displacement"):
+        self.dim = dim
+        self.solid_var = solid_var
+
+    def residual(self, ov, q_lam, params):
+        u_f = ov.vals[self.fluid_var]
+        ddot = ov.dots_s[self.solid_var]  # (dim,) material velocity
+        r_lam = ov.w * (u_f - ddot)
+        phi_f = ov.phi[self.fluid_var]
+        rf = {self.fluid_var: ov.w * q_lam[:, None] * phi_f[None, :]}
+        phi_s = ov.phi_s[self.solid_var]
+        rs = {self.solid_var: -ov.w * q_lam[:, None] * phi_s[None, :]}
+        return r_lam, rf, rs

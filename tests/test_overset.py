@@ -84,3 +84,69 @@ def test_overset_couette_nonaligned():
     mask = ~np.isnan(ux) & (np.abs(y - y_c) > 0.25)
     err = np.max(np.abs(ux[mask] - exact[mask]))
     assert err < 0.02, err
+
+
+def test_overset_fsi_elastic_wall():
+    """Two-way flexible-solid overset (BAAIJENS pair): an elastic strip
+    overlaps the fluid mesh, its top face immersed in a Couette flow.
+    Steady: d_dot = 0 means the face acts as a no-slip wall, and the
+    multipliers transfer the fluid shear to the solid -> pure-shear
+    deflection d_x(y) = tau y / mu_L with tau = mu_f U / (1 - y_c)."""
+    from goma_tpu.mesh import rectangle_mesh
+    from goma_tpu.mesh.immersed import merge_mesh
+    from goma_tpu.physics import RealSolid, attach_shell_block
+    from goma_tpu.physics.overset import OversetFSI
+
+    U, mu_f, mu_L, y_c = 1.0, 0.7, 5.0, 0.3
+    fluid = rectangle_mesh(4, 10, elem="QUAD9", xlim=(0, 0.8), ylim=(0, 1))
+    fluid.nodesets["pin"] = np.array([0], dtype=np.int32)
+    solid = rectangle_mesh(4, 3, elem="QUAD9", xlim=(0, 0.8), ylim=(0, y_c))
+    mesh = fluid
+    sbi = merge_mesh(mesh, solid, prefix="s")
+    bbi = attach_shell_block(mesh, "s:top", "ifc")
+    from goma_tpu.fem import Problem
+    from goma_tpu.physics import Continuity, Momentum, OversetLM
+
+    eqs = [
+        [Momentum(dim=2, interp="Q2", transient=False, convection=False),
+         Continuity(interp="Q1")],
+        [RealSolid(dim=2, interp="Q2", model="linear")],
+        [OversetLM(dim=2)],
+    ]
+    mats = [{"rho": 1.0, "mu": mu_f},
+            {"lame_mu": mu_L, "lame_lambda": 2.0, "solid_rho": 1.0}, {}]
+    prob = Problem(mesh, eqs, mats)
+    prob.add_dirichlet("top", "velocity", 0, U)
+    prob.add_dirichlet("bottom", "velocity", 0, 0.0)
+    for ns in ("top", "bottom", "left", "right"):
+        prob.add_dirichlet(ns, "velocity", 1, 0.0)
+    prob.add_dirichlet("pin", "pressure", 0, 0.0)
+    for c in (0, 1):
+        prob.add_dirichlet("s:bottom", "solid_displacement", c, 0.0)
+    # suppress the free-side bending mode so the strip is in PURE shear
+    # (otherwise the stubby strip legitimately deflects more than tau y/mu)
+    mesh.nodesets["s:all"] = np.unique(mesh.blocks[sbi].conn)
+    prob.add_dirichlet("s:all", "solid_displacement", 1, 0.0)
+    prob.add_overset(bbi, 0, OversetFSI(dim=2), solid=(sbi, "s:top"))
+    prob.finalize()
+    res = NewtonSolver(prob, NewtonOptions(max_iter=8, tol_residual=1e-10,
+                                           linear_solver="direct")).solve(
+        np.zeros(prob.dofmap.n_dof), prob.base_params())
+    assert res.converged, res.summary()
+
+    # fluid: no-slip held at the immersed face
+    ux = prob.get_nodal_field(res.x, "velocity", 0)
+    y = mesh.coords[:, 1]
+    fl = ~np.isnan(ux) & (np.abs(y - y_c) < 1e-9)
+    assert np.nanmax(np.abs(ux[fl])) < 5e-3
+
+    # solid: pure shear deflection from the transferred fluid traction
+    tau = mu_f * U / (1 - y_c)
+    dx = prob.get_nodal_field(res.x, "solid_displacement", 0)
+    snodes = mesh.nodesets["s:top"]
+    d_top = np.nanmean(dx[snodes])
+    np.testing.assert_allclose(d_top, tau * y_c / mu_L, rtol=0.05)
+    # linear profile through the strip thickness
+    sl = mesh.nodesets["s:left"]
+    ys = mesh.coords[sl, 1]
+    np.testing.assert_allclose(dx[sl], tau * ys / mu_L, atol=0.05 * tau * y_c / mu_L)
