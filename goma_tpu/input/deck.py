@@ -158,6 +158,8 @@ def _init_face_registry():
         qrad=lambda a: RadiativeHeatFlux(**a),
         yflux_mtc=lambda a: MassTransferFlux(**a),
         em_absorbing=lambda a: EMAbsorbingBC(**a),
+        hor_flux=lambda a: __import__('goma_tpu.physics.electro', fromlist=['HORFlux']).HORFlux(**a),
+        orr_flux=lambda a: __import__('goma_tpu.physics.electro', fromlist=['ORRFlux']).ORRFlux(**a),
         dg_stress_inflow=lambda a: DGStressInflow(**a),
     )
 

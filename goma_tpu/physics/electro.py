@@ -59,3 +59,61 @@ class ButlerVolmerBC(FaceKernel):
         phi = sfv.phi[POT_VAR]
         # current entering the electrolyte = -flux of kappa grad V . n
         return -jnp.einsum("q,qi->qi", i, phi)[:, None, :]
+
+
+class HORFlux(FaceKernel):
+    """Hydrogen-oxidation (linearized Butler-Volmer) surface species flux
+    (reference ``mass_flux_surf_HOR``, src/mm_fill_species.c:2134):
+
+        q = (ai0 H / (n R T)) (c/cref)^beta (alpha_a + alpha_c)(V - Phi - U0)
+
+    applied as + int phi q on the species equation; Phi is the electrolyte
+    potential variable when present (else 0)."""
+
+    def __init__(self, ai0: float, H: float, n: float, alpha_a: float,
+                 alpha_c: float, U0: float, beta: float, cref: float,
+                 V: float, T: float = 298.15, comp: int = 0,
+                 var: str = "species", ncomp: int = 1):
+        super().__init__(var, ncomp)
+        self.k = ai0 * H / (n * GAS_R * T)
+        self.ac_sum = alpha_a + alpha_c
+        self.U0, self.beta, self.cref, self.V = U0, beta, cref, V
+        self.comp = comp
+
+    def residual(self, sfv, mat, params):
+        nq = sfv.x.shape[0]
+        c = sfv.val[self.var][:, self.comp]
+        Phi = sfv.val[POT_VAR][:, 0] if POT_VAR in sfv.val else 0.0
+        q = self.k * (jnp.maximum(c, 1e-30) / self.cref) ** self.beta \
+            * self.ac_sum * (self.V - Phi - self.U0)
+        phi = sfv.phi[self.var]
+        out = jnp.zeros((nq, self.ncomp, phi.shape[1]), dtype=phi.dtype)
+        return out.at[:, self.comp, :].set(q[:, None] * phi)
+
+
+class ORRFlux(FaceKernel):
+    """Oxygen-reduction (cathodic Tafel) surface species flux (reference
+    ``mass_flux_surf_ORR``, src/mm_fill_species.c:2195):
+
+        q = (ai0 H / (n F)) (c/cref)^beta exp(-alpha_c F (V - Phi - U0)/(R T))
+    """
+
+    def __init__(self, ai0: float, H: float, n: float, alpha_c: float,
+                 U0: float, beta: float, cref: float, V: float,
+                 T: float = 298.15, comp: int = 0, var: str = "species",
+                 ncomp: int = 1):
+        super().__init__(var, ncomp)
+        self.k = ai0 * H / (n * FARADAY)
+        self.f = alpha_c * FARADAY / (GAS_R * T)
+        self.U0, self.beta, self.cref, self.V = U0, beta, cref, V
+        self.comp = comp
+
+    def residual(self, sfv, mat, params):
+        nq = sfv.x.shape[0]
+        c = sfv.val[self.var][:, self.comp]
+        Phi = sfv.val[POT_VAR][:, 0] if POT_VAR in sfv.val else 0.0
+        q = self.k * (jnp.maximum(c, 1e-30) / self.cref) ** self.beta \
+            * jnp.exp(-self.f * (self.V - Phi - self.U0))
+        phi = sfv.phi[self.var]
+        out = jnp.zeros((nq, self.ncomp, phi.shape[1]), dtype=phi.dtype)
+        return out.at[:, self.comp, :].set(q[:, None] * phi)

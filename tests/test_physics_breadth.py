@@ -193,3 +193,37 @@ def test_reynolds_slider_bearing():
     assert np.max(np.abs(pb - pref)) < 0.02 * np.max(np.abs(pr))
     # positive pressure hump for converging gap
     assert pb.max() > 0
+
+
+def test_hor_orr_surface_kinetics():
+    """HOR/ORR surface-kinetics fluxes (mass_flux_surf_HOR:2134 /
+    mass_flux_surf_ORR:2195): 1D diffusion with a consuming electrode —
+    the steady profile satisfies the mixed BC exactly:
+    -D c'(L) = q(c(L)) with the ORR Tafel rate, linear interior profile."""
+    import jax.numpy as jnp
+    from goma_tpu.fem import Problem
+    from goma_tpu.mesh import rectangle_mesh
+    from goma_tpu.physics import Species
+    from goma_tpu.physics.electro import FARADAY, GAS_R, ORRFlux
+    from goma_tpu.solvers import NewtonOptions, NewtonSolver
+
+    D, c0, L = 1.0, 1.0, 1.0
+    ai0, H, n, ac, U0, beta, cref, V, T = 2.0, 1.0, 4.0, 0.5, 0.2, 1.0, 1.0, 0.4, 298.15
+    mesh = rectangle_mesh(8, 2, elem="QUAD9", xlim=(0, L), ylim=(0, 0.25))
+    prob = Problem(mesh, [Species(n_species=1, interp="Q2", transient=False,
+                                  convection=False)], {"D": D})
+    prob.add_dirichlet("left", "species", 0, c0)
+    prob.add_face_kernel("right", ORRFlux(ai0=ai0, H=H, n=n, alpha_c=ac,
+                                          U0=U0, beta=beta, cref=cref, V=V, T=T))
+    prob.finalize()
+    x0 = prob.set_nodal_field(np.zeros(prob.dofmap.n_dof), "species", 0, c0)
+    res = NewtonSolver(prob, NewtonOptions(max_iter=12, tol_residual=1e-12,
+                                           linear_solver="direct")).solve(
+        x0, prob.base_params())
+    assert res.converged
+    c = prob.get_nodal_field(res.x, "species", 0)
+    # exact: c(x) = c0 - m x with flux balance m D = k (c0 - m L) e^{-f(V-U0)}
+    k = ai0 * H / (n * FARADAY)
+    rate0 = k * np.exp(-ac * FARADAY / (GAS_R * T) * (V - U0))
+    m = rate0 * c0 / (D + rate0 * L)
+    np.testing.assert_allclose(c, c0 - m * mesh.coords[:, 0], atol=1e-10)
