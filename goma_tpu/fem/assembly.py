@@ -467,6 +467,10 @@ class Problem:
             self._tgather_pos = np.zeros((self.dofmap.n_dof, 1), dtype=np.int64)
 
         self._build_tables()
+        # re-finalize support (moving overset boundaries, remesh): drop any
+        # caches derived from the previous layout
+        self._padded_meta = None
+        self._padded_ok = None
         self._finalized = True
         self._assemble_jit = jax.jit(self._assemble)
         self._residual_jit = jax.jit(self._residual_only)

@@ -150,3 +150,27 @@ def test_overset_fsi_elastic_wall():
     sl = mesh.nodesets["s:left"]
     ys = mesh.coords[sl, 1]
     np.testing.assert_allclose(dx[sl], tau * ys / mu_L, atol=0.05 * tau * y_c / mu_L)
+
+
+def test_overset_moving_boundary_refinalize():
+    """Moving immersed boundaries: update the bar nodes' coordinates and
+    re-finalize — the host relocalization (the reference recomputes its
+    point-in-element search every assembly) rebuilds the coupling. The
+    Couette kink follows the wall."""
+    U_s, U_top = 0.0, 1.0
+    mesh, prob, res = couette_overset(y_c=0.31, ny=10, U_s=U_s, U_top=U_top)
+    ux1 = prob.get_nodal_field(res.x, "velocity", 0)
+    # move the immersed wall up and re-finalize the SAME problem
+    wall = mesh.nodesets["wall"]
+    mesh.coords[wall, 1] = 0.52
+    prob.finalize()
+    res2 = NewtonSolver(prob, OPTS).solve(np.zeros(prob.dofmap.n_dof),
+                                          prob.base_params())
+    assert res2.converged
+    ux2 = prob.get_nodal_field(res2.x, "velocity", 0)
+    y = mesh.coords[:, 1]
+    # at y = 0.45 (below the new wall, above the old): before the move the
+    # flow is already substantial; after, it is locked to ~U_s = 0
+    probe = ~np.isnan(ux2) & (np.abs(y - 0.45) < 0.03) & (np.arange(len(y)) < wall.min())
+    assert np.nanmax(np.abs(ux2[probe])) < 0.05
+    assert np.nanmax(np.abs(ux1[probe])) > 0.15
