@@ -57,3 +57,10 @@ def test_example_immersed_cylinder():
     assert res.converged
     # the flow pushes the cylinder downstream: positive drag, O(mu U) scale
     assert drag > 0.5, drag
+
+
+def test_example_rb_stability_sweep():
+    from examples.rayleigh_benard_3d_stability import sweep
+
+    out = dict(sweep(Ra=700.0, betas=(1.2, 2.221, 3.6)))
+    assert out[2.221] > 0 and out[1.2] < 0 and out[3.6] < 0
