@@ -179,12 +179,31 @@ def build_mesh(spec: dict):
     raise ValueError(f"unknown mesh kind {kind}")
 
 
+def expand_expressions(obj):
+    """Aprepro-equivalent for pure-JSON decks (reference: in-process SEACAS
+    aprepro, ``src/util/aprepro_helper.cpp``, -a flag): any string value of
+    the form ``"expr: <expression>"`` is evaluated with numpy available as
+    ``np`` plus ``pi``/``e``/``sin``/``cos``/``sqrt``/``exp``/``log``.
+    Python decks don't need this — they have real expressions — but JSON
+    files shipped as decks do."""
+    if isinstance(obj, str) and obj.startswith("expr:"):
+        env = {"np": np, "pi": np.pi, "e": np.e, "sin": np.sin,
+               "cos": np.cos, "sqrt": np.sqrt, "exp": np.exp, "log": np.log}
+        return eval(obj[5:], {"__builtins__": {}}, env)  # noqa: S307
+    if isinstance(obj, dict):
+        return {k: expand_expressions(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return type(obj)(expand_expressions(v) for v in obj)
+    return obj
+
+
 def build_problem(deck: dict) -> tuple[Problem, dict]:
     """Build a finalized Problem from a deck. Returns (problem, echo) where
     echo is the fully-resolved deck (reference: input echo file)."""
     if not _EQUATIONS:
         _init_registry()
         _init_face_registry()
+    deck = expand_expressions(deck)
     echo: dict[str, Any] = json.loads(json.dumps(deck, default=str))
 
     mesh = build_mesh(deck["mesh"])

@@ -110,3 +110,31 @@ def test_deck_navier_slip_couette():
     exact = U * (y + Ls) / (H + Ls)
     mask = ~np.isnan(ux)
     np.testing.assert_allclose(ux[mask], exact[mask], atol=1e-8)
+
+
+def test_deck_expression_preprocessing():
+    """Aprepro-equivalent (src/util/aprepro_helper.cpp parity): "expr:"
+    strings in JSON-able decks evaluate before building."""
+    import numpy as np
+    from goma_tpu.input.deck import run_deck
+
+    deck = {
+        "mesh": {"kind": "rectangle", "nx": 4, "ny": 4, "elem": "QUAD9",
+                 "xlim": (0, "expr: 2*pi/6.283185307179586"), "ylim": (0, 1)},
+        "equations": [{"type": "energy", "interp": "Q2", "transient": False,
+                       "convection": False}],
+        "material": {"k": "expr: sqrt(4.0)"},
+        "bcs": [
+            {"kind": "dirichlet", "nodeset": "left", "var": "temperature",
+             "value": "expr: exp(0.0)"},
+            {"kind": "dirichlet", "nodeset": "right", "var": "temperature",
+             "value": 0.0},
+        ],
+        "solver": {"max_iter": 4, "tol_residual": 1e-11,
+                   "linear_solver": "direct"},
+    }
+    prob, res, echo = run_deck(deck)
+    assert res.converged
+    T = prob.get_nodal_field(res.x, "temperature", 0)
+    x = prob.mesh.coords[:, 0]
+    np.testing.assert_allclose(T, 1.0 - x, atol=1e-10)  # k uniform -> linear
