@@ -125,3 +125,28 @@ def test_numjac_hermite_beam():
     rng = np.random.RandomState(13)
     x = 0.1 * rng.randn(prob.dofmap.n_dof)
     _check(prob, x)
+
+
+def test_numjac_em_edge():
+    """Edge-element curl-curl (quad, tri w/ signs, and 3D hex) AD columns
+    match finite differences, incl. the sigma re/im coupling."""
+    from goma_tpu.mesh import box_mesh
+    from goma_tpu.physics import EMWaveEdge
+
+    for elem, dim in (("QUAD9", 2), ("TRI6", 2)):
+        mesh = rectangle_mesh(3, 3, elem=elem)
+        prob = Problem(mesh, [EMWaveEdge("real", omega=2.0, dim=dim),
+                              EMWaveEdge("imag", omega=2.0, dim=dim)],
+                       {"mu_m": 1.0, "eps": 1.0, "sigma_em": 0.3})
+        prob.finalize()
+        rng = np.random.RandomState(17)
+        x = 0.1 * rng.randn(prob.dofmap.n_dof)
+        _check(prob, x, n_columns=12)
+
+    mesh = box_mesh(2, 2, 2, elem="HEX27")
+    prob = Problem(mesh, [EMWaveEdge("real", omega=1.5, dim=3)],
+                   {"mu_m": 1.0, "eps": 1.0})
+    prob.finalize()
+    rng = np.random.RandomState(19)
+    x = 0.1 * rng.randn(prob.dofmap.n_dof)
+    _check(prob, x, n_columns=12)
