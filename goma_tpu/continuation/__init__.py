@@ -9,6 +9,8 @@ from goma_tpu.continuation.augmenting import (
     AugmentedResult,
     AugmentingCondition,
 )
-from goma_tpu.continuation.stability import StabilityResult, mass_and_jacobian, solve_stability
+from goma_tpu.continuation.stability import (StabilityResult, mass_and_jacobian,
+                                             solve_stability,
+                                             solve_stability_3d_of_2d)
 from goma_tpu.continuation.hunting import HuntSpec, detect_folds, hunt_problem
 from goma_tpu.continuation.bifurcation import FoldResult, fold_track

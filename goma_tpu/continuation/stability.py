@@ -143,3 +143,63 @@ def solve_stability_device(problem, x, params, n_modes: int = 6,
     modes = modes[:, order]
     return StabilityResult(growth_rates=sigma, modes=modes,
                            stable=bool(np.all(sigma.real < 0)))
+
+
+def solve_stability_3d_of_2d(base_problem, base_x, betas, mat=None,
+                             thermal=False, n_modes=3, shift=0.5,
+                             side_bcs=None, base_params=None):
+    """3D-of-2D normal-mode sweep driver (reference ``solve_stability_problem``
+    wavenumber loop, src/ac_stability.c:468): extracts the base flow
+    (velocity [+ temperature]) from a SOLVED 2D problem, builds the
+    normal-mode perturbation problem on the same mesh with the base fields
+    frozen as externals, and returns [(beta, leading growth rate, result)].
+    One compiled assembly serves every wavenumber (beta is traced).
+
+    ``side_bcs(prob)``: callback registering the perturbation BCs (PEC-style
+    walls etc.); defaults to homogeneous Dirichlet of the in-plane velocity
+    and temperature on every nodeset of the mesh named left/right/top/bottom.
+    """
+    import jax.numpy as jnp
+
+    from goma_tpu.fem import Problem
+    from goma_tpu.physics.normal_mode import (NM_T, NM_U, NormalModeContinuity,
+                                              NormalModeEnergy,
+                                              NormalModeMomentum, NormalModeW)
+
+    mesh = base_problem.mesh
+    mat = dict(mat if mat is not None else base_problem.materials[0])
+    eqs = [NormalModeMomentum(), NormalModeW(), NormalModeContinuity()]
+    ext = ["u0", "v0"]
+    if thermal:
+        eqs.append(NormalModeEnergy())
+        ext.append("T0")
+    prob = Problem(mesh, eqs, mat, external_fields=tuple(ext))
+    if side_bcs is not None:
+        side_bcs(prob)
+    else:
+        for ns in ("left", "right", "top", "bottom"):
+            if ns in mesh.nodesets:
+                prob.add_dirichlet(ns, NM_U, 0, 0.0)
+                prob.add_dirichlet(ns, NM_U, 1, 0.0)
+                if thermal:
+                    prob.add_dirichlet(ns, NM_T, 0, 0.0)
+    prob.finalize()
+
+    dt = prob.dtype
+    u0 = np.nan_to_num(base_problem.get_nodal_field(base_x, "velocity", 0))
+    v0 = np.nan_to_num(base_problem.get_nodal_field(base_x, "velocity", 1))
+    extras = {"ext_u0": jnp.asarray(u0, dtype=dt),
+              "ext_v0": jnp.asarray(v0, dtype=dt)}
+    if thermal:
+        T0 = np.nan_to_num(base_problem.get_nodal_field(base_x, "temperature", 0))
+        extras["ext_T0"] = jnp.asarray(T0, dtype=dt)
+    if base_params is not None:
+        extras.update(base_params)
+
+    out = []
+    x0 = np.zeros(prob.dofmap.n_dof)
+    for b in betas:
+        p = prob.base_params(beta=jnp.asarray(b, dtype=dt), **extras)
+        r = solve_stability(prob, x0, p, n_modes=n_modes, shift=shift)
+        out.append((float(b), float(r.growth_rates.real.max()), r))
+    return out

@@ -86,3 +86,35 @@ def test_rayleigh_benard_critical():
     # secant estimate of the neutral Ra from the two growth rates
     Ra_est = 600.0 - s_lo * (720.0 - 600.0) / (s_hi - s_lo)
     assert abs(Ra_est - Ra_c) / Ra_c < 0.02, Ra_est
+
+
+def test_3d_of_2d_driver_plane_couette():
+    """solve_stability_3d_of_2d driver: plane Couette base flow solved as a
+    2D NS problem, then swept in wavenumber — Couette is linearly stable
+    for all beta (Romanov), all growth rates negative and decreasing in
+    viscous damping with beta."""
+    from goma_tpu.continuation import solve_stability_3d_of_2d
+    from goma_tpu.physics import Continuity, Momentum
+    from goma_tpu.solvers import NewtonOptions, NewtonSolver
+
+    mesh = rectangle_mesh(3, 8, elem="QUAD9", xlim=(0, 0.5), ylim=(0, 1))
+    mesh.nodesets["pin"] = np.array([0], dtype=np.int32)
+    base = Problem(mesh, [Momentum(dim=2, interp="Q2", transient=False),
+                          Continuity(interp="Q1")], {"rho": 1.0, "mu": 0.1})
+    shear = lambda c: c[:, 1]
+    for ns in ("left", "right", "top", "bottom"):
+        base.add_dirichlet(ns, "velocity", 0, shear)
+        base.add_dirichlet(ns, "velocity", 1, 0.0)
+    base.add_dirichlet("pin", "pressure", 0, 0.0)
+    base.finalize()
+    res = NewtonSolver(base, NewtonOptions(max_iter=8, tol_residual=1e-10,
+                                           linear_solver="direct")).solve(
+        np.zeros(base.dofmap.n_dof), base.base_params())
+    assert res.converged
+
+    out = solve_stability_3d_of_2d(base, res.x, betas=(0.5, 2.0),
+                                   mat={"rho": 1.0, "mu": 0.1},
+                                   n_modes=3, shift=0.0)
+    sig = {b: s for b, s, _ in out}
+    assert sig[0.5] < 0 and sig[2.0] < 0  # linearly stable
+    assert sig[2.0] < sig[0.5]  # extra beta^2 viscous damping
