@@ -59,10 +59,14 @@ def _perm_to_exo(elem_type: str, n: int) -> np.ndarray:
 
 
 def write_exodus(path: str, mesh: Mesh, nodal_vars: dict[str, np.ndarray] | None = None,
-                 times: np.ndarray | None = None, title: str = "goma_tpu"):
+                 times: np.ndarray | None = None, title: str = "goma_tpu",
+                 elem_vars: dict[str, np.ndarray] | None = None):
     """Write mesh (+ optional time series of per-node fields) to Exodus II.
 
     nodal_vars: name -> (n_times, n_nodes) or (n_nodes,) arrays.
+    elem_vars: name -> (n_times, n_elem_total) or (n_elem_total,) arrays in
+    global element order (reference: element post variables,
+    ``post_process_elem``, src/mm_post_proc.c:5748).
     """
     ds = Dataset()
     ds.attrs = {
@@ -157,6 +161,21 @@ def write_exodus(path: str, mesh: Mesh, nodal_vars: dict[str, np.ndarray] | None
             if arr.ndim == 1:
                 arr = arr[None, :]
             ds.create_var(f"vals_nod_var{vi}", ("time_step", "num_nodes"), arr)
+    if elem_vars:
+        ds.create_dim("num_elem_var", len(elem_vars))
+        ds.create_var("name_elem_var", ("num_elem_var", "len_name"),
+                      charpad(list(elem_vars)))
+        for vi, (name, arr) in enumerate(elem_vars.items(), start=1):
+            arr = np.asarray(arr, dtype=np.float64)
+            if arr.ndim == 1:
+                arr = arr[None, :]
+            for bi, b in enumerate(mesh.blocks, start=1):
+                off = mesh.block_elem_offset(bi - 1)
+                ds.create_var(
+                    f"vals_elem_var{vi}eb{bi}",
+                    ("time_step", f"num_el_in_blk{bi}"),
+                    arr[:, off : off + b.n_elem],
+                )
     ds.write(path)
 
 
@@ -226,4 +245,10 @@ def read_exodus(path: str):
         names = ds.chars_to_strings("name_nod_var")
         for vi, nm in enumerate(names, start=1):
             results[nm] = ds.vars[f"vals_nod_var{vi}"].data.astype(np.float64)
+    if "name_elem_var" in ds.vars:
+        names = ds.chars_to_strings("name_elem_var")
+        for vi, nm in enumerate(names, start=1):
+            parts = [ds.vars[f"vals_elem_var{vi}eb{bi}"].data.astype(np.float64)
+                     for bi in range(1, len(mesh.blocks) + 1)]
+            results[nm] = np.concatenate(parts, axis=-1)
     return mesh, results, np.asarray(times, dtype=np.float64)

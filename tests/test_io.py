@@ -153,3 +153,22 @@ def test_pixel_image_to_nodal_field():
     ins = np.all((c3 > 1.0 / 8) & (c3 < 1 - 1.0 / 8), axis=1)
     exact = 8 * (c3[:, 0] + c3[:, 1] + c3[:, 2]) - 1.5
     np.testing.assert_allclose(v3[ins], exact[ins], rtol=1e-12)
+
+
+def test_exodus_element_variables_roundtrip(tmp_path):
+    """Element (per-cell) result variables (post_process_elem parity):
+    write + read back per-block vals_elem_var records."""
+    from goma_tpu.io import read_exodus, write_exodus
+    from goma_tpu.mesh import rectangle_mesh
+
+    mesh = rectangle_mesh(4, 3, elem="QUAD9")
+    ne = mesh.n_elem
+    ev = {"detj_min": np.linspace(0.5, 1.5, ne),
+          "rank": np.arange(ne, dtype=float)}
+    p = str(tmp_path / "ev.exo")
+    write_exodus(p, mesh, nodal_vars={"temperature": np.zeros(mesh.n_nodes)},
+                 elem_vars=ev)
+    m2, fields, _ = read_exodus(p)
+    np.testing.assert_allclose(fields["detj_min"][0], ev["detj_min"])
+    np.testing.assert_allclose(fields["rank"][0], ev["rank"])
+    assert "temperature" in fields
