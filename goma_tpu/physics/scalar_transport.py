@@ -74,6 +74,21 @@ class Species(Equation):
         gphi = fv.gphi["species"]
         contrib = jnp.einsum("qw,qi->qwi", adv, phi)
         contrib = contrib + jnp.einsum("w,qwk,qik->qwi", D, gc, gphi)
+        # electromigration (FICKIAN_CHARGED, reference src/mm_fill_species.c
+        # charged-species flux): J_w += -z_w u_w F c_w grad(V); weak
+        # + z u F c grad(V) . grad(phi). Material keys: charge (ns,) valences
+        # and mobility (ns,) [mol s/kg]; couples to the "voltage" variable.
+        z = mat.get("charge", None)
+        if z is not None and "voltage" in fv.val:
+            from goma_tpu.physics.electro import FARADAY
+
+            z = jnp.broadcast_to(jnp.asarray(z, dtype=c.dtype),
+                                 (self.n_species,))
+            um = jnp.broadcast_to(jnp.asarray(mat["mobility"], dtype=c.dtype),
+                                  (self.n_species,))
+            gV = fv.grad["voltage"][:, 0, :]  # (nq, dim)
+            contrib = contrib + FARADAY * jnp.einsum(
+                "w,w,qw,qk,qik->qwi", z, um, c, gV, gphi)
         S = mat.get("species_source", None)
         if S is not None:
             Sval = S(fv, mat, params) if callable(S) else jnp.broadcast_to(

@@ -227,3 +227,37 @@ def test_hor_orr_surface_kinetics():
     rate0 = k * np.exp(-ac * FARADAY / (GAS_R * T) * (V - U0))
     m = rate0 * c0 / (D + rate0 * L)
     np.testing.assert_allclose(c, c0 - m * mesh.coords[:, 0], atol=1e-10)
+
+
+def test_species_electromigration_boltzmann():
+    """Charged-species migration (FICKIAN_CHARGED parity): steady
+    diffusion-migration equilibrium against a solved linear potential gives
+    the Boltzmann profile c = c0 exp(-z u F (V - V0) / D); the no-flux
+    outflow is the natural BC of the weak form."""
+    from goma_tpu.fem import Problem
+    from goma_tpu.mesh import rectangle_mesh
+    from goma_tpu.physics import Potential, Species
+    from goma_tpu.physics.electro import FARADAY
+    from goma_tpu.solvers import NewtonOptions, NewtonSolver
+
+    D, z, um, V1, c0, L = 1.0, 1.0, 1.5 / (FARADAY * 0.2), 0.2, 1.0, 1.0
+    mesh = rectangle_mesh(10, 2, elem="QUAD9", xlim=(0, L), ylim=(0, 0.25))
+    prob = Problem(mesh, [Species(n_species=1, interp="Q2", transient=False,
+                                  convection=False),
+                          Potential(interp="Q2")],
+                   {"diffusivity": D, "kappa": 1.0,
+                    "charge": (z,), "mobility": (um,)})
+    prob.add_dirichlet("left", "species", 0, c0)
+    prob.add_dirichlet("left", "voltage", 0, 0.0)
+    prob.add_dirichlet("right", "voltage", 0, V1)
+    prob.finalize()
+    x0 = prob.set_nodal_field(np.zeros(prob.dofmap.n_dof), "species", 0, c0)
+    res = NewtonSolver(prob, NewtonOptions(max_iter=12, tol_residual=1e-12,
+                                           linear_solver="direct")).solve(
+        x0, prob.base_params())
+    assert res.converged
+    c = prob.get_nodal_field(res.x, "species", 0)
+    x = mesh.coords[:, 0]
+    V = V1 * x / L
+    exact = c0 * np.exp(-z * um * FARADAY * V / D)
+    np.testing.assert_allclose(c, exact, atol=2e-4)
