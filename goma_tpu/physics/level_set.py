@@ -18,7 +18,7 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
-from goma_tpu.fem.equations import Equation
+from goma_tpu.fem.equations import Equation, FaceKernel
 from goma_tpu.physics.fluid import advective_velocity
 from goma_tpu.physics.materials import prop
 
@@ -171,3 +171,45 @@ def renormalize(mesh, Fnode: np.ndarray) -> np.ndarray:
     proj = A[None, :, :] + t[:, :, None] * AB[None, :, :]
     dist = np.linalg.norm(P[:, None, :] - proj, axis=2).min(axis=1)
     return np.sign(Fnode) * dist
+
+
+class LSCurvature(Equation):
+    """Level-set curvature as a solved auxiliary variable (reference
+    ``assemble_curvature``, src/mm_fill_terms.c:1307): kappa = div(n_hat)
+    with n_hat = grad(F)/|grad(F)|, in the integrated-by-parts weak form
+
+        int kappa psi + int n_hat . grad(psi) = (boundary term dropped)
+
+    which needs only FIRST derivatives of the fill field. For a signed
+    distance to a circle of radius R the projected field is 1/r (=1/R on
+    the interface). The interior-domain values are accurate; the dropped
+    boundary term biases only wall-adjacent nodes (reference keeps it via
+    surface assembly)."""
+
+    def __init__(self, interp: str = "Q1", var: str = "ls_curvature"):
+        super().__init__(var, 1, interp)
+
+    def residual(self, fv, mat, params):
+        gF = fv.grad[FILL_VAR][:, 0, :]
+        nhat = gF / jnp.sqrt(jnp.sum(gF * gF, axis=1) + 1e-30)[:, None]
+        kap = fv.val[self.var][:, 0]
+        psi = fv.phi[self.var]
+        gpsi = fv.gphi[self.var]
+        c = kap[:, None] * psi + jnp.einsum("qk,qik->qi", nhat, gpsi)
+        return c[:, None, :]
+
+
+class LSCurvatureBoundary(FaceKernel):
+    """The boundary term of the integrated-by-parts curvature equation:
+    - (n_hat . n_wall) psi on domain walls (reference keeps this via the
+    surface assembly of assemble_curvature). Register on every wall sideset
+    or wall-adjacent kappa values absorb an O(1) consistency error."""
+
+    def __init__(self, var: str = "ls_curvature"):
+        super().__init__(var, 1)
+
+    def residual(self, sfv, mat, params):
+        gF = sfv.grad[FILL_VAR][:, 0, :]
+        nhat = gF / jnp.sqrt(jnp.sum(gF * gF, axis=1) + 1e-30)[:, None]
+        nn = jnp.einsum("qk,qk->q", nhat, sfv.normal)
+        return (-nn[:, None] * sfv.phi[self.var])[:, None, :]

@@ -104,3 +104,43 @@ def test_rotating_interface():
     # radius preserved
     rads = np.linalg.norm(segs.reshape(-1, 2) - centroid, axis=1)
     np.testing.assert_allclose(rads.mean(), r0, atol=0.03)
+
+
+def test_ls_curvature_circle():
+    """LSCurvature (assemble_curvature parity): distance to a circle
+    centered OUTSIDE the domain (field smooth everywhere inside) gives
+    kappa = 1/r; interior nodes checked (the dropped wall boundary term
+    biases only wall-adjacent rows)."""
+    from goma_tpu.fem.equations import Equation
+    from goma_tpu.physics.level_set import (FILL_VAR, LSCurvature,
+                                            LSCurvatureBoundary)
+    from goma_tpu.solvers import NewtonOptions, NewtonSolver
+
+    class FrozenFill(Equation):
+        def __init__(self):
+            super().__init__(FILL_VAR, 1, "Q2")
+
+        def residual(self, fv, mat, params):
+            z = 0.0 * fv.val[FILL_VAR][:, :, None]
+            return z * fv.phi[FILL_VAR][:, None, :]
+
+    cx, cy, R = -0.2, 0.5, 0.5
+    mesh = rectangle_mesh(16, 16, elem="QUAD9")
+    prob = Problem(mesh, [FrozenFill(), LSCurvature(interp="Q2")], {})
+    dist = lambda c: np.sqrt((c[:, 0] - cx) ** 2 + (c[:, 1] - cy) ** 2) - R
+    mesh.nodesets["all"] = np.arange(mesh.n_nodes, dtype=np.int32)
+    prob.add_dirichlet("all", FILL_VAR, 0, dist)
+    for ss in ("left", "right", "top", "bottom"):
+        prob.add_face_kernel(ss, LSCurvatureBoundary())
+    prob.finalize()
+    x0 = prob.set_nodal_field(np.zeros(prob.dofmap.n_dof), FILL_VAR, 0, dist)
+    res = NewtonSolver(prob, NewtonOptions(max_iter=3, tol_residual=1e-11,
+                                           linear_solver="direct")).solve(
+        x0, prob.base_params())
+    assert res.converged
+    kap = prob.get_nodal_field(res.x, "ls_curvature", 0)
+    xy = mesh.coords
+    r = np.sqrt((xy[:, 0] - cx) ** 2 + (xy[:, 1] - cy) ** 2)
+    rel = np.abs(kap * r - 1.0)
+    assert np.percentile(rel, 90) < 0.03, np.percentile(rel, 90)
+    assert rel.max() < 0.12, rel.max()  # corner quadrature error only
