@@ -132,6 +132,10 @@ def _init_registry():
         tensioned_string=lambda a: TensionedString(**a),
     )
 
+    from goma_tpu.physics.level_set import LSCurvature
+
+    _EQUATIONS.update(ls_curvature=lambda a: LSCurvature(**a))
+
 
 _FACE_KERNELS = {}
 
@@ -161,6 +165,9 @@ def _init_face_registry():
         hor_flux=lambda a: __import__('goma_tpu.physics.electro', fromlist=['HORFlux']).HORFlux(**a),
         orr_flux=lambda a: __import__('goma_tpu.physics.electro', fromlist=['ORRFlux']).ORRFlux(**a),
         dg_stress_inflow=lambda a: DGStressInflow(**a),
+        ls_curvature_boundary=lambda a: __import__(
+            'goma_tpu.physics.level_set',
+            fromlist=['LSCurvatureBoundary']).LSCurvatureBoundary(**a),
     )
 
 
@@ -207,14 +214,54 @@ def build_problem(deck: dict) -> tuple[Problem, dict]:
     echo: dict[str, Any] = json.loads(json.dumps(deck, default=str))
 
     mesh = build_mesh(deck["mesh"])
-    eqs = [_EQUATIONS[dict(e)["type"]]({k: v for k, v in e.items() if k != "type"})
-           for e in deck["equations"]]
-    mat = dict(deck.get("material", {}))
+    # immersed (overset) boundary blocks: independent BAR blocks overlapping
+    # the background mesh (reference: the overlapping solid mesh of
+    # bc_contact.c); reference them by name in the "overset" section
+    for im in deck.get("immersed", []):
+        im = dict(im)
+        kind = im.pop("kind")
+        from goma_tpu.mesh.immersed import circle_block, polyline_block
+
+        if kind == "circle":
+            circle_block(mesh, **im)
+        elif kind == "polyline":
+            polyline_block(mesh, np.asarray(im.pop("points"), dtype=float), **im)
+        else:
+            raise ValueError(f"unknown immersed kind {kind}")
+    def _mk(e):
+        e = dict(e)
+        return _EQUATIONS[e.pop("type")](e)
+
+    eqspec = deck["equations"]
+    if eqspec and isinstance(eqspec[0], (list, tuple)):
+        # per-block equation lists (multi-block decks)
+        eqs = [[_mk(e) for e in block] for block in eqspec]
+    else:
+        eqs = [_mk(e) for e in eqspec]
+    mat = deck.get("material", {})
+    mat = [dict(m) for m in mat] if isinstance(mat, (list, tuple)) else dict(mat)
     prob = Problem(
         mesh, eqs, mat,
         quad_order=deck.get("quad_order", 3),
         external_fields=tuple(deck.get("external_fields", ())),
     )
+    for ov in deck.get("overset", []):
+        ov = dict(ov)
+        kspec = dict(ov.pop("kernel"))
+        ktype = kspec.pop("type", "no_slip")
+        if ktype == "no_slip":
+            from goma_tpu.physics.overset import OversetNoSlip
+
+            kern = OversetNoSlip(**kspec)
+        elif ktype == "fsi":
+            from goma_tpu.physics.overset import OversetFSI
+
+            kern = OversetFSI(**kspec)
+        else:
+            raise KeyError(f"unknown overset kernel {ktype}")
+        prob.add_overset(ov.pop("bar_block"), ov.pop("fluid_block"), kern,
+                         quad_order=ov.pop("quad_order", None),
+                         solid=tuple(ov["solid"]) if ov.get("solid") else None)
     for bc in deck.get("bcs", []):
         bc = dict(bc)
         kind = bc.pop("kind")

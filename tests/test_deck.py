@@ -138,3 +138,50 @@ def test_deck_expression_preprocessing():
     T = prob.get_nodal_field(res.x, "temperature", 0)
     x = prob.mesh.coords[:, 0]
     np.testing.assert_allclose(T, 1.0 - x, atol=1e-10)  # k uniform -> linear
+
+
+def test_deck_overset_cylinder():
+    """Overset through the deck: immersed circle + multiplier block +
+    overset section reproduce the fictitious-domain cylinder flow."""
+    import numpy as np
+    from goma_tpu.input.deck import run_deck
+
+    deck = {
+        "mesh": {"kind": "rectangle", "nx": 12, "ny": 6, "elem": "QUAD9",
+                 "xlim": (0, 2.0), "ylim": (0, 1.0)},
+        "immersed": [{"kind": "circle", "center": (0.7, 0.5),
+                      "radius": 0.22, "n": 20, "name": "cyl"}],
+        "equations": [
+            [{"type": "momentum", "dim": 2, "interp": "Q2",
+              "transient": False, "convection": False},
+             {"type": "continuity", "interp": "Q1"}],
+            [{"type": "overset_lm", "dim": 2}],
+        ],
+        "material": [{"rho": 1.0, "mu": 1.0}, {}],
+        "overset": [{"bar_block": "cyl", "fluid_block": 0,
+                     "kernel": {"type": "no_slip", "dim": 2}}],
+        "bcs": [
+            {"kind": "dirichlet", "nodeset": "left", "var": "velocity",
+             "comp": 0, "value": 1.0},
+            {"kind": "dirichlet", "nodeset": "top", "var": "velocity",
+             "comp": 0, "value": 0.0},
+            {"kind": "dirichlet", "nodeset": "bottom", "var": "velocity",
+             "comp": 0, "value": 0.0},
+            {"kind": "dirichlet", "nodeset": "left", "var": "velocity",
+             "comp": 1, "value": 0.0},
+            {"kind": "dirichlet", "nodeset": "top", "var": "velocity",
+             "comp": 1, "value": 0.0},
+            {"kind": "dirichlet", "nodeset": "bottom", "var": "velocity",
+             "comp": 1, "value": 0.0},
+            {"kind": "pin", "var": "pressure", "value": 0.0},
+        ],
+        "solver": {"max_iter": 8, "tol_residual": 1e-9,
+                   "linear_solver": "direct"},
+    }
+    prob, res, echo = run_deck(deck)
+    assert res.converged
+    from goma_tpu.post.particles import FieldSampler
+
+    u = FieldSampler(prob).sample(res.x, "velocity",
+                                  np.array([[0.7, 0.5 + 0.22]]))
+    assert abs(u[0, 0]) < 0.05  # no-slip held at the immersed boundary
