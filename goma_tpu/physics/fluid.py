@@ -168,6 +168,13 @@ class Continuity(Equation):
         gu = fv.grad["velocity"]
         divu = jnp.trace(gu, axis1=1, axis2=2)  # (nq,)
         psi = fv.phi["pressure"]  # (nq, nbf)
+        # volumetric mass source: div(u) = s (reference: the foam/REF volume
+        # sources of assemble_continuity, src/mm_fill_continuity.c)
+        S = mat.get("mass_source", None)
+        if S is not None:
+            sval = S(fv, mat, params) if callable(S) else jnp.broadcast_to(
+                jnp.asarray(S), (nq,))
+            divu = divu - sval
         contrib = jnp.einsum("q,qi->qi", divu, psi)[:, None, :]
         if self.pspg > 0.0:
             rho = _as_nq(prop(mat, "rho", fv, params, 1.0), nq)

@@ -261,3 +261,36 @@ def test_species_electromigration_boltzmann():
     V = V1 * x / L
     exact = c0 * np.exp(-z * um * FARADAY * V / D)
     np.testing.assert_allclose(c, exact, atol=2e-4)
+
+
+def test_continuity_mass_source():
+    """Volumetric mass source (foam/REF sources of assemble_continuity):
+    div u = s with constant s has the exact expanding solution
+    u = (s x, 0), p = const on a channel with matching Dirichlet walls."""
+    from goma_tpu.fem import Problem
+    from goma_tpu.mesh import rectangle_mesh
+    from goma_tpu.physics import Continuity, Momentum
+    from goma_tpu.solvers import NewtonOptions, NewtonSolver
+
+    s, L = 2.0, 1.0
+    mesh = rectangle_mesh(6, 4, elem="QUAD9", xlim=(0, L), ylim=(0, 0.5))
+    mesh.nodesets["pin"] = np.array([0], dtype=np.int32)
+    prob = Problem(mesh, [Momentum(dim=2, interp="Q2", transient=False,
+                                   convection=False),
+                          Continuity(interp="Q1")],
+                   {"rho": 0.0, "mu": 1.0, "mass_source": s})
+    lin = lambda c: s * c[:, 0]
+    for ns in ("left", "right", "top", "bottom"):
+        prob.add_dirichlet(ns, "velocity", 0, lin)
+        prob.add_dirichlet(ns, "velocity", 1, 0.0)
+    prob.add_dirichlet("pin", "pressure", 0, 0.0)
+    prob.finalize()
+    res = NewtonSolver(prob, NewtonOptions(max_iter=4, tol_residual=1e-11,
+                                           linear_solver="direct")).solve(
+        np.zeros(prob.dofmap.n_dof), prob.base_params())
+    assert res.converged
+    ux = prob.get_nodal_field(res.x, "velocity", 0)
+    p = prob.get_nodal_field(res.x, "pressure", 0)
+    mask = ~np.isnan(ux)
+    np.testing.assert_allclose(ux[mask], s * mesh.coords[mask, 0], atol=1e-9)
+    np.testing.assert_allclose(p[~np.isnan(p)], 0.0, atol=1e-8)
