@@ -48,3 +48,30 @@ def load_checkpoint(path: str, problem):
             f"{mesh_fingerprint(problem.mesh)}"
         )
     return dict(x=d["x"], xdot=d["xdot"], t=float(d["t"]), dt=float(d["dt"]))
+
+
+def anneal_mesh(problem, x, zero_displacement: bool = True):
+    """Bake the solved mesh displacement into the coordinates (reference
+    ``anneal_mesh``, src/rf_solve.c:2892): returns (new Mesh, new x) where
+    the new mesh's coords are X + d and (optionally) the displacement
+    entries of the state are zeroed — the standard restart point for
+    continuing an ALE solve on the deformed configuration."""
+    import copy
+
+    import numpy as np
+
+    from goma_tpu.fem.fields import MESH_VAR
+
+    mesh = problem.mesh
+    new = copy.deepcopy(mesh)
+    x = np.array(x, copy=True)
+    dofmap = problem.dofmap
+    if not any(v.name == MESH_VAR for v in dofmap.vars):
+        raise ValueError("anneal_mesh: no mesh displacement variable")
+    for c in range(new.coords.shape[1]):
+        d = dofmap.dof_of_node_svar[:, dofmap.svar(MESH_VAR, c)]
+        ok = d >= 0
+        new.coords[ok, c] += x[d[ok]]
+        if zero_displacement:
+            x[d[ok]] = 0.0
+    return new, x

@@ -172,3 +172,36 @@ def test_exodus_element_variables_roundtrip(tmp_path):
     np.testing.assert_allclose(fields["detj_min"][0], ev["detj_min"])
     np.testing.assert_allclose(fields["rank"][0], ev["rank"])
     assert "temperature" in fields
+
+
+def test_anneal_mesh(tmp_path):
+    """anneal_mesh (rf_solve.c:2892 parity): solved ALE displacement baked
+    into the coordinates; re-solving on the annealed mesh with zeroed
+    displacement reproduces the same physical surface."""
+    from goma_tpu.fem import Problem
+    from goma_tpu.io.checkpoint import anneal_mesh
+    from goma_tpu.mesh import rectangle_mesh
+    from goma_tpu.physics import EllipticMesh
+    from goma_tpu.solvers import NewtonOptions, NewtonSolver
+
+    mesh = rectangle_mesh(6, 6, elem="QUAD9")
+    prob = Problem(mesh, [EllipticMesh(dim=2, interp="Q2")], {})
+    bump = lambda c: 0.1 * np.sin(np.pi * c[:, 0])
+    prob.add_dirichlet("top", "mesh_displacement", 1, bump)
+    for ns in ("left", "right", "bottom", "top"):
+        prob.add_dirichlet(ns, "mesh_displacement", 0, 0.0)
+    for ns in ("left", "right", "bottom"):
+        prob.add_dirichlet(ns, "mesh_displacement", 1, 0.0)
+    prob.finalize()
+    res = NewtonSolver(prob, NewtonOptions(max_iter=5, tol_residual=1e-11,
+                                           linear_solver="direct")).solve(
+        np.zeros(prob.dofmap.n_dof), prob.base_params())
+    assert res.converged
+
+    new_mesh, x2 = anneal_mesh(prob, res.x)
+    top = mesh.nodesets["top"]
+    np.testing.assert_allclose(new_mesh.coords[top, 1],
+                               1.0 + bump(mesh.coords[top]), atol=1e-12)
+    # displacement zeroed
+    d = prob.dofmap.dof_of_node_svar[:, prob.dofmap.svar("mesh_displacement", 1)]
+    assert np.max(np.abs(x2[d[d >= 0]])) == 0.0
