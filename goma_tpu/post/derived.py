@@ -150,6 +150,13 @@ def _darcy_velocity(fv, mat, params):
     return -(kop / muf)[:, None] * fv.grad["porous_pressure"][:, 0, :]
 
 
+def _ls_normal(fv, mat, params):
+    # unit level-set normal grad(F)/|grad(F)| (reference assemble_normals,
+    # src/mm_fill_terms.c:1876, as a lumped projection)
+    gF = fv.grad["fill"][:, 0, :]
+    return gF / jnp.sqrt(jnp.sum(gF * gF, axis=1) + 1e-30)[:, None]
+
+
 def _speed(fv, mat, params):
     u = fv.val["velocity"]
     return jnp.sqrt(jnp.sum(u * u, axis=1))
@@ -174,6 +181,7 @@ CATALOG: dict[str, Callable] = {
     "VON_MISES_STRESS": _von_mises,
     "ENERGY_FLUX": _energy_flux,
     "ELECTRIC_FIELD": _electric_field,
+    "LS_NORMAL": _ls_normal,
     "DARCY_VELOCITY": _darcy_velocity,
     "SPEED": _speed,
     "KINETIC_ENERGY": _kinetic_energy,

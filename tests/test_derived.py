@@ -68,3 +68,30 @@ def test_custom_projection():
     out = project_to_nodes(prob, x,
                            lambda fv, mat, params: fv.grad["temperature"][:, 0, 1])
     np.testing.assert_allclose(out, 3.0, atol=1e-8)
+
+
+def test_ls_normal_projection():
+    """LS_NORMAL derived field (assemble_normals parity): nodal unit
+    normals of a planar level set are exact."""
+    from goma_tpu.fem import Problem
+    from goma_tpu.fem.equations import Equation
+    from goma_tpu.mesh import rectangle_mesh
+    from goma_tpu.post.derived import derived_nodal_field
+
+    class Carrier(Equation):
+        def __init__(self):
+            super().__init__("fill", 1, "Q2")
+
+        def residual(self, fv, mat, params):
+            z = 0.0 * fv.val["fill"][:, :, None]
+            return z * fv.phi["fill"][:, None, :]
+
+    mesh = rectangle_mesh(5, 5, elem="QUAD9")
+    prob = Problem(mesh, [Carrier()], {})
+    prob.finalize()
+    # F = (x + 2 y)/sqrt(5): unit normal (1, 2)/sqrt(5)
+    f = (mesh.coords[:, 0] + 2 * mesh.coords[:, 1]) / np.sqrt(5)
+    x = prob.set_nodal_field(np.zeros(prob.dofmap.n_dof), "fill", 0, f)
+    n = derived_nodal_field(prob, x, "LS_NORMAL")
+    np.testing.assert_allclose(n[:, 0], 1 / np.sqrt(5), atol=1e-10)
+    np.testing.assert_allclose(n[:, 1], 2 / np.sqrt(5), atol=1e-10)
