@@ -115,10 +115,16 @@ def transfer_solution(old_problem, x_old, new_problem,
     return outs[0] if xdot_old is None else tuple(outs)
 
 
-def refine_factor_from_indicator(eta: np.ndarray, target_rel: float = 0.5,
-                                 max_factor: int = 4) -> int:
-    """Suggested uniform refinement factor so the estimated error drops to
-    ``target_rel`` of current (eta ~ h^p heuristic with p=1)."""
+def refine_factor_from_indicator(eta: np.ndarray, target_abs: float,
+                                 p: int = 1, max_factor: int = 4) -> int:
+    """Suggested uniform refinement factor so the estimated global error
+    ``||eta||_2`` drops to ``target_abs``, using the a-priori rate
+    ``eta ~ h^p``: halving h divides the error by ``2^p``, so the factor is
+    ``ceil((||eta||/target)^(1/p))``. Already below target -> 1."""
     if eta.size == 0:
         return 1
-    return int(np.clip(np.ceil(1.0 / max(target_rel, 1e-6)), 1, max_factor))
+    eta_norm = float(np.sqrt(np.sum(np.asarray(eta, dtype=float) ** 2)))
+    if eta_norm <= target_abs or target_abs <= 0.0:
+        return 1
+    return int(np.clip(np.ceil((eta_norm / target_abs) ** (1.0 / max(p, 1))),
+                       1, max_factor))

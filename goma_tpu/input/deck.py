@@ -186,17 +186,89 @@ def build_mesh(spec: dict):
     raise ValueError(f"unknown mesh kind {kind}")
 
 
+#: numpy attributes reachable as ``np.<name>`` inside deck expressions.
+_EXPR_NP_ATTRS = frozenset(
+    "pi e sin cos tan arcsin arccos arctan arctan2 sinh cosh tanh sqrt exp "
+    "log log2 log10 abs minimum maximum clip floor ceil round power sign "
+    "deg2rad rad2deg hypot linspace arange array".split()
+)
+
+_EXPR_FUNCS = {"pi": np.pi, "e": np.e, "sin": np.sin, "cos": np.cos,
+               "sqrt": np.sqrt, "exp": np.exp, "log": np.log,
+               "tan": np.tan, "abs": np.abs, "min": min, "max": max}
+
+
+def _safe_eval_expr(src: str):
+    """Evaluate a deck arithmetic expression from an untrusted JSON file.
+
+    Replaces a bare ``eval`` (which is escapable even with empty
+    ``__builtins__``): the expression is parsed with :mod:`ast` and only
+    arithmetic/comparison nodes, numeric constants, whitelisted names, and
+    calls to whitelisted functions (incl. ``np.<fn>`` for a fixed list of
+    numpy math functions) are permitted. Anything else —  attribute
+    traversal, subscripts on arbitrary objects, lambdas, comprehensions —
+    raises ``ValueError``. Decks therefore read as pure data."""
+    import ast
+
+    tree = ast.parse(src.strip(), mode="eval")
+
+    def ev(node):
+        if isinstance(node, ast.Expression):
+            return ev(node.body)
+        if isinstance(node, ast.Constant):
+            if isinstance(node.value, (int, float, complex, bool)):
+                return node.value
+            raise ValueError(f"disallowed constant {node.value!r} in deck expression")
+        if isinstance(node, ast.Name):
+            if node.id in _EXPR_FUNCS:
+                return _EXPR_FUNCS[node.id]
+            raise ValueError(f"unknown name {node.id!r} in deck expression")
+        if isinstance(node, ast.Attribute):
+            if (isinstance(node.value, ast.Name) and node.value.id == "np"
+                    and node.attr in _EXPR_NP_ATTRS):
+                return getattr(np, node.attr)
+            raise ValueError("only np.<mathfn> attributes allowed in deck expressions")
+        if isinstance(node, ast.UnaryOp) and isinstance(node.op, (ast.UAdd, ast.USub, ast.Not)):
+            v = ev(node.operand)
+            return {ast.UAdd: lambda x: +x, ast.USub: lambda x: -x,
+                    ast.Not: lambda x: not x}[type(node.op)](v)
+        if isinstance(node, ast.BinOp):
+            ops = {ast.Add: lambda a, b: a + b, ast.Sub: lambda a, b: a - b,
+                   ast.Mult: lambda a, b: a * b, ast.Div: lambda a, b: a / b,
+                   ast.Pow: lambda a, b: a ** b, ast.Mod: lambda a, b: a % b,
+                   ast.FloorDiv: lambda a, b: a // b}
+            if type(node.op) in ops:
+                return ops[type(node.op)](ev(node.left), ev(node.right))
+            raise ValueError("disallowed operator in deck expression")
+        if isinstance(node, ast.Compare) and len(node.ops) == 1:
+            cmps = {ast.Lt: lambda a, b: a < b, ast.LtE: lambda a, b: a <= b,
+                    ast.Gt: lambda a, b: a > b, ast.GtE: lambda a, b: a >= b,
+                    ast.Eq: lambda a, b: a == b, ast.NotEq: lambda a, b: a != b}
+            if type(node.ops[0]) in cmps:
+                return cmps[type(node.ops[0])](ev(node.left), ev(node.comparators[0]))
+            raise ValueError("disallowed comparison in deck expression")
+        if isinstance(node, (ast.Tuple, ast.List)):
+            vals = [ev(e) for e in node.elts]
+            return tuple(vals) if isinstance(node, ast.Tuple) else vals
+        if isinstance(node, ast.Call):
+            if node.keywords:
+                raise ValueError("keyword args not allowed in deck expressions")
+            fn = ev(node.func)
+            return fn(*[ev(a) for a in node.args])
+        raise ValueError(f"disallowed syntax {type(node).__name__} in deck expression")
+
+    return ev(tree)
+
+
 def expand_expressions(obj):
     """Aprepro-equivalent for pure-JSON decks (reference: in-process SEACAS
     aprepro, ``src/util/aprepro_helper.cpp``, -a flag): any string value of
-    the form ``"expr: <expression>"`` is evaluated with numpy available as
-    ``np`` plus ``pi``/``e``/``sin``/``cos``/``sqrt``/``exp``/``log``.
-    Python decks don't need this — they have real expressions — but JSON
-    files shipped as decks do."""
+    the form ``"expr: <expression>"`` is evaluated by a sandboxed AST walker
+    (arithmetic + whitelisted math functions + ``np.<mathfn>`` only — see
+    ``_safe_eval_expr``). Python decks don't need this — they have real
+    expressions — but JSON files shipped as decks do."""
     if isinstance(obj, str) and obj.startswith("expr:"):
-        env = {"np": np, "pi": np.pi, "e": np.e, "sin": np.sin,
-               "cos": np.cos, "sqrt": np.sqrt, "exp": np.exp, "log": np.log}
-        return eval(obj[5:], {"__builtins__": {}}, env)  # noqa: S307
+        return _safe_eval_expr(obj[5:])
     if isinstance(obj, dict):
         return {k: expand_expressions(v) for k, v in obj.items()}
     if isinstance(obj, (list, tuple)):

@@ -111,7 +111,7 @@ def rectangle_mesh(
     def cell_id(ex, ey):
         return ey * nx + ex
 
-    if elem in ("QUAD4", "QUAD9"):
+    if elem in ("QUAD4", "QUAD8", "QUAD9"):
         sidesets = {
             "bottom": [(cell_id(ex, 0), 0) for ex in range(nx)],
             "right": [(cell_id(nx - 1, ey), 1) for ey in range(ny)],

@@ -65,7 +65,7 @@ class NormalModeMomentum(Equation):
         gphi = fv.gphi[NM_U]
 
         inert = fv.dot[NM_U] + jnp.einsum("qk,qak->qa", u0, gu) \
-            + jnp.einsum("qk,qak->qa", u, jnp.swapaxes(gu0, 1, 2))
+            + jnp.einsum("qk,qak->qa", u, gu0)
         b = mat.get("buoyancy", None)
         if b is not None:
             T = fv.val[NM_T][:, 0]
