@@ -58,21 +58,106 @@ def wheeler_n2(m):
     return jnp.stack([w_of(L1), w_of(L2)], -1), jnp.stack([L1, L2], -1)
 
 
+def adaptive_wheeler_n2(m, rmin=(0.0, 1e-6), eabs: float = 1e-4):
+    """Adaptive Wheeler inversion for up to N = 2 nodes (MAX_MOMENTS = 4,
+    the reference's cap: ``2*N > MAX_MOMENTS`` errors out).
+
+    Batched, jittable port of ``adaptive_wheeler``
+    (``src/mm_fill_population.c:205``) with the reference's degeneracy
+    ladder expressed as ``where`` selects instead of early returns:
+
+    - ``m0 <= 0`` (or ``< PBE_FP_SMALL``): one zero node/weight;
+    - ``m0 < rmin[0]``: collapse to a single node (w0=m0, L0=m1/m0);
+    - unrealizable set (Wheeler ``b1 < 0``): Wright log-normal moment
+      correction (``moment_correction_wright``), then re-invert;
+    - degenerate recursion (``sig[2][2] <= 0``) or failed weight-ratio /
+      node-separation tests (``minw/maxw <= rmin[1]`` or
+      ``|L2-L1|/1 <= eabs``): collapse to a single node.
+
+    Returns (weights (..., 2), nodes (..., 2), n_out (...,) int32); a
+    collapsed set has w = (m0, 0), L = (m1/m0, 0).
+    """
+    small = 1e-300
+    m = jnp.asarray(m)
+
+    def invert(mm):
+        m0 = jnp.maximum(mm[..., 0], small)
+        a0 = mm[..., 1] / m0
+        # Wheeler sigma recursion, k = 2 row (N = 2):
+        # sig2_j = nu_{j+1} - a0 nu_j  (b0 = 0)
+        sig2_2 = mm[..., 2] - a0 * mm[..., 1]
+        sig2_3 = mm[..., 3] - a0 * mm[..., 2]
+        # a1 = sig[2][3]/sig[2][2] - sig[1][2]/sig[1][1] (reference recursion)
+        a1 = sig2_3 / jnp.where(jnp.abs(sig2_2) > small, sig2_2, small) - a0
+        b1 = sig2_2 / m0
+        return a0, a1, b1, sig2_2
+
+    a0, a1, b1, sig22 = invert(m)
+    # unrealizable (b1 < 0): Wright correction then re-invert
+    unreal = b1 < 0.0
+    m_fix = moment_correction_wright(m)
+    m_use = jnp.where(unreal[..., None], m_fix, m)
+    a0, a1, b1, sig22 = invert(m_use)
+
+    # 2-node eigen solve of [[a0, -sqrt(b1)], [-sqrt(b1), a1]]
+    b1c = jnp.maximum(b1, 0.0)
+    tr = a0 + a1
+    disc = jnp.sqrt(jnp.maximum(0.25 * (a0 - a1) ** 2 + b1c, 0.0))
+    L1 = 0.5 * tr - disc
+    L2 = 0.5 * tr + disc
+    sb = jnp.sqrt(b1c)
+    m0 = jnp.maximum(m_use[..., 0], small)
+
+    def w_of(L):
+        v0, v1 = sb, L - a0
+        n2 = v0**2 + v1**2
+        return m0 * v0**2 / jnp.maximum(n2, small)
+
+    w1, w2 = w_of(L1), w_of(L2)
+
+    # adaptivity ladder -> collapse to n = 1
+    minw = jnp.minimum(w1, w2)
+    maxw = jnp.maximum(w1, w2)
+    sep = jnp.abs(L2 - L1)  # maxmab = 1 for n = 2 in the reference
+    collapse = (
+        (m_use[..., 0] < rmin[0])
+        | (sig22 <= 0.0)
+        | (minw / jnp.maximum(maxw, small) <= rmin[1])
+        | (sep <= eabs)
+    )
+    zero = m[..., 0] <= small
+    n_out = jnp.where(zero | collapse, 1, 2).astype(jnp.int32)
+    Lmean = m_use[..., 1] / m0
+    w_out = jnp.stack([
+        jnp.where(zero, 0.0, jnp.where(collapse, m_use[..., 0], w1)),
+        jnp.where(zero | collapse, 0.0, w2),
+    ], axis=-1)
+    L_out = jnp.stack([
+        jnp.where(zero, 0.0, jnp.where(collapse, Lmean, L1)),
+        jnp.where(zero | collapse, 0.0, L2),
+    ], axis=-1)
+    return w_out, L_out, n_out
+
+
 class MomentEquations(Equation):
     """Four transported moments (N=2 QMOM) with growth G(L) and nucleation.
 
     growth: callable G(L) -> growth rate (jax scalar fn); nucleation_rate B0
-    at size L0.
+    at size L0. ``adaptive=True`` closes the sources with the reference's
+    adaptive Wheeler (degeneracy-safe node reduction + Wright correction,
+    ``src/mm_fill_population.c:205``) instead of the plain N=2 inversion.
     """
 
     def __init__(self, growth=None, nucleation_rate: float = 0.0, L0: float = 0.0,
-                 interp: str = "Q1", transient: bool = True, supg: float = 0.5):
+                 interp: str = "Q1", transient: bool = True, supg: float = 0.5,
+                 adaptive: bool = False):
         super().__init__(MOM_VAR, 4, interp)
         self.growth = growth
         self.B0 = nucleation_rate
         self.L0 = L0
         self.transient = transient
         self.supg = supg
+        self.adaptive = adaptive
 
     def residual(self, fv, mat, params):
         nq = fv.x.shape[0]
@@ -90,7 +175,10 @@ class MomentEquations(Equation):
 
         # quadrature closure source
         if self.growth is not None or self.B0 != 0.0:
-            w, L = wheeler_n2(M)  # (nq, 2)
+            if self.adaptive:
+                w, L, _ = adaptive_wheeler_n2(M)  # (nq, 2)
+            else:
+                w, L = wheeler_n2(M)  # (nq, 2)
             src = jnp.zeros_like(M)
             ks = jnp.arange(4.0)
             if self.growth is not None:

@@ -107,6 +107,48 @@ def volume_integral(problem: Problem, integrand: Callable, blocks=None):
     return jax.jit(f)
 
 
+def flux_sensitivity(problem, flux_fn, x, params, wrt: str):
+    """Total sensitivity dF/dp of a flux/volume integral F = f(x(p), p) with
+    respect to a scalar parameter ``params[wrt]`` (BC value, material
+    constant, ...).
+
+    Reference parity: ``evaluate_flux_sens`` (``src/mm_flux.c:5792``) — there
+    via stored solution sensitivities (``soln_sens``,
+    ``src/mm_sol_nonlinear.c:3119``); here via AD:
+
+        dF/dp = (dF/dx) . w + dF/dp|_x,   J w = -dR/dp   (adjoint-free jvp)
+
+    ``flux_fn`` is a function f(x, params) -> scalar/vector (e.g. the output
+    of :func:`sideset_integral` / :func:`volume_integral`). The linear solve
+    is the host direct path (sensitivities are a post-processing step).
+    """
+    from goma_tpu.solvers.linear import direct_solve_host
+
+    x = jnp.asarray(x, dtype=problem.dtype)
+    p0 = jnp.asarray(params[wrt], dtype=problem.dtype)
+    if p0.ndim != 0:
+        raise ValueError(f"flux_sensitivity: params[{wrt!r}] must be scalar")
+
+    def R_of_p(pv):
+        pr = dict(params)
+        pr[wrt] = pv
+        return problem._assemble(x, pr)[0]
+
+    _, dRdp = jax.jvp(R_of_p, (p0,), (jnp.ones((), dtype=p0.dtype),))
+    _, vals = problem._assemble(x, params)
+    w = direct_solve_host(problem.pattern, np.asarray(vals, dtype=np.float64),
+                          -np.asarray(dRdp, dtype=np.float64))
+
+    def F_of(xv, pv):
+        pr = dict(params)
+        pr[wrt] = pv
+        return flux_fn(xv, pr)
+
+    _, dF = jax.jvp(F_of, (x, p0),
+                    (jnp.asarray(w, dtype=x.dtype), jnp.ones((), dtype=p0.dtype)))
+    return np.asarray(jax.device_get(dF))
+
+
 # ------------------------------------------------------------ derived fields
 def traction_integrand(comp: int | None = None):
     """sigma.n on a face for Newtonian flow; returns (nq, dim) or (nq,).

@@ -471,9 +471,22 @@ def bicgstab(matvec, b, precond=None, x0=None, tol=1e-8, atol=0.0, maxiter=500):
 
 
 # ------------------------------------------------------- host direct solve
+class LinearSolveError(RuntimeError):
+    """Raised when a direct solve returns a non-finite solution (singular or
+    numerically rank-deficient matrix). The reference treats a failed linear
+    solve as a hard Newton failure (``src/mm_sol_nonlinear.c`` err < 0 ->
+    abort iteration; the transient ladder then halves dt) — silently
+    propagating inf/nan instead lets the recovery ladder mask real setup
+    errors (round-1 advisor finding)."""
+
+
 def direct_solve_host(pattern: CSRPattern, vals, R):
     """Serial sparse LU on host (scipy). Validation/golden path, the analog
-    of the reference's UMFPACK/``lu`` escape hatches (``src/sl_umf.c``)."""
+    of the reference's UMFPACK/``lu`` escape hatches (``src/sl_umf.c``).
+    Raises :class:`LinearSolveError` on a singular matrix instead of
+    returning inf/nan."""
+    import warnings
+
     import scipy.sparse as sp
     import scipy.sparse.linalg as spla
 
@@ -481,4 +494,24 @@ def direct_solve_host(pattern: CSRPattern, vals, R):
         (np.asarray(vals), np.asarray(pattern.indices), np.asarray(pattern.indptr)),
         shape=(pattern.n, pattern.n),
     )
-    return spla.spsolve(A, np.asarray(R))
+    b = np.asarray(R)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", spla.MatrixRankWarning)
+        try:
+            x = spla.spsolve(A, b)
+        except spla.MatrixRankWarning as e:
+            raise LinearSolveError(f"direct solve: singular matrix ({e})") from e
+    if not np.all(np.isfinite(x)):
+        raise LinearSolveError("direct solve returned non-finite solution")
+    # backward-stability check: a successful sparse LU leaves a tiny relative
+    # residual even on ill-conditioned systems; a large one means SuperLU
+    # factored a numerically singular matrix without warning (observed: rel
+    # residual 0.5 with |x| ~ 1e14 on an unpinned pure-Neumann operator)
+    bn = np.linalg.norm(b)
+    if bn > 0.0:
+        rel = np.linalg.norm(A @ x - b) / bn
+        if rel > 1e-6:
+            raise LinearSolveError(
+                f"direct solve: residual {rel:.2e} of ||b|| — singular or "
+                "numerically rank-deficient matrix")
+    return x

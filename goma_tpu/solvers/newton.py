@@ -31,6 +31,22 @@ class NewtonOptions:
     # also require correction-norm convergence when > 0 (Epsilon[2] analog)
     tol_update: float = 0.0
     damp: float = 1.0
+    # Reference damping ladder (src/mm_sol_nonlinear.c:1998-2040, input card
+    # "Newton correction factor" src/mm_input.c:6538-6554): when
+    # damp_factor2/3 and the custom tolerances are all set in [0,1], the
+    # applied relaxation is chosen per-iteration from ||R||_inf (Norm[0][0]):
+    #   ||R||inf > custom_tol3 -> damp_factor3
+    #   ||R||inf > custom_tol2 -> damp_factor2
+    #   ||R||inf > custom_tol1 -> damp_factor1
+    #   else                   -> 1.0
+    # and any selected factor <= 1e-6 falls back to damp_factor1. With the
+    # defaults (-1) the ladder is off and the constant ``damp`` applies.
+    damp_factor1: float | None = None  # None -> use ``damp``
+    damp_factor2: float = -1.0
+    damp_factor3: float = -1.0
+    custom_tol1: float = -1.0
+    custom_tol2: float = -1.0
+    custom_tol3: float = -1.0
     row_scaling: bool = True
     linear_solver: str = "gmres"  # gmres | bicgstab | direct
     # auto: two-level p-multigrid when the problem has a genuinely smaller
@@ -346,6 +362,28 @@ class NewtonSolver:
         return LinearResult(x=scale * lr.x, iters=lr.iters,
                             resnorm=lr.resnorm, converged=lr.converged)
 
+    def _select_damp(self, norm_inf: float) -> float:
+        """Per-iteration relaxation factor: the reference's damp_factor1-3
+        ladder keyed on ||R||_inf (src/mm_sol_nonlinear.c:1998-2040)."""
+        opts = self.opts
+        d1 = opts.damp if opts.damp_factor1 is None else opts.damp_factor1
+        d2, d3 = opts.damp_factor2, opts.damp_factor3
+        in01 = lambda v: 0.0 <= v <= 1.0
+        if in01(d1) and in01(d2) and in01(d3):
+            if norm_inf > opts.custom_tol3:
+                df = d3
+            elif norm_inf > opts.custom_tol2:
+                df = d2
+            elif norm_inf > opts.custom_tol1:
+                df = d1
+            else:
+                df = 1.0
+        else:
+            df = d1
+        if df <= 1.0e-6:
+            df = d1
+        return df
+
     def solve(self, x0, params) -> NewtonResult:
         opts = self.opts
         x = jnp.asarray(x0)
@@ -383,10 +421,21 @@ class NewtonSolver:
             if opts.linear_solver == "direct":
                 # vals are symmetrically equilibrated: solve (DAD) z = D R
                 s_h = np.asarray(jax.device_get(scale), dtype=np.float64)
-                z = direct_solve_host(
-                    self.problem.pattern, jax.device_get(vals),
-                    s_h * np.asarray(jax.device_get(R), dtype=np.float64),
-                )
+                from goma_tpu.solvers.linear import LinearSolveError
+
+                try:
+                    z = direct_solve_host(
+                        self.problem.pattern, jax.device_get(vals),
+                        s_h * np.asarray(jax.device_get(R), dtype=np.float64),
+                    )
+                except LinearSolveError:
+                    # hard linear-solve failure: abort the Newton iteration
+                    # unconverged (reference: err < 0 -> goto free_and_clear,
+                    # src/mm_sol_nonlinear.c; the transient driver's failure
+                    # ladder then halves dt / re-tries)
+                    t_slv += time.perf_counter() - t0
+                    converged = False
+                    break
                 dx = jnp.asarray(s_h * z, dtype=R.dtype)
                 lin_iters.append(1)
             else:
@@ -395,7 +444,7 @@ class NewtonSolver:
                 dx = lr.x
                 lin_iters.append(int(jax.device_get(lr.iters)))
             t_slv += time.perf_counter() - t0
-            x = x - opts.damp * dx.astype(x.dtype)
+            x = x - self._select_damp(float(li)) * dx.astype(x.dtype)
             un = float(jax.device_get(jnp.linalg.norm(dx)))
             upd_norms.append(un)
             if opts.tol_update > 0 and un < opts.tol_update:
