@@ -1,0 +1,133 @@
+"""Dynamic contact-angle / wetting-speed boundary conditions (level-set
+form) and free-surface wall repulsion.
+
+Parity: the reference's diffuse-interface wetting BCs in ``src/mm_ns_bc.c``
+— WETTING_SPEED_LINEAR / WETTING_SPEED_BLAKE (``:12616`` ``wet_speed = v0 *
+sinh(g * (cos_ca_static - cos_ca))``) / WETTING_SPEED_HOFFMAN (the Hoffman
+correlation solves at ``:12598-12650``), applied over the diffuse interface
+band on a wall sideset as ``wet_vector = t * wet_speed * delta(F)`` with a
+slip coefficient ``1/depth`` — plus CAP_REPULSE (``:5489``: repulsive
+normal traction ``-P_rep / (dist/hscale)^repexp`` keeping a free surface
+off a solid). The reference hand-codes every Jacobian block
+(``d_wet_speed_dFj`` etc., ``:12719-12790``); here jacfwd differentiates
+the whole kernel, including the LS-normal and mesh sensitivities.
+
+The dynamic contact angle comes from the level-set normal at the wall:
+``cos(theta_d) = n_wall . n_fluid`` with ``n_fluid = grad F / |grad F|``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from goma_tpu.fem.equations import FaceKernel
+from goma_tpu.physics.level_set import FILL_VAR, delta
+
+
+def hoffman_correlation_ca(cos_theta, n_iter: int = 40):
+    """Solve the Hoffman correlation Ca(theta) by the reference's Newton
+    iteration (``src/mm_ns_bc.c:12598``):  find ca with
+    ``ca - 1.31 ca^0.99 A - A = 0``, ``A = [log((3 - c)/(1 + c)) /
+    (2 * 5.16)]^(1/0.706)`` where c = cos(theta). Fixed iteration count
+    (jit/AD-friendly); converges far faster than 40 steps in practice."""
+    c = jnp.clip(cos_theta, -0.999999, 0.999999)
+    A = (jnp.log((3.0 - c) / (1.0 + c)) / (2.0 * 5.16)) ** (1.0 / 0.706)
+    ca = jnp.full_like(A, 1.0e6)
+    for _ in range(n_iter):
+        f = ca - 1.31 * ca**0.99 * A - A
+        df = 1.0 - 1.31 * 0.99 * A / ca**0.01
+        ca = ca - f / df
+    return ca
+
+
+class LSWettingSpeed(FaceKernel):
+    """Diffuse-interface dynamic-contact-angle wetting BC on a wall sideset
+    (momentum equation): adds
+
+        (1/depth) * delta_alpha(F) * (u - t * V_wet(theta_d)) . phi_i
+
+    with t the contact-line tangent (projection of the fluid-interface
+    normal onto the wall) and the wetting speed model:
+
+      model="linear":  V = (cos(theta_s) - cos(theta_d)) / beta
+      model="blake":   V = v0 * sinh(g * (cos(theta_s) - cos(theta_d)))
+      model="hoffman": V = g/mu * (Ca(theta_d) - Ca(theta_s))  [correlation]
+
+    Reference cards: WETTING_SPEED_LINEAR / _BLAKE / _HOFFMAN and the
+    VELO_THETA_TPL / _HOFFMAN family (src/mm_ns_bc.c:12616ff).
+    """
+
+    def __init__(self, dim: int, theta_s_deg: float, alpha: float,
+                 model: str = "blake", v0: float = 1.0, g: float = 1.0,
+                 beta: float = 1.0, depth: float = 1.0, mu: float = 1.0):
+        super().__init__("velocity", dim)
+        self.dim = dim
+        self.cos_ts = float(np.cos(np.deg2rad(theta_s_deg)))
+        self.alpha = alpha
+        self.model = model
+        self.v0, self.g, self.beta, self.depth, self.mu = v0, g, beta, depth, mu
+        if model not in ("linear", "blake", "hoffman"):
+            raise ValueError(f"unknown wetting model {model!r}")
+
+    def wet_speed(self, cos_ca):
+        if self.model == "linear":
+            return (self.cos_ts - cos_ca) / self.beta
+        if self.model == "blake":
+            return self.v0 * jnp.sinh(self.g * (self.cos_ts - cos_ca))
+        ca_d = hoffman_correlation_ca(-cos_ca)
+        ca_s = hoffman_correlation_ca(-jnp.asarray(self.cos_ts))
+        return (self.g / self.mu) * (ca_d - ca_s)
+
+    def residual(self, sfv, mat, params):
+        F = sfv.val[FILL_VAR][:, 0]
+        gF = sfv.grad[FILL_VAR][:, 0, :]
+        nf = gF / jnp.maximum(jnp.linalg.norm(gF, axis=1, keepdims=True), 1e-30)
+        nw = sfv.normal
+        cos_ca = jnp.einsum("qk,qk->q", nw, nf)
+        tmag = jnp.sqrt(jnp.maximum(1.0 - cos_ca**2, 1e-20))
+        t = (nf - cos_ca[:, None] * nw) / tmag[:, None]
+        V = self.wet_speed(cos_ca)
+        dl = delta(F, self.alpha)
+        u = sfv.val["velocity"]
+        mis = u - t * V[:, None]
+        phi = sfv.phi["velocity"]
+        return (dl / self.depth)[:, None, None] * jnp.einsum(
+            "qa,qi->qai", mis, phi)
+
+
+class CapRepulse(FaceKernel):
+    """CAP_REPULSE (``src/mm_ns_bc.c:5489``): repulsive normal traction
+    keeping a free surface from touching a solid boundary,
+
+        force = -P_rep / (dist(x)/hscale)^repexp,
+
+    added to the capillary traction (use together with CapillaryBC on the
+    same sideset). ``dist_fn(x) -> (nq,)`` is the distance to the repelling
+    geometry (the reference's user-geometry ``fnc``; e.g. a plane or roll
+    surface — CAP_REPULSE_ROLL uses a circle). Optional ``betainv`` adds
+    the matching distance-dependent slip resistance."""
+
+    def __init__(self, dim: int, dist_fn, P_rep: float, hscale: float = 1.0,
+                 repexp: float = 2.0, betainv: float = 0.0):
+        super().__init__("velocity", dim)
+        self.dim = dim
+        self.dist_fn = dist_fn
+        self.P_rep = P_rep
+        self.hscale = hscale
+        self.repexp = repexp
+        self.betainv = betainv
+
+    def residual(self, sfv, mat, params):
+        dist = jnp.maximum(jnp.asarray(self.dist_fn(sfv.x)), 1e-12)
+        force = -self.P_rep / (dist / self.hscale) ** self.repexp
+        phi = sfv.phi["velocity"]
+        n = sfv.normal
+        # traction addition sigma.n += force * n -> weak term -phi force n
+        out = -jnp.einsum("q,qa,qi->qai", force, n, phi)
+        if self.betainv:
+            invs = self.betainv / (dist / self.hscale) ** self.repexp
+            u = sfv.val["velocity"]
+            ut = u - jnp.einsum("qk,qk->q", n, u)[:, None] * n
+            out = out + invs[:, None, None] * jnp.einsum("qa,qi->qai", ut, phi)
+        return out

@@ -42,11 +42,14 @@ from goma_tpu.fem.sparsity import CSRPattern, build_pattern, nnz_map_for_gather
 from goma_tpu.mesh.mesh import Mesh
 
 
-def eval_surfacevars(q_e, qdot_e, X_e, ftab, fwts, slots, dim, dtype) -> SurfaceVars:
+def eval_surfacevars(q_e, qdot_e, X_e, ftab, fwts, slots, dim, dtype,
+                     coord: str = "cartesian") -> SurfaceVars:
     """FieldVars at the quadrature points of one face of one element.
 
     ``ftab`` holds per-face basis tables: "Ng"/"dNg" geometric, per-interp
-    "N:<interp>"/"dN:<interp>", and "refjac" (dim, dim-1).
+    "N:<interp>"/"dN:<interp>", and "refjac" (dim, dim-1). With an
+    axisymmetric ``coord``, ``wdA`` carries the extra r factor (dA = r ds);
+    faces on the axis r=0 correctly get zero area.
     """
     u = _unpack(q_e, slots)
     udot = _unpack(qdot_e, slots)
@@ -78,6 +81,11 @@ def eval_surfacevars(q_e, qdot_e, X_e, ftab, fwts, slots, dim, dtype) -> Surface
     fv.x = jnp.einsum("qn,nk->qk", Ng, Xc)
     fv.detJ = detJ
     fv.h_elem = 2.0 * jnp.abs(fv.detJ) ** (1.0 / dim)
+    if coord in ("cylindrical", "swirling"):
+        fv.coord = coord
+        r = fv.x[:, 1]
+        fv.r = jnp.where(jnp.abs(r) < 1e-30, 1.0, r)
+        fv.wdA = fv.wdA * fv.x[:, 1]
 
     gphi_cache = {}
     for s in slots:
@@ -162,11 +170,20 @@ class Problem:
         quad_order: int = 3,
         dtype=None,
         external_fields: tuple[str, ...] = (),
+        coord: str = "cartesian",
     ):
         """``external_fields`` declares frozen nodal fields (reference:
         External_Field_Variables, include/mm_as_structs.h:1046) supplied at
         solve time as params["ext_<name>"] arrays over mesh nodes and exposed
-        to kernels as fv.ext / fv.ext_grad."""
+        to kernels as fv.ext / fv.ext_grad.
+
+        ``coord``: "cartesian" (default) | "cylindrical" | "swirling" —
+        axisymmetric coordinates q = [z, r] with dV = r dr dz and hoop terms
+        in vector kernels (reference CoordinateSystem card +
+        load_coordinate_scales, src/mm_fill_aux.c:127)."""
+        if coord not in ("cartesian", "cylindrical", "swirling"):
+            raise ValueError(f"unknown coordinate system {coord!r}")
+        self.coord = coord
         self.external_fields = tuple(external_fields)
         self.mesh = mesh
         if equations and isinstance(equations[0], Equation):
@@ -185,6 +202,7 @@ class Problem:
         self._rot_constraints: list = []
         self._point_specs: list = []
         self._point_load_specs: list = []
+        self._edge_specs: list = []
         self._ifc_specs: list = []
         self._ovs_specs: list = []
         self._devcache: dict = {}
@@ -192,6 +210,10 @@ class Problem:
         # optional lower-precision Jacobian (mixed-precision Newton-Krylov);
         # None = same as working dtype
         self.jacobian_dtype = None
+        # fused hand-derived element kernels (fem/fastns.py) where a block
+        # matches a recognized fast form; set False to force the generic AD
+        # path everywhere (e.g. to cross-validate)
+        self.enable_fast_kernels = True
         self._finalized = False
 
     @property
@@ -222,6 +244,14 @@ class Problem:
             T[f"fn{j}"] = dev(self._nnz_maps[fs.block_index][fs.face_elems])
             for k, v in fs.ftabs.items():
                 T[f"ft{j}:{k}"] = dev(np.asarray(v).astype(dt))
+        for j, es in enumerate(getattr(self, "edge_sets", [])):
+            bd = self.dofmap.blocks[es.block_index]
+            blk = self.mesh.blocks[es.block_index]
+            T[f"eg{j}"] = dev(bd.gather[es.edge_elems].astype(np.int32))
+            T[f"ex{j}"] = dev(self.mesh.coords[blk.conn[es.edge_elems]].astype(dt))
+            T[f"en{j}"] = dev(self._nnz_maps[es.block_index][es.edge_elems])
+            for k, v in es.etabs.items():
+                T[f"et{j}:{k}"] = dev(np.asarray(v).astype(dt))
         for j, s in enumerate(self.ifc_sets):
             T[f"ig{j}"] = dev(s.gather_ab.astype(np.int32))
             T[f"ixa{j}"] = dev(self.mesh.coords[
@@ -242,6 +272,17 @@ class Problem:
                 T[f"oN{j}:{k}"] = dev(np.asarray(v).astype(dt))
             for k, v in (s.Ns or {}).items():
                 T[f"oNs{j}:{k}"] = dev(np.asarray(v).astype(dt))
+        # fused fast-path element kernels (see fem/fastns.py): geometry
+        # tables laid out element-last for TPU lane utilization
+        for bi, meta in getattr(self, "_fast_meta", {}).items():
+            if meta is None:
+                continue
+            from goma_tpu.fem import fastns
+
+            tabs, static = fastns.build_tables(self, bi)
+            self._fast_static[bi] = static
+            for k, a in tabs.items():
+                T[f"{k}{bi}"] = dev(a)
         T["tg"] = dev(self._tgather_pos)
         T["dirmask"] = dev(self._dir_mask)
         T["dirdofs"] = dev(self.dirichlet_dofs)
@@ -291,6 +332,12 @@ class Problem:
         Reference: interfacial sources between discontinuous variables,
         src/mm_interface.c."""
         self._ifc_specs.append((pairs, kernel))
+
+    def add_edge_kernel(self, sideset_a: str, sideset_b: str, kernel):
+        """Integrated BC on the 3D curve where two sidesets intersect
+        (reference: bc_curve.c apply_integrated_curve_bc, e.g.
+        VELO_TANGENT_EDGE). ``kernel``: an EdgeKernel (bc/edge.py)."""
+        self._edge_specs.append((sideset_a, sideset_b, kernel))
 
     def add_rotation(self, sidesets, var: str):
         """Rotate the nodal equations of ``var`` into normal-tangent frames
@@ -443,6 +490,18 @@ class Problem:
         for name, kernels in bysset.items():
             self.face_sets.extend(self._build_face_set(name, kernels))
 
+        # 3D edge-curve sets (bc_curve.c parity): group kernels per
+        # sideset pair, intersect on host
+        bypair: dict[tuple[str, str], list] = {}
+        for sa, sb, k in self._edge_specs:
+            bypair.setdefault((sa, sb), []).append(k)
+        self.edge_sets = []
+        if bypair:
+            from goma_tpu.bc.edge import build_edge_sets
+
+            for (sa, sb), kernels in bypair.items():
+                self.edge_sets.extend(build_edge_sets(self, sa, sb, kernels))
+
         # transpose-gather map for the scatter-free element matvec: for every
         # dof, the positions of its contributions in the concatenated
         # (blocks..., faces...) element-local vectors. TPU scatters are
@@ -465,6 +524,18 @@ class Problem:
             self._tgather_pos = pos
         else:
             self._tgather_pos = np.zeros((self.dofmap.n_dof, 1), dtype=np.int64)
+
+        # fused fast-path recognition (fem/fastns.py): hand-derived
+        # residual+Jacobian for the NS Galerkin block, element-last layout
+        from goma_tpu.fem import fastns
+
+        self._fast_static: dict[int, dict] = {}
+        self._fast_meta = {}
+        if self.enable_fast_kernels:
+            for bi in range(len(self.dofmap.blocks)):
+                m = fastns.match_ns_q2q1(self, bi)
+                if m is not None:
+                    self._fast_meta[bi] = m
 
         self._build_tables()
         # re-finalize support (moving overset boundaries, remesh): drop any
@@ -843,15 +914,25 @@ class Problem:
 
         if edim < self.mesh.dim:
             eval_fn = eval_curvevars if edim == 1 else eval_surfvars
+            if self.coord != "cartesian":
+                raise NotImplementedError(
+                    "shell/curve blocks are not supported in axisymmetric "
+                    "coordinates yet")
         else:
             eval_fn = eval_fieldvars
+        coord = self.coord
 
         def elem_res(q_e, hist_e, X_e, ext_e, sgn_e, params):
             # sgn_e: per-element dof sign conjugation (Nedelec orientation,
             # dofmap.edge_signs); 1.0 for consistently oriented blocks
             q_e = q_e * sgn_e
             qdot_e = params["ct"] * q_e + hist_e * sgn_e
-            fv = eval_fn(q_e, qdot_e, X_e, tables, bd.slots, dtype, ext_e, ext_names)
+            if eval_fn is eval_fieldvars:
+                fv = eval_fn(q_e, qdot_e, X_e, tables, bd.slots, dtype, ext_e,
+                             ext_names, coord)
+            else:
+                fv = eval_fn(q_e, qdot_e, X_e, tables, bd.slots, dtype, ext_e,
+                             ext_names)
             r = jnp.zeros((bd.n_ldof,), dtype=q_e.dtype)
             for eq in eqs:
                 s = bd.slot(eq.var)
@@ -873,7 +954,8 @@ class Problem:
 
         def face_res(q_e, hist_e, X_e, ftab, params):
             qdot_e = params["ct"] * q_e + hist_e
-            sfv = eval_surfacevars(q_e, qdot_e, X_e, ftab, fwts, bd.slots, dim, dtype)
+            sfv = eval_surfacevars(q_e, qdot_e, X_e, ftab, fwts, bd.slots, dim,
+                                   dtype, self.coord)
             r = jnp.zeros((bd.n_ldof,), dtype=q_e.dtype)
             for k in fs.kernels:
                 s = bd.slot(k.var)
@@ -883,6 +965,55 @@ class Problem:
             return r, r
 
         return face_res
+
+    def _edge_residual_fn(self, ei: int, dtype=None) -> Callable:
+        """Residual of one element's edge-curve contributions (bc_curve.c
+        analog); jacfwd of this yields the edge BC Jacobian blocks."""
+        es = self.edge_sets[ei]
+        bd = self.dofmap.blocks[es.block_index]
+        mat = self.materials[es.block_index]
+        dtype = dtype or self.dtype
+        from goma_tpu.bc.edge import eval_edgevars
+
+        ewts = jnp.asarray(es.ewts, dtype=dtype)
+
+        def edge_res(q_e, hist_e, X_e, etab, params):
+            qdot_e = params["ct"] * q_e + hist_e
+            efv = eval_edgevars(q_e, qdot_e, X_e, etab, ewts, bd.slots, dtype)
+            r = jnp.zeros((bd.n_ldof,), dtype=q_e.dtype)
+            for k in es.kernels:
+                s = bd.slot(k.var)
+                contrib = k.residual(efv, mat, params)  # (nq_e, ncomp, nbf)
+                acc = jnp.einsum("q,qcn->cn", efv.wds, contrib)
+                r = r.at[s.start : s.start + s.size].add(acc.reshape(-1))
+            return r, r
+
+        return edge_res
+
+    def _edge_contribs(self, x, hist, params, T, with_jac=True):
+        """Sum of all edge sets' (R, vals) contributions."""
+        n = self.dofmap.n_dof
+        dtype = x.dtype
+        R = jnp.zeros(n, dtype=dtype)
+        vals = jnp.zeros(self.pattern.nnz, dtype=dtype) if with_jac else None
+        for ei, es in enumerate(self.edge_sets):
+            gather = T[f"eg{ei}"]
+            Xref = T[f"ex{ei}"]
+            etabs = {k: T[f"et{ei}:{k}"] for k in es.etabs}
+            edge_res = self._edge_residual_fn(ei)
+            if with_jac:
+                jac_fn = jax.jacfwd(edge_res, argnums=0, has_aux=True)
+                J, r = jax.vmap(jac_fn, in_axes=(0, 0, 0, 0, None))(
+                    x[gather], hist[gather], Xref, etabs, params)
+                vals = vals + jax.ops.segment_sum(
+                    J.reshape(-1), T[f"en{ei}"].reshape(-1),
+                    num_segments=self.pattern.nnz)
+            else:
+                r, _ = jax.vmap(edge_res, in_axes=(0, 0, 0, 0, None))(
+                    x[gather], hist[gather], Xref, etabs, params)
+            R = R + jax.ops.segment_sum(r.reshape(-1), gather.reshape(-1),
+                                        num_segments=n)
+        return R, vals
 
     def _ifc_residual_fn(self, si: int, dtype=None) -> Callable:
         """Residual of one paired interface face over the COMBINED local dofs
@@ -902,9 +1033,9 @@ class Problem:
             qa, qb = q_ab[:nla], q_ab[nla:]
             ha, hb = hist_ab[:nla], hist_ab[nla:]
             sa = eval_surfacevars(qa, params["ct"] * qa + ha, Xa_e, fta, fwts,
-                                  bd_a.slots, dim, dtype)
+                                  bd_a.slots, dim, dtype, self.coord)
             sb = eval_surfacevars(qb, params["ct"] * qb + hb, Xb_e, ftb, fwts,
-                                  bd_b.slots, dim, dtype)
+                                  bd_b.slots, dim, dtype, self.coord)
             r = jnp.zeros((q_ab.shape[0],), dtype=q_ab.dtype)
             for k in s.kernels:
                 ca, cb = k.residual(sa, sb, mat_a, mat_b, params)
@@ -954,10 +1085,25 @@ class Problem:
             return ext_stack[conn]  # (ne, n_geom_nodes, n_ext)
         return jnp.zeros((conn.shape[0], conn.shape[1], 0), dtype=self.dtype)
 
-    def _block_contrib(self, bi, x, hist, params, gather, Xref, nmap, conn, wmask=None):
+    def _block_contrib(self, bi, x, hist, params, gather, Xref, nmap, conn, wmask=None,
+                       fast_tables=None):
         """One block's (partial_R, partial_vals) from *array arguments*, so the
-        element dimension can be sharded by a caller (see parallel/sharding)."""
+        element dimension can be sharded by a caller (see parallel/sharding).
+        ``fast_tables``: element-last geometry tables enabling the fused
+        hand-derived kernel (fem/fastns.py) — only passed by callers whose
+        gather covers the same elements as the tables (unsharded)."""
         n = self.dofmap.n_dof
+        if fast_tables is not None and wmask is None:
+            from goma_tpu.fem import fastns
+
+            r, J = fastns.ns_q2q1_rj(
+                x[gather], hist[gather], fast_tables, self._fast_meta[bi],
+                self._fast_static[bi], params["ct"], x.dtype)
+            R = jax.ops.segment_sum(r.reshape(-1), gather.reshape(-1),
+                                    num_segments=n)
+            vals = jax.ops.segment_sum(
+                J.reshape(-1), nmap.reshape(-1), num_segments=self.pattern.nnz)
+            return R, vals
         q = x[gather]
         h = hist[gather]
         ext = self._ext_gather(params, conn)
@@ -1078,6 +1224,29 @@ class Problem:
 
         for bi, (bd, blk) in enumerate(zip(self.dofmap.blocks, self.mesh.blocks)):
             gather = T[f"g{bi}"]
+            if bi in self._fast_meta:
+                # fused hand-derived kernel, element-last layout (fastns.py)
+                from goma_tpu.fem import fastns
+
+                FT = {k: T[f"{k}{bi}"] for k in
+                      ("fns:gphi", "fns:gpsi", "fns:w")}
+                meta = self._fast_meta[bi]
+                static = self._fast_static[bi]
+                r, J = fastns.ns_q2q1_rj(
+                    x[gather], hist[gather], FT, meta, static,
+                    params["ct"], dtype, with_jac=not mixed)
+                if mixed:
+                    _, J = fastns.ns_q2q1_rj(
+                        xj[gather], histj[gather], FT, meta, static,
+                        params_j["ct"], jdt)
+                blockJ.append(J)
+                R = R + jax.ops.segment_sum(r.reshape(-1), gather.reshape(-1),
+                                            num_segments=n)
+                nmap = T[f"n{bi}"]
+                vals = vals + jax.ops.segment_sum(
+                    J.reshape(-1), nmap.reshape(-1), num_segments=self.pattern.nnz
+                )
+                continue
             Xref = T[f"x{bi}"]
             conn = T[f"c{bi}"]
             ext = self._ext_gather(params, conn)
@@ -1140,6 +1309,12 @@ class Problem:
                 J.reshape(-1), nmap.reshape(-1), num_segments=self.pattern.nnz
             )
 
+        if getattr(self, "edge_sets", None):
+            # edge-curve couplings are not in the element-matvec aux either
+            # (NewtonSolver falls back to the CSR operator)
+            dR, dv = self._edge_contribs(x, hist, params, T, with_jac=True)
+            R = R + dR
+            vals = vals + dv.astype(vals.dtype)
         if self.ifc_sets:
             # interface couplings are not in the element-matvec aux; callers
             # must use the CSR operator (NewtonSolver disables the element
@@ -1304,7 +1479,10 @@ class Problem:
             Xref = T[f"x{bi}"]
             nmap = T[f"n{bi}"]
             conn = T[f"c{bi}"]
-            dR, dv = self._block_contrib(bi, x, hist, params, gather, Xref, nmap, conn)
+            FT = ({k: T[f"{k}{bi}"] for k in ("fns:gphi", "fns:gpsi", "fns:w")}
+                  if bi in self._fast_meta else None)
+            dR, dv = self._block_contrib(bi, x, hist, params, gather, Xref, nmap,
+                                         conn, fast_tables=FT)
             R = R + dR
             vals = vals + dv
 
@@ -1320,6 +1498,10 @@ class Problem:
             R = R + dR
             vals = vals + dv
 
+        if getattr(self, "edge_sets", None):
+            dR, dv = self._edge_contribs(x, hist, params, T, with_jac=True)
+            R = R + dR
+            vals = vals + dv
         if self.ifc_sets:
             dR, dv = self._ifc_contribs(x, hist, params, T, with_jac=True)
             R = R + dR
@@ -1349,6 +1531,16 @@ class Problem:
         R = jnp.zeros(n, dtype=dtype)
         for bi, (bd, blk) in enumerate(zip(self.dofmap.blocks, self.mesh.blocks)):
             gather = T[f"g{bi}"]
+            if bi in self._fast_meta:
+                from goma_tpu.fem import fastns
+
+                FT = {k: T[f"{k}{bi}"] for k in ("fns:gphi", "fns:gpsi", "fns:w")}
+                r, _ = fastns.ns_q2q1_rj(
+                    x[gather], hist[gather], FT, self._fast_meta[bi],
+                    self._fast_static[bi], params["ct"], dtype, with_jac=False)
+                R = R + jax.ops.segment_sum(r.reshape(-1), gather.reshape(-1),
+                                            num_segments=n)
+                continue
             Xref = T[f"x{bi}"]
             conn = T[f"c{bi}"]
             ext = self._ext_gather(params, conn)
@@ -1373,6 +1565,9 @@ class Problem:
                 x[gather], hist[gather], Xref, ftabs, params
             )
             R = R + jax.ops.segment_sum(r.reshape(-1), gather.reshape(-1), num_segments=n)
+        if getattr(self, "edge_sets", None):
+            dR, _ = self._edge_contribs(x, hist, params, T, with_jac=False)
+            R = R + dR
         if self.ifc_sets:
             dR, _ = self._ifc_contribs(x, hist, params, T, with_jac=False)
             R = R + dR

@@ -57,6 +57,25 @@ class FaceKernel:
         raise NotImplementedError
 
 
+class EdgeKernel:
+    """Weak/integrated term on a 3D edge curve — the intersection of two
+    side sets (reference: ``src/bc_curve.c:74 apply_integrated_curve_bc``,
+    e.g. VELO_TANGENT_EDGE ``src/mm_ns_bc.c:1819``). ``residual(efv, mat,
+    params)`` returns the line integrand (nq_e, ncomp, nbf) contracted with
+    the arc-length measure ``efv.wds``; ``efv`` is an :class:`EdgeVars` with
+    the edge tangent and both faces' outward normals."""
+
+    var: str
+    ncomp: int
+
+    def __init__(self, var: str, ncomp: int):
+        self.var = var
+        self.ncomp = ncomp
+
+    def residual(self, efv, mat: dict, params: dict):
+        raise NotImplementedError
+
+
 class InterfaceKernel:
     """Cross-block interface term over paired faces (reference:
     ``src/mm_interface.c`` interfacial sources between discontinuous

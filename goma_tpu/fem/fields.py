@@ -108,6 +108,13 @@ class FieldVars:
         self.h_elem = None
         self.dim = None
         self.invJ = None
+        # coordinate system (reference load_coordinate_scales,
+        # src/mm_fill_aux.c:127): "cartesian" | "cylindrical" | "swirling".
+        # Cylindrical/swirling = axisymmetric with q = [z, r(, theta)],
+        # h3 = r: wdetJ carries the extra r factor and fv.r holds the
+        # (guarded) radial coordinate for hoop terms in vector kernels.
+        self.coord = "cartesian"
+        self.r = None
         self.X0 = None
         self.wdetJ0 = None
         self.gphi0: dict[str, Any] = {}
@@ -139,6 +146,7 @@ def eval_fieldvars(
     dtype,
     ext_e: jnp.ndarray | None = None,
     ext_names: tuple[str, ...] = (),
+    coord: str = "cartesian",
 ) -> FieldVars:
     """Build FieldVars for one element. All table constants are cast to the
     working dtype at trace time."""
@@ -174,12 +182,25 @@ def eval_fieldvars(
     # element size: from map Jacobian at first qp (isotropic measure)
     fv.h_elem = 2.0 * jnp.abs(detJ) ** (1.0 / dim)
 
+    axisym = coord in ("cylindrical", "swirling")
+    if axisym:
+        # axisymmetric q = [z, r]: dV = r dr dz (h3 = r, the reference's
+        # load_coordinate_scales CYLINDRICAL/SWIRLING branch with its r=0
+        # kludge, src/mm_fill_aux.c:211-228)
+        fv.coord = coord
+        r = fv.x[:, 1]
+        fv.r = jnp.where(jnp.abs(r) < 1e-30, 1.0, r)
+        fv.wdetJ = fv.wdetJ * fv.r
+
     ale = MESH_VAR in u
     if ale:
         Jmat0 = jnp.einsum("qnd,nk->qkd", dNg, X_e)
         detJ0, invJ0 = det_and_inv(Jmat0)
         fv.X0 = jnp.einsum("qn,nk->qk", Ng, X_e)
         fv.wdetJ0 = qwts * detJ0
+        if axisym:
+            r0 = fv.X0[:, 1]
+            fv.wdetJ0 = fv.wdetJ0 * jnp.where(jnp.abs(r0) < 1e-30, 1.0, r0)
         # deformation gradient F = dx/dX0 = Jmat . Jmat0^{-1} (in [k,d] layout:
         # F[k,m] = dx_k/dxi_d dxi_d/dX0_m)
         fv.F = jnp.einsum("qkd,qdm->qkm", Jmat, invJ0)

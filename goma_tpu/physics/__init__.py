@@ -1,4 +1,4 @@
-from goma_tpu.physics.fluid import Continuity, Momentum
+from goma_tpu.physics.fluid import Continuity, Momentum, SwirlMomentum
 from goma_tpu.physics.scalar_transport import Energy, Species
 from goma_tpu.physics.species_flux import (
     GeneralizedFickianSpecies,

@@ -87,12 +87,20 @@ class Momentum(Equation):
         phi = fv.phi["velocity"]  # (nq, nbf)
         gphi = fv.gphi["velocity"]  # (nq, nbf, dim)
 
+        axisym = fv.coord in ("cylindrical", "swirling") and dim == 2
+
         # inertial terms
         inert = jnp.zeros((nq, dim))
         if self.transient:
             inert = inert + fv.dot["velocity"]
         if self.convection:
             inert = inert + jnp.einsum("qk,qak->qa", advective_velocity(fv), gu)
+        if axisym and "swirl" in fv.val and self.convection:
+            # centrifugal -rho w^2 / r in the r-momentum (reference: the
+            # hq[2][1] curvature terms of assemble_momentum in SWIRLING)
+            w = fv.val["swirl"][:, 0]
+            inert = inert - jnp.stack(
+                [jnp.zeros_like(w), w * w / fv.r], axis=1)
         f = mat.get("body_force", None)
         if f is not None:
             fval = f(fv, mat, params) if callable(f) else jnp.broadcast_to(jnp.asarray(f), (nq, dim))
@@ -120,6 +128,18 @@ class Momentum(Equation):
             Du = 0.5 * (gu + jnp.swapaxes(gu, 1, 2))
             sigma = sigma + 2.0 * self.devss_mu * (Du - Dg)
         contrib = contrib + jnp.einsum("qak,qik->qai", sigma, gphi)
+
+        if axisym:
+            # hoop stress sigma_tt = -p + 2 mu u_r/r: the theta-theta entry
+            # of grad(v) for v = phi e_r is phi/r, so the weak form gains
+            # int sigma_tt (phi/r) r dOmega (r-momentum rows). Reference:
+            # grad(e_r)_tt scale-factor terms via load_coordinate_scales
+            # (src/mm_fill_aux.c) inside assemble_momentum.
+            u_r = u[:, 1]
+            sig_tt = -p + 2.0 * mu * u_r / fv.r
+            hoop = jnp.einsum("q,qi->qi", sig_tt / fv.r, phi)
+            contrib = contrib + jnp.stack(
+                [jnp.zeros_like(hoop), hoop], axis=1)
 
         if self.supg > 0.0:
             # streamline stabilization with the strong inertial+pressure
@@ -167,6 +187,9 @@ class Continuity(Equation):
         nq = fv.x.shape[0]
         gu = fv.grad["velocity"]
         divu = jnp.trace(gu, axis1=1, axis2=2)  # (nq,)
+        if fv.coord in ("cylindrical", "swirling"):
+            # axisym: div u = du_z/dz + (1/r) d(r u_r)/dr = 2D div + u_r/r
+            divu = divu + fv.val["velocity"][:, 1] / fv.r
         psi = fv.phi["pressure"]  # (nq, nbf)
         # volumetric mass source: div(u) = s (reference: the foam/REF volume
         # sources of assemble_continuity, src/mm_fill_continuity.c)
@@ -194,3 +217,54 @@ class Continuity(Equation):
                 :, None, :
             ]
         return contrib
+
+
+class SwirlMomentum(Equation):
+    """Azimuthal (theta) momentum for axisymmetric SWIRLING flow: scalar
+    swirl velocity w = v_theta(z, r) on a 2D (z, r) mesh.
+
+    Weak form (test function phi e_theta, axisymmetric):
+
+        int rho (wdot + u.grad w + u_r w / r) phi  r dOmega
+      + int [ tau_tz dphi/dz + tau_tr (dphi/dr - phi/r) ]  r dOmega
+
+    with the physical shear stresses tau_tz = mu dw/dz and
+    tau_tr = mu (dw/dr - w/r) = mu r d(w/r)/dr. Exact solution check:
+    circular Couette w = A r + B/r has r^2 tau_tr = -2 mu B constant, so the
+    residual vanishes identically. Reference: the VELOCITY3 swirl component
+    of assemble_momentum in SWIRLING coordinates (src/mm_fill_momentum.c +
+    src/mm_fill_aux.c scale factors).
+    """
+
+    def __init__(self, interp: str = "Q2", transient: bool = True,
+                 convection: bool = True):
+        super().__init__("swirl", 1, interp)
+        self.transient = transient
+        self.convection = convection
+
+    def residual(self, fv, mat, params):
+        if fv.coord != "swirling":
+            raise ValueError("SwirlMomentum requires Problem(coord='swirling')")
+        nq = fv.x.shape[0]
+        rho = _as_nq(prop(mat, "rho", fv, params, 1.0), nq)
+        mu = _as_nq(prop(mat, "mu", fv, params), nq)
+        w = fv.val["swirl"][:, 0]
+        gw = fv.grad["swirl"][:, 0, :]  # (nq, 2): [dw/dz, dw/dr]
+        r = fv.r
+        phi = fv.phi["swirl"]
+        gphi = fv.gphi["swirl"]  # (nq, nbf, 2)
+
+        inert = jnp.zeros((nq,))
+        if self.transient:
+            inert = inert + fv.dot["swirl"][:, 0]
+        if self.convection and "velocity" in fv.val:
+            u = advective_velocity(fv)
+            inert = inert + jnp.einsum("qk,qk->q", u, gw) + u[:, 1] * w / r
+        contrib = jnp.einsum("q,qi->qi", rho * inert, phi)
+
+        tau_tz = mu * gw[:, 0]
+        tau_tr = mu * (gw[:, 1] - w / r)
+        contrib = contrib + jnp.einsum("q,qi->qi", tau_tz, gphi[:, :, 0])
+        contrib = contrib + jnp.einsum("q,qi->qi", tau_tr,
+                                       gphi[:, :, 1] - phi / r[:, None])
+        return contrib[:, None, :]

@@ -60,10 +60,23 @@ class PseudoSolidMesh(Equation):
         G = prop(mat, "mesh_shear_modulus", fv, params, 1.0)
         lam = prop(mat, "mesh_lambda", fv, params, 1.0)
         J, Finv = det_and_inv(F)
+        gphi = fv.gphi0[MESH_VAR]
+        axisym = fv.coord in ("cylindrical", "swirling") and F.shape[-1] == 2
+        if axisym:
+            # axisym deformation gradient has F_tt = r/r0 = 1 + d_r/r0;
+            # J3 = det(F2) F_tt, and P_tt tests against phi/r0 on r rows
+            r0 = fv.X0[:, 1]
+            r0 = jnp.where(jnp.abs(r0) < 1e-30, 1.0, r0)
+            Ftt = 1.0 + fv.val[MESH_VAR][:, 1] / r0
+            J = J * Ftt
         FinvT = jnp.swapaxes(Finv, 1, 2)
         P = G * (F - FinvT) + (lam * jnp.log(J))[:, None, None] * FinvT
-        gphi = fv.gphi0[MESH_VAR]
-        return jnp.einsum("qak,qik->qai", P, gphi)
+        out = jnp.einsum("qak,qik->qai", P, gphi)
+        if axisym:
+            Ptt = G * (Ftt - 1.0 / Ftt) + lam * jnp.log(J) / Ftt
+            hoop = jnp.einsum("q,qi->qi", Ptt / r0, fv.phi[MESH_VAR])
+            out = out + jnp.stack([jnp.zeros_like(hoop), hoop], axis=1)
+        return out
 
 
 class LinearElasticMesh(Equation):
@@ -83,6 +96,19 @@ class LinearElasticMesh(Equation):
         eps = 0.5 * (gd + jnp.swapaxes(gd, 1, 2))
         tr = jnp.trace(eps, axis1=1, axis2=2)
         dim = eps.shape[-1]
-        sig = 2.0 * G * eps + lam * tr[:, None, None] * jnp.eye(dim)[None]
         gphi = fv.gphi0[MESH_VAR]
-        return jnp.einsum("qak,qik->qai", sig, gphi)
+        axisym = fv.coord in ("cylindrical", "swirling") and dim == 2
+        if axisym:
+            # hoop strain eps_tt = d_r / r0 enters tr(eps) and adds the
+            # sigma_tt (phi/r0) weak term on the r rows
+            r0 = fv.X0[:, 1]
+            r0 = jnp.where(jnp.abs(r0) < 1e-30, 1.0, r0)
+            eps_tt = fv.val[MESH_VAR][:, 1] / r0
+            tr = tr + eps_tt
+        sig = 2.0 * G * eps + lam * tr[:, None, None] * jnp.eye(dim)[None]
+        out = jnp.einsum("qak,qik->qai", sig, gphi)
+        if axisym:
+            sig_tt = 2.0 * G * eps_tt + lam * tr
+            hoop = jnp.einsum("q,qi->qi", sig_tt / r0, fv.phi[MESH_VAR])
+            out = out + jnp.stack([jnp.zeros_like(hoop), hoop], axis=1)
+        return out

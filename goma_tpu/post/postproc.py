@@ -50,7 +50,8 @@ def sideset_integral(problem: Problem, sideset: str, integrand: Callable):
 
             def one_face(q_e, h_e, X_e, ftab):
                 qdot_e = params["ct"] * q_e + h_e
-                sfv = eval_surfacevars(q_e, qdot_e, X_e, ftab, fwts, bd.slots, dim, dtype)
+                sfv = eval_surfacevars(q_e, qdot_e, X_e, ftab, fwts, bd.slots,
+                                       dim, dtype, problem.coord)
                 g = integrand(sfv, mat, params)
                 g = jnp.asarray(g)
                 if g.ndim == 1:
@@ -91,7 +92,8 @@ def volume_integral(problem: Problem, integrand: Callable, blocks=None):
             def one_elem(q_e, h_e, X_e, ext_e):
                 qdot_e = params["ct"] * q_e + h_e
                 fv = eval_fieldvars(q_e, qdot_e, X_e, tables, bd.slots, dtype,
-                                    ext_e, problem.external_fields)
+                                    ext_e, problem.external_fields,
+                                    problem.coord)
                 g = jnp.asarray(integrand(fv, mat, params))
                 if g.ndim == 1:
                     return jnp.sum(fv.wdetJ * g)

@@ -153,6 +153,7 @@ class NewtonSolver:
             hasattr(problem, "_assemble_with_elem")
             and not getattr(problem, "ifc_sets", None)
             and not getattr(problem, "ovs_sets", None)
+            and not getattr(problem, "edge_sets", None)
         )
         # padded node-slot matvec: row gathers instead of scalar gathers
         # (see fem/padded.py); falls back when padding doesn't pay off

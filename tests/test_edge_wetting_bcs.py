@@ -1,0 +1,170 @@
+"""3D edge-curve BCs (bc_curve.c parity) + wetting-speed / CAP_REPULSE
+kernels (mm_ns_bc.c parity)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from goma_tpu.fem import Problem
+from goma_tpu.mesh import box_mesh, rectangle_mesh
+from goma_tpu.physics import Continuity, Energy, Momentum
+from goma_tpu.solvers import NewtonOptions, NewtonSolver
+
+
+def test_edge_set_geometry():
+    """top & right sidesets of a box intersect in the edge x=1, z=1 of
+    length Ly; the line measure must integrate to it exactly."""
+    from goma_tpu.bc.edge import EdgeTraction
+
+    mesh = box_mesh(2, 3, 2, elem="HEX27", ylim=(0.0, 2.0))
+    prob = Problem(mesh, [Energy(interp="Q2", transient=False,
+                                 convection=False)], {"k": 1.0})
+    prob.add_dirichlet("bottom", "temperature", 0, 0.0)
+    prob.add_edge_kernel("top", "right", EdgeTraction("temperature", 1, 1.0))
+    prob.finalize()
+    es = prob.edge_sets[0]
+    assert es.edge_elems.shape[0] == 3  # one edge per y-row of elements
+    x = jnp.zeros(prob.dofmap.n_dof, dtype=prob.dtype)
+    R, _ = prob._assemble(x, prob.base_params())
+    # line load q=1: total residual = -length of the curve = -2.0 over
+    # non-Dirichlet temperature rows (partition of unity)
+    dm = prob.dofmap
+    d = dm.dof_of_node_svar[:, dm.svar("temperature")]
+    on_edge_load = np.asarray(R)[d[d >= 0]]
+    np.testing.assert_allclose(on_edge_load.sum(), -2.0, rtol=1e-12)
+    # the load lands only on nodes of the edge x=1,z=1
+    nz = np.where(np.abs(on_edge_load) > 1e-14)[0]
+    c = mesh.coords[d >= 0][nz]
+    np.testing.assert_allclose(c[:, 0], 1.0, atol=1e-12)
+    np.testing.assert_allclose(c[:, 2], 1.0, atol=1e-12)
+
+
+def test_edge_line_source_solution():
+    """Steady conduction in a box with a line source on one edge and a
+    Dirichlet face: global flux balance Q_in = source length * q."""
+    from goma_tpu.bc.edge import EdgeTraction
+    from goma_tpu.post import heat_flux, sideset_integral
+
+    mesh = box_mesh(3, 3, 3, elem="HEX27")
+    prob = Problem(mesh, [Energy(interp="Q2", transient=False,
+                                 convection=False)], {"k": 1.0})
+    prob.add_dirichlet("bottom", "temperature", 0, 0.0)
+    prob.add_edge_kernel("top", "right", EdgeTraction("temperature", 1, 2.5))
+    prob.finalize()
+    res = NewtonSolver(prob, NewtonOptions(max_iter=5, linear_solver="direct")
+                       ).solve(np.zeros(prob.dofmap.n_dof), prob.base_params())
+    assert res.converged
+    Fb = sideset_integral(prob, "bottom", heat_flux)
+    q_out = float(Fb(jnp.asarray(res.x), prob.base_params()))
+    np.testing.assert_allclose(abs(q_out), 2.5 * 1.0, rtol=1e-8)
+
+
+def test_velo_tangent_edge():
+    """Stokes flow in a box driven purely by a tangential edge velocity:
+    the along-edge velocity at curve nodes must approach V (penalty) and
+    point along y (the edge direction)."""
+    from goma_tpu.bc.edge import VeloTangentEdge
+
+    mesh = box_mesh(2, 2, 2, elem="HEX27")
+    mesh.nodesets["pin"] = np.array([0], dtype=np.int32)
+    prob = Problem(mesh, [Momentum(dim=3, interp="Q2", transient=False,
+                                   convection=False),
+                          Continuity(interp="Q1")],
+                   {"rho": 1.0, "mu": 1.0})
+    # clamp only the faces away from the driven edge (x=1, z=1), so the
+    # edge trace can be uniformly V without endpoint conflicts
+    for ns in ("bottom", "left"):
+        for c in range(3):
+            prob.add_dirichlet(ns, "velocity", c, 0.0)
+    prob.add_dirichlet("pin", "pressure", 0, 0.0)
+    prob.add_edge_kernel("top", "right",
+                         VeloTangentEdge(dim=3, value=1.0, penalty=1e6))
+    prob.finalize()
+    res = NewtonSolver(prob, NewtonOptions(max_iter=6, linear_solver="direct")
+                       ).solve(np.zeros(prob.dofmap.n_dof), prob.base_params())
+    assert res.converged
+    dm = prob.dofmap
+    on_edge = (np.abs(mesh.coords[:, 0] - 1) < 1e-12) & \
+        (np.abs(mesh.coords[:, 2] - 1) < 1e-12)
+    dv = dm.dof_of_node_svar[np.where(on_edge)[0], dm.svar("velocity", 1)]
+    uy = res.x[dv[dv >= 0]]
+    # tangent of the (straight, +y) curve: u_y ~ V to penalty accuracy
+    np.testing.assert_allclose(uy, 1.0, rtol=1e-4)
+
+
+def test_cap_repulse_traction():
+    """CAP_REPULSE adds the repulsive normal traction
+    -P_rep/(dist/hscale)^repexp: check the assembled load against the exact
+    surface integral on a flat face at known distance."""
+    from goma_tpu.bc.wetting import CapRepulse
+
+    mesh = rectangle_mesh(4, 4, elem="QUAD9")
+    prob = Problem(mesh, [Momentum(dim=2, interp="Q2", transient=False),
+                          Continuity(interp="Q1")], {"rho": 1.0, "mu": 1.0})
+    P_rep, hscale, repexp, wall_y = 3.0, 0.1, 2.0, 2.0
+    prob.add_face_kernel("top", CapRepulse(
+        dim=2, dist_fn=lambda x: wall_y - x[:, 1], P_rep=P_rep,
+        hscale=hscale, repexp=repexp))
+    prob.finalize()
+    x = jnp.zeros(prob.dofmap.n_dof, dtype=prob.dtype)
+    R, _ = prob._assemble(x, prob.base_params())
+    dm = prob.dofmap
+    d = dm.dof_of_node_svar[:, dm.svar("velocity", 1)]
+    ok = d >= 0
+    # top face at y=1, dist=1, n=(0,1): weak term -force*n phi with
+    # force=-P_rep/(dist/h)^e: sum_i R_yi = +P_rep/(1/0.1)^2 * area(=1)
+    total = np.asarray(R)[d[ok]].sum()
+    np.testing.assert_allclose(total, P_rep * (hscale / 1.0) ** repexp,
+                               rtol=1e-12)
+
+
+def test_ls_wetting_speed_models():
+    """Wetting kernels: zero velocity + interface normal at the static
+    angle gives zero residual; off-equilibrium angles pull the fluid
+    toward equilibrium with the model's speed law (Blake sinh, linear,
+    Hoffman correlation all finite and sign-correct)."""
+    from goma_tpu.bc.wetting import LSWettingSpeed, hoffman_correlation_ca
+    from goma_tpu.physics.level_set import FILL_VAR, FillEquation
+
+    theta_s = 60.0
+    for model in ("linear", "blake", "hoffman"):
+        mesh = rectangle_mesh(4, 4, elem="QUAD9")
+        prob = Problem(
+            mesh,
+            [Momentum(dim=2, interp="Q2", transient=False),
+             Continuity(interp="Q1"), FillEquation(interp="Q2")],
+            {"rho": 1.0, "mu": 1.0})
+        prob.add_face_kernel("bottom", LSWettingSpeed(
+            dim=2, theta_s_deg=theta_s, alpha=0.2, model=model,
+            v0=0.7, g=2.0, beta=0.5, depth=0.1))
+        prob.finalize()
+        dm = prob.dofmap
+
+        def assemble_with_angle(theta_deg):
+            # planar interface at angle theta to the wall y=0 through x=0.5:
+            # F = distance; wall normal is (0,-1); fluid normal grad F
+            th = np.deg2rad(theta_deg)
+            nf = np.array([np.cos(th + np.pi), np.sin(th + np.pi)])
+            # choose nf so that cos_ca = n_wall . n_f = cos(theta):
+            nf = np.array([-np.sin(th), -np.cos(th)])
+            x = np.zeros(prob.dofmap.n_dof)
+            dF = dm.dof_of_node_svar[:, dm.svar(FILL_VAR)]
+            okF = dF >= 0
+            x[dF[okF]] = (mesh.coords[okF] - [0.5, 0.0]) @ nf
+            R, _ = prob._assemble(jnp.asarray(x, dtype=prob.dtype),
+                                  prob.base_params())
+            du = dm.dof_of_node_svar[:, dm.svar("velocity", 0)]
+            return np.asarray(R)[du[du >= 0]].sum()
+
+        r_eq = assemble_with_angle(theta_s)
+        r_wet = assemble_with_angle(theta_s + 30.0)
+        r_dry = assemble_with_angle(theta_s - 30.0)
+        assert abs(r_eq) < 1e-10, (model, r_eq)
+        assert np.isfinite(r_wet) and np.isfinite(r_dry)
+        # off-equilibrium: wetting speeds of opposite signs
+        assert r_wet * r_dry < 0, (model, r_wet, r_dry)
+
+    # Hoffman correlation sanity: Ca monotone in theta, ~0 at theta ~ 0
+    ca1 = float(hoffman_correlation_ca(jnp.cos(jnp.deg2rad(30.0))))
+    ca2 = float(hoffman_correlation_ca(jnp.cos(jnp.deg2rad(120.0))))
+    assert 0 < ca1 < ca2
