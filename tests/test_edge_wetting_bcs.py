@@ -168,3 +168,54 @@ def test_ls_wetting_speed_models():
     ca1 = float(hoffman_correlation_ca(jnp.cos(jnp.deg2rad(30.0))))
     ca2 = float(hoffman_correlation_ca(jnp.cos(jnp.deg2rad(120.0))))
     assert 0 < ca1 < ca2
+
+
+def test_velo_normal_edge_directionality():
+    """VeloNormalEdge penalizes n_a . u along the curve: zero for flow
+    tangent to face A, proportional to penalty * (n_a . u) otherwise, with
+    the load pointing along n_a."""
+    from goma_tpu.bc.edge import VeloNormalEdge
+
+    mesh = box_mesh(2, 2, 2, elem="HEX27")
+    prob = Problem(mesh, [Momentum(dim=3, interp="Q2", transient=False,
+                                   convection=False),
+                          Continuity(interp="Q1")], {"rho": 1.0, "mu": 1.0})
+    prob.add_edge_kernel("top", "right", VeloNormalEdge(dim=3, penalty=1.0))
+    prob.finalize()
+    dm = prob.dofmap
+
+    def edge_load(uvec):
+        x = np.zeros(prob.dofmap.n_dof)
+        for c in range(3):
+            d = dm.dof_of_node_svar[:, dm.svar("velocity", c)]
+            x[d[d >= 0]] = uvec[c]
+        R, _ = prob._assemble(jnp.asarray(x, dtype=prob.dtype),
+                              prob.base_params())
+        # subtract the (velocity-field-induced) bulk residual: assemble the
+        # same state without the edge kernel
+        return np.asarray(R)
+
+    mesh2 = box_mesh(2, 2, 2, elem="HEX27")
+    ref = Problem(mesh2, [Momentum(dim=3, interp="Q2", transient=False,
+                                   convection=False),
+                          Continuity(interp="Q1")], {"rho": 1.0, "mu": 1.0})
+    ref.finalize()
+
+    def bulk_load(uvec):
+        x = np.zeros(ref.dofmap.n_dof)
+        for c in range(3):
+            d = ref.dofmap.dof_of_node_svar[:, ref.dofmap.svar("velocity", c)]
+            x[d[d >= 0]] = uvec[c]
+        R, _ = ref._assemble(jnp.asarray(x, dtype=ref.dtype), ref.base_params())
+        return np.asarray(R)
+
+    # u tangent to face A (top, n=(0,0,1)): no edge load
+    d_t = edge_load([1.0, 0.0, 0.0]) - bulk_load([1.0, 0.0, 0.0])
+    np.testing.assert_allclose(d_t, 0.0, atol=1e-12)
+    # u = n_a: edge load = penalty * n_a-weighted line mass, z rows only,
+    # total = penalty * length(edge) = 1.0
+    d_n = edge_load([0.0, 0.0, 1.0]) - bulk_load([0.0, 0.0, 1.0])
+    dz = dm.dof_of_node_svar[:, dm.svar("velocity", 2)]
+    np.testing.assert_allclose(d_n[dz[dz >= 0]].sum(), 1.0, rtol=1e-12)
+    dx = dm.dof_of_node_svar[:, dm.svar("velocity", 0)]
+    np.testing.assert_allclose(d_n[dx[dx >= 0]], 0.0, atol=1e-12)
