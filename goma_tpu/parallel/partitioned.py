@@ -1,0 +1,599 @@
+"""Partitioned-DOF distributed Newton-Krylov (sharding v2).
+
+Parity: the reference's actual parallel design (SURVEY §2.4) —
+METIS element partitioning (``src/metis_decomp.c:372``), one-layer ghost
+elements (``src/dp_ghost.cpp:71 generate_ghost_elems``), halo exchange of
+the solution vector (``src/dp_comm.c:48 exchange_dof``), and
+owner-computes assembled rows. TPU-native redesign:
+
+- Host: RCB element partition -> node/dof ownership (a node belongs to the
+  lowest part among its touching elements) -> per-device local index space
+  ``[owned..., halo...]`` padded to common sizes for SPMD.
+- Each device assembles its owned elements PLUS the ghost layer (every
+  element touching an owned dof), so every owned matrix row / residual
+  entry is complete locally — no reverse scatter communication at all
+  (the dp_ghost trade: duplicated surface work for zero fold traffic).
+- ``exchange_dof`` -> a fixed set of ``ppermute`` rounds over the device
+  ring, one per partition-graph offset (RCB orderings give a handful),
+  with host-precomputed send/recv position tables.
+- Kylov: GMRES over owned-slice vectors; dot products and norms are the
+  ONLY collectives (``psum``), matching ``L2_norm``'s MPI_Allreduce
+  (``src/mm_sol_nonlinear.c:2720``); preconditioner is node-block Jacobi
+  over owned nodes — fully local because a node's dofs share an owner.
+
+Per-device memory is O(N/n_dev): owned + halo dofs, local elements, and
+the owned-rows local CSR. Nothing global-sized lives on any device.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+@dataclass
+class PartitionedResult:
+    x: np.ndarray
+    converged: bool
+    iters: int
+    res_norms: list
+    linear_iters: list
+
+
+class PartitionedProblem:
+    """Distributed wrapper of a finalized single-block-element Problem.
+
+    Limitations (current stage): volume blocks + Dirichlet BCs (face/edge/
+    interface/overset kernels fall back to the replicated ShardedProblem);
+    row-sum scaling (not symmetric); block-Jacobi preconditioning.
+    """
+
+    def __init__(self, problem, device_mesh: Mesh | None = None,
+                 axis: str = "dofs"):
+        if problem.face_sets or problem.ifc_sets or problem.ovs_sets or \
+                getattr(problem, "edge_sets", None) or problem._rotation or \
+                problem.external_fields:
+            raise NotImplementedError(
+                "PartitionedProblem currently covers volume kernels + "
+                "Dirichlet BCs; use ShardedProblem for face/interface decks")
+        if device_mesh is None:
+            device_mesh = Mesh(np.array(jax.devices()), (axis,))
+        self.problem = problem
+        self.axis = axis
+        self.device_mesh = device_mesh
+        nd = int(device_mesh.devices.size)
+        self.n_dev = nd
+        dm = problem.dofmap
+        mesh = problem.mesh
+        n = dm.n_dof
+
+        # ---- element partition (all blocks concatenated), reference
+        # goma_metis_decomposition (RCB mode)
+        from goma_tpu.native import rcb_partition
+
+        cents = np.concatenate([mesh.coords[b.conn].mean(axis=1)
+                                for b in mesh.blocks])
+        epart = rcb_partition(cents, nd)
+        eoff = np.cumsum([0] + [b.n_elem for b in mesh.blocks])
+
+        # ---- node / dof ownership: lowest part among touching elements
+        node_owner = np.full(mesh.n_nodes, nd, dtype=np.int32)
+        for bi, b in enumerate(mesh.blocks):
+            pe = epart[eoff[bi]:eoff[bi + 1]]
+            for le in range(b.n_elem):
+                nds = b.conn[le]
+                node_owner[nds] = np.minimum(node_owner[nds], pe[le])
+        dof_owner = np.full(n, -1, dtype=np.int32)
+        nodal = dm.node_dof_count > 0
+        for nid in np.where(nodal)[0]:
+            s, c = dm.node_dof_start[nid], dm.node_dof_count[nid]
+            dof_owner[s:s + c] = node_owner[nid]
+        # elemental dofs follow their element's part
+        for bi, (bd, b) in enumerate(zip(dm.blocks, mesh.blocks)):
+            pe = epart[eoff[bi]:eoff[bi + 1]]
+            for sl in bd.slots:
+                if sl.interp in ("P0", "P1E"):
+                    g = bd.gather[:, sl.start:sl.start + sl.size]
+                    for le in range(b.n_elem):
+                        dof_owner[g[le]] = pe[le]
+        assert np.all(dof_owner >= 0)
+
+        # ---- per-device sets
+        owned = [np.where(dof_owner == d)[0] for d in range(nd)]
+        # local elements: any element with an owned dof (own + ghost layer)
+        loc_elems = [[] for _ in range(nd)]
+        for bi, (bd, b) in enumerate(zip(dm.blocks, mesh.blocks)):
+            gow = dof_owner[bd.gather]  # (ne, nl)
+            for d in range(nd):
+                sel = np.where(np.any(gow == d, axis=1))[0]
+                loc_elems[d].append(sel)
+        # halo dofs per device
+        halos = []
+        for d in range(nd):
+            touched = np.unique(np.concatenate(
+                [dm.blocks[bi].gather[loc_elems[d][bi]].ravel()
+                 for bi in range(len(dm.blocks))]))
+            halos.append(touched[dof_owner[touched] != d])
+
+        self.max_own = max(int(o.shape[0]) for o in owned)
+        self.max_halo = max(max(int(h.shape[0]) for h in halos), 1)
+        self.max_loc = self.max_own + self.max_halo
+        mo, ml = self.max_own, self.max_loc
+
+        # global dof ids per local slot; pad owned with n (sentinel)
+        own_g = np.full((nd, mo), n, dtype=np.int64)
+        own_mask = np.zeros((nd, mo))
+        loc_g = np.full((nd, ml), n, dtype=np.int64)
+        l_of_g = [dict() for _ in range(nd)]
+        for d in range(nd):
+            o, h = owned[d], halos[d]
+            own_g[d, :o.shape[0]] = o
+            own_mask[d, :o.shape[0]] = 1.0
+            loc_g[d, :o.shape[0]] = o
+            loc_g[d, mo:mo + h.shape[0]] = h
+            for i, g in enumerate(o):
+                l_of_g[d][int(g)] = i
+            for i, g in enumerate(h):
+                l_of_g[d][int(g)] = mo + i
+        self._own_g = own_g
+        self._own_mask = own_mask
+        self._dof_owner = dof_owner
+        self._owned = owned
+
+        # ---- halo-exchange schedule: ppermute rounds per ring offset
+        # (reference exchange_dof's neighbor lists, src/dp_comm.c:48)
+        need: dict[int, list[list[tuple[int, int]]]] = {}
+        for d in range(nd):
+            for g in halos[d]:
+                s = int(dof_owner[g])
+                delta = (d - s) % nd
+                need.setdefault(delta, [[] for _ in range(nd)])
+                # sender s must ship its owned slot of g to receiver d
+                need[delta][s].append((l_of_g[s][int(g)], l_of_g[d][int(g)]))
+        self._deltas = sorted(need.keys())
+        send_tabs, recv_tabs = [], []
+        for delta in self._deltas:
+            cnt = max(max(len(v) for v in need[delta]), 1)
+            sp = np.zeros((nd, cnt), dtype=np.int64)  # positions in own vec
+            rp = np.full((nd, cnt), ml, dtype=np.int64)  # sentinel -> dropped
+            for s in range(nd):
+                r = (s + delta) % nd
+                # entries sent by s land at r: recv positions indexed by r
+                for k, (spos, rpos) in enumerate(need[delta][s]):
+                    sp[s, k] = spos
+                for k, (spos, rpos) in enumerate(need[delta][s]):
+                    rp[r, k] = rpos
+            send_tabs.append(sp)
+            recv_tabs.append(rp)
+        self._send_tabs = send_tabs
+        self._recv_tabs = recv_tabs
+
+        # ---- local element tables (per block), padded to max count
+        self._eblocks = []
+        for bi, (bd, b) in enumerate(zip(dm.blocks, mesh.blocks)):
+            nl = bd.n_ldof
+            mx = max(max(len(loc_elems[d][bi]) for d in range(nd)), 1)
+            gat = np.full((nd, mx, nl), ml, dtype=np.int64)
+            Xr = np.zeros((nd, mx) + mesh.coords[b.conn].shape[1:])
+            wm = np.zeros((nd, mx))
+            for d in range(nd):
+                sel = loc_elems[d][bi]
+                for k, le in enumerate(sel):
+                    gat[d, k] = [l_of_g[d].get(int(g), ml)
+                                 for g in bd.gather[le]]
+                    Xr[d, k] = mesh.coords[b.conn[le]]
+                    wm[d, k] = 1.0
+            self._eblocks.append(dict(bi=bi, gather=gat, Xref=Xr, wmask=wm,
+                                      nl=nl))
+
+        # ---- local owned-rows CSR (per device, padded): rows = owned local
+        # ids, cols = local ids; nnz map for each local element's (i, j)
+        pat = problem.pattern
+        rows_g = pat.rows
+        cols_g = pat.indices
+        sel_nnz = []
+        for d in range(nd):
+            sel = np.where(dof_owner[rows_g] == d)[0]
+            sel_nnz.append(sel)
+        self.max_nnz = max(int(s.shape[0]) for s in sel_nnz)
+        lrow = np.zeros((nd, self.max_nnz), dtype=np.int64)
+        lcol = np.full((nd, self.max_nnz), ml, dtype=np.int64)
+        nnz_mask = np.zeros((nd, self.max_nnz))
+        # global nnz position -> local position (per device) for elem maps
+        g2l_nnz = [dict() for _ in range(nd)]
+        for d in range(nd):
+            s = sel_nnz[d]
+            for k, p in enumerate(s):
+                lrow[d, k] = l_of_g[d][int(rows_g[p])]
+                lcol[d, k] = l_of_g[d].get(int(cols_g[p]), ml)
+                g2l_nnz[d][int(p)] = k
+            nnz_mask[d, :s.shape[0]] = 1.0
+        self._lrow, self._lcol, self._nnz_mask = lrow, lcol, nnz_mask
+
+        for eb in self._eblocks:
+            bi = eb["bi"]
+            nl = eb["nl"]
+            nmap_g = problem._nnz_maps[bi]  # (ne, nl, nl) global nnz pos
+            mx = eb["gather"].shape[1]
+            lmap = np.full((nd, mx, nl, nl), self.max_nnz, dtype=np.int64)
+            for d in range(nd):
+                sel = loc_elems[d][bi]
+                for k, le in enumerate(sel):
+                    m = nmap_g[le]
+                    flat = [g2l_nnz[d].get(int(p), self.max_nnz)
+                            for p in m.ravel()]
+                    lmap[d, k] = np.asarray(flat).reshape(nl, nl)
+            eb["nmap"] = lmap
+
+        # Dirichlet: local positions of constrained OWNED dofs
+        dd = problem.dirichlet_dofs
+        dval = problem.dirichlet_vals
+        mxd = max(max(int((dof_owner[dd] == d).sum()) for d in range(nd)), 1) \
+            if dd.size else 1
+        ldir = np.full((nd, mxd), mo, dtype=np.int64)
+        lval = np.zeros((nd, mxd))
+        for d in range(nd):
+            sel = np.where(dof_owner[dd] == d)[0] if dd.size else []
+            for k, i in enumerate(sel):
+                ldir[d, k] = l_of_g[d][int(dd[i])]
+                lval[d, k] = dval[i]
+        self._ldir, self._lval = ldir, lval
+        # nnz entries to zero (rows of constrained dofs) handled via mask:
+        dmask = np.zeros(n + 1)
+        dmask[dd] = 1.0
+        keep = 1.0 - dmask[rows_g]
+        lkeep = np.zeros((nd, self.max_nnz))
+        ldiag = np.full((nd, mxd), self.max_nnz, dtype=np.int64)
+        for d in range(nd):
+            s = sel_nnz[d]
+            lkeep[d, :s.shape[0]] = keep[s]
+            sel = np.where(dof_owner[dd] == d)[0] if dd.size else []
+            for k, i in enumerate(sel):
+                ldiag[d, k] = g2l_nnz[d][int(pat.diag[dd[i]])]
+        self._lkeep, self._ldiag = lkeep, ldiag
+
+        # block-Jacobi blocks over owned nodes (local nnz positions)
+        starts, counts = [], []
+        for d in range(nd):
+            pass
+        nodes_of = [np.where((node_owner == d) & nodal)[0] for d in range(nd)]
+        mxb = max(max(len(v) for v in nodes_of), 1)
+        kmax = int(dm.node_dof_count.max())
+        bpos = np.full((nd, mxb, kmax, kmax), self.max_nnz, dtype=np.int64)
+        bdof = np.full((nd, mxb, kmax), ml, dtype=np.int64)
+        bval = np.zeros((nd, mxb, kmax, kmax))
+        for d in range(nd):
+            for kbi, nid in enumerate(nodes_of[d]):
+                s, c = dm.node_dof_start[nid], dm.node_dof_count[nid]
+                for a in range(c):
+                    bdof[d, kbi, a] = l_of_g[d][int(s + a)]
+                    for bcol in range(c):
+                        p = pat.find(np.array([s + a]), np.array([s + bcol]))[0]
+                        bpos[d, kbi, a, bcol] = g2l_nnz[d].get(int(p),
+                                                               self.max_nnz)
+                for a in range(c, kmax):
+                    bval[d, kbi, a, a] = 1.0  # identity padding
+        # elemental dofs: 1x1 blocks — find them per device
+        self._bpos, self._bdof, self._bpad = bpos, bdof, bval
+        ed = np.where(~np.isin(np.arange(n), np.concatenate(
+            [np.arange(dm.node_dof_start[i], dm.node_dof_start[i]
+                       + dm.node_dof_count[i]) for i in np.where(nodal)[0]])
+        ))[0] if (dm.n_dof - dm.n_node_dof) > 0 else np.empty(0, np.int64)
+        mxe = max(max(int((dof_owner[ed] == d).sum()) for d in range(nd)), 1) \
+            if ed.size else 1
+        epos = np.full((nd, mxe), self.max_nnz, dtype=np.int64)
+        edofl = np.full((nd, mxe), ml, dtype=np.int64)
+        for d in range(nd):
+            sel = ed[dof_owner[ed] == d] if ed.size else []
+            for k, g in enumerate(sel):
+                edofl[d, k] = l_of_g[d][int(g)]
+                epos[d, k] = g2l_nnz[d][int(pat.diag[g])]
+        self._epos, self._edofl = epos, edofl
+
+        self._dev_tables = None
+
+    # ----------------------------------------------------------- device put
+    def _tables(self):
+        if self._dev_tables is not None:
+            return self._dev_tables
+        sh = NamedSharding(self.device_mesh, P(self.axis))
+        dput = lambda a: jax.device_put(jnp.asarray(a), sh)
+        T = {
+            "own_mask": dput(self._own_mask),
+            "lrow": dput(self._lrow), "lcol": dput(self._lcol),
+            "nnz_mask": dput(self._nnz_mask),
+            "lkeep": dput(self._lkeep), "ldiag": dput(self._ldiag),
+            "ldir": dput(self._ldir), "lval": dput(self._lval),
+            "bpos": dput(self._bpos), "bdof": dput(self._bdof),
+            "bpad": dput(self._bpad),
+            "epos": dput(self._epos), "edofl": dput(self._edofl),
+        }
+        for j, (sp, rp) in enumerate(zip(self._send_tabs, self._recv_tabs)):
+            T[f"send{j}"] = dput(sp)
+            T[f"recv{j}"] = dput(rp)
+        for eb in self._eblocks:
+            bi = eb["bi"]
+            T[f"g{bi}"] = dput(eb["gather"])
+            T[f"x{bi}"] = dput(eb["Xref"])
+            T[f"w{bi}"] = dput(eb["wmask"])
+            T[f"n{bi}"] = dput(eb["nmap"])
+        self._dev_tables = T
+        return T
+
+    # -------------------------------------------------------- device pieces
+    def _exchange(self, x_own, T1):
+        """x_local (ml+1,) from the owned slice: the exchange_dof analog.
+        Runs INSIDE shard_map; ``T1`` holds per-device table views."""
+        ml = self.max_loc
+        x_loc = jnp.zeros(ml + 1, dtype=x_own.dtype)
+        x_loc = x_loc.at[:self.max_own].set(x_own)
+        for j, delta in enumerate(self._deltas):
+            buf = x_own[T1[f"send{j}"]]
+            perm = [(i, (i + delta) % self.n_dev) for i in range(self.n_dev)]
+            buf = jax.lax.ppermute(buf, self.axis, perm)
+            x_loc = x_loc.at[T1[f"recv{j}"]].set(buf)
+        return x_loc
+
+    def scatter_global(self, x_global):
+        """Host: global vector -> sharded (nd, max_own) owned slices."""
+        xg = np.asarray(x_global)
+        out = np.zeros((self.n_dev, self.max_own), dtype=xg.dtype)
+        for d in range(self.n_dev):
+            o = self._owned[d]
+            out[d, :o.shape[0]] = xg[o]
+        sh = NamedSharding(self.device_mesh, P(self.axis))
+        return jax.device_put(jnp.asarray(out), sh)
+
+    def gather_global(self, x_own):
+        """Host: sharded owned slices -> global vector."""
+        a = np.asarray(jax.device_get(x_own))
+        n = self.problem.dofmap.n_dof
+        out = np.zeros(n, dtype=a.dtype)
+        for d in range(self.n_dev):
+            o = self._owned[d]
+            out[o] = a[d, :o.shape[0]]
+        return out
+
+    # ----------------------------------------------------- sharded kernels
+    def _prep_fn(self):
+        """Build the jitted sharded prep: assemble + Dirichlet + row scale +
+        norms. Per-device closures over the static problem definition."""
+        prob = self.problem
+        mo, ml, mnz = self.max_own, self.max_loc, self.max_nnz
+        dtype = prob.dtype
+        axis = self.axis
+
+        def prep(x_own, hist_own, params, T):
+            # shard_map passes per-device slices with leading axis 1
+            T1 = {k: v[0] for k, v in T.items()}
+            x_own = x_own[0]
+            hist_own = hist_own[0]
+            x_loc = self._exchange(x_own, T1)
+            h_loc = self._exchange(hist_own, T1)
+            R_loc = jnp.zeros(ml + 1, dtype=dtype)
+            vals = jnp.zeros(mnz + 1, dtype=dtype)
+            for eb in self._eblocks:
+                bi = eb["bi"]
+                g = T1[f"g{bi}"]          # (mx, nl)
+                Xr = T1[f"x{bi}"].astype(dtype)
+                wm = T1[f"w{bi}"].astype(dtype)
+                nm = T1[f"n{bi}"]
+                elem_res = prob._elem_residual_fn(bi)
+                jac_fn = jax.jacfwd(elem_res, argnums=0, has_aux=True)
+                J, r = jax.vmap(jac_fn, in_axes=(0, 0, 0, 0, None, None))(
+                    x_loc[g], h_loc[g], Xr,
+                    jnp.zeros(g.shape[:2] + (0,), dtype=dtype), 1.0, params)
+                r = r * wm[:, None]
+                J = J * wm[:, None, None]
+                R_loc = R_loc.at[g.reshape(-1)].add(r.reshape(-1))
+                vals = vals.at[nm.reshape(-1)].add(J.reshape(-1))
+            R = R_loc[:mo] * T1["own_mask"].astype(dtype)
+            vals = vals[:mnz]
+            # Dirichlet surgery (owned rows only)
+            ldir, lval = T1["ldir"], T1["lval"].astype(dtype)
+            xd = jnp.concatenate([x_own, jnp.zeros(1, dtype=dtype)])
+            R = jnp.concatenate([R, jnp.zeros(1, dtype=dtype)]).at[ldir].set(
+                xd[ldir] - lval)[:mo]
+            vals = vals * T1["lkeep"].astype(dtype)
+            vals = jnp.concatenate([vals, jnp.zeros(1, dtype=dtype)]).at[
+                T1["ldiag"]].set(1.0)[:mnz]
+            # row-sum scaling (reference row_sum_scaling_scale)
+            rs = jnp.zeros(mo + 1, dtype=dtype).at[T1["lrow"]].add(
+                jnp.abs(vals) * T1["nnz_mask"].astype(dtype))[:mo]
+            scale = jnp.where(rs > 0, 1.0 / jnp.maximum(rs, 1e-300), 1.0)
+            Rs = R * scale
+            vals = vals * scale[T1["lrow"]] * T1["nnz_mask"].astype(dtype)
+            m = T1["own_mask"].astype(dtype)
+            l1 = jax.lax.psum(jnp.sum(jnp.abs(Rs) * m), axis)
+            l2 = jnp.sqrt(jax.lax.psum(jnp.sum(Rs * Rs * m), axis))
+            li = jax.lax.pmax(jnp.max(jnp.abs(Rs) * m), axis)
+            return (Rs[None], vals[None], scale[None],
+                    l1[None], l2[None], li[None])
+
+        sh = P(self.axis)
+        rep = P(self.axis)  # scalars come back as (nd,) stacked
+        return jax.jit(jax.shard_map(
+            prep, mesh=self.device_mesh,
+            in_specs=(sh, sh, P(), sh), out_specs=(sh, sh, sh, sh, sh, sh),
+            check_vma=False))
+
+    def _matvec(self, vals, v_own, T1):
+        """Owned y = A v with one halo exchange (per-device view)."""
+        mo = self.max_own
+        x_loc = self._exchange(v_own, T1)
+        contrib = vals * x_loc[T1["lcol"]]
+        return jnp.zeros(mo + 1, dtype=v_own.dtype).at[T1["lrow"]].add(
+            contrib)[:mo] * T1["own_mask"].astype(v_own.dtype)
+
+    def _bj_factor(self, vals, T1):
+        from goma_tpu.utils.la import gj_inv
+
+        vx = jnp.concatenate([vals, jnp.zeros(1, dtype=vals.dtype)])
+        A = vx[T1["bpos"]] + T1["bpad"].astype(vals.dtype)
+        diag = jnp.diagonal(A, axis1=1, axis2=2)
+        kmax = A.shape[-1]
+        eye = jnp.eye(kmax, dtype=bool)
+        A = A + jnp.where((jnp.abs(diag) < 1e-10)[:, :, None] & eye[None],
+                          1.0, 0.0)
+        Binv = gj_inv(A)
+        Binv = jnp.where(jnp.isfinite(Binv), Binv, 0.0)
+        ed = vx[T1["epos"]]
+        edinv = jnp.where(jnp.abs(ed) > 1e-300, 1.0 / ed, 0.0)
+        return Binv, edinv
+
+    def _bj_apply(self, fac, r, T1):
+        Binv, edinv = fac
+        mo = self.max_own
+        rx = jnp.concatenate([r, jnp.zeros(self.max_loc + 1 - mo,
+                                           dtype=r.dtype)])
+        rb = rx[T1["bdof"]]  # (mxb, kmax)
+        zb = jnp.einsum("bij,bj->bi", Binv, rb,
+                        precision=jax.lax.Precision.HIGHEST)
+        z = jnp.zeros(self.max_loc + 1, dtype=r.dtype).at[
+            T1["bdof"].reshape(-1)].add(zb.reshape(-1))
+        z = z.at[T1["edofl"]].add(edinv * rx[T1["edofl"]])
+        return z[:mo] * T1["own_mask"].astype(r.dtype)
+
+    def _gmres_fn(self, restart: int):
+        """Jitted sharded restarted-GMRES cycle (distributed dots via psum,
+        the src/mm_sol_nonlinear.c:2720 allreduce analog)."""
+        axis = self.axis
+        mo = self.max_own
+        m = restart
+
+        def cycle(vals, b_own, z_own, tol, T):
+            T1 = {k: v[0] for k, v in T.items()}
+            vals = vals[0]
+            b = b_own[0]
+            z = z_own[0]
+            dtype = b.dtype
+            mask = T1["own_mask"].astype(dtype)
+            fac = self._bj_factor(vals, T1)
+
+            def pdot(a, c):
+                return jax.lax.psum(jnp.sum(a * c * mask), axis)
+
+            bn = jnp.sqrt(pdot(b, b))
+            target = jnp.maximum(tol * bn, 1e-300)
+            r = b - self._matvec(vals, z, T1)
+            beta = jnp.sqrt(pdot(r, r))
+            V = jnp.zeros((m + 1, mo), dtype=dtype)
+            H = jnp.zeros((m + 1, m), dtype=dtype)
+            V = V.at[0].set(r / jnp.where(beta > 0, beta, 1.0))
+            Q = jnp.eye(m + 1, dtype=dtype)
+
+            def live(carry, j):
+                V, H, Q, done, cnt = carry
+                w = self._matvec(vals, self._bj_apply(fac, V[j], T1), T1)
+                sel = (jnp.arange(m + 1) <= j).astype(dtype)
+                # distributed CGS2: local (m+1, mo) @ (mo,) then psum
+                hi = jax.lax.Precision.HIGHEST
+                h = jax.lax.psum(jnp.matmul(V, w * mask, precision=hi),
+                                 axis) * sel
+                w = w - jnp.matmul(V.T, h, precision=hi)
+                h2 = jax.lax.psum(jnp.matmul(V, w * mask, precision=hi),
+                                  axis) * sel
+                w = w - jnp.matmul(V.T, h2, precision=hi)
+                h = h + h2
+                wn = jnp.sqrt(pdot(w, w))
+                H2 = H.at[:, j].set(h).at[j + 1, j].set(wn)
+                V2 = V.at[j + 1].set(w / jnp.where(wn > 1e-30, wn, 1.0))
+                hr = jnp.matmul(Q, H2[:, j], precision=hi)
+                a0, a1 = hr[j], hr[j + 1]
+                rr = jnp.sqrt(a0 * a0 + a1 * a1)
+                ok = rr > 1e-30
+                c_ = jnp.where(ok, a0 / jnp.where(ok, rr, 1.0), 1.0)
+                s_ = jnp.where(ok, a1 / jnp.where(ok, rr, 1.0), 0.0)
+                qj, qj1 = Q[j], Q[j + 1]
+                Q2 = Q.at[j].set(c_ * qj + s_ * qj1).at[j + 1].set(
+                    -s_ * qj + c_ * qj1)
+                est = jnp.abs(Q2[j + 1, 0] * beta)
+                return (V2, H2, Q2, est <= target, cnt + 1)
+
+            def step(j, carry):
+                return jax.lax.cond(carry[3], lambda c: c,
+                                    lambda c: live(c, j), carry)
+
+            V, H, Q, done, cnt = jax.lax.fori_loop(
+                0, m, step, (V, H, Q, beta <= target,
+                             jnp.zeros((), jnp.int32)))
+            from goma_tpu.utils.la import lstsq_small
+
+            e1 = jnp.zeros(m + 1, dtype=dtype).at[0].set(beta)
+            y = lstsq_small(H, e1)
+            z2 = z + self._bj_apply(
+                fac, jnp.matmul(V[:m].T, y,
+                                precision=jax.lax.Precision.HIGHEST), T1)
+            rn = b - self._matvec(vals, z2, T1)
+            rnn = jnp.sqrt(pdot(rn, rn))
+            return z2[None], rnn[None], cnt[None], target[None]
+
+        sh = P(self.axis)
+        return jax.jit(jax.shard_map(
+            cycle, mesh=self.device_mesh,
+            in_specs=(sh, sh, sh, P(), sh), out_specs=(sh, sh, sh, sh),
+            check_vma=False))
+
+
+class PartitionedNewtonSolver:
+    """Damped full Newton over a PartitionedProblem: the distributed
+    counterpart of NewtonSolver with identical iteration behavior (same
+    assembly, same row scaling, same BJ-preconditioned restarted GMRES) —
+    iteration-count parity with the single-device path is the test."""
+
+    def __init__(self, pp: PartitionedProblem, max_iter: int = 12,
+                 tol_residual: float = 1e-10, linear_tol: float = 1e-10,
+                 restart: int = 60, linear_maxiter: int = 600):
+        self.pp = pp
+        self.max_iter = max_iter
+        self.tol_residual = tol_residual
+        self.linear_tol = linear_tol
+        self.restart = restart
+        self.linear_maxiter = linear_maxiter
+        self._prep = pp._prep_fn()
+        self._cycle = pp._gmres_fn(restart)
+
+    def solve(self, x0_global, params) -> PartitionedResult:
+        pp = self.pp
+        T = pp._tables()
+        dtype = pp.problem.dtype
+        x = pp.scatter_global(np.asarray(x0_global, dtype=dtype))
+        hist = pp.scatter_global(np.asarray(
+            jax.device_get(params["hist"]), dtype=dtype))
+        # keep devices free of global-sized arrays: the history enters as
+        # sharded owned slices; strip the global copy from params
+        params = dict(params)
+        params["hist"] = jnp.zeros(0, dtype=dtype)
+        res_norms, lin_iters = [], []
+        converged = False
+        it = 0
+        for it in range(self.max_iter):
+            R, vals, scale, l1, l2, li = self._prep(x, hist, params, T)
+            l1v = float(jax.device_get(l1)[0])
+            l2v = float(jax.device_get(l2)[0])
+            liv = float(jax.device_get(li)[0])
+            res_norms.append((l1v, l2v, liv))
+            if l2v < self.tol_residual and liv < self.tol_residual:
+                converged = True
+                break
+            z = jnp.zeros_like(R)
+            tol = jnp.asarray(self.linear_tol, dtype=dtype)
+            its = 0
+            rn = np.inf
+            target = None
+            while its < self.linear_maxiter:
+                z, rnj, cj, tgt = self._cycle(vals, R, z, tol, T)
+                rn = float(jax.device_get(rnj)[0])
+                target = float(jax.device_get(tgt)[0])
+                its += max(int(jax.device_get(cj)[0]), 1)
+                if rn <= target or not np.isfinite(rn):
+                    break
+            lin_iters.append(its)
+            x = x - z
+        return PartitionedResult(
+            x=pp.gather_global(x), converged=converged, iters=it,
+            res_norms=res_norms, linear_iters=lin_iters)

@@ -1,0 +1,176 @@
+"""Partitioned-DOF sharding v2 (SURVEY §2.4 design: RCB partition + ghost
+elements + ppermute halo exchange + sharded Krylov with psum-only
+collectives). Runs on the 8-device virtual CPU mesh (conftest)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from goma_tpu.fem import Problem
+from goma_tpu.mesh import rectangle_mesh
+from goma_tpu.physics import Continuity, Energy, Momentum
+from goma_tpu.solvers import NewtonOptions, NewtonSolver
+
+
+def _cavity(n=12, Re=50.0):
+    mesh = rectangle_mesh(n, n, elem="QUAD9")
+    mesh.nodesets["pin"] = np.array([0], dtype=np.int32)
+    prob = Problem(mesh, [Momentum(dim=2, interp="Q2", transient=False),
+                          Continuity(interp="Q1")],
+                   {"rho": 1.0, "mu": 1.0 / Re})
+    for ns in ("left", "right", "bottom"):
+        prob.add_dirichlet(ns, "velocity", 0, 0.0)
+        prob.add_dirichlet(ns, "velocity", 1, 0.0)
+    prob.add_dirichlet("top", "velocity", 0, 1.0)
+    prob.add_dirichlet("top", "velocity", 1, 0.0)
+    prob.add_dirichlet("pin", "pressure", 0, 0.0)
+    prob.finalize()
+    return prob
+
+
+def test_partitioned_sizes_scale():
+    """Per-device array sizes must scale ~1/N (plus the halo surface term) —
+    the VERDICT round-2 'done' criterion for sharding v2."""
+    from goma_tpu.parallel.partitioned import PartitionedProblem
+
+    prob = _cavity(16)
+    n = prob.dofmap.n_dof
+    pp = PartitionedProblem(prob)
+    nd = pp.n_dev
+    assert nd == 8
+    # owned slices partition the dofs exactly
+    assert sum(o.shape[0] for o in pp._owned) == n
+    # per-device owned size ~ n/8 (RCB balance within 2x)
+    assert pp.max_own <= 2.0 * n / nd
+    # halo is a surface term: much smaller than the owned interior
+    assert pp.max_halo < 0.8 * pp.max_own
+    # local CSR is O(n/N) too
+    assert pp.max_nnz <= 2.0 * prob.pattern.nnz / nd
+
+
+def test_partitioned_exchange_roundtrip():
+    """Halo exchange delivers exactly the owner's values for every halo
+    dof (the exchange_dof contract)."""
+    from goma_tpu.parallel.partitioned import PartitionedProblem
+    from jax.sharding import PartitionSpec as P
+
+    prob = _cavity(8)
+    pp = PartitionedProblem(prob)
+    n = prob.dofmap.n_dof
+    xg = np.arange(1.0, n + 1.0)
+    x = pp.scatter_global(xg)
+    T = pp._tables()
+
+    def f(x_own, T):
+        T1 = {k: v[0] for k, v in T.items()}
+        return pp._exchange(x_own[0], T1)[None]
+
+    sh = P(pp.axis)
+    xloc = jax.jit(jax.shard_map(f, mesh=pp.device_mesh, in_specs=(sh, sh),
+                                 out_specs=sh, check_vma=False))(x, T)
+    xloc = np.asarray(jax.device_get(xloc))
+    for d in range(pp.n_dev):
+        o = pp._owned[d]
+        np.testing.assert_array_equal(xloc[d, :o.shape[0]], xg[o])
+        # halo slots carry the owner's values
+        # reconstruct: local ids mo.. hold halos in the order built
+        # (validated indirectly through assembly parity below too)
+
+
+def test_partitioned_assembly_matches_global():
+    """Sharded prep reproduces the single-device residual and row-scaled
+    norms exactly."""
+    from goma_tpu.parallel.partitioned import PartitionedProblem
+
+    prob = _cavity(8)
+    pp = PartitionedProblem(prob)
+    rng = np.random.RandomState(0)
+    xg = rng.rand(prob.dofmap.n_dof)
+    params = prob.base_params()
+    prep = pp._prep_fn()
+    x = pp.scatter_global(xg)
+    hist = pp.scatter_global(np.zeros_like(xg))
+    p2 = dict(params)
+    p2["hist"] = jnp.zeros(0, dtype=prob.dtype)
+    R, vals, scale, l1, l2, li = prep(x, hist, p2, pp._tables())
+
+    # single-device reference: assemble + row-sum scale
+    from goma_tpu.fem.sparsity import row_sum_scale
+
+    Rg, valsg = prob._assemble(jnp.asarray(xg, dtype=prob.dtype), params)
+    _, Rs, _ = row_sum_scale(valsg, Rg, jnp.asarray(prob.pattern.rows),
+                             prob.dofmap.n_dof)
+    np.testing.assert_allclose(float(jax.device_get(l2)[0]),
+                               float(jnp.linalg.norm(Rs)), rtol=1e-12)
+    np.testing.assert_allclose(float(jax.device_get(li)[0]),
+                               float(jnp.max(jnp.abs(Rs))), rtol=1e-12)
+    # per-dof residual parity
+    Rd = np.zeros(prob.dofmap.n_dof)
+    Ra = np.asarray(jax.device_get(R))
+    for d in range(pp.n_dev):
+        o = pp._owned[d]
+        Rd[o] = Ra[d, :o.shape[0]]
+    np.testing.assert_allclose(Rd, np.asarray(Rs), atol=1e-13)
+
+
+def test_partitioned_newton_iteration_parity():
+    """Full distributed Newton matches the single-device solver on a
+    nonlinear conduction problem where BJ-GMRES converges the linear
+    solves tightly: identical iteration counts and residual trajectory
+    (SURVEY §2.4 'Newton iteration counts match the single-device path')."""
+    from goma_tpu.parallel.partitioned import (PartitionedNewtonSolver,
+                                               PartitionedProblem)
+
+    mesh = rectangle_mesh(10, 10, elem="QUAD9")
+    prob = Problem(mesh, [Energy(interp="Q2", transient=False,
+                                 convection=False)],
+                   {"k": lambda fv, mat, p: 1.0
+                    + 0.8 * fv.val["temperature"][:, 0] ** 2,
+                    "heat_source": 5.0})
+    for ns in ("left", "right", "top", "bottom"):
+        prob.add_dirichlet(ns, "temperature", 0, 0.0)
+    prob.finalize()
+    x0 = np.zeros(prob.dofmap.n_dof)
+    params = prob.base_params()
+
+    single = NewtonSolver(prob, NewtonOptions(
+        max_iter=15, tol_residual=1e-10, precond="block_jacobi",
+        linear_tol=1e-10, gmres_restart=60, linear_maxiter=2000,
+        precond_lag=False, forcing="fixed",
+    ))
+    r1 = single.solve(x0, params)
+    assert r1.converged
+
+    pp = PartitionedProblem(prob)
+    r2 = PartitionedNewtonSolver(pp, max_iter=15, tol_residual=1e-10,
+                                 linear_tol=1e-10, restart=60,
+                                 linear_maxiter=2000).solve(x0, params)
+    assert r2.converged
+    assert r2.iters == r1.iters
+    np.testing.assert_allclose(r2.x, r1.x, atol=1e-9)
+    for (a1, a2, a3), (b1, b2, b3) in zip(r1.res_norms, r2.res_norms):
+        np.testing.assert_allclose(a2, b2, rtol=1e-6)
+
+
+def test_partitioned_cavity_solution_parity():
+    """NS cavity (saddle system, inexact BJ-GMRES): the distributed solver
+    converges to the same solution within the Newton tolerance."""
+    from goma_tpu.parallel.partitioned import (PartitionedNewtonSolver,
+                                               PartitionedProblem)
+
+    prob = _cavity(10)
+    x0 = np.zeros(prob.dofmap.n_dof)
+    params = prob.base_params()
+    single = NewtonSolver(prob, NewtonOptions(
+        max_iter=12, tol_residual=1e-9, precond="block_jacobi",
+        linear_tol=1e-8, gmres_restart=60, linear_maxiter=2000,
+        precond_lag=False, forcing="fixed"))
+    r1 = single.solve(x0, params)
+    pp = PartitionedProblem(prob)
+    r2 = PartitionedNewtonSolver(pp, max_iter=12, tol_residual=1e-9,
+                                 linear_tol=1e-8, restart=60,
+                                 linear_maxiter=2000).solve(x0, params)
+    assert r1.converged and r2.converged
+    assert abs(r2.iters - r1.iters) <= 1
+    np.testing.assert_allclose(r2.x, r1.x, atol=1e-6)
