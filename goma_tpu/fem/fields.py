@@ -128,6 +128,12 @@ class FieldVars:
         # and the transformed basis tables for test functions
         self.curl: dict[str, Any] = {}
         self.curl_phi: dict[str, Any] = {}
+        # raw element-local dof values (ncomp, nbf) and the element-local
+        # node ids of each variable's interpolation — lets kernels build
+        # node-anchored enrichments (XFEM, reference load_xfem_for_elem
+        # src/mm_fill_ls.c:4604) without extra plumbing
+        self.q_nodal: dict[str, Any] = {}
+        self.lnodes: dict[str, tuple] = {}
 
 
 def _unpack(q_e, slots: list[LocalSlot]):
@@ -246,6 +252,10 @@ def eval_fieldvars(
         fv.val[s.var] = jnp.einsum("qn,cn->qc", Ni, u[s.var])
         fv.grad[s.var] = jnp.einsum("qnk,cn->qck", gp, u[s.var])
         fv.dot[s.var] = jnp.einsum("qn,cn->qc", Ni, udot[s.var])
+        fv.q_nodal[s.var] = u[s.var]
+        if s.interp not in ("P0", "P1E"):
+            fv.lnodes[s.var] = tuple(interp_local_nodes(
+                element_type(tables.elem_type).family, s.interp))
         if ale:
             if s.interp not in gphi0_cache:
                 gphi0_cache[s.interp] = jnp.einsum("qnd,qdk->qnk", dNi, invJ0)

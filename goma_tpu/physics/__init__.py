@@ -36,6 +36,9 @@ from goma_tpu.physics.level_set import (
     delta,
     heaviside,
     renormalize,
+    renormalize_mass,
+    XFEMPressureContinuity,
+    XFEMPressureMomentum,
     sharp_heaviside,
 )
 from goma_tpu.physics.suspension import (

@@ -97,6 +97,89 @@ class FillEquation(Equation):
         return jnp.einsum("q,qi->qi", r, w)[:, None, :]
 
 
+XFEM_P_VAR = "pressure_xfem"
+
+
+def xfem_pressure_basis(fv, eps, var: str = XFEM_P_VAR):
+    """Enriched pressure basis psi_i(x) = N_i(x) (H(F(x)) - H(F_i)) and its
+    physical gradient (nq, nbf, dim), plus the enriched value/gradient of
+    the current coefficients.
+
+    The Moes "modified Heaviside" enrichment (reference XFEM
+    ``load_xfem_for_elem``, src/mm_fill_ls.c:4604): psi vanishes at nodes
+    (Dirichlet-safe) and is identically zero on uncut elements, so the
+    standard + enriched space reproduces c*H(F(x)) EXACTLY (partition of
+    unity: sum_i N_i (H - H_i) c + sum_i N_i H_i c = c H)."""
+    F = fv.val[FILL_VAR][:, 0]
+    gF = fv.grad[FILL_VAR][:, 0, :]
+    Hq = heaviside(F, eps)
+    dHq = delta(F, eps)
+    # level-set nodal values at the enrichment interp's local nodes
+    Fn_all = fv.q_nodal[FILL_VAR][0]       # (nbf_fill,)
+    lf = fv.lnodes[FILL_VAR]
+    lp = fv.lnodes[var]
+    idx = tuple(lf.index(k) for k in lp)   # static at trace time
+    Fn = Fn_all[jnp.asarray(idx)]
+    Hn = heaviside(Fn, eps)                # (nbf_p,)
+    Np = fv.phi[var]                       # (nq, nbf_p)
+    gNp = fv.gphi[var]                     # (nq, nbf_p, dim)
+    psi = Np * (Hq[:, None] - Hn[None, :])
+    # grad psi = gN (H - H_i) + N dH gF
+    gpsi = gNp * (Hq[:, None, None] - Hn[None, :, None]) + \
+        Np[:, :, None] * dHq[:, None, None] * gF[:, None, :]
+    b = fv.q_nodal[var][0]                 # (nbf_p,)
+    p_enr = jnp.einsum("qi,i->q", psi, b)
+    gp_enr = jnp.einsum("qik,i->qk", gpsi, b)
+    return psi, gpsi, p_enr, gp_enr
+
+
+class XFEMPressureContinuity(Equation):
+    """Continuity rows tested with the enriched pressure basis: the XFEM
+    companion of Continuity giving the enrichment coefficients their
+    equations (reference: the extended dofs assembled through
+    load_xfem_for_elem, src/mm_fill_ls.c:4604).
+
+        R_i = int psi_i div(u) + eps_reg int N_i b
+
+    The tiny regularization keeps the (identically inactive) enrichment
+    dofs of uncut elements invertible without re-finalizing dof sets as
+    the interface moves; eps_reg ~ 1e-8 leaves active rows unpolluted.
+    """
+
+    def __init__(self, interp: str = "Q1", eps_reg: float = 1e-8):
+        super().__init__(XFEM_P_VAR, 1, interp)
+        self.eps_reg = eps_reg
+
+    def residual(self, fv, mat, params):
+        eps = params["ls_eps"]
+        psi, _, _, _ = xfem_pressure_basis(fv, eps)
+        gu = fv.grad["velocity"]
+        divu = jnp.trace(gu, axis1=1, axis2=2)
+        contrib = jnp.einsum("q,qi->qi", divu, psi)
+        b = fv.val[XFEM_P_VAR][:, 0]
+        contrib = contrib + self.eps_reg * jnp.einsum(
+            "q,qi->qi", b, fv.phi[XFEM_P_VAR])
+        return contrib[:, None, :]
+
+
+class XFEMPressureMomentum(Equation):
+    """The enriched pressure's contribution to the momentum equation:
+    sigma_enr = -p_enr I tested against grad(phi_i e_a) — add alongside the
+    standard Momentum (keeps the saddle symmetric with
+    XFEMPressureContinuity)."""
+
+    def __init__(self, dim: int, interp: str = "Q2"):
+        super().__init__("velocity", dim, interp)
+        self.dim = dim
+
+    def residual(self, fv, mat, params):
+        eps = params["ls_eps"]
+        _, _, p_enr, _ = xfem_pressure_basis(fv, eps)
+        gphi = fv.gphi["velocity"]
+        # -p_enr I : grad(phi e_a) = -p_enr gphi[i, a]
+        return -p_enr[:, None, None] * jnp.swapaxes(gphi, 1, 2)
+
+
 class CSFSurfaceTension(Equation):
     """Continuum-surface-force capillary term added to the momentum equation:
     int sigma delta_eps(F) (I - n n^T) : grad(phi_i e_a),  n = grad F/|grad F|.
@@ -171,6 +254,74 @@ def renormalize(mesh, Fnode: np.ndarray) -> np.ndarray:
     proj = A[None, :, :] + t[:, :, None] * AB[None, :, :]
     dist = np.linalg.norm(P[:, None, :] - proj, axis=2).min(axis=1)
     return np.sign(Fnode) * dist
+
+
+def ls_volume(mesh, Fnode: np.ndarray, eps: float, quad_order: int = 3) -> float:
+    """Host quadrature of the smoothed enclosed volume int H_eps(F) dOmega
+    over all full-dimension blocks (geometric-basis interpolation of F)."""
+    from goma_tpu.elements import element_type, eval_basis, geom_interp, volume_rule
+
+    total = 0.0
+    for b in mesh.blocks:
+        et = element_type(b.elem_type)
+        if et.dim != mesh.dim:
+            continue
+        qpts, qwts = volume_rule(et.family, quad_order)
+        gi = geom_interp(et)
+        Ng, dNg = eval_basis(et.family, gi, qpts)
+        X = mesh.coords[b.conn]
+        detJ = np.abs(np.linalg.det(np.einsum("qnd,enk->eqkd", dNg, X)))
+        Fq = np.einsum("qn,en->eq", Ng, Fnode[b.conn])
+        z = np.clip(Fq / eps, -1.0, 1.0)
+        H = 0.5 * (1.0 + z + np.sin(np.pi * z) / np.pi)
+        total += float(np.einsum("eq,q->", detJ * H, qwts))
+    return total
+
+
+def renormalize_mass(mesh, Fnode: np.ndarray, eps: float,
+                     target_volume: float | None = None,
+                     tol: float = 1e-12, max_iter: int = 60) -> np.ndarray:
+    """Volume-preserving renormalization (reference HUYGENS_MASS_ITER,
+    ``src/mm_input.c:2244-2380`` renorm-method card; the mass-correction
+    iterations around ``huygens_renormalization``, src/mm_fill_ls.c:497):
+
+    1. exact-distance renormalization (HUYGENS);
+    2. constant shift c solved so the smoothed enclosed volume matches the
+       pre-renorm volume (Newton on V(d + c) = V_target; dV/dc =
+       int delta_eps > 0 makes this monotone), eliminating the secular mass
+       drift of plain redistancing over long two-phase transients.
+    """
+    if target_volume is None:
+        target_volume = ls_volume(mesh, Fnode, eps)
+    d = renormalize(mesh, Fnode)
+    c = 0.0
+    for _ in range(max_iter):
+        V = ls_volume(mesh, d + c, eps)
+        err = V - target_volume
+        if abs(err) <= tol * max(abs(target_volume), 1e-30):
+            break
+        # dV/dc = int delta_eps(d + c)
+        from goma_tpu.elements import element_type, eval_basis, geom_interp, volume_rule
+
+        dV = 0.0
+        for b in mesh.blocks:
+            et = element_type(b.elem_type)
+            if et.dim != mesh.dim:
+                continue
+            qpts, qwts = volume_rule(et.family, 3)
+            gi = geom_interp(et)
+            Ng, dNg = eval_basis(et.family, gi, qpts)
+            X = mesh.coords[b.conn]
+            detJ = np.abs(np.linalg.det(np.einsum("qnd,enk->eqkd", dNg, X)))
+            Fq = np.einsum("qn,en->eq", Ng, (d + c)[b.conn])
+            z = Fq / eps
+            dl = np.where(np.abs(z) > 1.0, 0.0,
+                          0.5 / eps * (1.0 + np.cos(np.pi * z)))
+            dV += float(np.einsum("eq,q->", detJ * dl, qwts))
+        if dV <= 0.0:
+            break
+        c -= err / dV
+    return d + c
 
 
 class LSCurvature(Equation):
