@@ -284,6 +284,7 @@ class Problem:
             for k, a in tabs.items():
                 T[f"{k}{bi}"] = dev(a)
         T["tg"] = dev(self._tgather_pos)
+        T["nnztg"] = dev(self._nnz_tgather)
         T["dirmask"] = dev(self._dir_mask)
         T["dirdofs"] = dev(self.dirichlet_dofs)
         T["dirkeep"] = dev(self._dir_nnz_keep.astype(dt))
@@ -524,6 +525,30 @@ class Problem:
             self._tgather_pos = pos
         else:
             self._tgather_pos = np.zeros((self.dofmap.n_dof, 1), dtype=np.int64)
+
+        # scatter-free CSR-value assembly: per nnz entry, the positions of
+        # its contributions in the concatenated (blocks..., faces...) flat
+        # element-Jacobian arrays. TPU scatters (segment_sum) are serial;
+        # this turns the load_lec scatter into a (nnz, kc) gather + sum
+        # (kc = max elements sharing a coupling, 4 for Q2/Q1 interiors).
+        nnz_parts = [self._nnz_maps[bi].ravel()
+                     for bi in range(len(self.dofmap.blocks))]
+        for fs in self.face_sets:
+            nnz_parts.append(
+                self._nnz_maps[fs.block_index][fs.face_elems].ravel())
+        flatn = np.concatenate(nnz_parts).astype(np.int64)
+        Lj = flatn.shape[0]
+        ordn = np.argsort(flatn, kind="stable")
+        sn = flatn[ordn]
+        nnz = self.pattern.nnz
+        st = np.searchsorted(sn, np.arange(nnz))
+        en = np.searchsorted(sn, np.arange(nnz) + 1)
+        kc = max(int((en - st).max()), 1) if Lj else 1
+        npos = np.full((nnz, kc), Lj, dtype=np.int64)
+        for k in range(kc):
+            sel = st + k < en
+            npos[sel, k] = ordn[(st + k)[sel]]
+        self._nnz_tgather = npos
 
         # fused fast-path recognition (fem/fastns.py): hand-derived
         # residual+Jacobian for the NS Galerkin block, element-last layout
@@ -1217,8 +1242,9 @@ class Problem:
             xj = x.astype(jdt)
             histj = hist.astype(jdt)
         n = self.dofmap.n_dof
-        R = jnp.zeros(n, dtype=dtype)
-        vals = jnp.zeros(self.pattern.nnz, dtype=jdt)
+        # per-block/face parts combined at the end by transpose GATHERS
+        # (T["tg"], T["nnztg"]): TPU scatters (segment_sum) are serial-slow
+        r_parts = []
         blockJ = []
         faceJ = []
 
@@ -1240,12 +1266,7 @@ class Problem:
                         xj[gather], histj[gather], FT, meta, static,
                         params_j["ct"], jdt)
                 blockJ.append(J)
-                R = R + jax.ops.segment_sum(r.reshape(-1), gather.reshape(-1),
-                                            num_segments=n)
-                nmap = T[f"n{bi}"]
-                vals = vals + jax.ops.segment_sum(
-                    J.reshape(-1), nmap.reshape(-1), num_segments=self.pattern.nnz
-                )
+                r_parts.append(r)
                 continue
             Xref = T[f"x{bi}"]
             conn = T[f"c{bi}"]
@@ -1273,11 +1294,7 @@ class Problem:
                     x[gather], hist[gather], Xref, ext, sg, params
                 )
             blockJ.append(J)
-            R = R + jax.ops.segment_sum(r.reshape(-1), gather.reshape(-1), num_segments=n)
-            nmap = T[f"n{bi}"]
-            vals = vals + jax.ops.segment_sum(
-                J.reshape(-1), nmap.reshape(-1), num_segments=self.pattern.nnz
-            )
+            r_parts.append(r)
 
         for fsi, fs in enumerate(self.face_sets):
             bd = self.dofmap.blocks[fs.block_index]
@@ -1303,11 +1320,16 @@ class Problem:
                     x[gather], hist[gather], Xref, ftabs, params
                 )
             faceJ.append(J)
-            R = R + jax.ops.segment_sum(r.reshape(-1), gather.reshape(-1), num_segments=n)
-            nmap = T[f"fn{fsi}"]
-            vals = vals + jax.ops.segment_sum(
-                J.reshape(-1), nmap.reshape(-1), num_segments=self.pattern.nnz
-            )
+            r_parts.append(r)
+
+        # combine: R via the dof transpose-gather, vals via the nnz one
+        flat_r = jnp.concatenate(
+            [p.reshape(-1) for p in r_parts] + [jnp.zeros(1, dtype=dtype)])
+        R = jnp.sum(flat_r[T["tg"]], axis=1)
+        flat_j = jnp.concatenate(
+            [J.reshape(-1).astype(jdt) for J in blockJ + faceJ]
+            + [jnp.zeros(1, dtype=jdt)])
+        vals = jnp.sum(flat_j[T["nnztg"]], axis=1)
 
         if getattr(self, "edge_sets", None):
             # edge-curve couplings are not in the element-matvec aux either

@@ -141,19 +141,25 @@ def ns_q2q1_rj(q, hist, T, meta, static, ct, dtype, with_jac=True):
         Jpu = jnp.zeros((nbp, 2, nbu, ne), dtype=dtype)
 
     eye2 = jnp.eye(2, dtype=dtype)
-    for iq in range(nq):
-        wq = w[iq]                      # (ne,)
-        g = gphi[iq]                    # (nbu, 2, ne)
-        gp_ = gpsi[iq]                  # (nbp, 2, ne)
-        Ni = Nu[iq]                     # (nbu,) constants
-        Pj = Np_[iq]                    # (nbp,)
-        uq = uval[iq]                   # (2, ne)
-        guq = gu[iq]                    # (2, 2, ne)
-        pq = pval[iq]                   # (ne,)
+
+    # quadrature loop as lax.fori_loop: an unrolled 9-point loop of 5-D
+    # broadcast ops produced a pathologically slow remote compile (~6 min
+    # measured); the rolled loop compiles ~an order of magnitude faster at
+    # the same runtime (the per-iteration work is thousands of lanes wide)
+    def qstep(iq, carry):
+        r_u, r_p, Juu, Jup, Jpu = carry
+        take = lambda a: jax.lax.dynamic_index_in_dim(a, iq, 0, keepdims=False)
+        wq = take(w)                    # (ne,)
+        g = take(gphi)                  # (nbu, 2, ne)
+        Ni = take(Nu)                   # (nbu,)
+        Pj = take(Np_)                  # (nbp,)
+        uq = take(uval)                 # (2, ne)
+        guq = take(gu)                  # (2, 2, ne)
+        pq = take(pval)                 # (ne,)
 
         inert = jnp.zeros((2, ne), dtype=dtype)
         if meta["transient"]:
-            inert = inert + udot[iq]
+            inert = inert + take(udot)
         if meta["convection"]:
             inert = inert + jnp.einsum("ke,ake->ae", uq, guq)
         # sigma = mu (gu + gu^T) - p I
@@ -164,33 +170,39 @@ def ns_q2q1_rj(q, hist, T, meta, static, ct, dtype, with_jac=True):
         divu = guq[0, 0] + guq[1, 1]
         r_p = r_p + (wq * divu)[None, :] * Pj[:, None]
 
-        if not with_jac:
-            continue
-        # --- velocity-velocity block
-        # cg[j] = u . grad(phi_j); gg[i,j] = grad(phi_i) . grad(phi_j)
-        if meta["convection"]:
-            cg = jnp.einsum("ke,jke->je", uq, g)        # (nbu, ne)
-            # delta_ab rho N_i cg_j  +  rho gu[a,b] N_i N_j
-            conv_d = rho * Ni[:, None, None] * cg[None, :, :]  # (i, j, ne)
-            NN = Ni[:, None] * Nu[iq][None, :]                 # (i, j) const
-            conv_ab = rho * NN[None, None, :, :, None] * guq[:, :, None, None, :]
-        gg = jnp.einsum("ike,jke->ije", g, g)           # (i, j, ne)
-        visc_d = mu * gg                                # delta_ab part
-        # mu g[i,b] g[j,a] cross part -> (a, b, i, j, ne)
-        visc_ab = mu * jnp.einsum("ibe,jae->abije", g, g)
-        diag = visc_d
-        if meta["convection"]:
-            diag = diag + conv_d
-        if meta["transient"]:
-            diag = diag + rho * ct * (Ni[:, None] * Nu[iq][None, :])[:, :, None]
-        block = visc_ab + eye2[:, :, None, None, None] * diag[None, None]
-        if meta["convection"]:
-            block = block + conv_ab
-        Juu = Juu + wq * jnp.transpose(block, (0, 2, 1, 3, 4))  # (a,i,b,j,ne)
-        # --- velocity-pressure: -w g[i,a] P_j
-        Jup = Jup - wq * jnp.einsum("iae,j->aije", g, Pj)
-        # --- pressure-velocity: w P_j' g[j,b]
-        Jpu = Jpu + wq * jnp.einsum("j,ibe->jbie", Pj, g)
+        if with_jac:
+            # --- velocity-velocity block
+            # cg[j] = u . grad(phi_j); gg[i,j] = grad(phi_i) . grad(phi_j)
+            if meta["convection"]:
+                cg = jnp.einsum("ke,jke->je", uq, g)    # (nbu, ne)
+                # delta_ab rho N_i cg_j  +  rho gu[a,b] N_i N_j
+                conv_d = rho * Ni[:, None, None] * cg[None, :, :]  # (i,j,ne)
+                NN = Ni[:, None] * Ni[None, :]                     # (i,j)
+                conv_ab = rho * NN[None, None, :, :, None] * \
+                    guq[:, :, None, None, :]
+            gg = jnp.einsum("ike,jke->ije", g, g)       # (i, j, ne)
+            visc_d = mu * gg                            # delta_ab part
+            # mu g[i,b] g[j,a] cross part -> (a, b, i, j, ne)
+            visc_ab = mu * jnp.einsum("ibe,jae->abije", g, g)
+            diag = visc_d
+            if meta["convection"]:
+                diag = diag + conv_d
+            if meta["transient"]:
+                diag = diag + rho * ct * (Ni[:, None] * Ni[None, :])[:, :, None]
+            block = visc_ab + eye2[:, :, None, None, None] * diag[None, None]
+            if meta["convection"]:
+                block = block + conv_ab
+            Juu = Juu + wq * jnp.transpose(block, (0, 2, 1, 3, 4))  # (a,i,b,j,ne)
+            # --- velocity-pressure: -w g[i,a] P_j
+            Jup = Jup - wq * jnp.einsum("iae,j->aije", g, Pj)
+            # --- pressure-velocity: w P_j' g[j,b]
+            Jpu = Jpu + wq * jnp.einsum("j,ibe->jbie", Pj, g)
+        return (r_u, r_p, Juu, Jup, Jpu)
+
+    if not with_jac:
+        Juu = Jup = Jpu = jnp.zeros((0,), dtype=dtype)
+    r_u, r_p, Juu, Jup, Jpu = jax.lax.fori_loop(
+        0, nq, qstep, (r_u, r_p, Juu, Jup, Jpu))
 
     R = jnp.concatenate([r_u.reshape(usz, ne), r_p], axis=0)  # (nl, ne)
     # restore the slot layout in case velocity/pressure aren't contiguous

@@ -33,6 +33,11 @@ class BlockJacobi:
     preconditioning in Aztec (``src/sl_util.c:380``).
     """
 
+    #: optional storage dtype for the factored inverses (e.g. jnp.bfloat16):
+    #: halves the preconditioner-apply HBM traffic; applies accumulate in
+    #: the vector dtype. None = keep the factor dtype.
+    store_dtype = None
+
     def __init__(self, pattern: CSRPattern, dofmap):
         starts = []
         counts = []
@@ -95,14 +100,18 @@ class BlockJacobi:
 
         Binv = gj_inv(A)  # backend/dtype-portable (TPU f64 safe)
         # final guard against residual singularity
-        return jnp.where(jnp.isfinite(Binv), Binv, 0.0)
+        Binv = jnp.where(jnp.isfinite(Binv), Binv, 0.0)
+        if self.store_dtype is not None:
+            Binv = Binv.astype(self.store_dtype)
+        return Binv
 
     def apply(self, Binv, r, tb=None):
         tb = tb or self.tables
         r_ext = jnp.concatenate([r, jnp.zeros(1, dtype=r.dtype)])
         rb = r_ext[tb["dof_ids"]]  # (nb, kmax)
         yb = jnp.einsum("bij,bj->bi", Binv, rb,
-                        precision=jax.lax.Precision.HIGHEST)
+                        precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=r.dtype)
         yb = jnp.where(tb["valid"], yb, 0.0)
         # node dofs are contiguous and unique per block: scatter-free set
         return jnp.zeros(self.n + 1, dtype=r.dtype).at[tb["dof_ids"].reshape(-1)].add(
@@ -121,6 +130,8 @@ class Vanka:
     scatter-add. Reference analog: coupled node/element relaxation the
     reference delegates to Ifpack/ML smoothers (src/sl_aztecoo_interface.cpp).
     """
+
+    store_dtype = None  # see BlockJacobi.store_dtype
 
     def __init__(self, pattern, dofmap, key_prefix: str = "vk", problem=None):
         self.n = pattern.n
@@ -215,6 +226,8 @@ class Vanka:
                 Ap = jnp.einsum("eaj,ebj->eab", Ap, S, precision=hi)
                 wp = (tb or self.tables)[f"{self.pfx}:wp{bi}"].astype(Aei.dtype)
                 Aei = wp[:, :, None] * Ap
+            if self.store_dtype is not None:
+                Aei = Aei.astype(self.store_dtype)
             invs.append(Aei)
         return tuple(invs)
 

@@ -70,6 +70,17 @@ class NewtonOptions:
     # to [linear_tol, 0.1]) so early far-from-solution iterations don't pay
     # for tight linear solves; "fixed" always uses linear_tol
     forcing: str = "ew"  # ew | fixed
+    # optional floor on the EW forcing tolerance: caps how tight the
+    # mid-iteration linear solves get (fewer Krylov its per Newton step at
+    # the cost of extra Newton steps); the endgame clamp below still
+    # tightens the final solves enough to reach tol_residual
+    ew_eta_floor: float = 0.0
+    # preconditioner factor storage: "f32" (default: factor dtype) or
+    # "bf16" — smoother inverses + dense coarse inverse stored in bfloat16,
+    # halving the apply's HBM traffic; the apply accumulates in the Krylov
+    # dtype, so only the preconditioner QUALITY carries the rounding (a
+    # preconditioner is insensitive at these tolerances)
+    precond_dtype: str = "f32"
     # lagged preconditioner: reuse the factored preconditioner across Newton
     # iterations (and time steps) until the Krylov iteration count degrades
     # by >= 2 restart cycles over its post-factor baseline. The Krylov
@@ -147,6 +158,11 @@ class NewtonSolver:
             )
         else:
             self.precond = BlockJacobi(problem.pattern, problem.dofmap)
+        if self.opts.precond_dtype == "bf16":
+            sd = jnp.bfloat16
+            self.precond.store_dtype = sd
+            if hasattr(self.precond, "bj"):
+                self.precond.bj.store_dtype = sd
         # interface (paired-face) couplings are not represented in the
         # element-matvec aux -> use the CSR (ELL) operator for such problems
         self._use_elem_mv = (
@@ -413,6 +429,8 @@ class NewtonSolver:
                 elif prev_l2 > 0:
                     eta = min(0.1, max(opts.linear_tol,
                                        0.5 * (float(l2) / prev_l2) ** 1.5))
+                if opts.ew_eta_floor > 0:
+                    eta = max(eta, opts.ew_eta_floor)
                 # never looser than what finishing this step would need
                 if float(l2) > 0 and opts.tol_residual > 0:
                     need = 0.5 * opts.tol_residual / float(l2)

@@ -146,6 +146,11 @@ def coarse_dof_count(problem) -> tuple[int, int]:
 class TwoLevel:
     """V(1,1)-cycle two-level preconditioner with exact dense coarse solve."""
 
+    #: optional bf16 storage for the smoother inverses and the dense coarse
+    #: inverse (halves preconditioner-apply HBM traffic; applies accumulate
+    #: in the Krylov dtype). Set via NewtonOptions.precond_dtype.
+    store_dtype = None
+
     def __init__(self, problem, smooth_damp: float = 0.7, pre_sweeps: int = 1,
                  post_sweeps: int = 1, coarse_solve: str | None = None,
                  smoother: str = "bj"):
@@ -251,6 +256,8 @@ class TwoLevel:
             # unpivoted block splits are stable on the elliptic block, and
             # the saddle Schur complement is then dense and well-behaved
             inv32 = saddle_split_inv(Ac.astype(jnp.float32), self.n_elliptic)
+            if self.store_dtype is not None:
+                inv32 = inv32.astype(self.store_dtype)
             coarse = (inv32, Ac)
         else:
             coarse = jax.scipy.linalg.lu_factor(Ac)
@@ -261,8 +268,11 @@ class TwoLevel:
             inv32, Ac = coarse
             # full-f32 matvecs: bf16-pass rounding here makes the refinement
             # stall at ~1e-3 instead of contracting at the inverse's quality
+            # (bf16 STORAGE of the inverse is fine: the apply promotes)
             with jax.default_matmul_precision("highest"):
-                z = (inv32 @ rc.astype(jnp.float32)).astype(rc.dtype)
+                z = jnp.matmul(
+                    inv32, rc.astype(jnp.float32),
+                    preferred_element_type=jnp.float32).astype(rc.dtype)
                 for _ in range(self.refine_steps):
                     r2 = rc - Ac @ z
                     z = z + (inv32 @ r2.astype(jnp.float32)).astype(rc.dtype)
