@@ -133,13 +133,25 @@ class Vanka:
 
     store_dtype = None  # see BlockJacobi.store_dtype
 
-    def __init__(self, pattern, dofmap, key_prefix: str = "vk", problem=None):
+    def __init__(self, pattern, dofmap, key_prefix: str = "vk", problem=None,
+                 extra_gathers=None):
+        """``extra_gathers``: additional (ne, nl) coupled-dof groups added as
+        Schwarz blocks — the constraint-aware extension for Lagrange-
+        multiplier saddles: passing each overset set's combined
+        [multiplier, fluid(, solid)] row gathers puts every zero-diagonal
+        lambda row in a block together with the velocity dofs it constrains,
+        making the local solves well-posed (reference analog: the coupled
+        treatment of overlap AC rows in the bordering solve,
+        src/mm_sol_nonlinear.c:1523-1724)."""
         self.n = pattern.n
-        self.nb = len(dofmap.blocks)
+        gathers = [bd.gather for bd in dofmap.blocks] + \
+            [np.asarray(g) for g in (extra_gathers or [])]
+        self._gathers = gathers
+        self.nb = len(gathers)
         self.pfx = key_prefix
         count = np.zeros(pattern.n + 1, dtype=np.float64)
-        for bd in dofmap.blocks:
-            np.add.at(count, bd.gather.ravel(), 1.0)
+        for g in gathers:
+            np.add.at(count, g.ravel(), 1.0)
         wts = 1.0 / np.maximum(count, 1.0)
         # padded node-slot fast path (see fem/padded.py): the weighted Schwarz
         # recombination becomes the same row-gather combine as the matvec,
@@ -147,6 +159,7 @@ class Vanka:
         self._problem = problem
         self.padded = bool(
             problem is not None
+            and not extra_gathers
             and hasattr(problem, "ensure_padded_tables")
             and problem.ensure_padded_tables()
         )
@@ -168,8 +181,8 @@ class Vanka:
                 self._wp.append(wp)
         tables = {}
         flat_dofs = []  # concatenated (over blocks) per-contribution dof ids
-        for bi, bd in enumerate(dofmap.blocks):
-            g = bd.gather.astype(np.int64)  # (ne, nl)
+        for bi, gg in enumerate(gathers):
+            g = gg.astype(np.int64)  # (ne, nl)
             ne, nl = g.shape
             rows = np.repeat(g, nl, axis=1).ravel()
             cols = np.tile(g, (1, nl)).ravel()
@@ -177,7 +190,7 @@ class Vanka:
             pos = np.where(pos >= 0, pos, pattern.nnz)  # pad slot -> 0.0
             tables[f"{key_prefix}:pos{bi}"] = jax.device_put(pos)
             tables[f"{key_prefix}:g{bi}"] = jax.device_put(g)
-            tables[f"{key_prefix}:w{bi}"] = jax.device_put(wts[bd.gather])
+            tables[f"{key_prefix}:w{bi}"] = jax.device_put(wts[g])
             flat_dofs.append(g.ravel())
         # scatter-free combine: per dof, the positions of its contributions in
         # the concatenated per-block (zb * w).ravel() arrays (TPU scatters are
@@ -209,9 +222,19 @@ class Vanka:
             nl = Ae.shape[-1]
             if nl not in eye_cache:
                 eye_cache[nl] = jnp.eye(nl, dtype=vals.dtype)
-            # guard: exactly-zero diagonals (inactive/constraint corner cases)
+            # guard: a zero diagonal gets a unit entry only when its row OR
+            # column is entirely zero (inactive dofs, or constraint rows
+            # whose partner columns were wiped by Dirichlet row surgery —
+            # those blocks are structurally singular). Live zero-diagonal
+            # saddle rows (pressure / Lagrange multipliers with intact
+            # couplings) are left alone: the pivoted block inverse solves
+            # the local KKT system exactly — the constraint-aware behavior.
             diag = jnp.diagonal(Ae, axis1=1, axis2=2)
-            fix = (jnp.abs(diag) < 1e-12)[:, :, None] * eye_cache[nl][None]
+            rowsum = jnp.sum(jnp.abs(Ae), axis=2) - jnp.abs(diag)
+            colsum = jnp.sum(jnp.abs(Ae), axis=1) - jnp.abs(diag)
+            fix = ((jnp.abs(diag) < 1e-12)
+                   & ((rowsum < 1e-12) | (colsum < 1e-12))
+                   )[:, :, None] * eye_cache[nl][None]
             from goma_tpu.utils.la import gj_inv
 
             Aei = gj_inv(Ae + fix)  # pivoted, dtype/backend-portable

@@ -125,7 +125,20 @@ class NewtonSolver:
                 nc, n = coarse_dof_count(problem)
                 if nc <= 0.8 * n and nc <= 16000:
                     kind = "twolevel"
+            if getattr(problem, "ovs_sets", None):
+                # multiplier saddles need the constraint-aware Schwarz
+                # blocks; the dense two-level coarse solve is not robust on
+                # the coarse-projected multiplier rows, so plain Vanka it is
+                kind = "vanka"
         self._precond_kind = kind
+        if kind == "vanka":
+            from goma_tpu.solvers.linear import Vanka
+
+            extras = [s.gather for s in getattr(problem, "ovs_sets", [])]
+            self.precond = Vanka(problem.pattern, problem.dofmap,
+                                 problem=problem,
+                                 extra_gathers=extras or None)
+            kind = "_done"
         if kind == "fieldsplit":
             from goma_tpu.solvers.linear import FieldSplit
 
@@ -156,7 +169,7 @@ class NewtonSolver:
                 pre_sweeps=self.opts.smooth_sweeps, post_sweeps=self.opts.smooth_sweeps,
                 smoother=self.opts.smoother,
             )
-        else:
+        elif kind != "_done":
             self.precond = BlockJacobi(problem.pattern, problem.dofmap)
         if self.opts.precond_dtype == "bf16":
             sd = jnp.bfloat16

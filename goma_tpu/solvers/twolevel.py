@@ -30,7 +30,7 @@ from goma_tpu.elements import element_type, eval_basis, interp_local_nodes
 from goma_tpu.solvers.linear import BlockJacobi
 
 
-def _saddle_mask(problem, saddle_vars=("pressure",)) -> np.ndarray:
+def _saddle_mask(problem, saddle_vars=("pressure", "lm")) -> np.ndarray:
     """Boolean (n_dof,) mask of dofs belonging to saddle-point (zero-diagonal
     Lagrange-multiplier-like) variables. Used to order the coarse space so
     the Schur-split block inverse pivots on the elliptic block first."""
@@ -50,7 +50,7 @@ def _saddle_mask(problem, saddle_vars=("pressure",)) -> np.ndarray:
     return mask
 
 
-def _fine_to_coarse_weights(problem, saddle_vars=("pressure",)):
+def _fine_to_coarse_weights(problem, saddle_vars=("pressure", "lm")):
     """Per fine dof: coarse dof ids + interpolation weights.
 
     Coarse space: for nodal slots with quadratic interpolation, the linear
@@ -157,7 +157,12 @@ class TwoLevel:
         if smoother == "vanka":
             from goma_tpu.solvers.linear import Vanka
 
-            self.bj = Vanka(problem.pattern, problem.dofmap, problem=problem)
+            # constraint-aware: overset multiplier rows join Schwarz blocks
+            # with their coupled fluid/solid dofs (zero-diagonal lambda rows
+            # are insolvable in any diagonal-based smoother otherwise)
+            extras = [s.gather for s in getattr(problem, "ovs_sets", [])]
+            self.bj = Vanka(problem.pattern, problem.dofmap, problem=problem,
+                            extra_gathers=extras or None)
         else:
             self.bj = BlockJacobi(problem.pattern, problem.dofmap)
         self.smoother = smoother
