@@ -147,6 +147,7 @@ class Vanka:
         gathers = [bd.gather for bd in dofmap.blocks] + \
             [np.asarray(g) for g in (extra_gathers or [])]
         self._gathers = gathers
+        self._n_std = len(dofmap.blocks)
         self.nb = len(gathers)
         self.pfx = key_prefix
         count = np.zeros(pattern.n + 1, dtype=np.float64)
@@ -222,19 +223,24 @@ class Vanka:
             nl = Ae.shape[-1]
             if nl not in eye_cache:
                 eye_cache[nl] = jnp.eye(nl, dtype=vals.dtype)
-            # guard: a zero diagonal gets a unit entry only when its row OR
-            # column is entirely zero (inactive dofs, or constraint rows
-            # whose partner columns were wiped by Dirichlet row surgery —
-            # those blocks are structurally singular). Live zero-diagonal
-            # saddle rows (pressure / Lagrange multipliers with intact
-            # couplings) are left alone: the pivoted block inverse solves
-            # the local KKT system exactly — the constraint-aware behavior.
             diag = jnp.diagonal(Ae, axis1=1, axis2=2)
-            rowsum = jnp.sum(jnp.abs(Ae), axis=2) - jnp.abs(diag)
-            colsum = jnp.sum(jnp.abs(Ae), axis=1) - jnp.abs(diag)
-            fix = ((jnp.abs(diag) < 1e-12)
-                   & ((rowsum < 1e-12) | (colsum < 1e-12))
-                   )[:, :, None] * eye_cache[nl][None]
+            if bi < self._n_std:
+                # standard element blocks (SMOOTHER role): regularize every
+                # zero diagonal — the gentler diag-shifted local solves are
+                # what keeps the two-level smoother stable in f32 (exact
+                # local KKT inverses measurably diverge the f32 cycle)
+                fix = (jnp.abs(diag) < 1e-12)[:, :, None] * eye_cache[nl][None]
+            else:
+                # extra (constraint) blocks: a zero diagonal gets a unit
+                # entry only when its row OR column is dead (Dirichlet-wiped
+                # partners). Live multiplier rows get the exact pivoted
+                # local KKT inverse — the constraint-aware behavior that
+                # makes overset saddles solvable iteratively.
+                rowsum = jnp.sum(jnp.abs(Ae), axis=2) - jnp.abs(diag)
+                colsum = jnp.sum(jnp.abs(Ae), axis=1) - jnp.abs(diag)
+                fix = ((jnp.abs(diag) < 1e-12)
+                       & ((rowsum < 1e-12) | (colsum < 1e-12))
+                       )[:, :, None] * eye_cache[nl][None]
             from goma_tpu.utils.la import gj_inv
 
             Aei = gj_inv(Ae + fix)  # pivoted, dtype/backend-portable
