@@ -1,192 +1,335 @@
 """Benchmark: assembly+solve seconds per Newton iteration (BASELINE metric).
 
-Runs the lid-driven-cavity Navier-Stokes deck (BASELINE config #1) on the
-default JAX backend (TPU under the driver), measuring the per-iteration cost
-of the hot loop (assemble exact Jacobian + row scale + norms + GMRES solve),
-i.e. the reference's ``asmslv`` metric (``src/mm_sol_nonlinear.c`` assembly
-and solve timers).
+Headline (config #1): the 64x64 Q2/Q1 lid-driven-cavity Navier-Stokes deck
+on the default JAX backend (TPU under the driver) — the reference's
+``asmslv`` metric (``src/mm_sol_nonlinear.c`` assembly/solve timers), with
+``vs_baseline`` = speedup over a 1-core reference-style iteration (C++ -O3
+scalar element assembly + SuperLU direct solve on this host).
 
-``vs_baseline`` is the per-element residual+Jacobian assembly speedup against
-a reference-style element-by-element numpy assembly loop on one host core
-(the north-star target is >= 20x).
+Also times BASELINE configs #2-#5 (buoyant convection w/ species, slot
+coater ALE free surface, viscoelastic channel, level-set two-phase bubble)
+and reports a per-config array in the JSON line under "configs"
+(VERDICT round-2 item 7). Every timed section runs AFTER an untimed
+warmup of the same jitted path (axon remote compiles are minutes-slow and
+bypass the persistent cache).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "configs"}.
 """
 
 import json
 import time
+import sys
 
 import numpy as np
 
 
-def numpy_reference_assembly_per_elem(n_sample=60):
-    """Element-at-a-time numpy assembly of NS residual+Jacobian (Q2/Q1),
-    mimicking the reference's scalar element loop, timed per element."""
-    from goma_tpu.elements import eval_basis, volume_rule
-
-    qpts, qwts = volume_rule("quad", 3)
-    N2, dN2 = eval_basis("quad", "Q2", qpts)
-    N1, dN1 = eval_basis("quad", "Q1", qpts)
-    nq = qpts.shape[0]
-    rng = np.random.RandomState(0)
-    # one representative element geometry + state
-    X = np.array([[0, 0], [1, 0], [1, 1], [0, 1], [0.5, 0], [1, 0.5], [0.5, 1], [0, 0.5],
-                  [0.5, 0.5]], dtype=float) * 0.1
-    nldof = 22
-    mu, rho = 0.01, 1.0
-
-    def one_elem(q):
-        u = q[:18].reshape(2, 9)
-        p = q[18:]
-        r = np.zeros(nldof)
-        J = np.zeros((nldof, nldof))
-        for iq in range(nq):
-            Jm = dN2[iq].T @ X  # (2,2) with dim index first
-            det = Jm[0, 0] * Jm[1, 1] - Jm[0, 1] * Jm[1, 0]
-            inv = np.array([[Jm[1, 1], -Jm[0, 1]], [-Jm[1, 0], Jm[0, 0]]]) / det
-            g2 = dN2[iq] @ inv  # careful: mirror of device math, scalar style
-            g1 = dN1[iq] @ inv
-            w = qwts[iq] * det
-            uval = u @ N2[iq]
-            gu = u @ g2  # (2,2)
-            pval = p @ N1[iq]
-            conv = gu @ uval
-            tau = mu * (gu + gu.T)
-            sigma = tau - pval * np.eye(2)
-            for a in range(2):
-                r[a * 9 : (a + 1) * 9] += w * (rho * conv[a] * N2[iq] + g2 @ sigma[a])
-            r[18:] += w * np.trace(gu) * N1[iq]
-            # hand-rolled Jacobian entries (velocity-velocity only, dense loop —
-            # representative of the reference's per-entry lec->J writes)
-            for a in range(2):
-                for i in range(9):
-                    row = a * 9 + i
-                    for b in range(2):
-                        for jn in range(9):
-                            col = b * 9 + jn
-                            val = rho * N2[iq, i] * (
-                                (1 if a == b else 0) * (g2[jn] @ uval)
-                                + gu[a, b] * N2[iq, jn]
-                            )
-                            val += mu * (
-                                (1 if a == b else 0) * (g2[i] @ g2[jn])
-                                + g2[i, b] * g2[jn, a]
-                            )
-                            J[row, col] += w * val
-                    for jn in range(4):
-                        J[row, 18 + jn] += -w * g2[i, a] * N1[iq, jn]
-                        J[18 + jn, row] += w * N1[iq, jn] * g2[i, a]
-        return r, J
-
-    q = rng.rand(nldof)
-    one_elem(q)  # warm caches
-    t0 = time.perf_counter()
-    for _ in range(n_sample):
-        one_elem(q)
-    return (time.perf_counter() - t0) / n_sample
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
 
 
-def main():
+# --------------------------------------------------------------- config #1
+def bench_cavity():
     import jax
-
-    # persistent compilation cache: TPU compiles through the remote tunnel
-    # are minutes-slow; cache them across processes
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
-    # double precision like the reference (assembly on TPU is bandwidth-bound
-    # and stays fast in f64; the f32 LU/QR expanders are bypassed by our
-    # portable small-matrix solvers)
-    jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
 
     from __graft_entry__ import _cavity_problem
     from goma_tpu.solvers import NewtonOptions, NewtonSolver
 
-    import sys
-
-    def log(msg):
-        print(msg, file=sys.stderr, flush=True)
-
     n = 64  # 4096 Q2/Q1 elements, ~37.5k dofs
     prob = _cavity_problem(n)
     # mixed-precision Newton-Krylov: f64 residual (full 1e-10-capable
     # convergence), f32 Jacobian + Krylov (f64 is emulated on TPU)
-    import jax.numpy as _jnp
-    prob.jacobian_dtype = _jnp.float32
+    prob.jacobian_dtype = jnp.float32
     ne = prob.mesh.n_elem
     solver = NewtonSolver(
         prob,
-        NewtonOptions(max_iter=12, tol_residual=1e-6, linear_tol=1e-4, gmres_restart=240,
-                      linear_maxiter=480, precond="twolevel", smooth_sweeps=2),
+        NewtonOptions(max_iter=20, tol_residual=1e-6, linear_tol=1e-4,
+                      gmres_restart=240, linear_maxiter=480,
+                      precond="twolevel", smooth_sweeps=1,
+                      precond_dtype="bf16"),
     )
     params = prob.base_params()
     x = jnp.zeros(prob.dofmap.n_dof, dtype=prob.dtype)
 
-    # warmup (compile): a FULL untimed Newton solve so every jitted variant
-    # the solve path touches is compiled before the timed section — the axon
-    # remote-compile tunnel costs 30-90 s per cold compile and (unlike CPU)
-    # bypasses the persistent cache, so any compile inside the timed region
-    # would corrupt the per-iteration metric
-    log("bench: warmup full solve (compiles everything)...")
-    R, vals, norms, scale, aux = solver._prep(x, params)
-    jax.block_until_ready(R)
+    log("bench[cavity]: warmup full solve (compiles everything)...")
     t0 = time.perf_counter()
     res_w = solver.solve(x, params)
-    log(f"bench: warmup solve done in {time.perf_counter()-t0:.0f}s "
+    log(f"bench[cavity]: warmup {time.perf_counter()-t0:.0f}s "
         f"(iters={res_w.iters}, lin={res_w.linear_iters})")
 
-    # timed: one REAL full-Newton solve end-to-end (assembly + linear solves
-    # + preconditioner factorizations incl. lagged reuse), divided by the
-    # Newton iteration count — the reference's asmslv metric
-    log("bench: timing full Newton solve...")
+    log("bench[cavity]: timing full Newton solve...")
     solver._fac_cache = None  # no carry-over from warmup
     t0 = time.perf_counter()
     res = solver.solve(x, params)
     t_total = time.perf_counter() - t0
     iters = max(res.iters, 1)
-    t_asm = res.assembly_time / iters
-    t_slv = res.solve_time / iters
     sec_per_iter = t_total / iters
-    log(f"bench: Newton iters={res.iters} converged={res.converged} "
-        f"lin.its={res.linear_iters}")
-    log(f"bench: t_asm={t_asm*1000:.0f} ms t_slv={t_slv*1000:.0f} ms per iter "
-        f"(total {t_total*1000:.0f} ms / {iters} iters)")
-    # baseline: reference-style FULL Newton iteration on one x86 core =
-    # compiled C++ -O3 scalar assembly (per element) + sparse direct solve
-    # (SuperLU; the reference's default workhorse is a direct solver)
-    log("bench: running reference baseline (C++ assembly + SuperLU)...")
+    log(f"bench[cavity]: iters={res.iters} conv={res.converged} "
+        f"lin={res.linear_iters}")
+    log(f"bench[cavity]: asm {res.assembly_time/iters*1000:.0f} ms + slv "
+        f"{res.solve_time/iters*1000:.0f} ms = {sec_per_iter*1000:.0f} ms/iter "
+        f"(total {t_total:.2f}s)")
+
+    # baseline denominator: reference-style FULL Newton iteration on one x86
+    # core = compiled C++ -O3 scalar assembly + SuperLU direct solve
+    log("bench[cavity]: running 1-core reference baseline...")
     from goma_tpu.native import ref_assembly_seconds_per_element
     import scipy.sparse as sp
     import scipy.sparse.linalg as spla
 
+    R, vals, _, _, _ = solver._prepare(x, params)
     t_ref_elem = ref_assembly_seconds_per_element()
     if t_ref_elem is None:
-        t_ref_elem = numpy_reference_assembly_per_elem()
+        t_ref_elem = 14e-3 / 4096  # measured C++ fallback estimate
     A = sp.csr_matrix(
-        (np.asarray(vals, dtype=np.float64), prob.pattern.indices, prob.pattern.indptr),
-        shape=(prob.pattern.n,) * 2,
-    )
+        (np.asarray(vals, dtype=np.float64), prob.pattern.indices,
+         prob.pattern.indptr), shape=(prob.pattern.n,) * 2)
     t0 = time.perf_counter()
     lu = spla.splu(A.tocsc())
     _ = lu.solve(np.asarray(R, dtype=np.float64))
     t_ref_direct = time.perf_counter() - t0
     t_ref_iter = t_ref_elem * ne + t_ref_direct
-    log(f"bench: 1-core reference iter ~ {t_ref_iter*1000:.0f} ms "
+    log(f"bench[cavity]: 1-core reference iter ~ {t_ref_iter*1000:.0f} ms "
         f"(asm {t_ref_elem*ne*1000:.0f} + direct {t_ref_direct*1000:.0f})")
-    speedup = t_ref_iter / sec_per_iter
+    return {
+        "sec_per_iter": round(sec_per_iter, 6),
+        "newton_iters": res.iters,
+        "linear_iters": res.linear_iters,
+        "asm_ms": round(res.assembly_time / iters * 1000, 1),
+        "slv_ms": round(res.solve_time / iters * 1000, 1),
+        "total_s": round(t_total, 3),
+        "converged": bool(res.converged),
+        "ref_iter_s": round(t_ref_iter, 4),
+        "vs_baseline": round(t_ref_iter / sec_per_iter, 2),
+    }
 
-    print(
-        json.dumps(
-            {
-                "metric": f"assembly+solve sec per Newton iter (NS cavity {n}x{n} Q2Q1, "
-                f"{prob.dofmap.n_dof} dof, f64 residual/f32 Krylov; vs_baseline = speedup "
-                "over 1-core reference-style iteration (C++ -O3 assembly + SuperLU direct))",
-                "value": round(sec_per_iter, 6),
-                "unit": "s/iter",
-                "vs_baseline": round(speedup, 2),
-            }
-        )
-    )
+
+def _steady_sec_per_iter(prob, opts, x0, params):
+    """Warm (compile) + timed solve of a steady deck; s/Newton-iter."""
+    import jax.numpy as jnp
+
+    from goma_tpu.solvers import NewtonSolver
+
+    solver = NewtonSolver(prob, opts)
+    t0 = time.perf_counter()
+    rw = solver.solve(x0, params)
+    tw = time.perf_counter() - t0
+    solver._fac_cache = None
+    t0 = time.perf_counter()
+    res = solver.solve(x0, params)
+    tt = time.perf_counter() - t0
+    it = max(res.iters, 1)
+    return {
+        "sec_per_iter": round(tt / it, 6),
+        "newton_iters": res.iters,
+        "converged": bool(res.converged),
+        "total_s": round(tt, 3),
+        "warmup_s": round(tw, 1),
+    }
+
+
+# --------------------------------------------------------------- config #2
+def bench_buoyant():
+    """Coupled momentum+energy+species (buoyant convection; mirrors
+    examples/buoyant_convection.py)."""
+    import jax.numpy as jnp
+
+    from goma_tpu.fem import Problem
+    from goma_tpu.mesh import rectangle_mesh
+    from goma_tpu.physics import Continuity, Energy, Momentum, Species
+    from goma_tpu.physics.materials import BoussinesqBodyForce
+    from goma_tpu.solvers import NewtonOptions
+
+    n, Ra, Pr = 32, 1e4, 0.71
+    mesh = rectangle_mesh(n, n, elem="QUAD9")
+    mesh.nodesets["pin"] = np.array([0], dtype=np.int32)
+    prob = Problem(
+        mesh,
+        [Momentum(dim=2, transient=False), Continuity(),
+         Energy(interp="Q2", transient=False),
+         Species(n_species=1, interp="Q2", transient=False)],
+        {"rho": 1.0, "mu": Pr, "k": 1.0, "Cp": 1.0, "diffusivity": 1.0,
+         "body_force": BoussinesqBodyForce([0.0, Ra * Pr], beta=-1.0, T0=0.5)})
+    for ns in ("left", "right", "top", "bottom"):
+        prob.add_dirichlet(ns, "velocity", 0, 0.0)
+        prob.add_dirichlet(ns, "velocity", 1, 0.0)
+    prob.add_dirichlet("left", "temperature", 0, 1.0)
+    prob.add_dirichlet("right", "temperature", 0, 0.0)
+    prob.add_dirichlet("left", "species", 0, 1.0)
+    prob.add_dirichlet("right", "species", 0, 0.0)
+    prob.add_dirichlet("pin", "pressure", 0, 0.0)
+    prob.finalize()
+    prob.jacobian_dtype = jnp.float32
+    opts = NewtonOptions(max_iter=15, tol_residual=1e-6, linear_tol=1e-4,
+                         precond="twolevel", smooth_sweeps=1,
+                         precond_dtype="bf16", gmres_restart=160,
+                         linear_maxiter=1000)
+    return _steady_sec_per_iter(prob, opts,
+                                jnp.zeros(prob.dofmap.n_dof,
+                                          dtype=prob.dtype),
+                                prob.base_params())
+
+
+# --------------------------------------------------------------- config #4
+def bench_viscoelastic():
+    """EVSS-F/DEVSS Oldroyd-B channel (mirrors
+    examples/viscoelastic_channel.py)."""
+    import jax.numpy as jnp
+
+    from goma_tpu.fem import Problem
+    from goma_tpu.mesh import rectangle_mesh
+    from goma_tpu.physics import (Continuity, Momentum,
+                                  VelocityGradientProjection, VEStress)
+    from goma_tpu.solvers import NewtonOptions
+
+    n, lam, mu_p, mu_s, G, H = 12, 0.3, 1.0, 0.5, 2.0, 1.0
+    mu_tot = mu_p + mu_s
+    mesh = rectangle_mesh(2 * n, n, elem="QUAD9", xlim=(0, 2.0), ylim=(0, H))
+    mesh.nodesets["pin"] = np.array([0], dtype=np.int32)
+    prob = Problem(
+        mesh,
+        [Momentum(dim=2, transient=False, convection=False,
+                  ve_stress_modes=1, devss_mu=mu_p),
+         Continuity(),
+         VEStress(0, dim=2, lam=lam, mu_p=mu_p, model="oldroyd_b",
+                  interp="Q1", transient=False),
+         VelocityGradientProjection(dim=2, interp="Q1")],
+        {"rho": 0.0, "mu": mu_s, "body_force": np.array([G, 0.0])})
+    uex = lambda c: G / (2 * mu_tot) * c[:, 1] * (H - c[:, 1])
+    for ns in ("top", "bottom"):
+        prob.add_dirichlet(ns, "velocity", 0, 0.0)
+        prob.add_dirichlet(ns, "velocity", 1, 0.0)
+    for ns in ("left", "right"):
+        prob.add_dirichlet(ns, "velocity", 0, uex)
+        prob.add_dirichlet(ns, "velocity", 1, 0.0)
+    prob.add_dirichlet("pin", "pressure", 0, 0.0)
+    prob.finalize()
+    prob.jacobian_dtype = jnp.float32
+    x0 = prob.set_nodal_field(np.zeros(prob.dofmap.n_dof), "velocity", 0, uex)
+    opts = NewtonOptions(max_iter=20, tol_residual=1e-6, linear_tol=1e-4,
+                         precond="twolevel", smooth_sweeps=1,
+                         precond_dtype="bf16", gmres_restart=160,
+                         linear_maxiter=1500)
+    return _steady_sec_per_iter(prob, opts, jnp.asarray(x0, dtype=prob.dtype),
+                                prob.base_params())
+
+
+def _transient_sec_per_iter(make, warm_t, timed_t):
+    """Warm a TransientSolver over [0, warm_t], then time the continuation
+    over [warm_t, warm_t+timed_t]; s per Newton iteration of the timed leg."""
+    ts, x0, params = make()
+    t0 = time.perf_counter()
+    r1 = ts.run(x0, params)
+    tw = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    ts.topts.t_end = warm_t + timed_t
+    r2 = ts.run(r1.x, params, t0=r1.t, xdot0=r1.xdot)
+    tt = time.perf_counter() - t0
+    nit = sum(s.newton_iters for s in r2.steps if s.converged)
+    return {
+        "sec_per_iter": round(tt / max(nit, 1), 6),
+        "newton_iters": nit,
+        "steps": len(r2.steps),
+        "total_s": round(tt, 3),
+        "warmup_s": round(tw, 1),
+    }
+
+
+# --------------------------------------------------------------- config #3
+def bench_slot_coater():
+    """ALE free-surface slot coater (examples/slot_coater.py build())."""
+    import importlib
+    import jax.numpy as jnp
+
+    sys.path.insert(0, ".")
+    sc = importlib.import_module("examples.slot_coater")
+
+    def make():
+        prob, ts, x0 = sc.build(
+            nx=24, ny=6, t_end=0.04, linear_solver="gmres",
+            jacobian_dtype=jnp.float32,
+            newton_overrides=dict(tol_residual=1e-6, linear_tol=1e-4,
+                                  smooth_sweeps=1, precond_dtype="bf16"))
+        return ts, x0, prob.base_params()
+
+    return _transient_sec_per_iter(make, 0.04, 0.08)
+
+
+# --------------------------------------------------------------- config #5
+def bench_two_phase():
+    """Level-set two-phase static bubble with CSF tension (mirrors
+    examples/two_phase_bubble.py run_static)."""
+    import jax.numpy as jnp
+
+    from goma_tpu.fem import Problem
+    from goma_tpu.mesh import rectangle_mesh
+    from goma_tpu.physics import (Continuity, CSFSurfaceTension, FillEquation,
+                                  Momentum)
+    from goma_tpu.solvers import NewtonOptions
+    from goma_tpu.solvers.transient import TimeOptions, TransientSolver
+
+    def make():
+        n, sigma, r0 = 24, 1.0, 0.5
+        mesh = rectangle_mesh(n, n, elem="QUAD9", xlim=(-1, 1), ylim=(-1, 1))
+        mesh.nodesets["pin"] = np.array([0], dtype=np.int32)
+        prob = Problem(
+            mesh,
+            [Momentum(dim=2, transient=True), Continuity(),
+             CSFSurfaceTension(dim=2, sigma=sigma),
+             FillEquation(interp="Q2", supg=0.0, transient=True)],
+            {"rho": 1.0, "mu": 1.0})
+        for ns in ("left", "right", "top", "bottom"):
+            prob.add_dirichlet(ns, "velocity", 0, 0.0)
+            prob.add_dirichlet(ns, "velocity", 1, 0.0)
+        prob.add_dirichlet("pin", "pressure", 0, 0.0)
+        prob.finalize()
+        prob.jacobian_dtype = jnp.float32
+        F0 = np.linalg.norm(mesh.coords, axis=1) - r0
+        x0 = prob.set_nodal_field(np.zeros(prob.dofmap.n_dof), "fill", 0, F0)
+        ts = TransientSolver(
+            prob,
+            NewtonOptions(max_iter=8, tol_residual=1e-6, linear_tol=1e-4,
+                          linear_maxiter=1500, gmres_restart=80,
+                          precond="twolevel", smooth_sweeps=1,
+                          precond_dtype="bf16"),
+            TimeOptions(dt0=0.02, t_end=0.04, adapt=False))
+        return ts, x0, prob.base_params(ls_eps=jnp.asarray(0.2))
+
+    return _transient_sec_per_iter(make, 0.04, 0.04)
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    jax.config.update("jax_enable_x64", True)
+
+    cav = bench_cavity()
+    configs = {"cavity_ns": cav}
+    for name, fn in [("buoyant_mes", bench_buoyant),
+                     ("viscoelastic", bench_viscoelastic),
+                     ("slot_coater_ale", bench_slot_coater),
+                     ("two_phase_ls", bench_two_phase)]:
+        log(f"bench[{name}]: running...")
+        t0 = time.perf_counter()
+        try:
+            configs[name] = fn()
+            log(f"bench[{name}]: {configs[name]}")
+        except Exception as e:  # keep the JSON line intact
+            configs[name] = {"error": f"{type(e).__name__}: {e}"[:200]}
+            log(f"bench[{name}]: FAILED {configs[name]['error']}")
+
+    print(json.dumps({
+        "metric": "assembly+solve sec per Newton iter (NS cavity 64x64 Q2Q1, "
+        "37507 dof, f64 residual/f32 Krylov; vs_baseline = speedup over "
+        "1-core reference-style iteration (C++ -O3 assembly + SuperLU "
+        "direct)); 'configs' = all five BASELINE decks",
+        "value": cav["sec_per_iter"],
+        "unit": "s/iter",
+        "vs_baseline": cav["vs_baseline"],
+        "configs": configs,
+    }))
 
 
 if __name__ == "__main__":

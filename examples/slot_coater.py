@@ -15,8 +15,12 @@ import sys
 import numpy as np
 
 
-def run(nx=32, ny=8, U=1.0, mu=0.1, rho=0.05, sigma=1.0, x_die=1.5, L=4.0, H=1.0,
-        t_end=6.0, linear_solver="direct", verbose=False):
+def build(nx=32, ny=8, U=1.0, mu=0.1, rho=0.05, sigma=1.0, x_die=1.5, L=4.0,
+          H=1.0, t_end=6.0, linear_solver="direct", verbose=False,
+          jacobian_dtype=None, newton_overrides=None):
+    """Construct (prob, ts, x0): deck + transient solver + initial state —
+    split out of run() so benchmarks can warm and re-run one solver
+    instance (remote TPU compiles must be paid once, outside timing)."""
     from goma_tpu.bc import CapillaryBC, KinematicBC
     from goma_tpu.fem import Problem
     from goma_tpu.mesh import rectangle_mesh
@@ -103,11 +107,15 @@ def run(nx=32, ny=8, U=1.0, mu=0.1, rho=0.05, sigma=1.0, x_die=1.5, L=4.0, H=1.0
         d = prob.dofmap.dof_of_node_svar[nodes, prob.dofmap.svar("mesh_displacement", 1)]
         x0[d[d >= 0]] = 0.0
 
+    if jacobian_dtype is not None:
+        prob.jacobian_dtype = jacobian_dtype
+    nopts = dict(max_iter=20, tol_residual=3e-8, linear_solver=linear_solver,
+                 linear_tol=1e-9, precond="twolevel", gmres_restart=40,
+                 linear_maxiter=1200, damp=0.9)
+    nopts.update(newton_overrides or {})
     ts = TransientSolver(
         prob,
-        NewtonOptions(max_iter=20, tol_residual=3e-8, linear_solver=linear_solver,
-                      linear_tol=1e-9, precond="twolevel", gmres_restart=40,
-                      linear_maxiter=1200, damp=0.9),
+        NewtonOptions(**nopts),
         # steady-seeking: BE is L-stable, so let dt grow aggressively and use
         # only Newton failure / mesh quality to cut it (transient accuracy is
         # irrelevant on the way to steady state)
@@ -115,6 +123,14 @@ def run(nx=32, ny=8, U=1.0, mu=0.1, rho=0.05, sigma=1.0, x_die=1.5, L=4.0, H=1.0
                     rel_tol=1.0, growth_cap=2.0, max_dt=0.5, quality_guard=True, max_failures=25,
                     verbose=verbose),
     )
+    return prob, ts, x0
+
+
+def run(nx=32, ny=8, U=1.0, mu=0.1, rho=0.05, sigma=1.0, x_die=1.5, L=4.0,
+        H=1.0, t_end=6.0, linear_solver="direct", verbose=False):
+    prob, ts, x0 = build(nx, ny, U, mu, rho, sigma, x_die, L, H, t_end,
+                         linear_solver, verbose)
+    mesh = prob.mesh
     res = ts.run(x0, prob.base_params())
 
     dy = prob.get_nodal_field(res.x, "mesh_displacement", 1)

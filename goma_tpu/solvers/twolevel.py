@@ -65,7 +65,11 @@ def _fine_to_coarse_weights(problem, saddle_vars=("pressure", "lm")):
     QUAD_TO_LIN = {"Q2": "Q1", "P2": "P1"}
 
     is_coarse = np.zeros(n, dtype=bool)
-    entries: list[dict[int, float]] = [dict() for _ in range(n)]
+    # vectorized entry accumulation: (fine dof, coarse dof, weight) triples
+    # deduped at the end (elements sharing a fine dof repeat the same
+    # weights, so "last wins" == "any wins"); the per-element python dict
+    # loop this replaces cost ~100 s at 4096 elements
+    tri_d, tri_c, tri_w = [], [], []
 
     for bd, blk in zip(dofmap.blocks, problem.mesh.blocks):
         et = element_type(blk.elem_type)
@@ -73,27 +77,27 @@ def _fine_to_coarse_weights(problem, saddle_vars=("pressure", "lm")):
         for s in bd.slots:
             if s.interp in ("P0", "P1E") or s.interp not in QUAD_TO_LIN:
                 # injected: coarse keeps these dofs
-                sl = bd.gather[:, s.start : s.start + s.size]
-                is_coarse[sl.ravel()] = True
-                for d in sl.ravel():
-                    entries[d][int(d)] = 1.0
+                sl = bd.gather[:, s.start : s.start + s.size].ravel()
+                is_coarse[sl] = True
+                tri_d.append(sl.astype(np.int64))
+                tri_c.append(sl.astype(np.int64))
+                tri_w.append(np.ones(sl.shape[0]))
                 continue
             lin = QUAD_TO_LIN[s.interp]
             ln_f = list(interp_local_nodes(et.family, s.interp))
             ln_c = list(interp_local_nodes(et.family, lin))
             # linear basis evaluated at the fine interpolation nodes
             W, _ = eval_basis(et.family, lin, ref[ln_f])  # (nbf_f, nbf_c)
+            keepW = np.abs(W) > 1e-14
             for c in range(s.ncomp):
                 cols = bd.gather[:, s.start + c * s.nbf : s.start + (c + 1) * s.nbf]
                 ccols = cols[:, [ln_f.index(k) for k in ln_c]]
                 is_coarse[ccols.ravel()] = True
-                for e in range(cols.shape[0]):
-                    for i in range(len(ln_f)):
-                        d = int(cols[e, i])
-                        for j in range(len(ln_c)):
-                            w = float(W[i, j])
-                            if abs(w) > 1e-14:
-                                entries[d][int(ccols[e, j])] = w
+                ne = cols.shape[0]
+                ii, jj = np.nonzero(keepW)
+                tri_d.append(cols[:, ii].ravel().astype(np.int64))
+                tri_c.append(ccols[:, jj].ravel().astype(np.int64))
+                tri_w.append(np.broadcast_to(W[ii, jj], (ne, ii.shape[0])).ravel())
 
     # order the coarse space elliptic-first, saddle-last: the blocked coarse
     # inverse does unpivoted Schur splits, which are only stable when every
@@ -107,16 +111,27 @@ def _fine_to_coarse_weights(problem, saddle_vars=("pressure", "lm")):
     coarse_id[cdofs[order]] = np.arange(cdofs.shape[0])
     nc = int(is_coarse.sum())
 
-    kmax = max((len(e) for e in entries if e), default=1)
+    # dedupe (fine, coarse) pairs and pack per-fine-dof rows
+    td = np.concatenate(tri_d)
+    tc = np.concatenate(tri_c)
+    tw = np.concatenate(tri_w)
+    keys = td * np.int64(n) + tc
+    uk, first = np.unique(keys, return_index=True)
+    td, tc, tw = td[first], tc[first], tw[first]
+    order = np.argsort(td, kind="stable")
+    td, tc, tw = td[order], tc[order], tw[order]
+    st = np.searchsorted(td, np.arange(n))
+    en = np.searchsorted(td, np.arange(n) + 1)
+    kmax = max(int((en - st).max()), 1)
     # pad with the out-of-range sentinel nc (NOT 0: a 0-padded cids makes
     # coarse dof 0 collect every pad slot in the transpose-gather map,
     # inflating it to hundreds of MB)
     cids = np.full((n, kmax), nc, dtype=np.int64)
     wts = np.zeros((n, kmax))
-    for d, e in enumerate(entries):
-        for k, (cd, w) in enumerate(e.items()):
-            cids[d, k] = coarse_id[cd]
-            wts[d, k] = w
+    for k in range(kmax):
+        sel = st + k < en
+        cids[sel, k] = coarse_id[tc[(st + k)[sel]]]
+        wts[sel, k] = tw[(st + k)[sel]]
     return nc, cids, wts, n_elliptic
 
 
