@@ -45,8 +45,7 @@ def bench_cavity():
         prob,
         NewtonOptions(max_iter=20, tol_residual=1e-6, linear_tol=1e-4,
                       gmres_restart=240, linear_maxiter=480,
-                      precond="twolevel", smooth_sweeps=1,
-                      precond_dtype="bf16"),
+                      precond="twolevel", smooth_sweeps=1),
     )
     params = prob.base_params()
     x = jnp.zeros(prob.dofmap.n_dof, dtype=prob.dtype)
@@ -162,8 +161,7 @@ def bench_buoyant():
     prob.jacobian_dtype = jnp.float32
     opts = NewtonOptions(max_iter=15, tol_residual=1e-6, linear_tol=1e-4,
                          precond="twolevel", smooth_sweeps=1,
-                         precond_dtype="bf16", gmres_restart=160,
-                         linear_maxiter=1000)
+                         gmres_restart=160, linear_maxiter=1000)
     return _steady_sec_per_iter(prob, opts,
                                 jnp.zeros(prob.dofmap.n_dof,
                                           dtype=prob.dtype),
@@ -208,8 +206,7 @@ def bench_viscoelastic():
     x0 = prob.set_nodal_field(np.zeros(prob.dofmap.n_dof), "velocity", 0, uex)
     opts = NewtonOptions(max_iter=20, tol_residual=1e-6, linear_tol=1e-4,
                          precond="twolevel", smooth_sweeps=1,
-                         precond_dtype="bf16", gmres_restart=160,
-                         linear_maxiter=1500)
+                         gmres_restart=160, linear_maxiter=1500)
     return _steady_sec_per_iter(prob, opts, jnp.asarray(x0, dtype=prob.dtype),
                                 prob.base_params())
 
@@ -245,14 +242,16 @@ def bench_slot_coater():
     sc = importlib.import_module("examples.slot_coater")
 
     def make():
-        prob, ts, x0 = sc.build(
-            nx=24, ny=6, t_end=0.04, linear_solver="gmres",
-            jacobian_dtype=jnp.float32,
-            newton_overrides=dict(tol_residual=1e-6, linear_tol=1e-4,
-                                  smooth_sweeps=1, precond_dtype="bf16"))
+        # the ALE + penalty-kinematic free-surface system defeats the
+        # iterative preconditioners (like the reference, which runs such
+        # decks on direct solvers); TPU assembly + host direct solve
+        prob, ts, x0 = sc.build(nx=24, ny=6, t_end=0.04,
+                                linear_solver="direct")
         return ts, x0, prob.base_params()
 
-    return _transient_sec_per_iter(make, 0.04, 0.08)
+    out = _transient_sec_per_iter(make, 0.04, 0.08)
+    out["linear_solver"] = "direct(host)"
+    return out
 
 
 # --------------------------------------------------------------- config #5
@@ -288,14 +287,17 @@ def bench_two_phase():
         x0 = prob.set_nodal_field(np.zeros(prob.dofmap.n_dof), "fill", 0, F0)
         ts = TransientSolver(
             prob,
-            NewtonOptions(max_iter=8, tol_residual=1e-6, linear_tol=1e-4,
-                          linear_maxiter=1500, gmres_restart=80,
-                          precond="twolevel", smooth_sweeps=1,
-                          precond_dtype="bf16"),
+            # the CSF band system also resists the current iterative
+            # preconditioners (pre-existing round-1 limitation, tracked in
+            # PARITY known gaps): TPU assembly + host direct solve
+            NewtonOptions(max_iter=10, tol_residual=1e-8,
+                          linear_solver="direct"),
             TimeOptions(dt0=0.02, t_end=0.04, adapt=False))
         return ts, x0, prob.base_params(ls_eps=jnp.asarray(0.2))
 
-    return _transient_sec_per_iter(make, 0.04, 0.04)
+    out = _transient_sec_per_iter(make, 0.04, 0.04)
+    out["linear_solver"] = "direct(host)"
+    return out
 
 
 def main():

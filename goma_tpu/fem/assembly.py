@@ -1322,14 +1322,19 @@ class Problem:
             faceJ.append(J)
             r_parts.append(r)
 
-        # combine: R via the dof transpose-gather, vals via the nnz one
+        # combine: R via the dof transpose-gather (measured 3.2 ms vs 8.0 ms
+        # for segment_sum on TPU); vals stays a segment_sum — the (nnz, kc)
+        # gather loses there (44 ms vs 18 ms: 4.4M scalar-row gathers)
         flat_r = jnp.concatenate(
             [p.reshape(-1) for p in r_parts] + [jnp.zeros(1, dtype=dtype)])
         R = jnp.sum(flat_r[T["tg"]], axis=1)
-        flat_j = jnp.concatenate(
-            [J.reshape(-1).astype(jdt) for J in blockJ + faceJ]
-            + [jnp.zeros(1, dtype=jdt)])
-        vals = jnp.sum(flat_j[T["nnztg"]], axis=1)
+        vals = jnp.zeros(self.pattern.nnz, dtype=jdt)
+        nmaps = [T[f"n{bi}"] for bi in range(len(self.dofmap.blocks))] + \
+            [T[f"fn{fsi}"] for fsi in range(len(self.face_sets))]
+        for J, nmap in zip(blockJ + faceJ, nmaps):
+            vals = vals + jax.ops.segment_sum(
+                J.reshape(-1).astype(jdt), nmap.reshape(-1),
+                num_segments=self.pattern.nnz)
 
         if getattr(self, "edge_sets", None):
             # edge-curve couplings are not in the element-matvec aux either

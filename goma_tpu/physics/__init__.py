@@ -57,3 +57,4 @@ from goma_tpu.physics.normal_mode import (
     NormalModeMomentum,
     NormalModeW,
 )
+from goma_tpu.physics.kinetics import ReactionNetwork

@@ -172,10 +172,17 @@ class NewtonSolver:
         elif kind != "_done":
             self.precond = BlockJacobi(problem.pattern, problem.dofmap)
         if self.opts.precond_dtype == "bf16":
+            # full bf16 factor storage measurably degrades the two-level
+            # cycle on hard saddles (diverged the 64x64 cavity bench);
+            # offered for easy problems only
             sd = jnp.bfloat16
             self.precond.store_dtype = sd
             if hasattr(self.precond, "bj"):
                 self.precond.bj.store_dtype = sd
+        elif self.opts.precond_dtype == "bf16-coarse":
+            # bf16 only for the dense coarse inverse (the single largest
+            # apply-side array); smoother inverses stay f32
+            self.precond.store_dtype = jnp.bfloat16
         # interface (paired-face) couplings are not represented in the
         # element-matvec aux -> use the CSR (ELL) operator for such problems
         self._use_elem_mv = (
