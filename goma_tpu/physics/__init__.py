@@ -13,6 +13,7 @@ from goma_tpu.physics.solid import (
     tie_mesh_to_solid,
 )
 from goma_tpu.physics.viscoelastic import (
+    AxisymHoopStress,
     DGStressInflow,
     DGStressUpwind,
     LogConformationStress,

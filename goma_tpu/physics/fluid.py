@@ -137,6 +137,12 @@ class Momentum(Equation):
             # (src/mm_fill_aux.c) inside assemble_momentum.
             u_r = u[:, 1]
             sig_tt = -p + 2.0 * mu * u_r / fv.r
+            # polymer hoop stress (the reference's s33 slot): supplied by
+            # AxisymHoopStress companion equations per mode
+            for m in range(self.ve_stress_modes):
+                tt = f"stress{m}_tt"
+                if tt in fv.val:
+                    sig_tt = sig_tt + fv.val[tt][:, 0]
             hoop = jnp.einsum("q,qi->qi", sig_tt / fv.r, phi)
             contrib = contrib + jnp.stack(
                 [jnp.zeros_like(hoop), hoop], axis=1)

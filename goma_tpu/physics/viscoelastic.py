@@ -446,3 +446,74 @@ class DGStressInflow(FaceKernel):
         ds = self.s_in[None, :] - s
         return self.lam * jnp.minimum(vn, 0.0)[:, None, None] \
             * ds[:, :, None] * sfv.phi[self.var][:, None, :]
+
+
+class AxisymHoopStress(Equation):
+    """Hoop (theta-theta) viscoelastic stress component S_tt for
+    axisymmetric (CYLINDRICAL) problems — the reference's s33 polymer-stress
+    slot kept in 2D for axisymmetry (``include/rf_fem_const.h`` POLYMER_
+    STRESS33*, assembled by ``assemble_stress_fortin`` with the cylindrical
+    grad(e) terms).
+
+    With axisymmetry (no swirl) the upper-convected derivative of the tt
+    component decouples from the in-plane block:
+
+        lam (S_tt_dot + u.grad S_tt - 2 (u_r/r) S_tt) + S_tt + g(S)
+            = 2 mu_p (u_r/r)
+
+    since L_tt = u_r / r. Pair with ``VEStress`` for the in-plane
+    components and ``Momentum`` (axisym), whose hoop weak term picks up
+    S_tt from ``fv.val["stress{m}_tt"]``. Giesekus/PTT closures use the
+    full 3D invariants (tt enters S.S and tr S).
+    """
+
+    def __init__(self, mode: int, lam: float, mu_p: float,
+                 model: str = "oldroyd_b", alpha: float = 0.0,
+                 eps_ptt: float = 0.0, interp: str = "Q1",
+                 supg: float = 0.5, transient: bool = True):
+        super().__init__(f"{stress_var(mode)}_tt", 1, interp)
+        self.mode = mode
+        self.lam = lam
+        self.mu_p = mu_p
+        self.model = model
+        self.alpha = alpha
+        self.eps_ptt = eps_ptt
+        self.supg = supg
+        self.transient = transient
+
+    def residual(self, fv, mat, params):
+        if fv.coord not in ("cylindrical", "swirling"):
+            raise ValueError("AxisymHoopStress requires an axisymmetric "
+                             "Problem(coord=...)")
+        var = self.var
+        Stt = fv.val[var][:, 0]
+        u = advective_velocity(fv)
+        Ltt = u[:, 1] / fv.r  # u_r / r
+
+        core = Stt - 2.0 * self.mu_p * Ltt
+        if self.lam > 0:
+            conv = jnp.einsum("qk,qk->q", u, fv.grad[var][:, 0, :])
+            upper = conv - 2.0 * Ltt * Stt
+            if self.transient:
+                upper = upper + fv.dot[var][:, 0]
+            core = core + self.lam * upper
+            if self.model == "giesekus" and self.alpha != 0.0:
+                core = core + (self.alpha * self.lam / self.mu_p) * Stt * Stt
+            elif self.model in ("ptt", "ptt_linear") and self.eps_ptt != 0.0:
+                Sip = _sym_expand(fv.val[stress_var(self.mode)], 2) \
+                    if stress_var(self.mode) in fv.val else None
+                trS = Stt + (jnp.trace(Sip, axis1=1, axis2=2)
+                             if Sip is not None else 0.0)
+                z = self.eps_ptt * self.lam / self.mu_p * trS
+                fac = jnp.exp(z) - 1.0 if self.model == "ptt" else z
+                core = core + fac * Stt
+
+        phi = fv.phi[var]
+        if self.supg > 0:
+            gphi = fv.gphi[var]
+            u2 = jnp.sum(u * u, axis=1)
+            tau = self.supg * fv.h_elem * jnp.sqrt(u2 + 1e-30) / (2.0 * u2 + 1e-12)
+            w = phi + tau[:, None] * jnp.einsum("qk,qik->qi", u, gphi)
+        else:
+            w = phi
+        return jnp.einsum("q,qi->qi", core, w)[:, None, :]
