@@ -56,6 +56,11 @@ def build_point_constraints(problem, specs) -> list[PointConstraintSet]:
                 continue
             ncomp = dd.shape[0]
             row = int(dd[comp])
+            if problem._dir_mask[row]:
+                # DIRICHLET precedence: a Dirichlet spec on this dof swamps
+                # the collocated condition (mm_bc_conflict.c:806 "first give
+                # all DIRICHLET Conditions Precedence")
+                continue
             p = pat.find(np.full(ncomp, row), dd)
             if np.any(p < 0):
                 raise RuntimeError("point constraint entries missing from pattern")

@@ -155,9 +155,16 @@ def build_rotation(problem, specs, constraints) -> RotationData | None:
     dofs_arr = np.stack(dofs_list)
     Q = np.stack(Q_list)
 
-    # constraints: last-registered spec wins per (var, node, direction) —
-    # same conflict rule as Dirichlet (reference: BC duplicate resolution,
-    # src/mm_bc_conflict.c)
+    # constraints: the FIRST-registered spec wins per (var, node, direction)
+    # — the reference's BC duplicate rule (src/mm_bc_conflict.c:832
+    # "defaulting to 1st occurence"). A constraint whose target row already
+    # carries a Dirichlet spec is shifted to the next free coordinate
+    # direction, or dropped — DIRICHLET precedence with rotated-condition
+    # displacement (mm_bc_conflict.c:806,866 "move this condition to the
+    # next coordinate direction, if available").
+    import warnings
+
+    dmask = getattr(problem, "_dir_mask", None)
     con_map: dict[tuple, tuple] = {}
     for ssets, var, direction, value in constraints:
         nrm_map = normals_cache[tuple(ssets)]
@@ -165,15 +172,32 @@ def build_rotation(problem, specs, constraints) -> RotationData | None:
             key = (var, node)
             if key not in node_slot:
                 continue
-            con_map[(var, node, direction)] = (node_slot[key], value, node)
+            slot = node_slot[key]
+            dnode = dofs_list[slot]
+            dshift = direction
+            if dmask is not None:
+                while dshift < dim and dmask[int(dnode[dshift])]:
+                    dshift += 1
+                if dshift >= dim:
+                    warnings.warn(
+                        f"rotated constraint on {var} at node {node} dropped: "
+                        "all coordinate rows carry Dirichlet specs "
+                        "(DIRICHLET precedence)", stacklevel=2)
+                    continue
+                if dshift != direction:
+                    warnings.warn(
+                        f"rotated constraint on {var} at node {node} moved "
+                        f"from row {direction} to {dshift} (displaced by a "
+                        "Dirichlet spec)", stacklevel=2)
+            con_map.setdefault((var, node, dshift), (slot, value, node, direction))
 
     con_rows, con_entry_pos, con_coeff, con_dofs, con_val, con_mask = [], [], [], [], [], []
-    for (var, node, direction), (slot, value, _) in sorted(
+    for (var, node, rowdir), (slot, value, _, direction) in sorted(
         con_map.items(), key=lambda kv: (kv[0][0], kv[0][1], kv[0][2])
     ):
         dofs = dofs_list[slot]
-        row = int(dofs[direction])
-        q = Q_list[slot][direction]
+        row = int(dofs[rowdir])  # possibly Dirichlet-displaced row
+        q = Q_list[slot][direction]  # constraint keeps its own frame row
         epos = np.array([pat.find(np.array([row]), np.array([d]))[0] for d in dofs])
         if np.any(epos < 0):
             raise RuntimeError("constraint entries missing from pattern")

@@ -431,9 +431,10 @@ class Problem:
         #     inside assembly, so continuation/AC parameters can drive BCs
         #     (reference: update_parameterAC BC path, src/ac_update_parameter.c)
         import inspect
+        import warnings
 
         dofs, vals = [], []
-        self._param_dirichlet: list[tuple[np.ndarray, np.ndarray, Callable]] = []
+        param_specs = []  # (spec slice start, d, x, fn) before dedup
         for nodeset, var, comp, value in self._dirichlet:
             if nodeset.startswith("sideset:"):
                 nodes = mesh.sideset_nodes(nodeset.split(":", 1)[1])
@@ -444,21 +445,48 @@ class Problem:
             d = d[ok]
             x = mesh.coords[nodes[ok]]
             if callable(value) and len(inspect.signature(value).parameters) >= 2:
-                self._param_dirichlet.append((d.astype(np.int64), x, value))
-                v = np.zeros(d.shape)  # placeholder; overwritten at assembly
+                start = sum(a.shape[0] for a in dofs)
+                param_specs.append((start, d.astype(np.int64), x, value))
+                v = np.full(d.shape, np.nan)  # placeholder; set at assembly
             else:
                 v = value(x) if callable(value) else np.full(d.shape, float(value))
             dofs.append(d)
             vals.append(np.asarray(v, dtype=np.float64))
+        self._param_dirichlet: list[tuple[np.ndarray, np.ndarray, Callable]] = []
         if dofs:
             dd = np.concatenate(dofs).astype(np.int64)
             vv = np.concatenate(vals)
-            # later specs override earlier on conflicts (reference resolves
-            # BC duplicates in src/mm_bc_conflict.c; we use last-wins)
-            _, last = np.unique(dd[::-1], return_index=True)
-            keep = dd.shape[0] - 1 - last
-            self.dirichlet_dofs = dd[np.sort(keep)]
-            self.dirichlet_vals = vv[np.sort(keep)]
+            # Duplicate resolution: the FIRST spec in the deck wins, with a
+            # warning when later specs carry conflicting values — the
+            # reference's Dirichlet dup rule ("defaulting to 1st occurence",
+            # src/mm_bc_conflict.c:832-851). Parametric (NaN placeholder)
+            # entries cannot be value-compared statically and only
+            # participate in the precedence ordering.
+            uniq, first = np.unique(dd, return_index=True)
+            keep_mask = np.zeros(dd.shape[0], dtype=bool)
+            keep_mask[first] = True
+            owner_val = vv[first][np.searchsorted(uniq, dd)]
+            conf = (
+                ~keep_mask
+                & np.isfinite(vv)
+                & np.isfinite(owner_val)
+                & (np.abs(vv - owner_val)
+                   > 1e-8 * np.maximum(1.0, np.maximum(np.abs(vv), np.abs(owner_val))))
+            )
+            if conf.any():
+                warnings.warn(
+                    f"{int(conf.sum())} Dirichlet entries conflict with an "
+                    "earlier spec at the same dof; first spec takes "
+                    "precedence (mm_bc_conflict.c dup rule)",
+                    stacklevel=2,
+                )
+            self.dirichlet_dofs = dd[keep_mask]
+            self.dirichlet_vals = np.nan_to_num(vv[keep_mask])
+            # parametric specs keep only the entries they own
+            for start, d, x, fn in param_specs:
+                own = keep_mask[start:start + d.shape[0]]
+                if own.any():
+                    self._param_dirichlet.append((d[own], x[own], fn))
         else:
             self.dirichlet_dofs = np.empty(0, dtype=np.int64)
             self.dirichlet_vals = np.empty(0, dtype=np.float64)

@@ -28,7 +28,8 @@ def cavity_problem(n=8, Re=100.0):
         prob.add_dirichlet(ns, "velocity", 0, 0.0)
         prob.add_dirichlet(ns, "velocity", 1, 0.0)
     # regularized lid (corner-compatible): u = 1 on top, corners shared with
-    # side walls get 0 via last-wins ordering below
+    # side walls get 0 (side walls are registered first; first spec wins per
+    # the mm_bc_conflict.c dup rule)
     prob.add_dirichlet("top", "velocity", 0, 1.0)
     prob.add_dirichlet("top", "velocity", 1, 0.0)
     prob.add_dirichlet("left", "velocity", 0, 0.0)
