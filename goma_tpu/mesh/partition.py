@@ -21,9 +21,68 @@ def element_centroids(mesh: Mesh) -> np.ndarray:
     return np.concatenate(out, axis=0)
 
 
-def partition_elements(mesh: Mesh, nparts: int) -> np.ndarray:
-    """(n_elem,) part id per global element, spatially compact and balanced."""
-    return rcb_partition(element_centroids(mesh), nparts)
+def element_dual_graph(mesh: Mesh, ncommon: int | None = None):
+    """CSR element dual graph: elements are adjacent when they share at
+    least ``ncommon`` nodes (default: mesh.dim, i.e. a full edge in 2D / a
+    face-ish contact in 3D — the reference's METIS_MeshToDual ncommon
+    semantics). Edge weight = number of shared nodes. Returns
+    (xadj, adjncy, adjwgt)."""
+    if ncommon is None:
+        ncommon = mesh.dim
+    ne_off, elems, nodes = 0, [], []
+    for b in mesh.blocks:
+        ne, nn = b.conn.shape
+        elems.append(np.repeat(np.arange(ne_off, ne_off + ne), nn))
+        nodes.append(b.conn.ravel())
+        ne_off += ne
+    elems = np.concatenate(elems).astype(np.int64)
+    nodes = np.concatenate(nodes).astype(np.int64)
+    order = np.argsort(nodes, kind="stable")
+    nodes, elems = nodes[order], elems[order]
+    starts = np.searchsorted(nodes, np.arange(mesh.coords.shape[0]))
+    counts = np.diff(np.append(starts, nodes.shape[0]))
+    K = int(counts.max()) if counts.size else 0
+    pa, pb = [], []
+    for i in range(K):
+        for j in range(K):
+            if i == j:
+                continue
+            sel = counts > max(i, j)
+            if not sel.any():
+                continue
+            s = starts[sel]
+            pa.append(elems[s + i])
+            pb.append(elems[s + j])
+    if not pa:
+        xadj = np.zeros(ne_off + 1, dtype=np.int64)
+        return xadj, np.empty(0, np.int64), np.empty(0, np.int64)
+    a = np.concatenate(pa)
+    b = np.concatenate(pb)
+    keys, wgt = np.unique(a * np.int64(ne_off) + b, return_counts=True)
+    keep = wgt >= ncommon
+    keys, wgt = keys[keep], wgt[keep]
+    src = keys // ne_off
+    dst = keys % ne_off
+    xadj = np.zeros(ne_off + 1, dtype=np.int64)
+    np.add.at(xadj, src + 1, 1)
+    xadj = np.cumsum(xadj)
+    return xadj, dst.astype(np.int64), wgt.astype(np.int64)
+
+
+def partition_elements(mesh: Mesh, nparts: int, method: str = "kway") -> np.ndarray:
+    """(n_elem,) part id per global element, balanced.
+
+    method="kway": multilevel k-way over the element dual graph (the
+    reference's METIS KWAY default, src/metis_decomp.c:372) — minimizes
+    the edge cut, i.e. halo/ghost traffic of the partitioned-DOF sharding.
+    method="rcb": recursive coordinate bisection of centroids (the -rcb
+    mode); spatially compact, cheaper to build."""
+    if method == "rcb":
+        return rcb_partition(element_centroids(mesh), nparts)
+    from goma_tpu.native import kway_partition
+
+    xadj, adjncy, adjwgt = element_dual_graph(mesh)
+    return kway_partition(xadj, adjncy, adjwgt, nparts)
 
 
 def reorder_elements(mesh: Mesh, order_by: str = "morton", nparts: int | None = None) -> Mesh:

@@ -51,8 +51,81 @@ def _lib():
                 ctypes.POINTER(ctypes.c_double), ctypes.c_int64, ctypes.c_int,
                 ctypes.POINTER(ctypes.c_int64),
             ]
+            lib.kway_partition.argtypes = [
+                ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int64), ctypes.c_int64, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_int32),
+            ]
+            lib.edge_cut.restype = ctypes.c_int64
+            lib.edge_cut.argtypes = [
+                ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int32),
+            ]
             _LIB = lib
     return _LIB
+
+
+def _i64p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+
+def kway_partition(xadj: np.ndarray, adjncy: np.ndarray,
+                   adjwgt: np.ndarray, nparts: int) -> np.ndarray:
+    """Multilevel k-way graph partitioning (METIS KWAY analog; reference
+    goma_metis_decomposition, src/metis_decomp.c:372). Falls back to a
+    BFS greedy-growing partition in numpy if the native build is missing."""
+    n = xadj.shape[0] - 1
+    xadj = np.ascontiguousarray(xadj, dtype=np.int64)
+    adjncy = np.ascontiguousarray(adjncy, dtype=np.int64)
+    adjwgt = np.ascontiguousarray(adjwgt, dtype=np.int64)
+    out = np.empty(n, dtype=np.int32)
+    lib = _lib()
+    if lib is not None:
+        lib.kway_partition(_i64p(xadj), _i64p(adjncy), _i64p(adjwgt),
+                           n, int(nparts),
+                           out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        return out
+    # numpy fallback: single-level greedy BFS growing (no refinement)
+    target = n / nparts
+    out[:] = nparts - 1
+    taken = np.zeros(n, dtype=bool)
+    for p in range(nparts - 1):
+        rest = np.where(~taken)[0]
+        if rest.size == 0:
+            break
+        frontier = [int(rest[0])]
+        taken[rest[0]] = True
+        out[rest[0]] = p
+        w = 1
+        while frontier and w < target:
+            v = frontier.pop(0)
+            for u in adjncy[xadj[v]:xadj[v + 1]]:
+                if not taken[u] and w < target:
+                    taken[u] = True
+                    out[u] = p
+                    w += 1
+                    frontier.append(int(u))
+        if w < target:
+            extra = np.where(~taken)[0][: int(target - w)]
+            taken[extra] = True
+            out[extra] = p
+    return out
+
+
+def graph_edge_cut(xadj, adjncy, adjwgt, part) -> int:
+    """Total weight of edges crossing the partition."""
+    xadj = np.ascontiguousarray(xadj, dtype=np.int64)
+    adjncy = np.ascontiguousarray(adjncy, dtype=np.int64)
+    adjwgt = np.ascontiguousarray(adjwgt, dtype=np.int64)
+    part = np.ascontiguousarray(part, dtype=np.int32)
+    lib = _lib()
+    if lib is not None:
+        return int(lib.edge_cut(
+            _i64p(xadj), _i64p(adjncy), _i64p(adjwgt), xadj.shape[0] - 1,
+            part.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))))
+    src = np.repeat(np.arange(xadj.shape[0] - 1), np.diff(xadj))
+    return int(adjwgt[part[src] != part[adjncy]].sum() // 2)
 
 
 def rcb_partition(centroids: np.ndarray, nparts: int) -> np.ndarray:

@@ -111,3 +111,268 @@ void morton_order(const double* centroids, int64_t n, int dim,
 }
 
 }  // extern "C"
+
+// -------------------------------------------------- multilevel k-way
+// METIS-style multilevel k-way graph partitioning over the element dual
+// graph — the reference's default decomposition mode (KWAY in
+// goma_metis_decomposition, src/metis_decomp.c:372). Original
+// implementation of the textbook multilevel recipe: heavy-edge-matching
+// coarsening, greedy-graph-growing initial partition on the coarsest
+// graph, and greedy boundary (FM-style) refinement at every uncoarsening
+// level.
+
+namespace {
+
+struct Graph {
+  int64_t n = 0;
+  std::vector<int64_t> xadj, adjncy;
+  std::vector<int64_t> adjwgt, vwgt;
+  std::vector<int64_t> cmap;  // fine vertex -> coarse vertex (on the finer graph)
+};
+
+// deterministic LCG (no libc rand state)
+inline uint64_t lcg(uint64_t& s) {
+  s = s * 6364136223846793005ULL + 1442695040888963407ULL;
+  return s >> 33;
+}
+
+Graph coarsen(const Graph& g, uint64_t& seed) {
+  std::vector<int64_t> match(g.n, -1), perm(g.n);
+  std::iota(perm.begin(), perm.end(), (int64_t)0);
+  for (int64_t i = g.n - 1; i > 0; --i)
+    std::swap(perm[i], perm[lcg(seed) % (uint64_t)(i + 1)]);
+  // heavy-edge matching
+  int64_t nc = 0;
+  std::vector<int64_t> label(g.n, -1);
+  for (int64_t pi = 0; pi < g.n; ++pi) {
+    int64_t v = perm[pi];
+    if (match[v] >= 0) continue;
+    int64_t best = -1, bw = -1;
+    for (int64_t e = g.xadj[v]; e < g.xadj[v + 1]; ++e) {
+      int64_t u = g.adjncy[e];
+      if (match[u] < 0 && u != v && g.adjwgt[e] > bw) {
+        bw = g.adjwgt[e];
+        best = u;
+      }
+    }
+    match[v] = (best >= 0) ? best : v;
+    if (best >= 0) match[best] = v;
+    label[v] = nc;
+    if (best >= 0) label[best] = nc;
+    ++nc;
+  }
+  Graph c;
+  c.n = nc;
+  c.vwgt.assign(nc, 0);
+  for (int64_t v = 0; v < g.n; ++v) c.vwgt[label[v]] += g.vwgt[v];
+  // contract adjacency (scatter-accumulate with a per-row stamp array)
+  c.xadj.assign(nc + 1, 0);
+  std::vector<int64_t> stamp(nc, -1), acc(nc, 0), cols;
+  cols.reserve(g.adjncy.size());
+  std::vector<int64_t> wout;
+  wout.reserve(g.adjncy.size());
+  for (int64_t cv = 0; cv < nc; ++cv) c.xadj[cv] = 0;
+  std::vector<std::pair<int64_t, int64_t>> members(g.n);
+  for (int64_t v = 0; v < g.n; ++v) members[v] = {label[v], v};
+  std::sort(members.begin(), members.end());
+  int64_t mi = 0;
+  for (int64_t cv = 0; cv < nc; ++cv) {
+    int64_t row_start = (int64_t)cols.size();
+    for (; mi < g.n && members[mi].first == cv; ++mi) {
+      int64_t v = members[mi].second;
+      for (int64_t e = g.xadj[v]; e < g.xadj[v + 1]; ++e) {
+        int64_t cu = label[g.adjncy[e]];
+        if (cu == cv) continue;
+        if (stamp[cu] != cv) {
+          stamp[cu] = cv;
+          acc[cu] = (int64_t)cols.size();
+          cols.push_back(cu);
+          wout.push_back(g.adjwgt[e]);
+        } else {
+          wout[acc[cu]] += g.adjwgt[e];
+        }
+      }
+    }
+    c.xadj[cv + 1] = (int64_t)cols.size();
+    (void)row_start;
+  }
+  c.adjncy = std::move(cols);
+  c.adjwgt = std::move(wout);
+  c.cmap = std::move(label);
+  return c;
+}
+
+// greedy graph growing on the coarsest graph
+void initial_partition(const Graph& g, int nparts, int32_t* part,
+                       uint64_t& seed) {
+  int64_t total = 0;
+  for (int64_t v = 0; v < g.n; ++v) total += g.vwgt[v];
+  double target = (double)total / nparts;
+  std::fill(part, part + g.n, (int32_t)(nparts - 1));
+  std::vector<char> taken(g.n, 0);
+  std::vector<int64_t> queue;
+  for (int p = 0; p < nparts - 1; ++p) {
+    int64_t w = 0;
+    // seed: an untaken vertex (prefer one adjacent to taken region's
+    // boundary-exterior for compactness; fall back to random)
+    int64_t s = -1;
+    for (int64_t tries = 0; tries < 32 && s < 0; ++tries) {
+      int64_t cand = lcg(seed) % (uint64_t)g.n;
+      if (!taken[cand]) s = cand;
+    }
+    if (s < 0)
+      for (int64_t v = 0; v < g.n; ++v)
+        if (!taken[v]) { s = v; break; }
+    if (s < 0) break;
+    queue.clear();
+    queue.push_back(s);
+    taken[s] = 1;
+    part[s] = p;
+    w += g.vwgt[s];
+    size_t qh = 0;
+    while (w < target && qh < queue.size()) {
+      int64_t v = queue[qh++];
+      for (int64_t e = g.xadj[v]; e < g.xadj[v + 1] && w < target; ++e) {
+        int64_t u = g.adjncy[e];
+        if (!taken[u]) {
+          taken[u] = 1;
+          part[u] = p;
+          w += g.vwgt[u];
+          queue.push_back(u);
+        }
+      }
+    }
+    // region ran out of connected untaken vertices before reaching target:
+    // grab nearest untaken (disconnected) vertices
+    for (int64_t v = 0; v < g.n && w < target; ++v)
+      if (!taken[v]) {
+        taken[v] = 1;
+        part[v] = p;
+        w += g.vwgt[v];
+        queue.push_back(v);
+      }
+  }
+}
+
+// greedy k-way boundary refinement (simplified FM: positive-gain moves,
+// balance-guarded; a few passes)
+void refine(const Graph& g, int nparts, int32_t* part, int passes = 4,
+            double imbalance = 1.03) {
+  std::vector<int64_t> pw(nparts, 0);
+  int64_t total = 0;
+  for (int64_t v = 0; v < g.n; ++v) {
+    pw[part[v]] += g.vwgt[v];
+    total += g.vwgt[v];
+  }
+  double maxw = imbalance * (double)total / nparts;
+  std::vector<int64_t> conn(nparts);
+  for (int pass = 0; pass < passes; ++pass) {
+    int64_t moved = 0;
+    for (int64_t v = 0; v < g.n; ++v) {
+      int32_t pv = part[v];
+      if (g.xadj[v + 1] == g.xadj[v]) continue;
+      std::fill(conn.begin(), conn.end(), 0);
+      bool boundary = false;
+      for (int64_t e = g.xadj[v]; e < g.xadj[v + 1]; ++e) {
+        conn[part[g.adjncy[e]]] += g.adjwgt[e];
+        if (part[g.adjncy[e]] != pv) boundary = true;
+      }
+      if (!boundary) continue;
+      int64_t id = conn[pv];
+      int best = -1;
+      int64_t bg = 0;
+      for (int p = 0; p < nparts; ++p) {
+        if (p == pv || conn[p] == 0) continue;
+        int64_t gain = conn[p] - id;
+        bool fits = pw[p] + g.vwgt[v] <= (int64_t)maxw;
+        bool helps_balance = pw[p] + g.vwgt[v] < pw[pv];
+        if (fits && (gain > bg || (gain == bg && gain >= 0 && best < 0 &&
+                                   helps_balance))) {
+          bg = gain;
+          best = p;
+        }
+      }
+      if (best >= 0 && bg > 0) {
+        pw[pv] -= g.vwgt[v];
+        pw[best] += g.vwgt[v];
+        part[v] = best;
+        ++moved;
+      }
+    }
+    // balance pass: if some part exceeds maxw, push its worst boundary
+    // vertices to the lightest feasible neighbor part (zero/negative gain
+    // allowed)
+    for (int64_t v = 0; v < g.n; ++v) {
+      int32_t pv = part[v];
+      if (pw[pv] <= (int64_t)maxw) continue;
+      std::fill(conn.begin(), conn.end(), 0);
+      for (int64_t e = g.xadj[v]; e < g.xadj[v + 1]; ++e)
+        conn[part[g.adjncy[e]]] += g.adjwgt[e];
+      int best = -1;
+      int64_t bw2 = INT64_MAX;
+      for (int p = 0; p < nparts; ++p)
+        if (p != pv && conn[p] > 0 && pw[p] < bw2 &&
+            pw[p] + g.vwgt[v] <= (int64_t)maxw) {
+          bw2 = pw[p];
+          best = p;
+        }
+      if (best >= 0) {
+        pw[pv] -= g.vwgt[v];
+        pw[best] += g.vwgt[v];
+        part[v] = best;
+        ++moved;
+      }
+    }
+    if (!moved) break;
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+void kway_partition(const int64_t* xadj, const int64_t* adjncy,
+                    const int64_t* adjwgt, int64_t n, int nparts,
+                    int32_t* part_out) {
+  if (nparts <= 1 || n == 0) {
+    std::fill(part_out, part_out + n, 0);
+    return;
+  }
+  uint64_t seed = 0x9e3779b97f4a7c15ULL;
+  std::vector<Graph> levels(1);
+  levels[0].n = n;
+  levels[0].xadj.assign(xadj, xadj + n + 1);
+  levels[0].adjncy.assign(adjncy, adjncy + xadj[n]);
+  levels[0].adjwgt.assign(adjwgt, adjwgt + xadj[n]);
+  levels[0].vwgt.assign(n, 1);
+  const int64_t coarse_target = std::max<int64_t>(64, 16LL * nparts);
+  while (levels.back().n > coarse_target) {
+    Graph c = coarsen(levels.back(), seed);
+    if (c.n >= levels.back().n * 95 / 100) break;  // stalled matching
+    levels.push_back(std::move(c));
+  }
+  std::vector<int32_t> part(levels.back().n);
+  initial_partition(levels.back(), nparts, part.data(), seed);
+  refine(levels.back(), nparts, part.data(), 8);
+  for (int64_t li = (int64_t)levels.size() - 1; li > 0; --li) {
+    const Graph& fine = levels[li - 1];
+    const std::vector<int64_t>& cmap = levels[li].cmap;
+    std::vector<int32_t> fpart(fine.n);
+    for (int64_t v = 0; v < fine.n; ++v) fpart[v] = part[cmap[v]];
+    part = std::move(fpart);
+    refine(fine, nparts, part.data(), 4);
+  }
+  std::copy(part.begin(), part.end(), part_out);
+}
+
+// total weight of edges crossing a partition (diagnostic)
+int64_t edge_cut(const int64_t* xadj, const int64_t* adjncy,
+                 const int64_t* adjwgt, int64_t n, const int32_t* part) {
+  int64_t cut = 0;
+  for (int64_t v = 0; v < n; ++v)
+    for (int64_t e = xadj[v]; e < xadj[v + 1]; ++e)
+      if (part[v] != part[adjncy[e]]) cut += adjwgt[e];
+  return cut / 2;
+}
+
+}  // extern "C"

@@ -53,7 +53,7 @@ class PartitionedProblem:
     """
 
     def __init__(self, problem, device_mesh: Mesh | None = None,
-                 axis: str = "dofs"):
+                 axis: str = "dofs", partition_method: str = "kway"):
         if problem.face_sets or problem.ifc_sets or problem.ovs_sets or \
                 getattr(problem, "edge_sets", None) or problem._rotation or \
                 problem.external_fields:
@@ -72,12 +72,12 @@ class PartitionedProblem:
         n = dm.n_dof
 
         # ---- element partition (all blocks concatenated), reference
-        # goma_metis_decomposition (RCB mode)
-        from goma_tpu.native import rcb_partition
+        # goma_metis_decomposition: multilevel KWAY over the element dual
+        # graph by default (minimizes the halo the ppermute exchange
+        # carries), RCB as the -rcb analog
+        from goma_tpu.mesh.partition import partition_elements
 
-        cents = np.concatenate([mesh.coords[b.conn].mean(axis=1)
-                                for b in mesh.blocks])
-        epart = rcb_partition(cents, nd)
+        epart = partition_elements(mesh, nd, method=partition_method)
         eoff = np.cumsum([0] + [b.n_elem for b in mesh.blocks])
 
         # ---- node / dof ownership: lowest part among touching elements
