@@ -25,7 +25,8 @@ from goma_tpu.physics.viscoelastic import (
 from goma_tpu.physics.turbulence import SATurbulentViscosity, SpalartAllmaras, wall_distance
 from goma_tpu.physics.population import MomentEquations, wheeler_n2
 from goma_tpu.physics.acoustic import AcousticHelmholtz, ProjectionEquation, SommerfeldBC
-from goma_tpu.physics.porous import PorousFlow, TwoPhasePorous, VanGenuchten
+from goma_tpu.physics.porous import (PorousFlow, TanhHystSaturation,
+                                     TwoPhasePorous, VanGenuchten)
 from goma_tpu.physics.electro import (ButlerVolmerBC, HORFlux,
                                       ORRFlux, Potential)
 from goma_tpu.physics.lubrication import ReynoldsFilm

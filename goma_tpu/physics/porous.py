@@ -157,7 +157,11 @@ class PorousFlow(Equation):
         mu = prop(mat, "mu_liquid", fv, params, 1.0)
         phi_por = prop(mat, "porosity", fv, params, 1.0)
 
-        kr = self.model.krel(p) if self.model is not None else 1.0
+        hyst = isinstance(self.model, TanhHystSaturation)
+        if hyst:
+            kr = self.model.krel_fv(p, fv)
+        else:
+            kr = self.model.krel(p) if self.model is not None else 1.0
         mob = k * kr / mu
         drive = gp
         gvec = mat.get("gravity_vec", None)
@@ -170,16 +174,27 @@ class PorousFlow(Equation):
         gphi = fv.gphi[POR_VAR]
         contrib = jnp.einsum("qk,qik->qi", flux, gphi)
         if self.transient and self.model is not None:
-            # phi * dS/dt = phi * S'(p) * pdot  (AD supplies S'(p))
+            # phi * dS/dt = phi * S'(p) * pdot  (AD supplies S'(p) along the
+            # active scanning curve for the hysteretic model)
             import jax as _jax
 
-            dS = _jax.vmap(_jax.grad(lambda pp: self.model.saturation(pp)))(p)
+            if hyst:
+                dS = _jax.vmap(_jax.grad(
+                    lambda pp, cu, sw, pw: self.model.saturation_pc(
+                        -pp, cu, sw, pw)))(
+                    p, fv.ext["hyst_curve"], fv.ext["hyst_sat_switch"],
+                    fv.ext["hyst_pc_switch"])
+            else:
+                dS = _jax.vmap(_jax.grad(lambda pp: self.model.saturation(pp)))(p)
             pdot = fv.dot[POR_VAR][:, 0]
             contrib = contrib + jnp.einsum("q,qi->qi", phi_por * dS * pdot, phi_b)
         if "sink_linear" in mat and SINK_VAR in fv.val:
             # absorbing-particle sink (reference porous sink mass coupling,
             # J_pm_sink_mass blocks via AD): liquid removed at rate A
-            S = self.model.saturation(p) if self.model is not None else 1.0
+            if hyst:
+                S = self.model.saturation_fv(p, fv)
+            else:
+                S = self.model.saturation(p) if self.model is not None else 1.0
             A = sink_absorption_rate(fv, mat, params, S)
             contrib = contrib + jnp.einsum("q,qi->qi", A, phi_b)
         return contrib[:, None, :]
@@ -220,3 +235,126 @@ class PorousSinkMass(Equation):
         A = sink_absorption_rate(fv, mat, params, S)
         r = fv.dot[SINK_VAR][:, 0] - rho * A
         return (r[:, None] * fv.phi[SINK_VAR])[:, None, :]
+
+
+class TanhHystSaturation:
+    """Hysteretic tanh saturation with scanning curves — the reference's
+    TANH_HYST model (``src/mm_fill_porous.c:5773``) with its per-point
+    reversal state (``rf_element_storage.c`` Sat_QP_tn / p_cap_QP /
+    sat_curve_type) and the d(p_liq)/dt reversal criterion
+    (``evaluate_sat_hyst_criterion``, mm_fill_porous.c:11210; the nodal
+    variant rf_util.c:3982).
+
+    TPU-first state design: the reversal state lives in three NODAL fields
+    (curve type 0=wetting/1=draining, S at reversal, p_c at reversal)
+    passed as external fields — piecewise-frozen inside each time step, so
+    the jitted residual stays branch-free (one ``jnp.where`` over the two
+    curves) and AD supplies dS/dp along the active scanning curve. Between
+    accepted steps ``update_state`` applies the reference switch rules on
+    host.
+
+    Parameters mirror u_saturation[0..9]: (s_max, beta_w, alpha_w) wetting,
+    (s_min, beta_d, alpha_d) draining, initial curve, switch-rate
+    threshold.
+    """
+
+    EXT_FIELDS = ("hyst_curve", "hyst_sat_switch", "hyst_pc_switch")
+
+    def __init__(self, s_max: float, beta_w: float, alpha_w: float,
+                 s_min: float, beta_d: float, alpha_d: float,
+                 draining_initial: bool = True,
+                 switch_threshold: float = 0.0, kr_min: float = 1e-6,
+                 mualem_m: float = 0.5):
+        self.s_max, self.beta_w, self.alpha_w = s_max, beta_w, alpha_w
+        self.s_min, self.beta_d, self.alpha_d = s_min, beta_d, alpha_d
+        self.draining_initial = draining_initial
+        self.switch_threshold = switch_threshold
+        self.kr_min = kr_min
+        self.mualem_m = mualem_m
+
+    # ---------------------------------------------------------- curves
+    def saturation_pc(self, pc, curve, sat_sw, pc_sw):
+        """S(p_c) on the active scanning curve through the reversal point
+        (mm_fill_porous.c:5823-5885 con_a/con_b construction)."""
+        pc = jnp.maximum(pc, 1e-5)
+        pc_sw = jnp.maximum(pc_sw, 1e-5)
+        td = jnp.tanh(self.beta_d - self.alpha_d / pc)
+        td_sw = jnp.tanh(self.beta_d - self.alpha_d / pc_sw)
+        # The anchoring denominators vanish when pc_sw sits in the curve's
+        # degenerate region (pc_sw << alpha/beta, where tanh saturates) —
+        # both for the inactive jnp.where branch (draining-initial wetting
+        # anchor at pc_sw ~ 0) and for reversals detected at very low
+        # suction. Clamp sign-safely: keeps values and AD gradients finite
+        # and bounds the scanning-curve slope, at the cost of an O(clamp)
+        # anchoring error exactly where the curves carry no information.
+        den_d = jnp.minimum(-1.0 + td_sw, -1e-2)
+        con_b_d = (sat_sw - self.s_min) / den_d
+        S_d = (self.s_min - con_b_d) + con_b_d * td
+        tw = jnp.tanh(self.beta_w - self.alpha_w / pc)
+        tw_sw = jnp.tanh(self.beta_w - self.alpha_w / pc_sw)
+        den_w = jnp.maximum(tw_sw + 1.0, 1e-2)
+        con_b_w = (sat_sw - self.s_max) / den_w
+        S_w = (1.0 + con_b_w) + con_b_w * tw
+        return jnp.clip(jnp.where(curve >= 0.5, S_d, S_w), 0.0, 1.0)
+
+    def saturation_fv(self, p, fv):
+        """S at quadrature points; Richards convention p_c = -p_liq
+        (p_gas = 0)."""
+        return self.saturation_pc(-p, fv.ext["hyst_curve"],
+                                  fv.ext["hyst_sat_switch"],
+                                  fv.ext["hyst_pc_switch"])
+
+    def krel_fv(self, p, fv):
+        """Mualem k_r on the effective saturation of the current state."""
+        S = self.saturation_fv(p, fv)
+        se = jnp.clip((S - self.s_min) / (self.s_max - self.s_min),
+                      1e-7, 1.0)
+        m = self.mualem_m
+        kr = jnp.sqrt(se) * (1.0 - (1.0 - se ** (1.0 / m)) ** m) ** 2
+        return jnp.maximum(kr, self.kr_min)
+
+    # ----------------------------------------------------------- state
+    def init_state(self, n_nodes: int) -> dict:
+        """Main-curve initial state (rf_element_storage.c:352-370)."""
+        import numpy as _np
+
+        if self.draining_initial:
+            sat_sw = self.s_max
+            pc_sw = 1e-12
+        else:
+            pc_sw = 1e12 * self.alpha_w
+            sat_sw = self.s_max - (self.s_max - self.s_min) * 0.5 * (
+                1.0 + _np.tanh(self.beta_w - self.alpha_w / pc_sw))
+        return {
+            "hyst_curve": _np.full(n_nodes, 1.0 if self.draining_initial else 0.0),
+            "hyst_sat_switch": _np.full(n_nodes, sat_sw),
+            "hyst_pc_switch": _np.full(n_nodes, pc_sw),
+        }
+
+    def update_state(self, state: dict, p_nodal, pdot_nodal) -> dict:
+        """Apply the reversal rules after an accepted step
+        (mm_fill_porous.c:11230-11265): dp_liq/dt > 0 means imbibing;
+        switch curve when the rate crosses sign with magnitude above the
+        threshold, snapshotting (S, p_c) as the new reversal point."""
+        import numpy as _np
+
+        p = _np.asarray(p_nodal, dtype=float)
+        pdot = _np.asarray(pdot_nodal, dtype=float)
+        pc = _np.maximum(-p, 1e-5)
+        curve = state["hyst_curve"].copy()
+        ssw = state["hyst_sat_switch"].copy()
+        pcsw = state["hyst_pc_switch"].copy()
+        import numpy as np
+
+        S_now = _np.asarray(self.saturation_pc(
+            jnp.asarray(pc), jnp.asarray(curve), jnp.asarray(ssw),
+            jnp.asarray(pcsw)))
+        thr = self.switch_threshold
+        to_wet = (pdot > 0) & (curve >= 0.5) & (np.abs(pdot) > thr) & (S_now <= 0.9999)
+        to_dry = (pdot <= 0) & (curve < 0.5) & (np.abs(pdot) > thr)
+        for mask, newc in ((to_wet, 0.0), (to_dry, 1.0)):
+            curve[mask] = newc
+            ssw[mask] = S_now[mask]
+            pcsw[mask] = pc[mask]
+        return {"hyst_curve": curve, "hyst_sat_switch": ssw,
+                "hyst_pc_switch": pcsw}

@@ -468,6 +468,94 @@ def gmres(matvec, b, precond=None, x0=None, tol=1e-8, atol=0.0, restart=40, maxi
     return LinearResult(x=x, iters=iters, resnorm=rn, converged=rn <= target)
 
 
+def gmres_dr_cycle(matvec, precond, b, x0, U, C, restart, tol):
+    """One GCRO-DR (recycled/deflated GMRES) cycle: minimize the residual
+    over range(M U) + K_m((I-CC^T) A M, r0), with C = A M U orthonormal.
+
+    The Newton-Krylov sequence solves a slowly-varying family of Jacobians
+    whose preconditioned spectra share a small cluster of bad eigenvalues
+    (measured: mid-Newton cavity solves burn 200+ Krylov its for a 1e-1
+    reduction regardless of tolerance); carrying the harmonic-Ritz deflation
+    space between Newton iterations removes exactly that cluster
+    [Parks, de Sturler et al., "Recycling Krylov subspaces for sequences of
+    linear systems", SIAM J. Sci. Comput. 28 (2006) — method reimplemented
+    from the algorithm description]. Replaces the role AztecOO's
+    reuse/recycle options play in the reference stack
+    (src/sl_aztecoo_interface.cpp).
+
+    U, C are (k, n) row-major; pass k=0 arrays (shape (0, n)) for a plain
+    deflation-free cycle. Returns
+    (x_new, rn_true, cnt, V, H, B) — V (m+1, n), H (m+1, m), B (k, m) feed
+    the between-solves harvest; rn_true is the actual ||b - A x_new||.
+    """
+    n = b.shape[0]
+    dtype = b.dtype
+    m = restart
+    k = U.shape[0]
+
+    bnorm = jnp.linalg.norm(b)
+    target = tol * bnorm
+
+    r = b - matvec(x0)
+    c0 = C @ r if k else jnp.zeros((0,), dtype)
+    rp = r - C.T @ c0 if k else r
+    beta = jnp.linalg.norm(rp)
+
+    V = jnp.zeros((m + 1, n), dtype=dtype)
+    H = jnp.zeros((m + 1, m), dtype=dtype)
+    B = jnp.zeros((k, m), dtype=dtype)
+    V = V.at[0].set(rp / jnp.where(beta > 0, beta, 1.0))
+    Q = jnp.eye(m + 1, dtype=dtype)
+    hi = jax.lax.Precision.HIGHEST
+
+    def live(carry, j):
+        V, H, B, Q, done, cnt = carry
+        w = matvec(precond(V[j]))
+        if k:
+            bj = jnp.matmul(C, w, precision=hi)
+            w = w - jnp.matmul(C.T, bj, precision=hi)
+            B = B.at[:, j].set(bj)
+        mask = (jnp.arange(m + 1) <= j).astype(dtype)
+        h = jnp.matmul(V, w, precision=hi) * mask
+        w = w - jnp.matmul(V.T, h, precision=hi)
+        h2 = jnp.matmul(V, w, precision=hi) * mask
+        w = w - jnp.matmul(V.T, h2, precision=hi)
+        h = h + h2
+        wn = jnp.linalg.norm(w)
+        H = H.at[:, j].set(h)
+        H = H.at[j + 1, j].set(wn)
+        V = V.at[j + 1].set(w / jnp.where(wn > 1e-30, wn, 1.0))
+        hr = jnp.matmul(Q, H[:, j], precision=hi)
+        a0, a1 = hr[j], hr[j + 1]
+        rr = jnp.sqrt(a0 * a0 + a1 * a1)
+        ok = rr > 1e-30
+        c_ = jnp.where(ok, a0 / jnp.where(ok, rr, 1.0), 1.0)
+        s_ = jnp.where(ok, a1 / jnp.where(ok, rr, 1.0), 0.0)
+        qj, qj1 = Q[j], Q[j + 1]
+        Q = Q.at[j].set(c_ * qj + s_ * qj1)
+        Q = Q.at[j + 1].set(-s_ * qj + c_ * qj1)
+        est = jnp.abs(Q[j + 1, 0] * beta)
+        return (V, H, B, Q, est <= target, cnt + 1)
+
+    def step(j, carry):
+        return jax.lax.cond(carry[4], lambda c: c, lambda c: live(c, j), carry)
+
+    V, H, B, Q, done, cnt = jax.lax.fori_loop(
+        0, m, step, (V, H, B, Q, beta <= target, jnp.zeros((), jnp.int32)))
+
+    from goma_tpu.utils.la import lstsq_small
+
+    e1 = jnp.zeros(m + 1, dtype=dtype).at[0].set(beta)
+    y = lstsq_small(H, e1)
+    z = jnp.matmul(V[:m].T, y, precision=hi)
+    if k:
+        alpha = c0 - jnp.matmul(B, y, precision=hi)
+        z = z + jnp.matmul(U.T, alpha, precision=hi)
+    x_new = x0 + precond(z)
+    rn = jnp.linalg.norm(b - matvec(x_new))
+    return x_new, rn, cnt, V, H, B
+
+
 def bicgstab(matvec, b, precond=None, x0=None, tol=1e-8, atol=0.0, maxiter=500):
     """Right-preconditioned BiCGStab (reference: AZ_bicgstab option)."""
     if precond is None:

@@ -58,6 +58,10 @@ class NewtonOptions:
     # None: 1.0 for vanka (weighted overlap already averages), 0.7 for bj
     smooth_damp: float | None = None
     smooth_sweeps: int = 2
+    # post-smoothing sweeps of the two-level cycle; None -> smooth_sweeps.
+    # 0 gives a pre-only cycle: one smoother apply + one matvec cheaper per
+    # Krylov iteration
+    smooth_post_sweeps: int | None = None
     # two-level smoother: "bj" node-block-Jacobi | "vanka" element-block
     # additive Schwarz (the classic saddle-point multigrid smoother)
     smoother: str = "vanka"
@@ -88,6 +92,11 @@ class NewtonOptions:
     # lags, so Newton convergence is unaffected. Reference analog: Aztec
     # pre_calc/AZ_reuse (src/sl_util.c:380).
     precond_lag: bool = True
+    # GCRO-DR Krylov recycling: carry a k-dimensional harmonic-Ritz
+    # deflation space between the Newton iterations' linear solves (the
+    # slowly-varying Jacobian family shares its bad eigenvalue cluster).
+    # 0 disables. See solvers/linear.py gmres_dr_cycle.
+    recycle_k: int = 0
 
 
 @dataclass
@@ -164,9 +173,12 @@ class NewtonSolver:
             damp = self.opts.smooth_damp
             if damp is None:
                 damp = 1.0 if self.opts.smoother == "vanka" else 0.7
+            post = (self.opts.smooth_sweeps
+                    if self.opts.smooth_post_sweeps is None
+                    else self.opts.smooth_post_sweeps)
             self.precond = TwoLevel(
                 problem, smooth_damp=damp,
-                pre_sweeps=self.opts.smooth_sweeps, post_sweeps=self.opts.smooth_sweeps,
+                pre_sweeps=self.opts.smooth_sweeps, post_sweeps=post,
                 smoother=self.opts.smoother,
             )
         elif kind != "_done":
@@ -222,6 +234,12 @@ class NewtonSolver:
         self._cycle_jit = jax.jit(self._gmres_cycle)
         self._solve_gmres = self._linsolve_gmres  # host restart loop
         self._solve_bicgstab = jax.jit(self._linsolve_bicgstab)
+        # GCRO-DR recycling state (device (k, n) harmonic-Ritz space)
+        self._recycle_U = None
+        self._cycle_dr_jit = jax.jit(self._gmres_dr_cycle_fn)
+        self._dr_setup_jit = jax.jit(self._dr_setup)
+        self._dr_small_jit = jax.jit(self._dr_small_mats)
+        self._dr_unew_jit = jax.jit(self._dr_unew)
 
     def _prepare(self, x, params):
         """Assemble + scale + norms, one device call. Also returns the
@@ -332,6 +350,110 @@ class NewtonSolver:
                    maxiter=self.opts.gmres_restart, x0=x)
         return lr.x, lr.resnorm, lr.iters
 
+    # ------------------------------------------------- GCRO-DR recycling
+    def _gmres_dr_cycle_fn(self, vals, scale, aux, ptab, ntab, fac_num, x, b,
+                           U, C, tol):
+        from goma_tpu.solvers.linear import gmres_dr_cycle
+
+        mv = self._matvec_state(vals, scale, aux, ptab, ntab)
+        M = lambda r: self._apply_precond_mv(mv, vals, ntab, fac_num, r)
+        return gmres_dr_cycle(mv, M, b, x, U, C,
+                              self.opts.gmres_restart, tol)
+
+    def _dr_setup(self, vals, scale, aux, ptab, ntab, fac_num, U):
+        """Re-orthonormalize the recycled space against the CURRENT
+        operator: C = A M U made orthonormal, U scaled to match."""
+        mv = self._matvec_state(vals, scale, aux, ptab, ntab)
+        M = lambda r: self._apply_precond_mv(mv, vals, ntab, fac_num, r)
+        AMU = jax.lax.map(lambda u: mv(M(u)), U)  # (k, n)
+        Qc, Rc = jnp.linalg.qr(AMU.T)  # (n, k), (k, k)
+        # guard rank loss: regularize tiny diagonals (the harvested space
+        # occasionally has near-dependent columns)
+        d = jnp.abs(jnp.diagonal(Rc))
+        ok = jnp.all(d > 1e-12 * jnp.max(d))
+        Rc = Rc + jnp.where(ok, 0.0, 1.0) * jnp.eye(Rc.shape[0], dtype=Rc.dtype)
+        Unew = jax.scipy.linalg.solve_triangular(Rc.T, U, lower=True)
+        return Qc.T, Unew, ok
+
+    def _dr_small_mats(self, U, C, V):
+        """Device inner products feeding the host-side harmonic-Ritz
+        harvest: C^H U (k,k) and V^H U (m+1,k)."""
+        return C @ U.T, V @ U.T
+
+    def _dr_unew(self, g_u, g_v, U, V):
+        """U_new = W g with W = [U; V_m] (rows)."""
+        return (g_u.T @ U + g_v.T @ V[:V.shape[0] - 1]).astype(U.dtype)
+
+    def _dr_harvest(self, U, C, V, H, B, cnt):
+        """Between-solves harvest (host small dense math): the k smallest
+        harmonic Ritz vectors of the composite space W = [U, V_m], using
+        A M W = [C, V_{m+1}] G~ with G~ = [[I, B], [0, H]] — the pencil
+        (G~^H G~) g = theta (G~^H Q^H W) g [Parks et al. 2006, Alg. 2
+        structure]. Returns the new (k, n) device U or None on failure."""
+        import numpy as onp
+        import scipy.linalg as sla
+
+        k = self.opts.recycle_k
+        m = int(cnt)
+        if m < k + 2:
+            return None  # cycle too short to harvest anything useful
+        ku = U.shape[0] if U is not None else 0
+        CU, VU = (jax.device_get(a) for a in self._dr_small_jit(
+            U if ku else jnp.zeros((0, V.shape[1]), V.dtype), C if ku else
+            jnp.zeros((0, V.shape[1]), V.dtype), V))
+        Hh = onp.asarray(jax.device_get(H))[: m + 1, :m]
+        Bh = onp.asarray(jax.device_get(B))[:, :m] if ku else onp.zeros((0, m))
+        # G~ ((ku+m+1) x (ku+m)) and Phi = [C V_{m+1}]^H W ((ku+m+1) x (ku+m))
+        Gt = onp.zeros((ku + m + 1, ku + m))
+        Gt[:ku, :ku] = onp.eye(ku)
+        Gt[:ku, ku:] = Bh
+        Gt[ku:, ku:] = Hh
+        Phi = onp.zeros((ku + m + 1, ku + m))
+        Phi[:ku, :ku] = CU[:, :ku] if ku else CU
+        Phi[ku:, :ku] = VU[: m + 1, :ku] if ku else VU[: m + 1]
+        Phi[ku:ku + m, ku:] = onp.eye(m)
+        try:
+            A_h = Gt.T @ Gt
+            B_h = Gt.T @ Phi
+            w, vecs = sla.eig(A_h, B_h)
+        except Exception:
+            return None
+        finite = onp.isfinite(w)
+        if finite.sum() < k:
+            return None
+        order = onp.argsort(onp.abs(w[finite]))
+        vv = vecs[:, finite][:, order]
+        # real basis from the leading complex-pair columns
+        cols, seen = [], 0
+        i = 0
+        while seen < k and i < vv.shape[1]:
+            c = vv[:, i]
+            if onp.abs(c.imag).max() > 1e-13 * max(1.0, onp.abs(c.real).max()):
+                cols.append(c.real)
+                cols.append(c.imag)
+                seen += 2
+                i += 2  # skip the conjugate twin
+            else:
+                cols.append(c.real)
+                seen += 1
+                i += 1
+        G = onp.stack(cols[:k], axis=1)  # (ku+m, k)
+        Gq, _ = onp.linalg.qr(G)
+        if not onp.all(onp.isfinite(Gq)):
+            return None
+        g_u = onp.zeros((ku, k))
+        g_v = onp.zeros((V.shape[0] - 1, k))
+        g_u[:, :] = Gq[:ku]
+        g_v[:m] = Gq[ku:]
+        Uz = U if ku else jnp.zeros((0, V.shape[1]), V.dtype)
+        if ku == 0:
+            Un = self._dr_unew(jnp.zeros((0, k), V.dtype),
+                               jnp.asarray(g_v, V.dtype), Uz, V)
+        else:
+            Un = self._dr_unew(jnp.asarray(g_u, V.dtype),
+                               jnp.asarray(g_v, V.dtype), Uz, V)
+        return Un
+
     def _linsolve_gmres(self, vals, R, scale=None, aux=None, tol=None):
         opts = self.opts
         if scale is None:
@@ -354,16 +476,48 @@ class NewtonSolver:
         target = max(tol * bnorm, 1e-300)
         it = 0
         rn = bnorm
-        while rn > target and it < opts.linear_maxiter:
-            prev = rn
-            z, rnj, cj = self._cycle_jit(vals, scale, aux, ptab, self._ntab, fac, z, b,
-                                         jnp.asarray(tol, dtype=b.dtype))
-            rn = float(jax.device_get(rnj))
-            it += max(int(jax.device_get(cj)), 1)
-            if not np.isfinite(rn):
-                break
-            if rn >= 0.999 * prev:
-                break  # stagnation (e.g. optimistic in-cycle estimate)
+        kdr = opts.recycle_k
+        if kdr > 0:
+            # GCRO-DR: refresh the recycled space against this iteration's
+            # operator, run deflated cycles, harvest for the next solve
+            U = self._recycle_U
+            if U is not None and U.shape[0] == kdr:
+                C, U, _ok = self._dr_setup_jit(
+                    vals, scale, aux, ptab, self._ntab, fac, U)
+            else:
+                U = jnp.zeros((0, b.shape[0]), dtype=b.dtype)
+                C = U
+            V = H = Bm = None
+            cnt = 0
+            while rn > target and it < opts.linear_maxiter:
+                prev = rn
+                z, rnj, cj, V, H, Bm = self._cycle_dr_jit(
+                    vals, scale, aux, ptab, self._ntab, fac, z, b, U, C,
+                    jnp.asarray(tol, dtype=b.dtype))
+                rn = float(jax.device_get(rnj))
+                cnt = max(int(jax.device_get(cj)), 1)
+                it += cnt
+                if not np.isfinite(rn):
+                    break
+                if rn >= 0.999 * prev:
+                    break
+            if V is not None and np.isfinite(rn):
+                Un = self._dr_harvest(U if U.shape[0] else None, C, V, H,
+                                      Bm, cnt)
+                if Un is not None:
+                    self._recycle_U = Un
+        else:
+            while rn > target and it < opts.linear_maxiter:
+                prev = rn
+                z, rnj, cj = self._cycle_jit(vals, scale, aux, ptab, self._ntab,
+                                             fac, z, b,
+                                             jnp.asarray(tol, dtype=b.dtype))
+                rn = float(jax.device_get(rnj))
+                it += max(int(jax.device_get(cj)), 1)
+                if not np.isfinite(rn):
+                    break
+                if rn >= 0.999 * prev:
+                    break  # stagnation (e.g. optimistic in-cycle estimate)
         if opts.precond_lag:
             # staleness policy: drop the cached factor once the iteration
             # count degrades by two restart cycles over its baseline
