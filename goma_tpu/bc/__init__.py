@@ -1,4 +1,9 @@
 from goma_tpu.bc.free_surface import CapillaryBC, KinematicBC, NormalFlux, Traction
+from goma_tpu.bc.surface_domain import (
+    SDCStefanFlow,
+    SDCStefanVolumeFlow,
+    SurfDomainMassFlux,
+)
 from goma_tpu.bc.fluid import (
     ConvectiveHeatFlux,
     FlowPressure,
