@@ -69,6 +69,40 @@ def element_dual_graph(mesh: Mesh, ncommon: int | None = None):
     return xadj, dst.astype(np.int64), wgt.astype(np.int64)
 
 
+def recursive_bisection(xadj: np.ndarray, adjncy: np.ndarray,
+                        adjwgt: np.ndarray, nparts: int) -> np.ndarray:
+    """K-way partition by recursive FM bisection (nparts a power of two).
+    Each level runs the native multilevel FM bisector on the subgraph."""
+    from goma_tpu.native import bisect_partition
+
+    n = xadj.shape[0] - 1
+    out = np.zeros(n, dtype=np.int32)
+
+    def rec(verts: np.ndarray, base: int, k: int) -> None:
+        if k <= 1 or verts.shape[0] == 0:
+            out[verts] = base
+            return
+        # subgraph extraction
+        local = np.full(n, -1, dtype=np.int64)
+        local[verts] = np.arange(verts.shape[0])
+        deg = (xadj[verts + 1] - xadj[verts]).astype(np.int64)
+        srcs = np.repeat(np.arange(verts.shape[0]), deg)
+        offs = np.concatenate([np.arange(xadj[v], xadj[v + 1]) for v in verts]) \
+            if verts.shape[0] else np.empty(0, np.int64)
+        dst = local[adjncy[offs]]
+        keep = dst >= 0
+        srcs, dst, w = srcs[keep], dst[keep], adjwgt[offs][keep]
+        sx = np.zeros(verts.shape[0] + 1, dtype=np.int64)
+        np.add.at(sx, srcs + 1, 1)
+        sx = np.cumsum(sx)
+        part = bisect_partition(sx, dst.astype(np.int64), w.astype(np.int64))
+        rec(verts[part == 0], base, k // 2)
+        rec(verts[part == 1], base + k // 2, k // 2)
+
+    rec(np.arange(n, dtype=np.int64), 0, nparts)
+    return out
+
+
 def partition_elements(mesh: Mesh, nparts: int, method: str = "kway") -> np.ndarray:
     """(n_elem,) part id per global element, balanced.
 
@@ -76,13 +110,22 @@ def partition_elements(mesh: Mesh, nparts: int, method: str = "kway") -> np.ndar
     reference's METIS KWAY default, src/metis_decomp.c:372) — minimizes
     the edge cut, i.e. halo/ghost traffic of the partitioned-DOF sharding.
     method="rcb": recursive coordinate bisection of centroids (the -rcb
-    mode); spatially compact, cheaper to build."""
+    mode); spatially compact, cheaper to build.
+    method="auto": build the kway, rcb and (power-of-two) recursive-FM
+    candidates and keep the smallest edge cut — halo traffic decides."""
     if method == "rcb":
         return rcb_partition(element_centroids(mesh), nparts)
-    from goma_tpu.native import kway_partition
+    from goma_tpu.native import graph_edge_cut, kway_partition
 
     xadj, adjncy, adjwgt = element_dual_graph(mesh)
-    return kway_partition(xadj, adjncy, adjwgt, nparts)
+    if method == "kway":
+        return kway_partition(xadj, adjncy, adjwgt, nparts)
+    cands = [kway_partition(xadj, adjncy, adjwgt, nparts),
+             rcb_partition(element_centroids(mesh), nparts)]
+    if nparts & (nparts - 1) == 0:
+        cands.append(recursive_bisection(xadj, adjncy, adjwgt, nparts))
+    cuts = [graph_edge_cut(xadj, adjncy, adjwgt, p) for p in cands]
+    return cands[int(np.argmin(cuts))]
 
 
 def reorder_elements(mesh: Mesh, order_by: str = "morton", nparts: int | None = None) -> Mesh:

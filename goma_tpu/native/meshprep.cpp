@@ -16,6 +16,8 @@
 #include <cstdint>
 #include <cstring>
 #include <numeric>
+#include <queue>
+#include <utility>
 #include <vector>
 
 extern "C" {
@@ -327,9 +329,151 @@ void refine(const Graph& g, int nparts, int32_t* part, int passes = 4,
   }
 }
 
+// ---- proper 2-way Fiduccia-Mattheyses refinement with rollback ----
+// The greedy k-way refine above only takes positive-gain moves and stalls
+// at jagged boundaries; FM climbs through negative-gain sequences and keeps
+// the best prefix. Used for bisection (nested-dissection separators and
+// recursive-bisection partitions), where cut quality matters most.
+void fm2(const Graph& g, int32_t* part, int passes, double imbalance) {
+  int64_t total = 0;
+  for (int64_t v = 0; v < g.n; ++v) total += g.vwgt[v];
+  const double maxw = imbalance * (double)total / 2.0;
+  std::vector<int64_t> pw(2, 0);
+  for (int64_t v = 0; v < g.n; ++v) pw[part[v]] += g.vwgt[v];
+  std::vector<int64_t> gain(g.n);
+  std::vector<char> locked(g.n);
+  std::vector<int64_t> order;
+  order.reserve(g.n);
+  auto compute_gain = [&](int64_t v) {
+    int64_t gn = 0;
+    for (int64_t e = g.xadj[v]; e < g.xadj[v + 1]; ++e)
+      gn += (part[g.adjncy[e]] != part[v]) ? g.adjwgt[e] : -g.adjwgt[e];
+    return gn;
+  };
+  for (int pass = 0; pass < passes; ++pass) {
+    std::fill(locked.begin(), locked.end(), 0);
+    order.clear();
+    // lazy max-heap of (gain, vertex); stale entries skipped on pop
+    std::priority_queue<std::pair<int64_t, int64_t>> heap;
+    for (int64_t v = 0; v < g.n; ++v) {
+      gain[v] = compute_gain(v);
+      heap.push({gain[v], v});
+    }
+    int64_t cur = 0, best = 0;
+    size_t best_len = 0;
+    while (!heap.empty()) {
+      auto [gv, v] = heap.top();
+      heap.pop();
+      if (locked[v] || gv != gain[v]) continue;
+      int to = 1 - part[v];
+      if ((double)(pw[to] + g.vwgt[v]) > maxw) continue;
+      locked[v] = 1;
+      pw[part[v]] -= g.vwgt[v];
+      pw[to] += g.vwgt[v];
+      part[v] = (int32_t)to;
+      order.push_back(v);
+      cur += gv;
+      if (cur > best) {
+        best = cur;
+        best_len = order.size();
+      }
+      for (int64_t e = g.xadj[v]; e < g.xadj[v + 1]; ++e) {
+        int64_t u = g.adjncy[e];
+        if (locked[u]) continue;
+        gain[u] = compute_gain(u);
+        heap.push({gain[u], u});
+      }
+    }
+    // rollback everything after the best prefix
+    for (size_t i = order.size(); i > best_len; --i) {
+      int64_t v = order[i - 1];
+      int to = 1 - part[v];
+      pw[part[v]] -= g.vwgt[v];
+      pw[to] += g.vwgt[v];
+      part[v] = (int32_t)to;
+    }
+    if (best <= 0) break;
+  }
+}
+
+// BFS half-growing from a pseudo-peripheral seed (good initial bisection)
+void initial_bisect(const Graph& g, int32_t* part, uint64_t& seed) {
+  int64_t total = 0;
+  for (int64_t v = 0; v < g.n; ++v) total += g.vwgt[v];
+  int64_t start = (int64_t)(lcg(seed) % (uint64_t)g.n);
+  std::vector<int64_t> q;
+  std::vector<char> seen(g.n);
+  for (int rep = 0; rep < 2; ++rep) {  // two BFS sweeps -> pseudo-peripheral
+    std::fill(seen.begin(), seen.end(), 0);
+    q.clear();
+    q.push_back(start);
+    seen[start] = 1;
+    for (size_t h = 0; h < q.size(); ++h)
+      for (int64_t e = g.xadj[q[h]]; e < g.xadj[q[h] + 1]; ++e)
+        if (!seen[g.adjncy[e]]) {
+          seen[g.adjncy[e]] = 1;
+          q.push_back(g.adjncy[e]);
+        }
+    start = q.back();
+  }
+  std::fill(part, part + g.n, 1);
+  std::fill(seen.begin(), seen.end(), 0);
+  q.clear();
+  q.push_back(start);
+  seen[start] = 1;
+  int64_t w = 0;
+  for (size_t h = 0; h < q.size() && 2 * w < total; ++h) {
+    int64_t v = q[h];
+    part[v] = 0;
+    w += g.vwgt[v];
+    for (int64_t e = g.xadj[v]; e < g.xadj[v + 1]; ++e)
+      if (!seen[g.adjncy[e]]) {
+        seen[g.adjncy[e]] = 1;
+        q.push_back(g.adjncy[e]);
+      }
+  }
+  // disconnected leftovers: dump into the lighter side
+  for (int64_t v = 0; v < g.n && 2 * w < total; ++v)
+    if (!seen[v]) {
+      part[v] = 0;
+      w += g.vwgt[v];
+    }
+}
+
 }  // namespace
 
 extern "C" {
+
+// Multilevel 2-way partition with FM refinement (for ND separators and
+// recursive bisection; better cuts than the greedy k-way refine).
+void bisect_partition(const int64_t* xadj, const int64_t* adjncy,
+                      const int64_t* adjwgt, int64_t n, int32_t* part_out) {
+  if (n == 0) return;
+  uint64_t seed = 0x9e3779b97f4a7c15ULL;
+  std::vector<Graph> levels(1);
+  levels[0].n = n;
+  levels[0].xadj.assign(xadj, xadj + n + 1);
+  levels[0].adjncy.assign(adjncy, adjncy + xadj[n]);
+  levels[0].adjwgt.assign(adjwgt, adjwgt + xadj[n]);
+  levels[0].vwgt.assign(n, 1);
+  while (levels.back().n > 64) {
+    Graph c = coarsen(levels.back(), seed);
+    if (c.n >= levels.back().n * 95 / 100) break;
+    levels.push_back(std::move(c));
+  }
+  std::vector<int32_t> part(levels.back().n);
+  initial_bisect(levels.back(), part.data(), seed);
+  fm2(levels.back(), part.data(), 10, 1.05);
+  for (int64_t li = (int64_t)levels.size() - 1; li > 0; --li) {
+    const Graph& fine = levels[li - 1];
+    const std::vector<int64_t>& cmap = levels[li].cmap;
+    std::vector<int32_t> fpart(fine.n);
+    for (int64_t v = 0; v < fine.n; ++v) fpart[v] = part[cmap[v]];
+    part = std::move(fpart);
+    fm2(fine, part.data(), 4, 1.05);
+  }
+  std::copy(part.begin(), part.end(), part_out);
+}
 
 void kway_partition(const int64_t* xadj, const int64_t* adjncy,
                     const int64_t* adjwgt, int64_t n, int nparts,

@@ -53,7 +53,7 @@ class PartitionedProblem:
     """
 
     def __init__(self, problem, device_mesh: Mesh | None = None,
-                 axis: str = "dofs", partition_method: str = "kway"):
+                 axis: str = "dofs", partition_method: str = "auto"):
         if problem.face_sets or problem.ifc_sets or problem.ovs_sets or \
                 getattr(problem, "edge_sets", None) or problem._rotation or \
                 problem.external_fields:

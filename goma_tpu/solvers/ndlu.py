@@ -1,0 +1,433 @@
+"""Nested-dissection multifrontal LU, factorized and solved ON DEVICE.
+
+TPU-native replacement for the reference's serial/parallel sparse direct
+solvers (``src/sl_umf.c`` UMFPACK, ``src/sl_lu.c`` sparse1.4, Amesos
+SuperLU/MUMPS dispatch ``src/mm_sol_nonlinear.c:1290-1515``). Those run on
+the host CPU; this one maps the whole factorization onto the MXU:
+
+- **Host symbolic phase** (once per sparsity pattern): recursive graph
+  bisection of the adjacency of A+A^T (multilevel KWAY native kernel, the
+  METIS analog already used for domain partitioning) builds a
+  nested-dissection separator tree. Each tree node owns its separator dofs
+  (leaves own whole subdomains); the node's *front* is [own | boundary]
+  where boundary = ancestor dofs adjacent to the node's subtree. By the
+  separator property the Schur complement of a subtree is dense exactly on
+  that boundary, so all fill lives inside the dense fronts.
+- **Device numeric phase** (every Newton iteration): levels are processed
+  deepest-first; all fronts of a level factor TOGETHER as one batched dense
+  LU (``jax.lax.linalg.lu`` with partial pivoting *within* the fully-summed
+  block) + two batched triangular solves + one batched matmul for the Schur
+  complement — MXU work with static shapes. Front assembly is scatter-free:
+  every front slot has at most one source (CSR entry, child-0 Schur slot,
+  child-1 Schur slot), so three precomputed gather maps build the whole
+  level in three gathers (TPU scatters serialize; gathers don't).
+- **Static pivoting** (SuperLU_DIST GESP-style): no pivoting across the
+  own/boundary split; tiny pivots are boosted to tau*max|diag| and the
+  solve is wrapped in iterative refinement, which also recovers f64-quality
+  solutions from an f32 factorization (the TPU-native mixed-precision play:
+  v5e has no native f64).
+
+Complexity is the classic ND bound (O(n^{3/2}) flops / O(n log n) memory in
+2D) but the constant lives on a 100+ TFLOP/s systolic array instead of one
+x86 core.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.lax.linalg import triangular_solve
+
+from goma_tpu.fem.sparsity import CSRPattern
+
+
+# ------------------------------------------------------------------ symbolic
+@dataclass
+class _Level:
+    depth: int
+    nn: int
+    smax: int
+    bmax: int
+    own_w: np.ndarray   # (nn, smax) int32 dof ids; pad -> n (dummy slot)
+    bnd_w: np.ndarray   # (nn, bmax) int32 dof ids; pad -> n+1
+    # compact (front-linear-position, source) pairs; dense gather maps are
+    # built from these on device in NDLU.__init__
+    a_lin: np.ndarray   # int32 into nn*f*f
+    a_src: np.ndarray   # int32 into vals
+    c0_lin: np.ndarray | None  # child-0 Schur extend-add pairs
+    c0_src: np.ndarray | None  # int32 into child-level S flat
+    c1_lin: np.ndarray | None
+    c1_src: np.ndarray | None
+    pad_node: np.ndarray  # identity-pad own slots
+    pad_slot: np.ndarray
+
+
+def _bisect(xadj, adjncy, n):
+    """0/1 bisection of a subgraph (native multilevel FM; BFS fallback)."""
+    from goma_tpu.native import bisect_partition
+
+    w = np.ones(adjncy.shape[0], dtype=np.int64)
+    return bisect_partition(xadj.astype(np.int64), adjncy.astype(np.int64), w)
+
+
+def build_nd_tree(pattern: CSRPattern, leaf_max: int = 96, debug: bool = False):
+    """Host symbolic analysis: separator tree + per-level gather plans."""
+    import time as _time
+
+    import scipy.sparse as sp
+
+    _t = {"t0": _time.perf_counter()}
+
+    def _mark(name):
+        if debug:
+            now = _time.perf_counter()
+            print(f"ndlu symbolic [{name}]: {now - _t['t0']:.2f}s")
+            _t["t0"] = now
+
+    n = pattern.n
+    A = sp.csr_matrix((np.ones(pattern.nnz, dtype=np.int8), pattern.indices,
+                       pattern.indptr), shape=(n, n))
+    G = (A + A.T).tocsr()
+    G.setdiag(0)
+    G.eliminate_zeros()
+
+    own_of, parent, depth = [], [], []  # per tree node
+
+    def rec(verts: np.ndarray, par: int, d: int) -> None:
+        if verts.shape[0] <= leaf_max:
+            own_of.append(verts)
+            parent.append(par)
+            depth.append(d)
+            return
+        sub = G[verts][:, verts].tocsr()
+        part = _bisect(sub.indptr, sub.indices, verts.shape[0])
+        m0 = part == 0
+        if m0.all() or not m0.any():
+            own_of.append(verts)
+            parent.append(par)
+            depth.append(d)
+            return
+        # vertex separator: smaller of the two edge-cut boundaries
+        touch1 = np.zeros(verts.shape[0], dtype=bool)
+        src = np.repeat(np.arange(verts.shape[0]), np.diff(sub.indptr))
+        cross = part[src] != part[sub.indices]
+        b0 = np.unique(src[cross & m0[src]])
+        b1 = np.unique(src[cross & ~m0[src]])
+        sep = b0 if b0.shape[0] <= b1.shape[0] else b1
+        sep_mask = np.zeros(verts.shape[0], dtype=bool)
+        sep_mask[sep] = True
+        me = len(own_of)
+        own_of.append(verts[sep_mask])
+        parent.append(par)
+        depth.append(d)
+        c0 = verts[m0 & ~sep_mask]
+        c1 = verts[~m0 & ~sep_mask]
+        if c0.shape[0]:
+            rec(c0, me, d + 1)
+        if c1.shape[0]:
+            rec(c1, me, d + 1)
+
+    rec(np.arange(n, dtype=np.int32), -1, 0)
+    _mark("recursion")
+    n_nodes = len(own_of)
+    depth = np.asarray(depth)
+    parent = np.asarray(parent)
+
+    owner = np.empty(n, dtype=np.int32)
+    pos_in_own = np.empty(n, dtype=np.int32)
+    for t, own in enumerate(own_of):
+        owner[own] = t
+        pos_in_own[own] = np.arange(own.shape[0], dtype=np.int32)
+
+    # proper-ancestor matrix (n_nodes small: <= a few thousand)
+    anc = np.zeros((n_nodes, n_nodes), dtype=bool)
+    for t in range(n_nodes):
+        p = parent[t]
+        while p >= 0:
+            anc[t, p] = True
+            p = parent[p]
+
+    children: list[list[int]] = [[] for _ in range(n_nodes)]
+    for t in range(n_nodes):
+        if parent[t] >= 0:
+            children[parent[t]].append(t)
+
+    # bottom-up boundaries: B(t) = (N(own t) ∪ B(children)) ∩ ancestors(t)
+    bnd_of: list[np.ndarray] = [None] * n_nodes
+    for t in sorted(range(n_nodes), key=lambda q: -depth[q]):
+        own = own_of[t]
+        nbr = [G.indices[G.indptr[v]:G.indptr[v + 1]] for v in own]
+        cand = [np.concatenate(nbr)] if nbr else [np.empty(0, np.int32)]
+        for c in children[t]:
+            cand.append(bnd_of[c])
+        cand = np.unique(np.concatenate(cand)).astype(np.int32)
+        keep = anc[t, owner[cand]]
+        bnd_of[t] = cand[keep]
+
+    _mark("boundaries")
+    # level grouping by depth; per-node (level, index-in-level)
+    max_d = int(depth.max())
+    level_nodes = [np.where(depth == d)[0] for d in range(max_d + 1)]
+    lvl_pos = np.empty(n_nodes, dtype=np.int32)
+    for d, ids in enumerate(level_nodes):
+        lvl_pos[ids] = np.arange(ids.shape[0], dtype=np.int32)
+
+    smax = [max((own_of[t].shape[0] for t in ids), default=1) or 1
+            for ids in level_nodes]
+    bmax = [max((bnd_of[t].shape[0] for t in ids), default=0)
+            for ids in level_nodes]
+    smax = [max(s, 1) for s in smax]
+
+    # (node, dof) -> boundary-slot lookup table
+    bkeys, bvals = [], []
+    for t in range(n_nodes):
+        b = bnd_of[t]
+        if b.shape[0]:
+            bkeys.append(t * np.int64(n) + b.astype(np.int64))
+            bvals.append(np.arange(b.shape[0], dtype=np.int32))
+    bkeys = np.concatenate(bkeys) if bkeys else np.empty(0, np.int64)
+    bvals = np.concatenate(bvals) if bvals else np.empty(0, np.int32)
+    order = np.argsort(bkeys)
+    bkeys, bvals = bkeys[order], bvals[order]
+
+    def bnd_pos(ts, dofs):
+        k = ts.astype(np.int64) * n + dofs.astype(np.int64)
+        p = np.searchsorted(bkeys, k)
+        p = np.clip(p, 0, max(bkeys.shape[0] - 1, 0))
+        if bkeys.shape[0] == 0 or not np.all(bkeys[p] == k):
+            raise RuntimeError("ndlu: boundary lookup miss (broken separator tree)")
+        return bvals[p]
+
+    _mark("lookups")
+    # assign CSR entries to the deeper endpoint's node, vectorized
+    ri, ci = pattern.rows, pattern.indices
+    oi, oj = owner[ri], owner[ci]
+    di, dj = depth[oi], depth[oj]
+    if not np.all((di != dj) | (oi == oj)):
+        raise RuntimeError("ndlu: entry between separated parts (bad separator)")
+    t_ent = np.where(di >= dj, oi, oj).astype(np.int32)
+    d_ent = depth[t_ent]
+    s_ent = np.asarray(smax)[d_ent]
+    own_i = owner[ri] == t_ent
+    own_j = owner[ci] == t_ent
+    r_ent = np.where(own_i, pos_in_own[ri], 0)
+    c_ent = np.where(own_j, pos_in_own[ci], 0)
+    if np.any(~own_i):
+        r_ent[~own_i] = s_ent[~own_i] + bnd_pos(t_ent[~own_i], ri[~own_i])
+    if np.any(~own_j):
+        c_ent[~own_j] = s_ent[~own_j] + bnd_pos(t_ent[~own_j], ci[~own_j])
+
+    _mark("entries")
+    levels: list[_Level] = []
+    for d in range(max_d, -1, -1):  # deepest first (elimination order)
+        ids = level_nodes[d]
+        nn = ids.shape[0]
+        s, b = smax[d], bmax[d]
+        f = s + b
+        own_w = np.empty((nn, s), dtype=np.int32)
+        own_w.fill(n)
+        bnd_w = np.empty((nn, b), dtype=np.int32)
+        bnd_w.fill(n + 1)
+        pad_node, pad_slot = [], []
+        for q, t in enumerate(ids):
+            o, bb = own_of[t], bnd_of[t]
+            own_w[q, :o.shape[0]] = o
+            if bb.shape[0]:
+                bnd_w[q, :bb.shape[0]] = bb
+            if o.shape[0] < s:
+                pad_node.append(np.full(s - o.shape[0], q, np.int32))
+                pad_slot.append(np.arange(o.shape[0], s, dtype=np.int32))
+        pad_node = np.concatenate(pad_node) if pad_node else np.empty(0, np.int32)
+        pad_slot = np.concatenate(pad_slot) if pad_slot else np.empty(0, np.int32)
+
+        # COMPACT (lin, src) pairs only — the dense (nn, f, f) gather maps
+        # are materialized ON DEVICE in NDLU.__init__ (host first-touch page
+        # faults are ~100x slower than normal inside the microVM this runs
+        # in; HBM has no such problem). Sentinel convention: dense-map slot 0
+        # is the dummy, real sources are stored +1 (the source arrays get a
+        # zero prepended on device).
+        sel = d_ent == d
+        a_lin = ((lvl_pos[t_ent[sel]].astype(np.int64) * f
+                  + r_ent[sel]) * f + c_ent[sel]).astype(np.int32)
+        a_src = np.arange(pattern.nnz, dtype=np.int32)[sel]
+
+        c0_lin = c0_src = c1_lin = c1_src = None
+        if d < max_d:
+            cids = level_nodes[d + 1]
+            cb = bmax[d + 1]
+            if cids.shape[0] * cb * cb + 1 >= np.iinfo(np.int32).max:
+                raise RuntimeError("ndlu: child Schur array exceeds int32 "
+                                   "indexing; raise leaf_max")
+            lins = ([], [])
+            srcs = ([], [])
+            for c in cids:
+                bc = bnd_of[c]
+                k = bc.shape[0]
+                if not k:
+                    continue
+                t = parent[c]
+                mine = owner[bc] == t
+                fp = np.where(mine, pos_in_own[bc], 0).astype(np.int64)
+                if np.any(~mine):
+                    fp[~mine] = s + bnd_pos(np.full((~mine).sum(), t), bc[~mine])
+                cpos = int(lvl_pos[c])
+                src = (cpos * cb * cb + np.arange(k)[:, None] * cb
+                       + np.arange(k)[None, :]).astype(np.int32)
+                lin = ((lvl_pos[t] * np.int64(f) + fp[:, None]) * f
+                       + fp[None, :]).astype(np.int32)
+                which = 0 if children[t][0] == c else 1
+                lins[which].append(lin.ravel())
+                srcs[which].append(src.ravel())
+            cat = lambda xs: (np.concatenate(xs) if xs
+                              else np.empty(0, np.int32))
+            c0_lin, c0_src = cat(lins[0]), cat(srcs[0])
+            c1_lin, c1_src = cat(lins[1]), cat(srcs[1])
+
+        levels.append(_Level(d, nn, s, b, own_w, bnd_w, a_lin, a_src,
+                             c0_lin, c0_src, c1_lin, c1_src,
+                             pad_node, pad_slot))
+    _mark("levels")
+    return levels
+
+
+# ------------------------------------------------------------------ numeric
+class NDLU:
+    """Device multifrontal LU for a fixed :class:`CSRPattern`.
+
+    ``factor(vals)`` -> opaque factor pytree (device); ``solve(fac, b)``
+    applies it. ``solve_refined`` wraps iterative refinement using the
+    pattern's ELL matvec — with an f32 factorization this recovers ~f32
+    backward error in 1-2 steps and keeps improving with f64 vals.
+
+    Constraint: pivoting cannot cross the own/boundary split, so for saddle
+    systems (zero pressure diagonal) ``leaf_max`` must stay large enough
+    that interior constraint dofs keep their conjugate partners inside the
+    same block — ~2x the per-node dof count is the practical floor; the
+    default 96 is safe for Q2/Q1-class problems. A structurally-deficient
+    block shows up as a boosted pivot and a large post-solve residual (the
+    Newton tpu_direct path checks and aborts).
+    """
+
+    def __init__(self, pattern: CSRPattern, leaf_max: int = 96,
+                 dtype=jnp.float32, pivot_tol: float = 1e-8):
+        self.pattern = pattern
+        self.dtype = dtype
+        self.pivot_tol = pivot_tol
+        self.levels = build_nd_tree(pattern, leaf_max=leaf_max)
+        self.n = pattern.n
+        # device tables, passed as jit arguments (too big for jaxpr consts).
+        # Dense (nn, f, f) gather maps are materialized HERE on device from
+        # the compact (lin, src) pairs: slot value 0 = dummy, real source
+        # positions stored +1 (factor prepends a zero to the source arrays).
+        dense = jax.jit(
+            lambda lin, src, size: jnp.zeros(size, jnp.int32).at[lin].set(
+                src + 1),
+            static_argnums=2)
+        self.tabs = []
+        for lev in self.levels:
+            f = lev.smax + lev.bmax
+            size = lev.nn * f * f
+            gm_a = dense(jnp.asarray(lev.a_lin), jnp.asarray(lev.a_src),
+                         size).reshape(lev.nn, f, f)
+            gm_c0 = gm_c1 = None
+            if lev.c0_lin is not None:
+                gm_c0 = dense(jnp.asarray(lev.c0_lin),
+                              jnp.asarray(lev.c0_src), size
+                              ).reshape(lev.nn, f, f)
+                gm_c1 = dense(jnp.asarray(lev.c1_lin),
+                              jnp.asarray(lev.c1_src), size
+                              ).reshape(lev.nn, f, f)
+            self.tabs.append(dict(
+                own_w=jax.device_put(lev.own_w),
+                bnd_w=jax.device_put(lev.bnd_w),
+                gmap_a=gm_a,
+                gmap_c0=gm_c0,
+                gmap_c1=gm_c1,
+                pad_node=jax.device_put(lev.pad_node),
+                pad_slot=jax.device_put(lev.pad_slot),
+            ))
+        self._factor_jit = jax.jit(self._factor)
+        self._solve_jit = jax.jit(self._solve)
+
+    # --- numeric factorization: one batched dense elimination per level
+    def _factor(self, vals, tabs):
+        # slot 0 of every source array is the dummy (gather-map sentinel)
+        vals_ext = jnp.concatenate(
+            [jnp.zeros(1, self.dtype), vals.astype(self.dtype)])
+        facs = []
+        S_prev = None
+        for lev, tb in zip(self.levels, tabs):
+            F = vals_ext[tb["gmap_a"]]
+            if S_prev is not None and tb["gmap_c0"] is not None:
+                Sflat = jnp.concatenate(
+                    [jnp.zeros(1, self.dtype), S_prev.reshape(-1)])
+                F = F + Sflat[tb["gmap_c0"]] + Sflat[tb["gmap_c1"]]
+            if lev.pad_node.shape[0]:
+                F = F.at[tb["pad_node"], tb["pad_slot"], tb["pad_slot"]].add(1.0)
+            s = lev.smax
+            A11 = F[:, :s, :s]
+            lu, _piv, perm = jax.lax.linalg.lu(A11)
+            # static-pivot boost: tiny pivots -> tau * max|diag| (GESP)
+            dg = jnp.diagonal(lu, axis1=1, axis2=2)
+            mx = jnp.max(jnp.abs(dg), axis=1, keepdims=True)
+            tau = self.pivot_tol * jnp.maximum(mx, 1e-30)
+            fix = jnp.where(jnp.abs(dg) < tau,
+                            jnp.where(dg < 0, -tau, tau), dg)
+            ar = jnp.arange(s)
+            lu = lu.at[:, ar, ar].set(fix)
+            if lev.bmax:
+                A12 = F[:, :s, s:]
+                A21 = F[:, s:, :s]
+                A22 = F[:, s:, s:]
+                A12p = jnp.take_along_axis(A12, perm[:, :, None], axis=1)
+                Y = triangular_solve(lu, A12p, left_side=True, lower=True,
+                                     unit_diagonal=True)
+                X = triangular_solve(lu, A21, left_side=False, lower=False)
+                S_prev = A22 - X @ Y
+            else:
+                X = jnp.zeros((lev.nn, 0, s), self.dtype)
+                Y = jnp.zeros((lev.nn, s, 0), self.dtype)
+                S_prev = jnp.zeros((lev.nn, 0, 0), self.dtype)
+            facs.append((lu, perm, X, Y))
+        return facs
+
+    def factor(self, vals):
+        return self._factor_jit(vals, self.tabs)
+
+    # --- forward/backward substitution through the tree
+    def _solve(self, facs, b, tabs):
+        n = self.n
+        w = jnp.zeros(n + 2, self.dtype).at[:n].set(b.astype(self.dtype))
+        for lev, tb, (lu, perm, X, Y) in zip(self.levels, tabs, facs):
+            bs = w[tb["own_w"]]
+            bsp = jnp.take_along_axis(bs, perm, axis=1)
+            y = triangular_solve(lu, bsp[..., None], left_side=True,
+                                 lower=True, unit_diagonal=True)[..., 0]
+            w = w.at[tb["own_w"]].set(y)
+            if lev.bmax:
+                w = w.at[tb["bnd_w"]].add(-jnp.einsum("nbs,ns->nb", X, y))
+        for lev, tb, (lu, perm, X, Y) in zip(
+                reversed(self.levels), reversed(tabs), reversed(facs)):
+            y = w[tb["own_w"]]
+            if lev.bmax:
+                y = y - jnp.einsum("nsb,nb->ns", Y, w[tb["bnd_w"]])
+            x = triangular_solve(lu, y[..., None], left_side=True,
+                                 lower=False)[..., 0]
+            w = w.at[tb["own_w"]].set(x)
+        return w[:n]
+
+    def solve(self, facs, b):
+        return self._solve_jit(facs, b, self.tabs)
+
+    def solve_refined(self, facs, b, matvec, refine: int = 2):
+        """x = A^{-1} b with `refine` iterative-refinement sweeps; matvec
+        should apply the SAME (equilibrated) operator the factorization saw,
+        at its native (possibly higher) precision."""
+        x = self.solve(facs, b).astype(b.dtype)
+        for _ in range(refine):
+            r = b - matvec(x)
+            x = x + self.solve(facs, r).astype(b.dtype)
+        return x

@@ -48,7 +48,15 @@ class NewtonOptions:
     custom_tol2: float = -1.0
     custom_tol3: float = -1.0
     row_scaling: bool = True
-    linear_solver: str = "gmres"  # gmres | bicgstab | direct
+    # tpu_direct: on-device nested-dissection multifrontal LU (solvers/ndlu)
+    # — batched dense frontal factorization on the MXU + iterative
+    # refinement; the TPU-native analog of the reference's UMFPACK/Amesos
+    # direct dispatch (src/mm_sol_nonlinear.c:1290-1515)
+    linear_solver: str = "gmres"  # gmres | bicgstab | direct | tpu_direct
+    ndlu_leaf_max: int = 96
+    ndlu_refine: int = 2
+    ndlu_dtype: str = "float32"  # factorization precision (refinement runs
+    # at the assembled vals' precision, recovering f64-quality solves)
     # auto: two-level p-multigrid when the problem has a genuinely smaller
     # Q1/P1 coarse space that fits a dense coarse solve, else block-Jacobi
     precond: str = "auto"  # auto | block_jacobi | fieldsplit | pcd | twolevel
@@ -231,6 +239,7 @@ class NewtonSolver:
         self._cur_ct = 0.0
         self._fac_cache = None
         self._fac_base_its = None
+        self._ndlu = None  # lazy tpu_direct multifrontal (solvers/ndlu.py)
         self._cycle_jit = jax.jit(self._gmres_cycle)
         self._solve_gmres = self._linsolve_gmres  # host restart loop
         self._solve_bicgstab = jax.jit(self._linsolve_bicgstab)
@@ -630,6 +639,31 @@ class NewtonSolver:
                     converged = False
                     break
                 dx = jnp.asarray(s_h * z, dtype=R.dtype)
+                lin_iters.append(1)
+            elif opts.linear_solver == "tpu_direct":
+                from goma_tpu.solvers.linear import LinearSolveError
+
+                nd = self._ndlu
+                if nd is None:
+                    from goma_tpu.solvers.ndlu import NDLU
+
+                    nd = self._ndlu = NDLU(
+                        self.problem.pattern, leaf_max=opts.ndlu_leaf_max,
+                        dtype=jnp.dtype(opts.ndlu_dtype),
+                    )
+                fac = nd.factor(vals)
+                bD = scale * R
+                z = nd.solve_refined(fac, bD, self._matvec(vals),
+                                     refine=opts.ndlu_refine)
+                # singular/rank-deficient guard (direct-path semantics):
+                # refined solve must leave a small relative residual
+                rel = jnp.linalg.norm(bD - self._ell.matvec(vals, z)) / (
+                    jnp.linalg.norm(bD) + 1e-300)
+                if not np.isfinite(float(jax.device_get(rel))) or float(rel) > 1e-5:
+                    t_slv += time.perf_counter() - t0
+                    converged = False
+                    break
+                dx = (scale * z).astype(R.dtype)
                 lin_iters.append(1)
             else:
                 fn = self._solve_gmres if opts.linear_solver == "gmres" else self._solve_bicgstab
