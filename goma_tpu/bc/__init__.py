@@ -4,6 +4,11 @@ from goma_tpu.bc.surface_domain import (
     SDCStefanVolumeFlow,
     SurfDomainMassFlux,
 )
+from goma_tpu.bc.shell_end import (
+    EndpointAdvectiveOutflow,
+    EndpointFlux,
+    shell_end_sidesets,
+)
 from goma_tpu.bc.fluid import (
     ConvectiveHeatFlux,
     FlowPressure,

@@ -454,6 +454,23 @@ def _tet_faces():
     return tuple(faces)
 
 
+def _bar_faces():
+    """Endpoint "faces" of a curve (BAR) element: 0-dimensional points.
+
+    Reference analog: shell-element end BCs applied at bar endpoints
+    (``src/mm_shell_bc.c`` SHELL_GRAD_* family, CAP_ENDFORCE special BCs,
+    ``src/bc_special.c:77``). The face parametrization is a single dummy
+    coordinate with a zero ref_jac, so ``ref_map`` collapses every
+    quadrature point onto the endpoint and the affine-span node test in
+    ``_face_all_nodes`` matches only the endpoint node. The outward
+    direction (sign of the conormal, +-xi) is the sign of ``ref_origin``;
+    the face-set builder forwards it to ``eval_surfacevars`` as "psign"."""
+    return (
+        Face((0,), np.array([-1.0]), np.zeros((1, 1))),
+        Face((1,), np.array([+1.0]), np.zeros((1, 1))),
+    )
+
+
 # ---------------------------------------------------------------- main tables
 @dataclass(frozen=True)
 class ElementType:
@@ -587,6 +604,7 @@ def faces(family: str) -> tuple[Face, ...]:
         "tri": _tri_faces(),
         "hex": _hex_faces(),
         "tet": _tet_faces(),
+        "bar": _bar_faces(),
     }[family]
 
 
@@ -652,6 +670,10 @@ def face_rule(family: str, npts_1d):
     """Quadrature on the face reference domain."""
     if isinstance(npts_1d, tuple):
         npts_1d = npts_1d[2]  # subcell volume rules: faces use the base rule
+    if family == "bar":
+        # endpoint: one dummy point (coordinate unused; ref_jac is zero),
+        # unit weight — the point "measure"
+        return np.zeros((1, 1)), np.ones(1)
     if family in ("quad", "tri"):
         if family == "tri":
             # edge param t in [0,1]

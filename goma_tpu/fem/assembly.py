@@ -61,6 +61,47 @@ def eval_surfacevars(q_e, qdot_e, X_e, ftab, fwts, slots, dim, dtype,
 
     Ng, dNg = ftab["Ng"], ftab["dNg"]
     Jmat = jnp.einsum("qnd,nk->qkd", dNg, Xc)
+
+    if "psign" in ftab:
+        # bar-endpoint point "face" of a curve (shell) element embedded in
+        # 2D: the measure is a unit point mass, the outward "normal" is the
+        # signed unit tangent of the curve at the endpoint (conormal), and
+        # field gradients are tangential (src/mm_shell_bc.c SHELL_GRAD_*
+        # endpoint BC analog).
+        tvec = Jmat[:, :, 0]  # dX/dxi (nq=1, 2)
+        arclen = jnp.sqrt(jnp.sum(tvec**2, axis=1) + 1e-300)
+        that = tvec / arclen[:, None]
+        fv = SurfaceVars()
+        fv.dim = dim
+        fv.normal = ftab["psign"] * that
+        fv.wdA = fwts
+        fv.detJ = arclen
+        fv.h_elem = arclen
+        fv.tangents = that[:, :, None]
+        # tangential pseudo-inverse: gphi = dN/dxi * t_hat / |dX/dxi|
+        fv.invJ = (that / arclen[:, None])[:, None, :]  # (nq, 1, dim)
+        fv.x = jnp.einsum("qn,nk->qk", Ng, Xc)
+        if coord in ("cylindrical", "swirling"):
+            fv.coord = coord
+            r = fv.x[:, 1]
+            fv.r = jnp.where(jnp.abs(r) < 1e-30, 1.0, r)
+            fv.wdA = fv.wdA * fv.x[:, 1]
+        gphi_cache = {}
+        for s in slots:
+            if f"N:{s.interp}" not in ftab:
+                continue  # N1 / H3 traces unsupported on point faces
+            Ni = ftab[f"N:{s.interp}"]
+            dNi = ftab[f"dN:{s.interp}"]
+            if s.interp not in gphi_cache:
+                gphi_cache[s.interp] = jnp.einsum("qnd,qdk->qnk", dNi, fv.invJ)
+            gp = gphi_cache[s.interp]
+            fv.phi[s.var] = Ni
+            fv.gphi[s.var] = gp
+            fv.val[s.var] = jnp.einsum("qn,cn->qc", Ni, u[s.var])
+            fv.grad[s.var] = jnp.einsum("qnk,cn->qck", gp, u[s.var])
+            fv.dot[s.var] = jnp.einsum("qn,cn->qc", Ni, udot[s.var])
+        return fv
+
     detJ, invJ = det_and_inv(Jmat)
     T = jnp.einsum("qkd,dm->qkm", Jmat, ftab["refjac"])
 
@@ -899,8 +940,9 @@ class Problem:
             fpts, fwts = face_rule(et.family, self.quad_order)
             all_faces = elem_faces(et.family)
             # edge (N1) slots have no scalar face traces; face kernels on
-            # Nedelec variables are not supported yet
-            interps = {s.interp for s in bd.slots if s.interp != "N1"}
+            # Nedelec variables are not supported yet. Hermite (H3) traces
+            # need the per-element arclength slope scaling — skipped.
+            interps = {s.interp for s in bd.slots if s.interp not in ("N1", "H3")}
             # per-face tables
             Ngs, dNgs, refjacs = [], [], []
             Ni: dict[str, list] = {i: [] for i in interps}
@@ -921,6 +963,10 @@ class Problem:
                 "dNg": np.stack(dNgs),
                 "refjac": np.stack(refjacs),
             }
+            if et.family == "bar":
+                # outward sign of the endpoint conormal (+-xi end)
+                ftabs["psign"] = np.array(
+                    [[[all_faces[f].ref_origin[0]]] for _, f in lst])
             for itp in interps:
                 ftabs[f"N:{itp}"] = np.stack(Ni[itp])
                 ftabs[f"dN:{itp}"] = np.stack(dNi[itp])

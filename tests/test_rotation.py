@@ -35,14 +35,15 @@ def test_tilted_cavity_matches_axis_aligned():
     mesh.nodesets["pin"] = np.array([0], dtype=np.int32)
     prob = Problem(mesh, [Momentum(dim=2, interp="Q2", transient=False),
                           Continuity(interp="Q1")], {"rho": 1.0, "mu": 1.0 / Re})
+    # walls registered FIRST: corners shared with the lid get the wall value
+    # (first spec wins per the mm_bc_conflict.c dup rule, matching the
+    # axis-aligned deck's ordering)
+    for d in ("normal", "tangent"):
+        prob.add_rotated_dirichlet(("left", "right", "bottom"), "velocity", d, 0.0)
     # lid: u.n = 0, u.t = -1 (frame tangent t = (-n_y, n_x); lid normal is
     # Rot @ (0,1), so the lid velocity Rot @ (1,0) has u.t = -1)
     prob.add_rotated_dirichlet(("top",), "velocity", "normal", 0.0)
     prob.add_rotated_dirichlet(("top",), "velocity", "tangent", -1.0)
-    # walls registered last: corners get the wall value (matches the
-    # axis-aligned deck's last-wins ordering)
-    for d in ("normal", "tangent"):
-        prob.add_rotated_dirichlet(("left", "right", "bottom"), "velocity", d, 0.0)
     prob.add_dirichlet("pin", "pressure", 0, 0.0)
     prob.finalize()
     res = NewtonSolver(
