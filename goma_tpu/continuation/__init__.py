@@ -11,6 +11,7 @@ from goma_tpu.continuation.augmenting import (
 )
 from goma_tpu.continuation.stability import (StabilityResult, mass_and_jacobian,
                                              solve_stability,
-                                             solve_stability_3d_of_2d)
+                                             solve_stability_3d_of_2d,
+                                             solve_stability_3d_of_2d_ale)
 from goma_tpu.continuation.hunting import HuntSpec, detect_folds, hunt_problem
 from goma_tpu.continuation.bifurcation import FoldResult, fold_track

@@ -46,8 +46,18 @@ def mass_and_jacobian(problem, x, params):
     return np.asarray(J), np.asarray(A1) - np.asarray(J)
 
 
-def solve_stability(problem, x, params, n_modes: int = 6, shift: float = 0.0) -> StabilityResult:
-    """Leading eigenmodes of the linearized dynamics at steady state x."""
+def solve_stability(problem, x, params, n_modes: int = 6, shift: float = 0.0,
+                    purify_tol: float = 1e-6) -> StabilityResult:
+    """Leading eigenmodes of the linearized dynamics at steady state x.
+
+    Eigenpairs are *purified*: with a singular mass matrix (quasi-static
+    mesh/pressure/constraint rows carry no mass) shift-invert Arnoldi
+    returns spurious "infinite" modes folded numerically onto the shift
+    (the reference wards these off with its Cayley transform,
+    ``src/loca_eigen_cayley.F``). A true pair satisfies
+    ||(J - mu M) z|| << ||J z|| + |mu| ||M z||; spurious pairs sit at
+    O(1) and are dropped. Oversampling (2k+4 Krylov pairs requested)
+    keeps n_modes genuine pairs available after the filter."""
     import scipy.sparse as sp
     import scipy.sparse.linalg as spla
 
@@ -56,9 +66,19 @@ def solve_stability(problem, x, params, n_modes: int = 6, shift: float = 0.0) ->
     J = sp.csr_matrix((Jv, pat.indices, pat.indptr), shape=(pat.n, pat.n))
     M = sp.csr_matrix((Mv, pat.indices, pat.indptr), shape=(pat.n, pat.n))
     # J z = mu M z, shift-invert near mu = -shift (growth sigma = -mu near shift)
-    mu, z = spla.eigs(J, k=n_modes, M=M, sigma=-shift, which="LM")
+    k = min(2 * n_modes + 4, pat.n - 2)
+    mu, z = spla.eigs(J, k=k, M=M, sigma=-shift, which="LM")
+    # purification: generalized residual per pair
+    Jz = J @ z
+    Mz = M @ z
+    num = np.linalg.norm(Jz - Mz * mu[None, :], axis=0)
+    den = np.linalg.norm(Jz, axis=0) + np.abs(mu) * np.linalg.norm(Mz, axis=0)
+    good = num <= purify_tol * np.maximum(den, 1e-300)
+    if good.sum() == 0:
+        good = num <= 10 * num.min()  # keep the least-bad rather than none
+    mu, z = mu[good], z[:, good]
     sigma = -mu
-    order = np.argsort(-sigma.real)
+    order = np.argsort(-sigma.real)[:n_modes]
     sigma = sigma[order]
     z = z[:, order]
     return StabilityResult(growth_rates=sigma, modes=z, stable=bool(np.all(sigma.real < 0)))
@@ -201,5 +221,37 @@ def solve_stability_3d_of_2d(base_problem, base_x, betas, mat=None,
     for b in betas:
         p = prob.base_params(beta=jnp.asarray(b, dtype=dt), **extras)
         r = solve_stability(prob, x0, p, n_modes=n_modes, shift=shift)
+        out.append((float(b), float(r.growth_rates.real.max()), r))
+    return out
+
+
+def solve_stability_3d_of_2d_ale(ext_prob, base_prob, base_x, betas,
+                                 n_modes: int = 4, shift: float = 0.0,
+                                 params_extra: dict | None = None):
+    """Deforming-mesh (free-surface) 3D-of-2D normal-mode sweep.
+
+    Parity: the reference's LSA_3D_OF_2D with mesh mode equations
+    (``src/ac_stability_util.c do_LSA_mods``). ``ext_prob`` is the SAME
+    deck as ``base_prob`` plus the z-mode additions
+    (``goma_tpu.physics.zmode_equations`` + ``CapillaryZNormal`` on the
+    free-surface sidesets); ``base_x`` is the solved 2D base state. The
+    base rides over via :func:`goma_tpu.physics.embed_state`; J(beta) is
+    then the extended problem's AD Jacobian — every mesh-position
+    sensitivity, kinematic/capillary coupling and displaced-domain body
+    force included — plus the explicit beta-correction kernels.
+
+    Returns [(beta, leading growth rate, StabilityResult), ...].
+    """
+    import jax.numpy as jnp
+
+    from goma_tpu.physics.normal_mode_ale import embed_state
+
+    x_emb = embed_state(base_prob, base_x, ext_prob)
+    dt = ext_prob.dtype
+    out = []
+    for b in betas:
+        p = ext_prob.base_params(beta=jnp.asarray(b, dtype=dt),
+                                 **(params_extra or {}))
+        r = solve_stability(ext_prob, x_emb, p, n_modes=n_modes, shift=shift)
         out.append((float(b), float(r.growth_rates.real.max()), r))
     return out

@@ -164,10 +164,25 @@ def build_dofmap(mesh: Mesh, block_vars: list[list[tuple[str, int, str]]]) -> Do
         ne = blk.n_elem
         slots: list[LocalSlot] = []
         start = 0
-        # order by global var registration order
+        # order by global var registration order; dedup same-var entries
+        # (several Equations may share a test space, e.g. a primary kernel
+        # plus normal-mode beta-correction kernels) — they must agree on
+        # the interpolation
         name_order = {v.name: i for i, v in enumerate(vars_list)}
         rbv_sorted = sorted(rbv, key=lambda t: name_order[t[0]])
+        seen_interp: dict[str, str] = {}
+        rbv_dedup = []
         for name, ncomp, rint in rbv_sorted:
+            if name in seen_interp:
+                if seen_interp[name] != rint:
+                    raise ValueError(
+                        f"variable '{name}' declared with conflicting "
+                        f"interpolations {seen_interp[name]} vs {rint} in "
+                        f"block {bi}")
+                continue
+            seen_interp[name] = rint
+            rbv_dedup.append((name, ncomp, rint))
+        for name, ncomp, rint in rbv_dedup:
             nbf = n_basis(et.family, rint, et.dim)
             slots.append(LocalSlot(name, ncomp, rint, nbf, start))
             start += ncomp * nbf

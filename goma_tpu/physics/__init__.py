@@ -59,4 +59,14 @@ from goma_tpu.physics.normal_mode import (
     NormalModeMomentum,
     NormalModeW,
 )
+from goma_tpu.physics.normal_mode_ale import (
+    CapillaryZNormal,
+    ContinuityZ,
+    MeshZ,
+    MomentumZ,
+    ScalarZ,
+    WMomentum,
+    embed_state,
+    zmode_equations,
+)
 from goma_tpu.physics.kinetics import ReactionNetwork

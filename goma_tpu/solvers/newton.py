@@ -189,6 +189,17 @@ class NewtonSolver:
                 pre_sweeps=self.opts.smooth_sweeps, post_sweeps=post,
                 smoother=self.opts.smoother,
             )
+        elif kind == "ndlu":
+            # near-exact preconditioner: the on-device multifrontal LU
+            # (solvers/ndlu.py) factored in f32. Fresh factor -> 1-2 Krylov
+            # its; with precond_lag the factor is reused across Newton
+            # iterations (~10 its lagged) so the factorization amortizes.
+            # The Krylov operator stays the fresh exact Jacobian.
+            from goma_tpu.solvers.ndlu import NDLU
+
+            self.precond = NDLU(problem.pattern,
+                                leaf_max=self.opts.ndlu_leaf_max,
+                                dtype=jnp.dtype(self.opts.ndlu_dtype))
         elif kind != "_done":
             self.precond = BlockJacobi(problem.pattern, problem.dofmap)
         if self.opts.precond_dtype == "bf16":
@@ -338,6 +349,8 @@ class NewtonSolver:
             return (Binv,)
         if self._precond_kind == "pcd":
             return self.precond.factor(vals, xp, ct)
+        if self._precond_kind == "ndlu":
+            return (self.precond.factor(vals),)
         return (self.precond.factor(vals, tb),)
 
     def _apply_precond_mv(self, mv, vals, ntab, fac_num, r):
@@ -346,6 +359,8 @@ class NewtonSolver:
             return self.precond.apply((*fac_num, mv), r, None)
         if self._precond_kind in ("fieldsplit", "pcd"):
             return self.precond.apply((*fac_num, mv), r)
+        if self._precond_kind == "ndlu":
+            return self.precond.solve(fac_num[0], r)
         return self.precond.apply(fac_num[0], r, None)
 
     def _gmres_cycle(self, vals, scale, aux, ptab, ntab, fac_num, x, b, tol):
