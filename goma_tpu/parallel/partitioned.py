@@ -180,6 +180,11 @@ class PartitionedProblem:
             gat = np.full((nd, mx, nl), ml, dtype=np.int64)
             Xr = np.zeros((nd, mx) + mesh.coords[b.conn].shape[1:])
             wm = np.zeros((nd, mx))
+            # Nedelec edge-dof orientation signs follow their element into
+            # the local tables (dofmap.edge_signs; identical conjugation to
+            # the single-device path)
+            sg = (np.ones((nd, mx, nl))
+                  if bd.edge_signs is not None else None)
             for d in range(nd):
                 sel = loc_elems[d][bi]
                 for k, le in enumerate(sel):
@@ -187,8 +192,10 @@ class PartitionedProblem:
                                  for g in bd.gather[le]]
                     Xr[d, k] = mesh.coords[b.conn[le]]
                     wm[d, k] = 1.0
+                    if sg is not None:
+                        sg[d, k] = bd.edge_signs[le]
             self._eblocks.append(dict(bi=bi, gather=gat, Xref=Xr, wmask=wm,
-                                      nl=nl))
+                                      nl=nl, signs=sg))
 
         # ---- local owned-rows CSR (per device, padded): rows = owned local
         # ids, cols = local ids; nnz map for each local element's (i, j)
@@ -321,6 +328,8 @@ class PartitionedProblem:
             T[f"x{bi}"] = dput(eb["Xref"])
             T[f"w{bi}"] = dput(eb["wmask"])
             T[f"n{bi}"] = dput(eb["nmap"])
+            if eb["signs"] is not None:
+                T[f"s{bi}"] = dput(eb["signs"])
         self._dev_tables = T
         return T
 
@@ -384,9 +393,11 @@ class PartitionedProblem:
                 nm = T1[f"n{bi}"]
                 elem_res = prob._elem_residual_fn(bi)
                 jac_fn = jax.jacfwd(elem_res, argnums=0, has_aux=True)
-                J, r = jax.vmap(jac_fn, in_axes=(0, 0, 0, 0, None, None))(
+                sg_ax = 0 if f"s{bi}" in T1 else None
+                sg = (T1[f"s{bi}"].astype(dtype) if sg_ax == 0 else 1.0)
+                J, r = jax.vmap(jac_fn, in_axes=(0, 0, 0, 0, sg_ax, None))(
                     x_loc[g], h_loc[g], Xr,
-                    jnp.zeros(g.shape[:2] + (0,), dtype=dtype), 1.0, params)
+                    jnp.zeros(g.shape[:2] + (0,), dtype=dtype), sg, params)
                 r = r * wm[:, None]
                 J = J * wm[:, None, None]
                 R_loc = R_loc.at[g.reshape(-1)].add(r.reshape(-1))

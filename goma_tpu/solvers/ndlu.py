@@ -319,26 +319,26 @@ class NDLU:
         self.levels = build_nd_tree(pattern, leaf_max=leaf_max)
         self.n = pattern.n
         # device tables, passed as jit arguments (too big for jaxpr consts).
-        # Dense (nn, f, f) gather maps are materialized HERE on device from
-        # the compact (lin, src) pairs: slot value 0 = dummy, real source
-        # positions stored +1 (factor prepends a zero to the source arrays).
-        dense = jax.jit(
-            lambda lin, src, size: jnp.zeros(size, jnp.int32).at[lin].set(
-                src + 1),
-            static_argnums=2)
+        # Dense (nn, f, f) gather maps are materialized on HOST from the
+        # compact (lin, src) pairs and device_put once: slot value 0 =
+        # dummy, real source positions stored +1 (factor prepends a zero to
+        # the source arrays). (A jitted device scatter here cost ~3 remote
+        # compiles x 9 levels ~ 200 s through the axon tunnel.)
+        def dense(lin, src, size):
+            g = np.zeros(size, np.int32)
+            g[lin] = src + 1
+            return jax.device_put(g)
+
         self.tabs = []
         for lev in self.levels:
             f = lev.smax + lev.bmax
             size = lev.nn * f * f
-            gm_a = dense(jnp.asarray(lev.a_lin), jnp.asarray(lev.a_src),
-                         size).reshape(lev.nn, f, f)
+            gm_a = dense(lev.a_lin, lev.a_src, size).reshape(lev.nn, f, f)
             gm_c0 = gm_c1 = None
             if lev.c0_lin is not None:
-                gm_c0 = dense(jnp.asarray(lev.c0_lin),
-                              jnp.asarray(lev.c0_src), size
+                gm_c0 = dense(lev.c0_lin, lev.c0_src, size
                               ).reshape(lev.nn, f, f)
-                gm_c1 = dense(jnp.asarray(lev.c1_lin),
-                              jnp.asarray(lev.c1_src), size
+                gm_c1 = dense(lev.c1_lin, lev.c1_src, size
                               ).reshape(lev.nn, f, f)
             self.tabs.append(dict(
                 own_w=jax.device_put(lev.own_w),
