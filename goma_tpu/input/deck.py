@@ -136,6 +136,19 @@ def _init_registry():
 
     _EQUATIONS.update(ls_curvature=lambda a: LSCurvature(**a))
 
+    # 3D-of-2D deforming-mesh normal-mode corrections (normal_mode_ale)
+    from goma_tpu.physics import ContinuityZ, MeshZ, MomentumZ, ScalarZ, WMomentum
+    from goma_tpu.physics.viscoelastic import AxisymHoopStress
+
+    _EQUATIONS.update(
+        zmode_momentum=lambda a: MomentumZ(**a),
+        zmode_w=lambda a: WMomentum(**a),
+        zmode_continuity=lambda a: ContinuityZ(**a),
+        zmode_mesh=lambda a: MeshZ(**a),
+        zmode_scalar=lambda a: ScalarZ(**a),
+        ve_hoop_stress=lambda a: AxisymHoopStress(**a),
+    )
+
 
 _FACE_KERNELS = {}
 
@@ -168,6 +181,20 @@ def _init_face_registry():
         ls_curvature_boundary=lambda a: __import__(
             'goma_tpu.physics.level_set',
             fromlist=['LSCurvatureBoundary']).LSCurvatureBoundary(**a),
+    )
+
+    from goma_tpu.bc import (EndpointAdvectiveOutflow, EndpointFlux,
+                             SDCStefanFlow)
+    from goma_tpu.bc.wetting import CapRepulse, LSWettingSpeed
+    from goma_tpu.physics import CapillaryZNormal
+
+    _FACE_KERNELS.update(
+        endpoint_flux=lambda a: EndpointFlux(**a),
+        endpoint_outflow=lambda a: EndpointAdvectiveOutflow(**a),
+        capillary_zmode=lambda a: CapillaryZNormal(**a),
+        wetting_speed=lambda a: LSWettingSpeed(**a),
+        cap_repulse=lambda a: CapRepulse(**a),
+        sdc_stefan_flow=lambda a: SDCStefanFlow(**a),
     )
 
 
