@@ -312,10 +312,19 @@ class NDLU:
     """
 
     def __init__(self, pattern: CSRPattern, leaf_max: int = 96,
-                 dtype=jnp.float32, pivot_tol: float = 1e-8):
+                 dtype=jnp.float32, pivot_tol: float = 1e-8,
+                 lu_block: int | None = 128):
         self.pattern = pattern
         self.dtype = dtype
         self.pivot_tol = pivot_tol
+        # blocked right-looking LU with pivoting restricted to bs x bs
+        # diagonal blocks: lax.linalg.lu costs ~1 ms PER sequential pivot
+        # step on TPU (overhead-, not FLOP-bound), so factoring a front in
+        # ceil(s/bs) block steps (small-block lu + 2 triangular solves + 1
+        # matmul each) is ~bs/3 x faster. Block-local row perms act on
+        # disjoint row slices, so they compose into one block-diagonal
+        # permutation and the solve path is unchanged. None = plain lu.
+        self.lu_block = lu_block
         self.levels = build_nd_tree(pattern, leaf_max=leaf_max)
         self.n = pattern.n
         # device tables, passed as jit arguments (too big for jaxpr consts).
@@ -352,6 +361,57 @@ class NDLU:
         self._factor_jit = jax.jit(self._factor)
         self._solve_jit = jax.jit(self._solve)
 
+    def _boost(self, lu_d):
+        """GESP static-pivot boost on the packed LU diagonal."""
+        s = lu_d.shape[-1]
+        dg = jnp.diagonal(lu_d, axis1=1, axis2=2)
+        mx = jnp.max(jnp.abs(dg), axis=1, keepdims=True)
+        tau = self.pivot_tol * jnp.maximum(mx, 1e-30)
+        fix = jnp.where(jnp.abs(dg) < tau,
+                        jnp.where(dg < 0, -tau, tau), dg)
+        ar = jnp.arange(s)
+        return lu_d.at[:, ar, ar].set(fix)
+
+    def _block_lu(self, A11):
+        """Blocked right-looking LU, pivoting restricted to the diagonal
+        blocks. Returns (packed LU (nn, m, m), row perm (nn, m)) with
+        m = ceil(s / bs) * bs; padded slots are identity rows/cols."""
+        bs = self.lu_block
+        nn, s, _ = A11.shape
+        nb = -(-s // bs)
+        m = nb * bs
+        if m != s:
+            A = jnp.zeros((nn, m, m), self.dtype)
+            A = A.at[:, :s, :s].set(A11)
+            ar = jnp.arange(s, m)
+            A = A.at[:, ar, ar].set(1.0)
+        else:
+            A = A11
+        perms = []
+        for k in range(nb):
+            r0 = k * bs
+            D = A[:, r0:r0 + bs, r0:r0 + bs]
+            lu_d, _piv, perm_d = jax.lax.linalg.lu(D)
+            lu_d = self._boost(lu_d)
+            # permute the whole row slab (incl. already-computed L columns),
+            # write the packed diagonal LU, eliminate the right panel
+            slab = jnp.take_along_axis(A[:, r0:r0 + bs, :],
+                                       perm_d[:, :, None], axis=1)
+            slab = slab.at[:, :, r0:r0 + bs].set(lu_d)
+            if r0 + bs < m:
+                U12 = triangular_solve(lu_d, slab[:, :, r0 + bs:],
+                                       left_side=True, lower=True,
+                                       unit_diagonal=True)
+                slab = slab.at[:, :, r0 + bs:].set(U12)
+            A = A.at[:, r0:r0 + bs, :].set(slab)
+            if r0 + bs < m:
+                L21 = triangular_solve(lu_d, A[:, r0 + bs:, r0:r0 + bs],
+                                       left_side=False, lower=False)
+                A = A.at[:, r0 + bs:, r0:r0 + bs].set(L21)
+                A = A.at[:, r0 + bs:, r0 + bs:].add(-(L21 @ U12))
+            perms.append(perm_d + r0)
+        return A, jnp.concatenate(perms, axis=1)
+
     # --- numeric factorization: one batched dense elimination per level
     def _factor(self, vals, tabs):
         # slot 0 of every source array is the dummy (gather-map sentinel)
@@ -369,27 +429,31 @@ class NDLU:
                 F = F.at[tb["pad_node"], tb["pad_slot"], tb["pad_slot"]].add(1.0)
             s = lev.smax
             A11 = F[:, :s, :s]
-            lu, _piv, perm = jax.lax.linalg.lu(A11)
-            # static-pivot boost: tiny pivots -> tau * max|diag| (GESP)
-            dg = jnp.diagonal(lu, axis1=1, axis2=2)
-            mx = jnp.max(jnp.abs(dg), axis=1, keepdims=True)
-            tau = self.pivot_tol * jnp.maximum(mx, 1e-30)
-            fix = jnp.where(jnp.abs(dg) < tau,
-                            jnp.where(dg < 0, -tau, tau), dg)
-            ar = jnp.arange(s)
-            lu = lu.at[:, ar, ar].set(fix)
+            if self.lu_block and s > self.lu_block:
+                lu, perm = self._block_lu(A11)  # (nn, m, m), (nn, m)
+            else:
+                lu, _piv, perm = jax.lax.linalg.lu(A11)
+                lu = self._boost(lu)
+            m = lu.shape[-1]  # == s, or the bs-padded size under lu_block
             if lev.bmax:
                 A12 = F[:, :s, s:]
                 A21 = F[:, s:, :s]
                 A22 = F[:, s:, s:]
+                if m != s:  # identity-padded rows/cols contribute zeros
+                    A12 = jnp.concatenate(
+                        [A12, jnp.zeros((lev.nn, m - s, lev.bmax),
+                                        self.dtype)], axis=1)
+                    A21 = jnp.concatenate(
+                        [A21, jnp.zeros((lev.nn, lev.bmax, m - s),
+                                        self.dtype)], axis=2)
                 A12p = jnp.take_along_axis(A12, perm[:, :, None], axis=1)
                 Y = triangular_solve(lu, A12p, left_side=True, lower=True,
                                      unit_diagonal=True)
                 X = triangular_solve(lu, A21, left_side=False, lower=False)
                 S_prev = A22 - X @ Y
             else:
-                X = jnp.zeros((lev.nn, 0, s), self.dtype)
-                Y = jnp.zeros((lev.nn, s, 0), self.dtype)
+                X = jnp.zeros((lev.nn, 0, m), self.dtype)
+                Y = jnp.zeros((lev.nn, m, 0), self.dtype)
                 S_prev = jnp.zeros((lev.nn, 0, 0), self.dtype)
             facs.append((lu, perm, X, Y))
         return facs
@@ -403,20 +467,31 @@ class NDLU:
         w = jnp.zeros(n + 2, self.dtype).at[:n].set(b.astype(self.dtype))
         for lev, tb, (lu, perm, X, Y) in zip(self.levels, tabs, facs):
             bs = w[tb["own_w"]]
+            m = lu.shape[-1]
+            if m != lev.smax:  # lu_block padding: zero-extend the segment
+                bs = jnp.concatenate(
+                    [bs, jnp.zeros((bs.shape[0], m - lev.smax), bs.dtype)],
+                    axis=1)
             bsp = jnp.take_along_axis(bs, perm, axis=1)
             y = triangular_solve(lu, bsp[..., None], left_side=True,
                                  lower=True, unit_diagonal=True)[..., 0]
-            w = w.at[tb["own_w"]].set(y)
+            w = w.at[tb["own_w"]].set(y[:, :lev.smax])
             if lev.bmax:
-                w = w.at[tb["bnd_w"]].add(-jnp.einsum("nbs,ns->nb", X, y))
+                w = w.at[tb["bnd_w"]].add(-jnp.einsum(
+                    "nbs,ns->nb", X, y))
         for lev, tb, (lu, perm, X, Y) in zip(
                 reversed(self.levels), reversed(tabs), reversed(facs)):
             y = w[tb["own_w"]]
+            m = lu.shape[-1]
+            if m != lev.smax:
+                y = jnp.concatenate(
+                    [y, jnp.zeros((y.shape[0], m - lev.smax), y.dtype)],
+                    axis=1)
             if lev.bmax:
                 y = y - jnp.einsum("nsb,nb->ns", Y, w[tb["bnd_w"]])
             x = triangular_solve(lu, y[..., None], left_side=True,
                                  lower=False)[..., 0]
-            w = w.at[tb["own_w"]].set(x)
+            w = w.at[tb["own_w"]].set(x[:, :lev.smax])
         return w[:n]
 
     def solve(self, facs, b):
