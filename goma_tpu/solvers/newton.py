@@ -671,10 +671,14 @@ class NewtonSolver:
                 z = nd.solve_refined(fac, bD, self._matvec(vals),
                                      refine=opts.ndlu_refine)
                 # singular/rank-deficient guard (direct-path semantics):
-                # refined solve must leave a small relative residual
+                # refined solve must leave a small relative residual. The
+                # floor is the f32-factorization refinement limit; anything
+                # up to the configured inexact-Newton linear_tol is still a
+                # valid Newton step (same eta the Krylov path would use).
                 rel = jnp.linalg.norm(bD - self._ell.matvec(vals, z)) / (
                     jnp.linalg.norm(bD) + 1e-300)
-                if not np.isfinite(float(jax.device_get(rel))) or float(rel) > 1e-5:
+                rel_tol = max(1e-5, opts.linear_tol)
+                if not np.isfinite(float(jax.device_get(rel))) or float(rel) > rel_tol:
                     t_slv += time.perf_counter() - t0
                     converged = False
                     break
