@@ -73,8 +73,30 @@ def _bisect(xadj, adjncy, n):
     return bisect_partition(xadj.astype(np.int64), adjncy.astype(np.int64), w)
 
 
-def build_nd_tree(pattern: CSRPattern, leaf_max: int = 96, debug: bool = False):
-    """Host symbolic analysis: separator tree + per-level gather plans."""
+def zero_diag_defer_mask(pattern: CSRPattern, vals,
+                         tol: float = 1e-12) -> np.ndarray:
+    """(n,) bool mask of rows whose diagonal is (near-)zero relative to the
+    row max — saddle/multiplier rows that must be ordered LAST within each
+    frontal block so the blocked panel LU never factors a structurally
+    singular leading sub-block (cf. the reference routing such systems to
+    full-pivoting UMFPACK, ``src/sl_umf.c``)."""
+    import scipy.sparse as sp
+
+    v = np.asarray(vals, dtype=np.float64)
+    A = sp.csr_matrix((v, pattern.indices, pattern.indptr),
+                      shape=(pattern.n, pattern.n))
+    d = np.abs(A.diagonal())
+    rowmax = np.abs(A).max(axis=1).toarray().ravel()
+    return d <= tol * np.maximum(rowmax, 1e-300)
+
+
+def build_nd_tree(pattern: CSRPattern, leaf_max: int = 96, debug: bool = False,
+                  defer_dofs: np.ndarray | None = None):
+    """Host symbolic analysis: separator tree + per-level gather plans.
+
+    ``defer_dofs`` (bool (n,)): dofs ordered last within each tree node's
+    own block (stable), so panel-restricted pivoting (``lu_block``) factors
+    the elliptic sub-block before any zero-diagonal saddle row."""
     import time as _time
 
     import scipy.sparse as sp
@@ -133,6 +155,14 @@ def build_nd_tree(pattern: CSRPattern, leaf_max: int = 96, debug: bool = False):
     rec(np.arange(n, dtype=np.int32), -1, 0)
     _mark("recursion")
     n_nodes = len(own_of)
+    if defer_dofs is not None:
+        # elliptic-first / saddle-last inside every own block: with blocked
+        # panel LU the leading panels then always pivot on rows that carry a
+        # (possibly Schur-filled) nonzero diagonal
+        for t in range(n_nodes):
+            own = own_of[t]
+            if own.shape[0] > 1:
+                own_of[t] = own[np.argsort(defer_dofs[own], kind="stable")]
     depth = np.asarray(depth)
     parent = np.asarray(parent)
 
@@ -306,14 +336,19 @@ class NDLU:
     systems (zero pressure diagonal) ``leaf_max`` must stay large enough
     that interior constraint dofs keep their conjugate partners inside the
     same block — ~2x the per-node dof count is the practical floor; the
-    default 96 is safe for Q2/Q1-class problems. A structurally-deficient
-    block shows up as a boosted pivot and a large post-solve residual (the
-    Newton tpu_direct path checks and aborts).
+    default 96 is safe for Q2/Q1-class problems. With ``lu_block`` pivoting
+    is further restricted to bs x bs panels, so saddle systems additionally
+    need ``defer_dofs`` (see :func:`zero_diag_defer_mask`) ordering the
+    zero-diagonal rows last within each front — otherwise a leading panel
+    can be structurally singular. A structurally-deficient block shows up
+    as a boosted pivot and a large post-solve residual (the Newton
+    tpu_direct path checks and aborts).
     """
 
     def __init__(self, pattern: CSRPattern, leaf_max: int = 96,
                  dtype=jnp.float32, pivot_tol: float = 1e-8,
-                 lu_block: int | None = 128):
+                 lu_block: int | None = 128,
+                 defer_dofs: np.ndarray | None = None):
         self.pattern = pattern
         self.dtype = dtype
         self.pivot_tol = pivot_tol
@@ -325,7 +360,8 @@ class NDLU:
         # disjoint row slices, so they compose into one block-diagonal
         # permutation and the solve path is unchanged. None = plain lu.
         self.lu_block = lu_block
-        self.levels = build_nd_tree(pattern, leaf_max=leaf_max)
+        self.levels = build_nd_tree(pattern, leaf_max=leaf_max,
+                                    defer_dofs=defer_dofs)
         self.n = pattern.n
         # device tables, passed as jit arguments (too big for jaxpr consts).
         # Dense (nn, f, f) gather maps are materialized on HOST from the

@@ -196,10 +196,12 @@ class NewtonSolver:
             # iterations (~10 its lagged) so the factorization amortizes.
             # The Krylov operator stays the fresh exact Jacobian.
             from goma_tpu.solvers.ndlu import NDLU
+            from goma_tpu.solvers.twolevel import _saddle_mask
 
             self.precond = NDLU(problem.pattern,
                                 leaf_max=self.opts.ndlu_leaf_max,
-                                dtype=jnp.dtype(self.opts.ndlu_dtype))
+                                dtype=jnp.dtype(self.opts.ndlu_dtype),
+                                defer_dofs=_saddle_mask(problem))
         elif kind != "_done":
             self.precond = BlockJacobi(problem.pattern, problem.dofmap)
         if self.opts.precond_dtype == "bf16":
@@ -660,11 +662,16 @@ class NewtonSolver:
 
                 nd = self._ndlu
                 if nd is None:
-                    from goma_tpu.solvers.ndlu import NDLU
+                    from goma_tpu.solvers.ndlu import NDLU, zero_diag_defer_mask
 
+                    # value-based saddle detection (the equilibrated vals are
+                    # live here): zero-diagonal rows go last in every front so
+                    # blocked panel pivoting stays nonsingular
                     nd = self._ndlu = NDLU(
                         self.problem.pattern, leaf_max=opts.ndlu_leaf_max,
                         dtype=jnp.dtype(opts.ndlu_dtype),
+                        defer_dofs=zero_diag_defer_mask(
+                            self.problem.pattern, jax.device_get(vals)),
                     )
                 fac = nd.factor(vals)
                 bD = scale * R

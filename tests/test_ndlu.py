@@ -12,7 +12,7 @@ from goma_tpu.fem.sparsity import EllOperator, sym_sum_scale
 from goma_tpu.mesh import rectangle_mesh
 from goma_tpu.physics import Continuity, Momentum
 from goma_tpu.solvers import NewtonOptions, NewtonSolver
-from goma_tpu.solvers.ndlu import NDLU
+from goma_tpu.solvers.ndlu import NDLU, zero_diag_defer_mask
 
 
 def _cavity(n, Re=100.0):
@@ -97,3 +97,34 @@ def test_ndlu_unbalanced_leaf_sizes():
                       shape=(pat.n, pat.n))
     xs = sp.linalg.spsolve(A, np.asarray(b))
     assert np.linalg.norm(x - xs) / np.linalg.norm(xs) < 1e-11
+
+
+def test_ndlu_blocked_lu_matches_scipy():
+    """Blocked right-looking frontal LU (lu_block smaller than the biggest
+    front, so every level goes through _block_lu's panel loop) reproduces
+    the plain-LU factorization numerics. Requires the zero-diagonal defer
+    ordering: panel pivoting cannot cross bs-block boundaries, so pressure
+    rows must come after their velocity partners within each front."""
+    prob, pat, vals, b = _saddle_system(8)
+    nd = NDLU(pat, leaf_max=64, dtype=jnp.float64, lu_block=16,
+              defer_dofs=zero_diag_defer_mask(pat, vals))
+    fac = nd.factor(vals)
+    x = np.asarray(nd.solve(fac, b))
+    A = sp.csr_matrix((np.asarray(vals), pat.indices, pat.indptr),
+                      shape=(pat.n, pat.n))
+    xs = sp.linalg.spsolve(A, np.asarray(b))
+    assert np.linalg.norm(x - xs) / np.linalg.norm(xs) < 1e-11
+
+
+def test_ndlu_blocked_f32_refined():
+    """Blocked f32 factorization + refinement still reaches f64 backward
+    error (the bench cavity configuration: lu_block=128, f32, refine)."""
+    prob, pat, vals, b = _saddle_system(8)
+    nd = NDLU(pat, leaf_max=64, dtype=jnp.float32, lu_block=24,
+              defer_dofs=zero_diag_defer_mask(pat, vals))
+    fac = nd.factor(vals)
+    ell = EllOperator(pat)
+    mv = lambda v: ell.matvec(vals, v)
+    x = nd.solve_refined(fac, b, mv, refine=3)
+    r = np.asarray(b - mv(x))
+    assert np.linalg.norm(r) / np.linalg.norm(np.asarray(b)) < 1e-12
