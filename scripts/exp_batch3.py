@@ -39,7 +39,7 @@ def main():
     sys.path.insert(0, "/root/repo")
     from __graft_entry__ import _cavity_problem
     from goma_tpu.solvers import NewtonOptions, NewtonSolver
-    from goma_tpu.solvers.ndlu import NDLU
+    from goma_tpu.solvers.ndlu import NDLU, zero_diag_defer_mask
 
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 64
     log(f"devices: {jax.devices()}")
@@ -62,7 +62,9 @@ def main():
     log(f"prep compile+run: {time.perf_counter()-t0:.0f}s")
 
     t0 = time.perf_counter()
-    nd = NDLU(prob.pattern, leaf_max=192, dtype=jnp.float32, lu_block=128)
+    nd = NDLU(prob.pattern, leaf_max=192, dtype=jnp.float32, lu_block=128,
+              defer_dofs=zero_diag_defer_mask(prob.pattern,
+                                              jax.device_get(vals)))
     log(f"symbolic+tables: {time.perf_counter()-t0:.0f}s "
         f"(levels={len(nd.levels)}, "
         f"fronts={[ (l.nn, l.smax, l.bmax) for l in nd.levels[:3] ]}...)")
