@@ -353,15 +353,26 @@ void fm2(const Graph& g, int32_t* part, int passes, double imbalance) {
   for (int pass = 0; pass < passes; ++pass) {
     std::fill(locked.begin(), locked.end(), 0);
     order.clear();
-    // lazy max-heap of (gain, vertex); stale entries skipped on pop
+    // lazy max-heap of (gain, vertex); stale entries skipped on pop.
+    // Seed with BOUNDARY vertices only: cold-heap FM is O(n log n) per
+    // pass, but refinement moves start at the cut — interior vertices
+    // enter lazily when a neighbor moves. A move cap bounds the
+    // negative-gain hill-climb so a pass never degenerates into a
+    // full-graph sweep.
     std::priority_queue<std::pair<int64_t, int64_t>> heap;
     for (int64_t v = 0; v < g.n; ++v) {
+      bool bnd = false;
+      for (int64_t e = g.xadj[v]; e < g.xadj[v + 1] && !bnd; ++e)
+        bnd = part[g.adjncy[e]] != part[v];
+      if (!bnd) continue;
       gain[v] = compute_gain(v);
       heap.push({gain[v], v});
     }
+    if (heap.empty()) break;
+    const int64_t max_moves = 4 * (int64_t)heap.size() + 64;
     int64_t cur = 0, best = 0;
     size_t best_len = 0;
-    while (!heap.empty()) {
+    while (!heap.empty() && (int64_t)order.size() < max_moves) {
       auto [gv, v] = heap.top();
       heap.pop();
       if (locked[v] || gv != gain[v]) continue;
