@@ -370,10 +370,20 @@ class NDLU:
     def __init__(self, pattern: CSRPattern, leaf_max: int = 96,
                  dtype=jnp.float32, pivot_tol: float = 1e-8,
                  lu_block: int | None = 128,
-                 defer_dofs: np.ndarray | None = None):
+                 defer_dofs: np.ndarray | None = None,
+                 front_lu: str = "auto"):
         self.pattern = pattern
         self.dtype = dtype
         self.pivot_tol = pivot_tol
+        # front factorization backend: "pallas" = one-kernel unpivoted LU
+        # (whole front in VMEM, no per-pivot dispatch; requires defer_dofs
+        # ordering on saddle systems), "lax" = lax.linalg.lu with partial
+        # pivoting (optionally panel-blocked via lu_block), "auto" = pallas
+        # on TPU, lax elsewhere. interpret-mode pallas covers CPU testing.
+        if front_lu == "auto":
+            front_lu = "pallas" if jax.default_backend() == "tpu" else "lax"
+        self.front_lu = front_lu
+        self._pl_interpret = jax.default_backend() != "tpu"
         # blocked right-looking LU with pivoting restricted to bs x bs
         # diagonal blocks: lax.linalg.lu costs ~1 ms PER sequential pivot
         # step on TPU (overhead-, not FLOP-bound), so factoring a front in
@@ -487,7 +497,13 @@ class NDLU:
                 F = F.at[tb["pad_node"], tb["pad_slot"], tb["pad_slot"]].add(1.0)
             s = lev.smax
             A11 = F[:, :s, :s]
-            if self.lu_block and s > self.lu_block:
+            if self.front_lu == "pallas" and s > 1:
+                from goma_tpu.solvers.pallas_lu import batched_lu
+
+                lu = batched_lu(A11, pivot_tol=self.pivot_tol,
+                                interpret=self._pl_interpret)
+                perm = None  # unpivoted: defer_dofs ordering + GESP boost
+            elif self.lu_block and s > self.lu_block:
                 lu, perm = self._block_lu(A11)  # (nn, m, m), (nn, m)
             else:
                 lu, _piv, perm = jax.lax.linalg.lu(A11)
@@ -504,7 +520,8 @@ class NDLU:
                     A21 = jnp.concatenate(
                         [A21, jnp.zeros((lev.nn, lev.bmax, m - s),
                                         self.dtype)], axis=2)
-                A12p = jnp.take_along_axis(A12, perm[:, :, None], axis=1)
+                A12p = (A12 if perm is None else
+                        jnp.take_along_axis(A12, perm[:, :, None], axis=1))
                 Y = triangular_solve(lu, A12p, left_side=True, lower=True,
                                      unit_diagonal=True)
                 X = triangular_solve(lu, A21, left_side=False, lower=False)
@@ -530,7 +547,7 @@ class NDLU:
                 bs = jnp.concatenate(
                     [bs, jnp.zeros((bs.shape[0], m - lev.smax), bs.dtype)],
                     axis=1)
-            bsp = jnp.take_along_axis(bs, perm, axis=1)
+            bsp = bs if perm is None else jnp.take_along_axis(bs, perm, axis=1)
             y = triangular_solve(lu, bsp[..., None], left_side=True,
                                  lower=True, unit_diagonal=True)[..., 0]
             w = w.at[tb["own_w"]].set(y[:, :lev.smax])

@@ -27,6 +27,9 @@ def main():
     if cpu:
         sys.argv.remove("--cpu")
         os.environ["JAX_PLATFORMS"] = "cpu"
+    lax_cmp = "--lax-compare" in sys.argv
+    if lax_cmp:
+        sys.argv.remove("--lax-compare")
     import jax
 
     if cpu:
@@ -61,22 +64,31 @@ def main():
     jax.block_until_ready(vals)
     log(f"prep compile+run: {time.perf_counter()-t0:.0f}s")
 
+    defer = zero_diag_defer_mask(prob.pattern, jax.device_get(vals))
     t0 = time.perf_counter()
-    nd = NDLU(prob.pattern, leaf_max=192, dtype=jnp.float32, lu_block=128,
-              defer_dofs=zero_diag_defer_mask(prob.pattern,
-                                              jax.device_get(vals)))
+    nd = NDLU(prob.pattern, leaf_max=192, dtype=jnp.float32,
+              front_lu="pallas", defer_dofs=defer)
     log(f"symbolic+tables: {time.perf_counter()-t0:.0f}s "
         f"(levels={len(nd.levels)}, "
         f"fronts={[ (l.nn, l.smax, l.bmax) for l in nd.levels[:3] ]}...)")
 
     t0 = time.perf_counter()
     fac = jax.block_until_ready(nd.factor(vals))
-    log(f"factor compile+run: {time.perf_counter()-t0:.0f}s")
+    log(f"pallas factor compile+run: {time.perf_counter()-t0:.0f}s")
     t0 = time.perf_counter()
     for _ in range(5):
         fac = jax.block_until_ready(nd.factor(vals))
     t_fac = (time.perf_counter() - t0) / 5 * 1000
-    log(f"factor: {t_fac:.0f} ms")
+    log(f"pallas factor: {t_fac:.1f} ms")
+
+    if lax_cmp:
+        nd_lax = NDLU(prob.pattern, leaf_max=192, dtype=jnp.float32,
+                      front_lu="lax", lu_block=128, defer_dofs=defer)
+        fl = jax.block_until_ready(nd_lax.factor(vals))
+        t0 = time.perf_counter()
+        for _ in range(3):
+            fl = jax.block_until_ready(nd_lax.factor(vals))
+        log(f"blocked-lax factor: {(time.perf_counter()-t0)/3*1000:.0f} ms")
 
     bD = scale * R
     z = jax.block_until_ready(nd.solve(fac, bD))

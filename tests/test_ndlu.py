@@ -116,6 +116,35 @@ def test_ndlu_blocked_lu_matches_scipy():
     assert np.linalg.norm(x - xs) / np.linalg.norm(xs) < 1e-11
 
 
+def test_ndlu_pallas_front_lu_matches_scipy():
+    """One-kernel unpivoted pallas front LU (interpret mode on CPU; the TPU
+    factor path) + defer ordering reproduces the pivoted factorization on
+    the saddle cavity."""
+    prob, pat, vals, b = _saddle_system(6)
+    nd = NDLU(pat, leaf_max=48, dtype=jnp.float64, front_lu="pallas",
+              defer_dofs=zero_diag_defer_mask(pat, vals))
+    fac = nd.factor(vals)
+    x = np.asarray(nd.solve(fac, b))
+    A = sp.csr_matrix((np.asarray(vals), pat.indices, pat.indptr),
+                      shape=(pat.n, pat.n))
+    xs = sp.linalg.spsolve(A, np.asarray(b))
+    assert np.linalg.norm(x - xs) / np.linalg.norm(xs) < 1e-9
+
+
+def test_ndlu_pallas_f32_refined():
+    """Pallas-front f32 factorization + refinement reaches f64 backward
+    error (the TPU bench configuration)."""
+    prob, pat, vals, b = _saddle_system(6)
+    nd = NDLU(pat, leaf_max=48, dtype=jnp.float32, front_lu="pallas",
+              defer_dofs=zero_diag_defer_mask(pat, vals))
+    fac = nd.factor(vals)
+    ell = EllOperator(pat)
+    mv = lambda v: ell.matvec(vals, v)
+    x = nd.solve_refined(fac, b, mv, refine=3)
+    r = np.asarray(b - mv(x))
+    assert np.linalg.norm(r) / np.linalg.norm(np.asarray(b)) < 1e-12
+
+
 def test_ndlu_blocked_f32_refined():
     """Blocked f32 factorization + refinement still reaches f64 backward
     error (the bench cavity configuration: lu_block=128, f32, refine)."""
