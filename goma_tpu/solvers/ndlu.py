@@ -547,9 +547,15 @@ class NDLU:
                 bs = jnp.concatenate(
                     [bs, jnp.zeros((bs.shape[0], m - lev.smax), bs.dtype)],
                     axis=1)
-            bsp = bs if perm is None else jnp.take_along_axis(bs, perm, axis=1)
-            y = triangular_solve(lu, bsp[..., None], left_side=True,
-                                 lower=True, unit_diagonal=True)[..., 0]
+            if perm is None:  # pallas factor: in-kernel substitution
+                from goma_tpu.solvers.pallas_lu import batched_trsv
+
+                y = batched_trsv(lu, bs, lower=True,
+                                 interpret=self._pl_interpret)
+            else:
+                bsp = jnp.take_along_axis(bs, perm, axis=1)
+                y = triangular_solve(lu, bsp[..., None], left_side=True,
+                                     lower=True, unit_diagonal=True)[..., 0]
             w = w.at[tb["own_w"]].set(y[:, :lev.smax])
             if lev.bmax:
                 w = w.at[tb["bnd_w"]].add(-jnp.einsum(
@@ -564,8 +570,14 @@ class NDLU:
                     axis=1)
             if lev.bmax:
                 y = y - jnp.einsum("nsb,nb->ns", Y, w[tb["bnd_w"]])
-            x = triangular_solve(lu, y[..., None], left_side=True,
-                                 lower=False)[..., 0]
+            if perm is None:
+                from goma_tpu.solvers.pallas_lu import batched_trsv
+
+                x = batched_trsv(lu, y, lower=False,
+                                 interpret=self._pl_interpret)
+            else:
+                x = triangular_solve(lu, y[..., None], left_side=True,
+                                     lower=False)[..., 0]
             w = w.at[tb["own_w"]].set(x[:, :lev.smax])
         return w[:n]
 

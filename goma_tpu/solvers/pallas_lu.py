@@ -55,6 +55,50 @@ def _lu_kernel(a_ref, out_ref, *, m: int, pivot_tol: float):
     out_ref[0] = jax.lax.fori_loop(0, m, body, A)
 
 
+def _trsv_kernel(lu_ref, b_ref, out_ref, *, m: int, lower: bool):
+    """Single-RHS substitution against the packed LU: forward (unit-lower)
+    or backward (upper, divides by the stored boosted pivots)."""
+    L = lu_ref[0]
+    b = b_ref[:]  # (1, m)
+    ri = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (1, m), 1)
+
+    def body(i, y):
+        k = i if lower else m - 1 - i
+        rowk = jnp.sum(jnp.where(ri == k, L, 0.0), axis=0, keepdims=True)
+        done = (ci < k) if lower else (ci > k)
+        acc = jnp.sum(jnp.where(done, rowk * y, 0.0))
+        bk = jnp.sum(jnp.where(ci == k, b, 0.0))
+        yk = bk - acc
+        if not lower:
+            yk = yk / jnp.sum(jnp.where(ci == k, rowk, 0.0))
+        return jnp.where(ci == k, yk, y)
+
+    out_ref[:] = jax.lax.fori_loop(0, m, body, jnp.zeros_like(b))
+
+
+@functools.partial(jax.jit, static_argnames=("lower", "interpret"))
+def batched_trsv(lu, b, lower: bool = True, interpret: bool = False):
+    """Batched single-RHS triangular substitution: (nn, m, m) packed LU x
+    (nn, m) RHS -> (nn, m). One grid program per front, RHS in VMEM, the
+    whole sweep in-kernel (XLA's triangular_solve pays per-step dispatch
+    for single-column RHS on TPU, like lax.linalg.lu does)."""
+    nn, m, _ = lu.shape
+    kern = functools.partial(_trsv_kernel, m=m, lower=lower)
+    return pl.pallas_call(
+        kern,
+        grid=(nn,),
+        in_specs=[pl.BlockSpec((1, m, m), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, m), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, m), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nn, m), lu.dtype),
+        interpret=interpret,
+    )(lu, b)
+
+
 @functools.partial(jax.jit, static_argnames=("pivot_tol", "interpret"))
 def batched_lu(A, pivot_tol: float = 1e-8, interpret: bool = False):
     """Unpivoted packed LU of a batch of square fronts.
