@@ -497,7 +497,10 @@ class NDLU:
                 F = F.at[tb["pad_node"], tb["pad_slot"], tb["pad_slot"]].add(1.0)
             s = lev.smax
             A11 = F[:, :s, :s]
-            if self.front_lu == "pallas" and s > 1:
+            # pallas front kernel holds one (m, m) front + carry in VMEM
+            # (~3 copies); beyond ~1000 f32 columns fall back to lax for
+            # that level (the solve path keys on perm is None per level)
+            if self.front_lu == "pallas" and 1 < s <= 1000:
                 from goma_tpu.solvers.pallas_lu import batched_lu
 
                 lu = batched_lu(A11, pivot_tol=self.pivot_tol,

@@ -45,6 +45,7 @@ def main():
     from goma_tpu.solvers.ndlu import NDLU, zero_diag_defer_mask
 
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    leaf = int(sys.argv[2]) if len(sys.argv) > 2 else 192
     log(f"devices: {jax.devices()}")
     prob = _cavity_problem(n)
     prob.jacobian_dtype = jnp.float32
@@ -54,7 +55,7 @@ def main():
     solver = NewtonSolver(
         prob,
         NewtonOptions(max_iter=20, tol_residual=1e-6, linear_tol=1e-4,
-                      linear_solver="tpu_direct", ndlu_leaf_max=192,
+                      linear_solver="tpu_direct", ndlu_leaf_max=leaf,
                       ndlu_refine=2),
     )
 
@@ -66,7 +67,7 @@ def main():
 
     defer = zero_diag_defer_mask(prob.pattern, jax.device_get(vals))
     t0 = time.perf_counter()
-    nd = NDLU(prob.pattern, leaf_max=192, dtype=jnp.float32,
+    nd = NDLU(prob.pattern, leaf_max=leaf, dtype=jnp.float32,
               front_lu="pallas", defer_dofs=defer)
     log(f"symbolic+tables: {time.perf_counter()-t0:.0f}s "
         f"(levels={len(nd.levels)}, "
@@ -82,7 +83,7 @@ def main():
     log(f"pallas factor: {t_fac:.1f} ms")
 
     if lax_cmp:
-        nd_lax = NDLU(prob.pattern, leaf_max=192, dtype=jnp.float32,
+        nd_lax = NDLU(prob.pattern, leaf_max=leaf, dtype=jnp.float32,
                       front_lu="lax", lu_block=128, defer_dofs=defer)
         fl = jax.block_until_ready(nd_lax.factor(vals))
         t0 = time.perf_counter()
@@ -127,7 +128,7 @@ def main():
     solver2 = NewtonSolver(
         prob,
         NewtonOptions(max_iter=20, tol_residual=1e-6, linear_tol=1e-4,
-                      precond="ndlu", ndlu_leaf_max=192, precond_lag=False,
+                      precond="ndlu", ndlu_leaf_max=leaf, precond_lag=False,
                       gmres_restart=20, linear_maxiter=60),
     )
     solver2.precond = nd  # reuse warm jits
