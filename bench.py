@@ -28,46 +28,79 @@ def log(msg):
 
 
 # --------------------------------------------------------------- config #1
-def bench_cavity():
-    import jax
+def _time_cavity_solver(prob, opts, tag):
+    """Warmup + timed full Newton solve; returns (sec_per_iter, res)."""
     import jax.numpy as jnp
 
-    from __graft_entry__ import _cavity_problem
-    from goma_tpu.solvers import NewtonOptions, NewtonSolver
+    from goma_tpu.solvers import NewtonSolver
 
-    n = 64  # 4096 Q2/Q1 elements, ~37.5k dofs
-    prob = _cavity_problem(n)
-    # mixed-precision Newton-Krylov: f64 residual (full 1e-10-capable
-    # convergence), f32 Jacobian + Krylov (f64 is emulated on TPU)
-    prob.jacobian_dtype = jnp.float32
-    ne = prob.mesh.n_elem
-    solver = NewtonSolver(
-        prob,
-        NewtonOptions(max_iter=20, tol_residual=1e-6, linear_tol=1e-4,
-                      gmres_restart=240, linear_maxiter=480,
-                      precond="twolevel", smooth_sweeps=1),
-    )
+    solver = NewtonSolver(prob, opts)
     params = prob.base_params()
     x = jnp.zeros(prob.dofmap.n_dof, dtype=prob.dtype)
-
-    log("bench[cavity]: warmup full solve (compiles everything)...")
+    log(f"bench[cavity:{tag}]: warmup full solve (compiles everything)...")
     t0 = time.perf_counter()
     res_w = solver.solve(x, params)
-    log(f"bench[cavity]: warmup {time.perf_counter()-t0:.0f}s "
+    log(f"bench[cavity:{tag}]: warmup {time.perf_counter()-t0:.0f}s "
         f"(iters={res_w.iters}, lin={res_w.linear_iters})")
-
-    log("bench[cavity]: timing full Newton solve...")
     solver._fac_cache = None  # no carry-over from warmup
     t0 = time.perf_counter()
     res = solver.solve(x, params)
     t_total = time.perf_counter() - t0
     iters = max(res.iters, 1)
     sec_per_iter = t_total / iters
-    log(f"bench[cavity]: iters={res.iters} conv={res.converged} "
+    log(f"bench[cavity:{tag}]: iters={res.iters} conv={res.converged} "
         f"lin={res.linear_iters}")
-    log(f"bench[cavity]: asm {res.assembly_time/iters*1000:.0f} ms + slv "
-        f"{res.solve_time/iters*1000:.0f} ms = {sec_per_iter*1000:.0f} ms/iter "
-        f"(total {t_total:.2f}s)")
+    log(f"bench[cavity:{tag}]: asm {res.assembly_time/iters*1000:.0f} ms + "
+        f"slv {res.solve_time/iters*1000:.0f} ms = "
+        f"{sec_per_iter*1000:.0f} ms/iter (total {t_total:.2f}s)")
+    return sec_per_iter, res, t_total
+
+
+def bench_cavity():
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _cavity_problem
+    from goma_tpu.solvers import NewtonOptions
+
+    import os
+
+    n = int(os.environ.get("GOMA_BENCH_N", "64"))  # 64: 4096 Q2/Q1 elements
+    prob = _cavity_problem(n)
+    # mixed-precision Newton-Krylov: f64 residual (full 1e-10-capable
+    # convergence), f32 Jacobian + Krylov (f64 is emulated on TPU)
+    prob.jacobian_dtype = jnp.float32
+    ne = prob.mesh.n_elem
+
+    # two solver candidates; the faster CONVERGED one is the headline:
+    # (a) twolevel-preconditioned GMRES (the round-2 baseline config)
+    # (b) tpu_direct: on-device multifrontal LU with pallas frontal
+    #     kernels — guarded, so a hardware-specific failure falls back
+    variants = {}
+    sec_per_iter, res, t_total = _time_cavity_solver(
+        prob,
+        NewtonOptions(max_iter=20, tol_residual=1e-6, linear_tol=1e-4,
+                      gmres_restart=240, linear_maxiter=480,
+                      precond="twolevel", smooth_sweeps=1),
+        "twolevel")
+    variants["twolevel"] = (sec_per_iter, res, t_total)
+    try:
+        s2, r2, t2 = _time_cavity_solver(
+            prob,
+            NewtonOptions(max_iter=20, tol_residual=1e-6, linear_tol=1e-4,
+                          linear_solver="tpu_direct", ndlu_leaf_max=192,
+                          ndlu_refine=2),
+            "tpu_direct")
+        if r2.converged:
+            variants["tpu_direct"] = (s2, r2, t2)
+    except Exception as e:
+        log(f"bench[cavity:tpu_direct]: FAILED {type(e).__name__}: {e}")
+    best = min((k for k in variants if variants[k][1].converged),
+               key=lambda k: variants[k][0])
+    sec_per_iter, res, t_total = variants[best]
+    iters = max(res.iters, 1)
+    log(f"bench[cavity]: headline = {best} at "
+        f"{sec_per_iter*1000:.0f} ms/iter")
 
     # baseline denominator: reference-style FULL Newton iteration on one x86
     # core = compiled C++ -O3 scalar assembly + SuperLU direct solve
@@ -76,7 +109,9 @@ def bench_cavity():
     import scipy.sparse as sp
     import scipy.sparse.linalg as spla
 
-    R, vals, _, _, _ = solver._prepare(x, params)
+    x = jnp.zeros(prob.dofmap.n_dof, dtype=prob.dtype)
+    params = prob.base_params()
+    R, vals = prob._assemble(x, params)
     t_ref_elem = ref_assembly_seconds_per_element()
     if t_ref_elem is None:
         t_ref_elem = 14e-3 / 4096  # measured C++ fallback estimate
@@ -92,6 +127,7 @@ def bench_cavity():
         f"(asm {t_ref_elem*ne*1000:.0f} + direct {t_ref_direct*1000:.0f})")
     return {
         "sec_per_iter": round(sec_per_iter, 6),
+        "solver": best,
         "newton_iters": res.iters,
         "linear_iters": res.linear_iters,
         "asm_ms": round(res.assembly_time / iters * 1000, 1),
@@ -100,6 +136,7 @@ def bench_cavity():
         "converged": bool(res.converged),
         "ref_iter_s": round(t_ref_iter, 4),
         "vs_baseline": round(t_ref_iter / sec_per_iter, 2),
+        "variants": {k: round(v[0], 6) for k, v in variants.items()},
     }
 
 
