@@ -270,7 +270,7 @@ def _transient_sec_per_iter(make, warm_t, timed_t):
 
 
 # --------------------------------------------------------------- config #3
-def bench_slot_coater():
+def bench_slot_coater(direct_kind="direct"):
     """ALE free-surface slot coater (examples/slot_coater.py build())."""
     import importlib
     import jax.numpy as jnp
@@ -281,18 +281,20 @@ def bench_slot_coater():
     def make():
         # the ALE + penalty-kinematic free-surface system defeats the
         # iterative preconditioners (like the reference, which runs such
-        # decks on direct solvers); TPU assembly + host direct solve
+        # decks on direct solvers): tpu_direct (on-device multifrontal,
+        # CPU-validated to match host direct step-for-step) when the
+        # cavity A/B proved the pallas path on this hardware, else host
         prob, ts, x0 = sc.build(nx=24, ny=6, t_end=0.04,
-                                linear_solver="direct")
+                                linear_solver=direct_kind)
         return ts, x0, prob.base_params()
 
     out = _transient_sec_per_iter(make, 0.04, 0.08)
-    out["linear_solver"] = "direct(host)"
+    out["linear_solver"] = direct_kind if direct_kind != "direct" else "direct(host)"
     return out
 
 
 # --------------------------------------------------------------- config #5
-def bench_two_phase():
+def bench_two_phase(direct_kind="direct"):
     """Level-set two-phase static bubble with CSF tension (mirrors
     examples/two_phase_bubble.py run_static)."""
     import jax.numpy as jnp
@@ -326,14 +328,15 @@ def bench_two_phase():
             prob,
             # the CSF band system also resists the current iterative
             # preconditioners (pre-existing round-1 limitation, tracked in
-            # PARITY known gaps): TPU assembly + host direct solve
+            # PARITY known gaps): direct solve (on-device multifrontal
+            # when the cavity A/B proved the pallas path, else host)
             NewtonOptions(max_iter=10, tol_residual=1e-8,
-                          linear_solver="direct"),
+                          linear_solver=direct_kind),
             TimeOptions(dt0=0.02, t_end=0.04, adapt=False))
         return ts, x0, prob.base_params(ls_eps=jnp.asarray(0.2))
 
     out = _transient_sec_per_iter(make, 0.04, 0.04)
-    out["linear_solver"] = "direct(host)"
+    out["linear_solver"] = direct_kind if direct_kind != "direct" else "direct(host)"
     return out
 
 
@@ -346,10 +349,16 @@ def main():
 
     cav = bench_cavity()
     configs = {"cavity_ns": cav}
+    # the cavity A/B doubles as the pallas-on-this-hardware check: only
+    # route the direct-solver decks through tpu_direct when it passed
+    dk = "tpu_direct" if "tpu_direct" in cav.get("variants", {}) else "direct"
+    import functools
     for name, fn in [("buoyant_mes", bench_buoyant),
                      ("viscoelastic", bench_viscoelastic),
-                     ("slot_coater_ale", bench_slot_coater),
-                     ("two_phase_ls", bench_two_phase)]:
+                     ("slot_coater_ale",
+                      functools.partial(bench_slot_coater, direct_kind=dk)),
+                     ("two_phase_ls",
+                      functools.partial(bench_two_phase, direct_kind=dk))]:
         log(f"bench[{name}]: running...")
         t0 = time.perf_counter()
         try:
