@@ -165,7 +165,7 @@ def _steady_sec_per_iter(prob, opts, x0, params):
 
 
 # --------------------------------------------------------------- config #2
-def bench_buoyant():
+def bench_buoyant(direct_kind="twolevel"):
     """Coupled momentum+energy+species (buoyant convection; mirrors
     examples/buoyant_convection.py)."""
     import jax.numpy as jnp
@@ -196,17 +196,25 @@ def bench_buoyant():
     prob.add_dirichlet("pin", "pressure", 0, 0.0)
     prob.finalize()
     prob.jacobian_dtype = jnp.float32
-    opts = NewtonOptions(max_iter=15, tol_residual=1e-6, linear_tol=1e-4,
-                         precond="twolevel", smooth_sweeps=1,
-                         gmres_restart=160, linear_maxiter=1000)
-    return _steady_sec_per_iter(prob, opts,
-                                jnp.zeros(prob.dofmap.n_dof,
-                                          dtype=prob.dtype),
-                                prob.base_params())
+    if direct_kind == "tpu_direct":
+        # near-exact on-device direct solves: 6 Newton its vs 10, and no
+        # 1000-it Krylov tail (CPU-validated convergence parity)
+        opts = NewtonOptions(max_iter=15, tol_residual=1e-6,
+                             linear_solver="tpu_direct", ndlu_leaf_max=192)
+    else:
+        opts = NewtonOptions(max_iter=15, tol_residual=1e-6, linear_tol=1e-4,
+                             precond="twolevel", smooth_sweeps=1,
+                             gmres_restart=160, linear_maxiter=1000)
+    out = _steady_sec_per_iter(prob, opts,
+                               jnp.zeros(prob.dofmap.n_dof,
+                                         dtype=prob.dtype),
+                               prob.base_params())
+    out["linear_solver"] = direct_kind
+    return out
 
 
 # --------------------------------------------------------------- config #4
-def bench_viscoelastic():
+def bench_viscoelastic(direct_kind="twolevel"):
     """EVSS-F/DEVSS Oldroyd-B channel (mirrors
     examples/viscoelastic_channel.py)."""
     import jax.numpy as jnp
@@ -241,11 +249,17 @@ def bench_viscoelastic():
     prob.finalize()
     prob.jacobian_dtype = jnp.float32
     x0 = prob.set_nodal_field(np.zeros(prob.dofmap.n_dof), "velocity", 0, uex)
-    opts = NewtonOptions(max_iter=20, tol_residual=1e-6, linear_tol=1e-4,
-                         precond="twolevel", smooth_sweeps=1,
-                         gmres_restart=160, linear_maxiter=1500)
-    return _steady_sec_per_iter(prob, opts, jnp.asarray(x0, dtype=prob.dtype),
-                                prob.base_params())
+    if direct_kind == "tpu_direct":
+        opts = NewtonOptions(max_iter=20, tol_residual=1e-6,
+                             linear_solver="tpu_direct", ndlu_leaf_max=192)
+    else:
+        opts = NewtonOptions(max_iter=20, tol_residual=1e-6, linear_tol=1e-4,
+                             precond="twolevel", smooth_sweeps=1,
+                             gmres_restart=160, linear_maxiter=1500)
+    out = _steady_sec_per_iter(prob, opts, jnp.asarray(x0, dtype=prob.dtype),
+                               prob.base_params())
+    out["linear_solver"] = direct_kind
+    return out
 
 
 def _transient_sec_per_iter(make, warm_t, timed_t):
@@ -353,8 +367,11 @@ def main():
     # route the direct-solver decks through tpu_direct when it passed
     dk = "tpu_direct" if "tpu_direct" in cav.get("variants", {}) else "direct"
     import functools
-    for name, fn in [("buoyant_mes", bench_buoyant),
-                     ("viscoelastic", bench_viscoelastic),
+    dk2 = dk if dk == "tpu_direct" else "twolevel"
+    for name, fn in [("buoyant_mes",
+                      functools.partial(bench_buoyant, direct_kind=dk2)),
+                     ("viscoelastic",
+                      functools.partial(bench_viscoelastic, direct_kind=dk2)),
                      ("slot_coater_ale",
                       functools.partial(bench_slot_coater, direct_kind=dk)),
                      ("two_phase_ls",
