@@ -217,9 +217,13 @@ class NewtonSolver:
             # apply-side array); smoother inverses stay f32
             self.precond.store_dtype = jnp.bfloat16
         # interface (paired-face) couplings are not represented in the
-        # element-matvec aux -> use the CSR (ELL) operator for such problems
+        # element-matvec aux -> use the CSR (ELL) operator for such problems.
+        # Direct paths (host direct / tpu_direct multifrontal) never matvec
+        # through the element aux either (refinement uses the ELL operator),
+        # so skip building it — it is the largest non-R+J cost in _prep
         self._use_elem_mv = (
             hasattr(problem, "_assemble_with_elem")
+            and self.opts.linear_solver not in ("direct", "tpu_direct")
             and not getattr(problem, "ifc_sets", None)
             and not getattr(problem, "ovs_sets", None)
             and not getattr(problem, "edge_sets", None)
