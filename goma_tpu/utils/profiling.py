@@ -1,73 +1,51 @@
-"""Profiling / tracing utilities.
+"""Profiling helpers: jax.profiler traces around solver phases.
 
-Parity: the reference's hand-rolled timers (``src/md_timer.c ut()/ust()``)
-and the per-iteration assembly/solve split printed in the Newton table
-(``src/mm_sol_nonlinear.c`` ``a_start/s_start``) — which NewtonResult
-already carries — plus the device-level tracing the reference never had:
-``trace()`` wraps ``jax.profiler`` and produces a Perfetto/TensorBoard
-trace of every XLA kernel launch.
+Parity-plus: the reference carries only coarse wall timers
+(``src/md_timer.c:82 ut()``, the asm/solve split in
+``src/mm_sol_nonlinear.c``) — those exist here as NewtonResult's
+assembly_time/solve_time. This module adds the TPU-native deep view: an
+XLA/TPU trace viewable in TensorBoard (or Perfetto) with named phase
+annotations, so per-kernel HBM/MXU behavior of a Newton step can be
+inspected.
+
+    from goma_tpu.utils.profiling import trace, annotate
+
+    with trace("/tmp/goma_trace"):
+        with annotate("newton-iter"):
+            solver.solve(x, params)
 """
 
 from __future__ import annotations
 
-import contextlib
-import time
-from dataclasses import dataclass, field
+from contextlib import contextmanager
 
 
-@contextlib.contextmanager
-def trace(logdir: str = "/tmp/goma_tpu_trace"):
-    """Device-level profiler trace (open the result in Perfetto or
-    TensorBoard's profile plugin):
-
-        with profiling.trace("/tmp/trace"):
-            solver.solve(x0, params)
-    """
+@contextmanager
+def trace(logdir: str, create_perfetto_link: bool = False):
+    """Capture a jax.profiler trace of the enclosed block into ``logdir``
+    (open with TensorBoard's profile plugin or ui.perfetto.dev)."""
     import jax
 
-    jax.profiler.start_trace(logdir)
+    jax.profiler.start_trace(logdir,
+                             create_perfetto_link=create_perfetto_link)
     try:
-        yield logdir
+        yield
     finally:
         jax.profiler.stop_trace()
 
 
-@contextlib.contextmanager
 def annotate(name: str):
-    """Named region inside a trace (jax.profiler.TraceAnnotation)."""
+    """Named region inside a trace (shows as a band in the trace viewer).
+    Usable as a context manager; nests freely."""
     import jax
 
-    with jax.profiler.TraceAnnotation(name):
-        yield
+    return jax.profiler.TraceAnnotation(name)
 
 
-@dataclass
-class PhaseTimers:
-    """Accumulating wall-clock phase timers (the ut()/asmslv analog for
-    host-side driver phases).
+def device_memory_profile(path: str) -> None:
+    """Dump the current device memory profile (pprof format) to ``path`` —
+    the TPU analog of watching the reference's heap with massif."""
+    import jax
 
-        timers = PhaseTimers()
-        with timers.phase("assembly"):
-            ...
-        print(timers.report())
-    """
-
-    totals: dict = field(default_factory=dict)
-    counts: dict = field(default_factory=dict)
-
-    @contextlib.contextmanager
-    def phase(self, name: str):
-        t0 = time.perf_counter()
-        try:
-            yield
-        finally:
-            dt = time.perf_counter() - t0
-            self.totals[name] = self.totals.get(name, 0.0) + dt
-            self.counts[name] = self.counts.get(name, 0) + 1
-
-    def report(self) -> str:
-        lines = ["  phase                 total_s   calls   s/call"]
-        for k in sorted(self.totals, key=lambda k: -self.totals[k]):
-            t, c = self.totals[k], self.counts[k]
-            lines.append(f"  {k:20s} {t:9.3f} {c:7d} {t / max(c, 1):9.4f}")
-        return "\n".join(lines)
+    with open(path, "wb") as f:
+        f.write(jax.profiler.device_memory_profile())
