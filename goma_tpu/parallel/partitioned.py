@@ -54,12 +54,13 @@ class PartitionedProblem:
 
     def __init__(self, problem, device_mesh: Mesh | None = None,
                  axis: str = "dofs", partition_method: str = "auto"):
-        if problem.face_sets or problem.ifc_sets or problem.ovs_sets or \
+        if problem.ifc_sets or problem.ovs_sets or \
                 getattr(problem, "edge_sets", None) or problem._rotation or \
                 problem.external_fields:
             raise NotImplementedError(
-                "PartitionedProblem currently covers volume kernels + "
-                "Dirichlet BCs; use ShardedProblem for face/interface decks")
+                "PartitionedProblem currently covers volume + face kernels "
+                "+ Dirichlet BCs; use ShardedProblem for interface/overset/"
+                "edge/rotated decks")
         if device_mesh is None:
             device_mesh = Mesh(np.array(jax.devices()), (axis,))
         self.problem = problem
@@ -236,6 +237,48 @@ class PartitionedProblem:
                     lmap[d, k] = np.asarray(flat).reshape(nl, nl)
             eb["nmap"] = lmap
 
+        # ---- local face-kernel tables (weak/integrated BCs): a face is
+        # assembled on every device whose local (owned+ghost) element set
+        # contains its parent element; non-owned rows land on sentinel
+        # positions and are sliced away — identical owner-computes rule to
+        # the volume blocks (reference: boundary faces live with their
+        # element's partition, src/dp_ghost.cpp)
+        self._fblocks = []
+        for fsi, fs in enumerate(problem.face_sets):
+            bi = fs.block_index
+            bd = dm.blocks[bi]
+            b = mesh.blocks[bi]
+            nl = bd.n_ldof
+            fe = fs.face_elems
+            gat_g = bd.gather[fe]                # (nf, nl)
+            Xr_g = mesh.coords[b.conn[fe]]
+            nmap_g = problem._nnz_maps[bi][fe]   # (nf, nl, nl)
+            loc_set = [set(int(v) for v in loc_elems[d][bi])
+                       for d in range(nd)]
+            sel_f = [np.asarray([i for i, le in enumerate(fe)
+                                 if int(le) in loc_set[d]], dtype=np.int64)
+                     for d in range(nd)]
+            mx = max(max(s.shape[0] for s in sel_f), 1)
+            gat = np.full((nd, mx, nl), ml, dtype=np.int64)
+            Xr = np.zeros((nd, mx) + Xr_g.shape[1:])
+            wm = np.zeros((nd, mx))
+            lmap = np.full((nd, mx, nl, nl), self.max_nnz, dtype=np.int64)
+            ft = {k: np.zeros((nd, mx) + np.asarray(v).shape[1:])
+                  for k, v in fs.ftabs.items()}
+            for d in range(nd):
+                for k, fi in enumerate(sel_f[d]):
+                    gat[d, k] = [l_of_g[d].get(int(g), ml)
+                                 for g in gat_g[fi]]
+                    Xr[d, k] = Xr_g[fi]
+                    wm[d, k] = 1.0
+                    lmap[d, k] = np.asarray(
+                        [g2l_nnz[d].get(int(p), self.max_nnz)
+                         for p in nmap_g[fi].ravel()]).reshape(nl, nl)
+                    for kk, v in fs.ftabs.items():
+                        ft[kk][d, k] = np.asarray(v)[fi]
+            self._fblocks.append(dict(fsi=fsi, gather=gat, Xref=Xr,
+                                      wmask=wm, nmap=lmap, ftabs=ft))
+
         # Dirichlet: local positions of constrained OWNED dofs
         dd = problem.dirichlet_dofs
         dval = problem.dirichlet_vals
@@ -330,6 +373,14 @@ class PartitionedProblem:
             T[f"n{bi}"] = dput(eb["nmap"])
             if eb["signs"] is not None:
                 T[f"s{bi}"] = dput(eb["signs"])
+        for fb in self._fblocks:
+            fsi = fb["fsi"]
+            T[f"fg{fsi}"] = dput(fb["gather"])
+            T[f"fx{fsi}"] = dput(fb["Xref"])
+            T[f"fw{fsi}"] = dput(fb["wmask"])
+            T[f"fn{fsi}"] = dput(fb["nmap"])
+            for k, v in fb["ftabs"].items():
+                T[f"ft{fsi}:{k}"] = dput(v)
         self._dev_tables = T
         return T
 
@@ -398,6 +449,23 @@ class PartitionedProblem:
                 J, r = jax.vmap(jac_fn, in_axes=(0, 0, 0, 0, sg_ax, None))(
                     x_loc[g], h_loc[g], Xr,
                     jnp.zeros(g.shape[:2] + (0,), dtype=dtype), sg, params)
+                r = r * wm[:, None]
+                J = J * wm[:, None, None]
+                R_loc = R_loc.at[g.reshape(-1)].add(r.reshape(-1))
+                vals = vals.at[nm.reshape(-1)].add(J.reshape(-1))
+            for fb in self._fblocks:
+                fsi = fb["fsi"]
+                fs = prob.face_sets[fsi]
+                g = T1[f"fg{fsi}"]        # (mx, nl)
+                Xr = T1[f"fx{fsi}"].astype(dtype)
+                wm = T1[f"fw{fsi}"].astype(dtype)
+                nm = T1[f"fn{fsi}"]
+                ftabs = {k: T1[f"ft{fsi}:{k}"].astype(dtype)
+                         for k in fb["ftabs"]}
+                face_res = prob._face_residual_fn(fs)
+                jac_fn = jax.jacfwd(face_res, argnums=0, has_aux=True)
+                J, r = jax.vmap(jac_fn, in_axes=(0, 0, 0, 0, None))(
+                    x_loc[g], h_loc[g], Xr, ftabs, params)
                 r = r * wm[:, None]
                 J = J * wm[:, None, None]
                 R_loc = R_loc.at[g.reshape(-1)].add(r.reshape(-1))

@@ -226,3 +226,38 @@ def test_partitioned_nedelec_edge_signs_match_global():
         o = pp._owned[d]
         Rd[o] = Ra[d, :o.shape[0]]
     np.testing.assert_allclose(Rd, np.asarray(Rs), atol=1e-13)
+
+
+def test_partitioned_face_kernels_parity():
+    """Face (weak/integrated) BCs in the partitioned path: a convective
+    heat-flux sideset assembles identically to the single-device solver
+    (faces ride with their parent element's partition, dp_ghost-style)."""
+    from goma_tpu.bc import ConvectiveHeatFlux
+    from goma_tpu.parallel.partitioned import (PartitionedNewtonSolver,
+                                               PartitionedProblem)
+
+    mesh = rectangle_mesh(10, 10, elem="QUAD9")
+    prob = Problem(mesh, [Energy(interp="Q2", transient=False,
+                                 convection=False)],
+                   {"k": 1.0, "heat_source": 3.0})
+    prob.add_dirichlet("left", "temperature", 0, 1.0)
+    prob.add_face_kernel("right", ConvectiveHeatFlux(h=2.5, T_inf=0.25))
+    prob.add_face_kernel("top", ConvectiveHeatFlux(h=0.7, T_inf=-0.5))
+    prob.finalize()
+    x0 = np.zeros(prob.dofmap.n_dof)
+    params = prob.base_params()
+
+    single = NewtonSolver(prob, NewtonOptions(
+        max_iter=10, tol_residual=1e-10, precond="block_jacobi",
+        linear_tol=1e-10, gmres_restart=60, linear_maxiter=2000,
+        precond_lag=False, forcing="fixed"))
+    r1 = single.solve(x0, params)
+    assert r1.converged
+
+    pp = PartitionedProblem(prob)
+    r2 = PartitionedNewtonSolver(pp, max_iter=10, tol_residual=1e-10,
+                                 linear_tol=1e-10, restart=60,
+                                 linear_maxiter=2000).solve(x0, params)
+    assert r2.converged
+    assert r2.iters == r1.iters
+    np.testing.assert_allclose(r2.x, r1.x, atol=1e-8)
