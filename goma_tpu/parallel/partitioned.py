@@ -55,12 +55,11 @@ class PartitionedProblem:
     def __init__(self, problem, device_mesh: Mesh | None = None,
                  axis: str = "dofs", partition_method: str = "auto"):
         if problem.ifc_sets or problem.ovs_sets or \
-                getattr(problem, "edge_sets", None) or problem._rotation or \
-                problem.external_fields:
+                getattr(problem, "edge_sets", None) or problem._rotation:
             raise NotImplementedError(
                 "PartitionedProblem currently covers volume + face kernels "
-                "+ Dirichlet BCs; use ShardedProblem for interface/overset/"
-                "edge/rotated decks")
+                "+ Dirichlet BCs + external fields; use ShardedProblem for "
+                "interface/overset/edge/rotated decks")
         if device_mesh is None:
             device_mesh = Mesh(np.array(jax.devices()), (axis,))
         self.problem = problem
@@ -181,6 +180,9 @@ class PartitionedProblem:
             gat = np.full((nd, mx, nl), ml, dtype=np.int64)
             Xr = np.zeros((nd, mx) + mesh.coords[b.conn].shape[1:])
             wm = np.zeros((nd, mx))
+            # geometry-node connectivity (global ids): external (frozen)
+            # nodal fields are replicated in params, gathered per element
+            cn = np.zeros((nd, mx, b.conn.shape[1]), dtype=np.int64)
             # Nedelec edge-dof orientation signs follow their element into
             # the local tables (dofmap.edge_signs; identical conjugation to
             # the single-device path)
@@ -192,11 +194,12 @@ class PartitionedProblem:
                     gat[d, k] = [l_of_g[d].get(int(g), ml)
                                  for g in bd.gather[le]]
                     Xr[d, k] = mesh.coords[b.conn[le]]
+                    cn[d, k] = b.conn[le]
                     wm[d, k] = 1.0
                     if sg is not None:
                         sg[d, k] = bd.edge_signs[le]
             self._eblocks.append(dict(bi=bi, gather=gat, Xref=Xr, wmask=wm,
-                                      nl=nl, signs=sg))
+                                      nl=nl, signs=sg, conn=cn))
 
         # ---- local owned-rows CSR (per device, padded): rows = owned local
         # ids, cols = local ids; nnz map for each local element's (i, j)
@@ -371,6 +374,8 @@ class PartitionedProblem:
             T[f"x{bi}"] = dput(eb["Xref"])
             T[f"w{bi}"] = dput(eb["wmask"])
             T[f"n{bi}"] = dput(eb["nmap"])
+            if self.problem.external_fields:
+                T[f"cn{bi}"] = dput(eb["conn"])
             if eb["signs"] is not None:
                 T[f"s{bi}"] = dput(eb["signs"])
         for fb in self._fblocks:
@@ -446,9 +451,15 @@ class PartitionedProblem:
                 jac_fn = jax.jacfwd(elem_res, argnums=0, has_aux=True)
                 sg_ax = 0 if f"s{bi}" in T1 else None
                 sg = (T1[f"s{bi}"].astype(dtype) if sg_ax == 0 else 1.0)
+                if prob.external_fields:
+                    ext_stack = jnp.stack(
+                        [params[f"ext_{nm}"] for nm in prob.external_fields],
+                        axis=-1).astype(dtype)
+                    ext_e = ext_stack[T1[f"cn{bi}"]]
+                else:
+                    ext_e = jnp.zeros(g.shape[:2] + (0,), dtype=dtype)
                 J, r = jax.vmap(jac_fn, in_axes=(0, 0, 0, 0, sg_ax, None))(
-                    x_loc[g], h_loc[g], Xr,
-                    jnp.zeros(g.shape[:2] + (0,), dtype=dtype), sg, params)
+                    x_loc[g], h_loc[g], Xr, ext_e, sg, params)
                 r = r * wm[:, None]
                 J = J * wm[:, None, None]
                 R_loc = R_loc.at[g.reshape(-1)].add(r.reshape(-1))

@@ -261,3 +261,38 @@ def test_partitioned_face_kernels_parity():
     assert r2.converged
     assert r2.iters == r1.iters
     np.testing.assert_allclose(r2.x, r1.x, atol=1e-8)
+
+
+def test_partitioned_external_fields_parity():
+    """External (frozen) nodal fields in the partitioned path: a
+    field-dependent conductivity matches the single-device solution."""
+    from goma_tpu.parallel.partitioned import (PartitionedNewtonSolver,
+                                               PartitionedProblem)
+
+    mesh = rectangle_mesh(8, 8, elem="QUAD9")
+    prob = Problem(
+        mesh,
+        [Energy(interp="Q2", transient=False, convection=False)],
+        {"k": lambda fv, mat, p: 1.0 + 2.0 * fv.ext["kmul"],
+         "heat_source": 4.0},
+        external_fields=("kmul",))
+    prob.add_dirichlet("left", "temperature", 0, 0.0)
+    prob.add_dirichlet("right", "temperature", 0, 0.0)
+    prob.finalize()
+    x0 = np.zeros(prob.dofmap.n_dof)
+    params = prob.base_params(
+        ext_kmul=jnp.asarray(mesh.coords[:, 0] ** 2, dtype=prob.dtype))
+
+    single = NewtonSolver(prob, NewtonOptions(
+        max_iter=10, tol_residual=1e-10, precond="block_jacobi",
+        linear_tol=1e-10, gmres_restart=60, linear_maxiter=2000,
+        precond_lag=False, forcing="fixed"))
+    r1 = single.solve(x0, params)
+    assert r1.converged
+
+    pp = PartitionedProblem(prob)
+    r2 = PartitionedNewtonSolver(pp, max_iter=10, tol_residual=1e-10,
+                                 linear_tol=1e-10, restart=60,
+                                 linear_maxiter=2000).solve(x0, params)
+    assert r2.converged
+    np.testing.assert_allclose(r2.x, r1.x, atol=1e-8)
