@@ -55,11 +55,11 @@ class PartitionedProblem:
     def __init__(self, problem, device_mesh: Mesh | None = None,
                  axis: str = "dofs", partition_method: str = "auto"):
         if problem.ifc_sets or problem.ovs_sets or \
-                getattr(problem, "edge_sets", None) or problem._rotation:
+                getattr(problem, "edge_sets", None):
             raise NotImplementedError(
                 "PartitionedProblem currently covers volume + face kernels "
-                "+ Dirichlet BCs + external fields; use ShardedProblem for "
-                "interface/overset/edge/rotated decks")
+                "+ Dirichlet/rotated BCs + external fields; use "
+                "ShardedProblem for interface/overset/edge decks")
         if device_mesh is None:
             device_mesh = Mesh(np.array(jax.devices()), (axis,))
         self.problem = problem
@@ -282,6 +282,69 @@ class PartitionedProblem:
             self._fblocks.append(dict(fsi=fsi, gather=gat, Xref=Xr,
                                       wmask=wm, nmap=lmap, ftabs=ft))
 
+        # ---- rotated (normal-tangent) rows: a rotated node's dofs share an
+        # owner (node-major numbering + node ownership), so row rotation is
+        # fully local on the owner; same for constraint-replacement rows
+        rd_rot = problem._rotation
+        self._rot = rd_rot is not None
+        if self._rot:
+            n_rot = rd_rot.dofs.shape[0]
+            dim = rd_rot.dofs.shape[1]
+            rot_owner = dof_owner[rd_rot.dofs[:, 0]]
+            sel_rot = [np.flatnonzero(rot_owner == d) for d in range(nd)]
+            mxr = max(max(s.shape[0] for s in sel_rot), 1)
+            rdofs = np.full((nd, mxr, dim), mo, dtype=np.int64)
+            rQ = np.zeros((nd, mxr, dim, dim))
+            rot_lid = [dict() for _ in range(nd)]
+            for d in range(nd):
+                for k, i in enumerate(sel_rot[d]):
+                    rdofs[d, k] = [l_of_g[d][int(g)] for g in rd_rot.dofs[i]]
+                    rQ[d, k] = rd_rot.Q[i]
+                    rot_lid[d][int(i)] = k
+            K_owner = rot_owner[rd_rot.entry_node]
+            sel_K = [np.flatnonzero(K_owner == d) for d in range(nd)]
+            mxK = max(max(s.shape[0] for s in sel_K), 1)
+            rpos = np.full((nd, mxK, dim), self.max_nnz, dtype=np.int64)
+            rnode = np.zeros((nd, mxK), dtype=np.int64)
+            for d in range(nd):
+                for k, i in enumerate(sel_K[d]):
+                    rpos[d, k] = [g2l_nnz[d][int(p)]
+                                  for p in rd_rot.pos[i]]
+                    rnode[d, k] = rot_lid[d][int(rd_rot.entry_node[i])]
+            self._rtabs = dict(rdofs=rdofs, rQ=rQ, rpos=rpos, rnode=rnode)
+            # constraint rows
+            ncon = rd_rot.con_rows.shape[0]
+            self._rot_con = ncon > 0
+            if ncon:
+                con_owner = dof_owner[rd_rot.con_rows]
+                sel_c = [np.flatnonzero(con_owner == d) for d in range(nd)]
+                mxc = max(max(s.shape[0] for s in sel_c), 1)
+                lcrow = np.full((nd, mxc), mo, dtype=np.int64)
+                lccoef = np.zeros((nd, mxc, dim))
+                lcdofs = np.full((nd, mxc, dim), ml, dtype=np.int64)
+                lcval = np.zeros((nd, mxc))
+                lcepos = np.full((nd, mxc, dim), self.max_nnz, dtype=np.int64)
+                zeros_per = [np.concatenate(
+                    [np.asarray([g2l_nnz[d][int(p)]
+                                 for p in rd_rot.con_row_mask_pos[i]],
+                                dtype=np.int64) for i in sel_c[d]])
+                    if sel_c[d].size else np.empty(0, np.int64)
+                    for d in range(nd)]
+                mxz = max(max(z.shape[0] for z in zeros_per), 1)
+                lczero = np.full((nd, mxz), self.max_nnz, dtype=np.int64)
+                for d in range(nd):
+                    lczero[d, :zeros_per[d].shape[0]] = zeros_per[d]
+                    for k, i in enumerate(sel_c[d]):
+                        lcrow[d, k] = l_of_g[d][int(rd_rot.con_rows[i])]
+                        lccoef[d, k] = rd_rot.con_coeff[i]
+                        lcdofs[d, k] = [l_of_g[d][int(g)]
+                                        for g in rd_rot.con_dofs[i]]
+                        lcval[d, k] = rd_rot.con_value[i]
+                        lcepos[d, k] = [g2l_nnz[d][int(p)]
+                                        for p in rd_rot.con_entry_pos[i]]
+                self._rtabs.update(rcrow=lcrow, rcoef=lccoef, rcdofs=lcdofs,
+                                   rcval=lcval, rczero=lczero, rcepos=lcepos)
+
         # Dirichlet: local positions of constrained OWNED dofs
         dd = problem.dirichlet_dofs
         dval = problem.dirichlet_vals
@@ -386,6 +449,9 @@ class PartitionedProblem:
             T[f"fn{fsi}"] = dput(fb["nmap"])
             for k, v in fb["ftabs"].items():
                 T[f"ft{fsi}:{k}"] = dput(v)
+        if self._rot:
+            for k, v in self._rtabs.items():
+                T[f"rot:{k}"] = dput(v)
         self._dev_tables = T
         return T
 
@@ -481,7 +547,31 @@ class PartitionedProblem:
                 J = J * wm[:, None, None]
                 R_loc = R_loc.at[g.reshape(-1)].add(r.reshape(-1))
                 vals = vals.at[nm.reshape(-1)].add(J.reshape(-1))
-            R = R_loc[:mo] * T1["own_mask"].astype(dtype)
+            # rotated (normal-tangent) rows BEFORE Dirichlet, matching the
+            # single-device order (_apply_rotation then _apply_dirichlet)
+            if self._rot:
+                Qr = T1["rot:rQ"].astype(dtype)
+                rdofs = T1["rot:rdofs"]
+                Rx = jnp.concatenate(
+                    [R_loc[:mo] * T1["own_mask"].astype(dtype),
+                     jnp.zeros(1, dtype=dtype)])
+                Rx = Rx.at[rdofs].set(
+                    jnp.einsum("nij,nj->ni", Qr, Rx[rdofs]))
+                vrows = vals[T1["rot:rpos"]]
+                vals = vals.at[T1["rot:rpos"]].set(jnp.einsum(
+                    "kij,kj->ki", Qr[T1["rot:rnode"]], vrows))
+                if self._rot_con:
+                    ccoef = T1["rot:rcoef"].astype(dtype)
+                    Rcon = jnp.einsum("ni,ni->n", ccoef,
+                                      x_loc[T1["rot:rcdofs"]]) - \
+                        T1["rot:rcval"].astype(dtype)
+                    Rx = Rx.at[T1["rot:rcrow"]].set(Rcon)
+                    vals = vals.at[T1["rot:rczero"]].set(
+                        jnp.zeros((), dtype=dtype))
+                    vals = vals.at[T1["rot:rcepos"]].set(ccoef)
+                R = Rx[:mo]
+            else:
+                R = R_loc[:mo] * T1["own_mask"].astype(dtype)
             vals = vals[:mnz]
             # Dirichlet surgery (owned rows only)
             ldir, lval = T1["ldir"], T1["lval"].astype(dtype)

@@ -296,3 +296,44 @@ def test_partitioned_external_fields_parity():
                                  linear_maxiter=2000).solve(x0, params)
     assert r2.converged
     np.testing.assert_allclose(r2.x, r1.x, atol=1e-8)
+
+
+def test_partitioned_rotated_bcs_parity():
+    """Rotated (normal-tangent) rows + constraint replacement in the
+    partitioned path: the tilted cavity matches the single-device solver
+    (rotation is node-local because a node's dofs share an owner)."""
+    from goma_tpu.parallel.partitioned import (PartitionedNewtonSolver,
+                                               PartitionedProblem)
+
+    n, Re, theta = 6, 50.0, np.pi / 6
+    c, s = np.cos(theta), np.sin(theta)
+    Rot = np.array([[c, -s], [s, c]])
+    mesh = rectangle_mesh(n, n, elem="QUAD9")
+    mesh.coords = mesh.coords @ Rot.T
+    mesh.nodesets["pin"] = np.array([0], dtype=np.int32)
+    prob = Problem(mesh, [Momentum(dim=2, interp="Q2", transient=False),
+                          Continuity(interp="Q1")],
+                   {"rho": 1.0, "mu": 1.0 / Re})
+    for d in ("normal", "tangent"):
+        prob.add_rotated_dirichlet(("left", "right", "bottom"),
+                                   "velocity", d, 0.0)
+    prob.add_rotated_dirichlet(("top",), "velocity", "normal", 0.0)
+    prob.add_rotated_dirichlet(("top",), "velocity", "tangent", -1.0)
+    prob.add_dirichlet("pin", "pressure", 0, 0.0)
+    prob.finalize()
+    x0 = np.zeros(prob.dofmap.n_dof)
+    params = prob.base_params()
+
+    single = NewtonSolver(prob, NewtonOptions(
+        max_iter=12, tol_residual=1e-9, precond="block_jacobi",
+        linear_tol=1e-9, gmres_restart=80, linear_maxiter=3000,
+        precond_lag=False, forcing="fixed"))
+    r1 = single.solve(x0, params)
+    assert r1.converged
+
+    pp = PartitionedProblem(prob)
+    r2 = PartitionedNewtonSolver(pp, max_iter=12, tol_residual=1e-9,
+                                 linear_tol=1e-9, restart=80,
+                                 linear_maxiter=3000).solve(x0, params)
+    assert r2.converged
+    np.testing.assert_allclose(r2.x, r1.x, atol=2e-7)
