@@ -45,11 +45,12 @@ class PartitionedResult:
 
 
 class PartitionedProblem:
-    """Distributed wrapper of a finalized single-block-element Problem.
+    """Distributed wrapper of a finalized Problem.
 
-    Limitations (current stage): volume blocks + Dirichlet BCs (face/edge/
-    interface/overset kernels fall back to the replicated ShardedProblem);
-    row-sum scaling (not symmetric); block-Jacobi preconditioning.
+    Covers volume blocks, face (weak/integrated) kernels, Dirichlet and
+    rotated BCs, and external nodal fields. Interface/overset/edge decks
+    fall back to the replicated ShardedProblem. Row-sum scaling (not
+    symmetric); block-Jacobi preconditioning.
     """
 
     def __init__(self, problem, device_mesh: Mesh | None = None,
