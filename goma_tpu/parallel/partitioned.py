@@ -778,3 +778,60 @@ class PartitionedNewtonSolver:
         return PartitionedResult(
             x=pp.gather_global(x), converged=converged, iters=it,
             res_norms=res_norms, linear_iters=lin_iters)
+
+
+class PartitionedTransientSolver:
+    """Theta-scheme transient driver over the partitioned path (the
+    distributed counterpart of solvers/transient.py's core loop: qdot =
+    ct*x + hist with ct = (1+2 theta)/dt, hist = -ct*x_old - 2 theta
+    xdot_old; dt halves on a failed step). Fixed-dt with a failure ladder —
+    the predictor/error-controlled variant stays host-side single-device.
+    """
+
+    def __init__(self, pp: PartitionedProblem, newton: dict | None = None,
+                 dt0: float = 1e-2, t_end: float = 1.0, theta: float = 0.0,
+                 max_failures: int = 8, bootstrap_be: bool = True):
+        self.pp = pp
+        self.newton = PartitionedNewtonSolver(pp, **(newton or {}))
+        self.dt0, self.t_end, self.theta = dt0, t_end, theta
+        self.max_failures = max_failures
+        self.bootstrap_be = bootstrap_be
+
+    def run(self, x0, params, t0: float = 0.0, xdot0=None):
+        import jax.numpy as jnp
+
+        dtype = self.pp.problem.dtype
+        x = np.asarray(x0, dtype=dtype)
+        xdot = (np.zeros_like(x) if xdot0 is None
+                else np.asarray(xdot0, dtype=dtype))
+        t, dt = t0, self.dt0
+        steps = []
+        fails = 0
+        first = True
+        while t < self.t_end - 1e-14:
+            dt = min(dt, self.t_end - t)
+            th = 0.0 if (first and self.bootstrap_be) else self.theta
+            ct = (1.0 + 2.0 * th) / dt
+            hist = -ct * x - 2.0 * th * xdot
+            p = dict(params)
+            p["ct"] = jnp.asarray(ct, dtype=dtype)
+            p["hist"] = jnp.asarray(hist, dtype=dtype)
+            p["time"] = jnp.asarray(t + dt, dtype=dtype)
+            res = self.newton.solve(x, p)
+            if not res.converged:
+                fails += 1
+                if fails > self.max_failures:
+                    raise RuntimeError(
+                        "partitioned transient: dt ladder exhausted")
+                dt *= 0.5
+                continue
+            fails = 0
+            x_new = np.asarray(res.x, dtype=dtype)
+            xdot = ct * x_new + hist
+            x = x_new
+            t += dt
+            first = False
+            steps.append((t, dt, res.iters, True))
+        return PartitionedResult(x=x, converged=True, iters=len(steps),
+                                 res_norms=[s[:2] for s in steps],
+                                 linear_iters=[])

@@ -337,3 +337,37 @@ def test_partitioned_rotated_bcs_parity():
                                  linear_maxiter=3000).solve(x0, params)
     assert r2.converged
     np.testing.assert_allclose(r2.x, r1.x, atol=2e-7)
+
+
+def test_partitioned_transient_parity():
+    """Theta-scheme transient over the partitioned path matches the
+    single-device TransientSolver trajectory (BE, fixed dt)."""
+    from goma_tpu.parallel.partitioned import (PartitionedProblem,
+                                               PartitionedTransientSolver)
+    from goma_tpu.solvers.transient import TimeOptions, TransientSolver
+
+    mesh = rectangle_mesh(6, 6, elem="QUAD9")
+    prob = Problem(mesh, [Energy(interp="Q2", transient=True,
+                                 convection=False)],
+                   {"k": 1.0, "rho": 1.0, "Cp": 1.0})
+    prob.add_dirichlet("left", "temperature", 0, 1.0)
+    prob.add_dirichlet("right", "temperature", 0, 0.0)
+    prob.finalize()
+    x0 = np.zeros(prob.dofmap.n_dof)
+    params = prob.base_params()
+
+    ts = TransientSolver(
+        prob,
+        NewtonOptions(max_iter=8, tol_residual=1e-11,
+                      precond="block_jacobi", linear_tol=1e-11,
+                      gmres_restart=60, linear_maxiter=2000,
+                      precond_lag=False, forcing="fixed"),
+        TimeOptions(dt0=0.02, t_end=0.08, adapt=False, theta=0.0))
+    r1 = ts.run(x0, params)
+
+    pp = PartitionedProblem(prob)
+    r2 = PartitionedTransientSolver(
+        pp, newton=dict(max_iter=8, tol_residual=1e-11, linear_tol=1e-11,
+                        restart=60, linear_maxiter=2000),
+        dt0=0.02, t_end=0.08, theta=0.0).run(x0, params)
+    np.testing.assert_allclose(r2.x, np.asarray(r1.x), atol=1e-9)
