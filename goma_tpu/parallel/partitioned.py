@@ -346,6 +346,87 @@ class PartitionedProblem:
                 self._rtabs.update(rcrow=lcrow, rcoef=lccoef, rcdofs=lcdofs,
                                    rcval=lcval, rczero=lczero, rcepos=lcepos)
 
+        # ---- Vanka (element-block Schwarz) smoother tables: every local
+        # element's FULL dense block, gathered from the post-surgery CSR.
+        # Entries in halo rows live on the row's owner — a per-factor nnz
+        # halo exchange (same ppermute rounds as exchange_dof) ships them,
+        # so the distributed smoother is bit-identical to the single-device
+        # Vanka (linear.py), weights = 1/global dof multiplicity.
+        count = np.zeros(n + 1)
+        for bd in dm.blocks:
+            np.add.at(count, bd.gather.ravel(), 1.0)
+        vk_wts = 1.0 / np.maximum(count, 1.0)
+        find = problem.pattern.find
+        # per-device halo-nnz sets + per-block local tables
+        halo_nnz = [dict() for _ in range(nd)]  # global pos -> halo index
+        vk_blocks = []
+        for bi, (bd, b) in enumerate(zip(dm.blocks, mesh.blocks)):
+            nl = bd.n_ldof
+            mx = max(max(len(loc_elems[d][bi]) for d in range(nd)), 1)
+            vpos = [np.full((mx, nl, nl), -2, dtype=np.int64)
+                    for _ in range(nd)]
+            vg = np.full((nd, mx, nl), ml, dtype=np.int64)
+            vw = np.zeros((nd, mx, nl))
+            for d in range(nd):
+                sel = loc_elems[d][bi]
+                if not len(sel):
+                    continue
+                g = bd.gather[sel].astype(np.int64)  # (ne_d, nl)
+                rows = np.repeat(g, nl, axis=1).ravel()
+                cols = np.tile(g, (1, nl)).ravel()
+                pos = find(rows, cols).reshape(-1, nl, nl)
+                for k in range(len(sel)):
+                    vg[d, k] = [l_of_g[d][int(q)] for q in g[k]]
+                    vw[d, k] = vk_wts[g[k]]
+                    for a in range(nl):
+                        ro = dof_owner[g[k, a]]
+                        for c in range(nl):
+                            p = int(pos[k, a, c])
+                            if p < 0:
+                                continue  # structural zero
+                            if ro == d:
+                                vpos[d][k, a, c] = g2l_nnz[d][p]
+                            else:
+                                h = halo_nnz[d].setdefault(
+                                    p, len(halo_nnz[d]))
+                                # halo entries offset later by max_nnz
+                                vpos[d][k, a, c] = -1000 - h
+            vk_blocks.append(dict(bi=bi, vpos=vpos, vg=vg, vw=vw, mx=mx,
+                                  nl=nl))
+        self.max_hnnz = max(max(len(h) for h in halo_nnz), 1)
+        mnzt = self.max_nnz + self.max_hnnz  # extended vals layout
+        for vb in vk_blocks:
+            out = np.full((nd,) + vb["vpos"][0].shape, mnzt, dtype=np.int64)
+            for d in range(nd):
+                vp = vb["vpos"][d]
+                out[d] = np.where(
+                    vp >= 0, vp,
+                    np.where(vp <= -1000, self.max_nnz + (-1000 - vp), mnzt))
+            vb["vpos"] = out
+        self._vk_blocks = vk_blocks
+        # nnz halo-exchange schedule (delta rounds like the dof exchange)
+        vneed: dict[int, list[list[tuple[int, int]]]] = {}
+        for d in range(nd):
+            for p, h in halo_nnz[d].items():
+                s = int(dof_owner[rows_g[p]])
+                delta = (d - s) % nd
+                vneed.setdefault(delta, [[] for _ in range(nd)])
+                vneed[delta][s].append((g2l_nnz[s][int(p)], h))
+        self._vk_deltas = sorted(vneed.keys())
+        vk_send, vk_recv = [], []
+        for delta in self._vk_deltas:
+            cnt = max(max(len(v) for v in vneed[delta]), 1)
+            sp = np.zeros((nd, cnt), dtype=np.int64)
+            rp = np.full((nd, cnt), self.max_hnnz, dtype=np.int64)
+            for s in range(nd):
+                r = (s + delta) % nd
+                for k, (spos, rpos) in enumerate(vneed[delta][s]):
+                    sp[s, k] = spos
+                    rp[r, k] = rpos
+            vk_send.append(sp)
+            vk_recv.append(rp)
+        self._vk_send, self._vk_recv = vk_send, vk_recv
+
         # Dirichlet: local positions of constrained OWNED dofs
         dd = problem.dirichlet_dofs
         dval = problem.dirichlet_vals
@@ -453,6 +534,14 @@ class PartitionedProblem:
         if self._rot:
             for k, v in self._rtabs.items():
                 T[f"rot:{k}"] = dput(v)
+        for vb in self._vk_blocks:
+            bi = vb["bi"]
+            T[f"vkpos{bi}"] = dput(vb["vpos"])
+            T[f"vkg{bi}"] = dput(vb["vg"])
+            T[f"vkw{bi}"] = dput(vb["vw"])
+        for j, (sp, rp) in enumerate(zip(self._vk_send, self._vk_recv)):
+            T[f"vksend{j}"] = dput(sp)
+            T[f"vkrecv{j}"] = dput(rp)
         self._dev_tables = T
         return T
 
@@ -626,6 +715,47 @@ class PartitionedProblem:
         edinv = jnp.where(jnp.abs(ed) > 1e-300, 1.0 / ed, 0.0)
         return Binv, edinv
 
+    def _vk_exchange_vals(self, vals, T1):
+        """Ship halo-row CSR entries from their owners (per-factor): the
+        nnz analog of exchange_dof, same ppermute ring rounds."""
+        hv = jnp.zeros(self.max_hnnz + 1, dtype=vals.dtype)
+        for j, delta in enumerate(self._vk_deltas):
+            buf = vals[T1[f"vksend{j}"]]
+            perm = [(i, (i + delta) % self.n_dev) for i in range(self.n_dev)]
+            buf = jax.lax.ppermute(buf, self.axis, perm)
+            hv = hv.at[T1[f"vkrecv{j}"]].set(buf)
+        return hv[:self.max_hnnz]
+
+    def _vanka_factor(self, vals, T1):
+        """Element-block Schwarz factor: every local element's full dense
+        block from the post-surgery CSR (halo rows shipped from owners);
+        identical regularization to the single-device Vanka."""
+        from goma_tpu.utils.la import gj_inv
+
+        hv = self._vk_exchange_vals(vals, T1)
+        vx = jnp.concatenate([vals, hv, jnp.zeros(1, dtype=vals.dtype)])
+        invs = []
+        for vb in self._vk_blocks:
+            Ae = vx[T1[f"vkpos{vb['bi']}"]]  # (mx, nl, nl)
+            nl = Ae.shape[-1]
+            diag = jnp.diagonal(Ae, axis1=1, axis2=2)
+            fix = (jnp.abs(diag) < 1e-12)[:, :, None] * \
+                jnp.eye(nl, dtype=vals.dtype)[None]
+            inv = gj_inv(Ae + fix)
+            invs.append(jnp.where(jnp.isfinite(inv), inv, 0.0))
+        return tuple(invs)
+
+    def _vanka_apply(self, invs, r, T1):
+        r_loc = self._exchange(r, T1)
+        z = jnp.zeros(self.max_loc + 1, dtype=r.dtype)
+        for vb, inv in zip(self._vk_blocks, invs):
+            g = T1[f"vkg{vb['bi']}"]
+            w = T1[f"vkw{vb['bi']}"].astype(r.dtype)
+            ze = jnp.einsum("eij,ej->ei", inv, r_loc[g],
+                            precision=jax.lax.Precision.HIGHEST) * w
+            z = z.at[g.reshape(-1)].add(ze.reshape(-1))
+        return z[:self.max_own] * T1["own_mask"].astype(r.dtype)
+
     def _bj_apply(self, fac, r, T1):
         Binv, edinv = fac
         mo = self.max_own
@@ -639,12 +769,15 @@ class PartitionedProblem:
         z = z.at[T1["edofl"]].add(edinv * rx[T1["edofl"]])
         return z[:mo] * T1["own_mask"].astype(r.dtype)
 
-    def _gmres_fn(self, restart: int):
+    def _gmres_fn(self, restart: int, smoother: str = "bj"):
         """Jitted sharded restarted-GMRES cycle (distributed dots via psum,
-        the src/mm_sol_nonlinear.c:2720 allreduce analog)."""
+        the src/mm_sol_nonlinear.c:2720 allreduce analog). ``smoother``:
+        "bj" node-block Jacobi (fully local) or "vanka" element-block
+        Schwarz (one extra halo exchange per factor and per apply)."""
         axis = self.axis
         mo = self.max_own
         m = restart
+        use_vk = smoother == "vanka"
 
         def cycle(vals, b_own, z_own, tol, T):
             T1 = {k: v[0] for k, v in T.items()}
@@ -653,7 +786,12 @@ class PartitionedProblem:
             z = z_own[0]
             dtype = b.dtype
             mask = T1["own_mask"].astype(dtype)
-            fac = self._bj_factor(vals, T1)
+            if use_vk:
+                fac = self._vanka_factor(vals, T1)
+                apply_M = lambda rr: self._vanka_apply(fac, rr, T1)
+            else:
+                fac = self._bj_factor(vals, T1)
+                apply_M = lambda rr: self._bj_apply(fac, rr, T1)
 
             def pdot(a, c):
                 return jax.lax.psum(jnp.sum(a * c * mask), axis)
@@ -669,7 +807,7 @@ class PartitionedProblem:
 
             def live(carry, j):
                 V, H, Q, done, cnt = carry
-                w = self._matvec(vals, self._bj_apply(fac, V[j], T1), T1)
+                w = self._matvec(vals, apply_M(V[j]), T1)
                 sel = (jnp.arange(m + 1) <= j).astype(dtype)
                 # distributed CGS2: local (m+1, mo) @ (mo,) then psum
                 hi = jax.lax.Precision.HIGHEST
@@ -706,9 +844,8 @@ class PartitionedProblem:
 
             e1 = jnp.zeros(m + 1, dtype=dtype).at[0].set(beta)
             y = lstsq_small(H, e1)
-            z2 = z + self._bj_apply(
-                fac, jnp.matmul(V[:m].T, y,
-                                precision=jax.lax.Precision.HIGHEST), T1)
+            z2 = z + apply_M(jnp.matmul(
+                V[:m].T, y, precision=jax.lax.Precision.HIGHEST))
             rn = b - self._matvec(vals, z2, T1)
             rnn = jnp.sqrt(pdot(rn, rn))
             return z2[None], rnn[None], cnt[None], target[None]
@@ -728,7 +865,8 @@ class PartitionedNewtonSolver:
 
     def __init__(self, pp: PartitionedProblem, max_iter: int = 12,
                  tol_residual: float = 1e-10, linear_tol: float = 1e-10,
-                 restart: int = 60, linear_maxiter: int = 600):
+                 restart: int = 60, linear_maxiter: int = 600,
+                 smoother: str = "bj"):
         self.pp = pp
         self.max_iter = max_iter
         self.tol_residual = tol_residual
@@ -736,7 +874,7 @@ class PartitionedNewtonSolver:
         self.restart = restart
         self.linear_maxiter = linear_maxiter
         self._prep = pp._prep_fn()
-        self._cycle = pp._gmres_fn(restart)
+        self._cycle = pp._gmres_fn(restart, smoother=smoother)
 
     def solve(self, x0_global, params) -> PartitionedResult:
         pp = self.pp

@@ -371,3 +371,36 @@ def test_partitioned_transient_parity():
                         restart=60, linear_maxiter=2000),
         dt0=0.02, t_end=0.08, theta=0.0).run(x0, params)
     np.testing.assert_allclose(r2.x, np.asarray(r1.x), atol=1e-9)
+
+
+def test_partitioned_vanka_smoother_parity():
+    """Distributed element-block Vanka (halo-shipped full blocks): same
+    solution as single-device Vanka-GMRES on the saddle cavity, and far
+    fewer Krylov its than BJ."""
+    from goma_tpu.parallel.partitioned import (PartitionedNewtonSolver,
+                                               PartitionedProblem)
+
+    prob = _cavity(8)
+    x0 = np.zeros(prob.dofmap.n_dof)
+    params = prob.base_params()
+    single = NewtonSolver(prob, NewtonOptions(
+        max_iter=12, tol_residual=1e-9, precond="vanka",
+        linear_tol=1e-9, gmres_restart=60, linear_maxiter=2000,
+        precond_lag=False, forcing="fixed"))
+    r1 = single.solve(x0, params)
+    assert r1.converged
+
+    pp = PartitionedProblem(prob)
+    rv = PartitionedNewtonSolver(pp, max_iter=12, tol_residual=1e-9,
+                                 linear_tol=1e-9, restart=60,
+                                 linear_maxiter=2000,
+                                 smoother="vanka").solve(x0, params)
+    assert rv.converged
+    np.testing.assert_allclose(rv.x, np.asarray(r1.x), atol=2e-7)
+
+    rb = PartitionedNewtonSolver(pp, max_iter=12, tol_residual=1e-9,
+                                 linear_tol=1e-9, restart=60,
+                                 linear_maxiter=2000,
+                                 smoother="bj").solve(x0, params)
+    assert rb.converged
+    assert sum(rv.linear_iters) < sum(rb.linear_iters)
