@@ -225,6 +225,7 @@ class PartitionedProblem:
                 g2l_nnz[d][int(p)] = k
             nnz_mask[d, :s.shape[0]] = 1.0
         self._lrow, self._lcol, self._nnz_mask = lrow, lcol, nnz_mask
+        self._g2l_nnz = g2l_nnz  # kept for lazily-built preconditioners
 
         for eb in self._eblocks:
             bi = eb["bi"]
@@ -539,6 +540,9 @@ class PartitionedProblem:
             T[f"vkpos{bi}"] = dput(vb["vpos"])
             T[f"vkg{bi}"] = dput(vb["vg"])
             T[f"vkw{bi}"] = dput(vb["vw"])
+        if getattr(self, "_tl", None) is not None:
+            for k, v in self._tl["tabs"].items():
+                T[f"tl:{k}"] = dput(v)
         for j, (sp, rp) in enumerate(zip(self._vk_send, self._vk_recv)):
             T[f"vksend{j}"] = dput(sp)
             T[f"vkrecv{j}"] = dput(rp)
@@ -715,6 +719,64 @@ class PartitionedProblem:
         edinv = jnp.where(jnp.abs(ed) > 1e-300, 1.0 / ed, 0.0)
         return Binv, edinv
 
+    def enable_twolevel(self):
+        """Host tables for the distributed V(1,1) two-level cycle: the
+        SAME Galerkin coarse operator and Q1/P1 coarse space as the
+        single-device TwoLevel (solvers/twolevel.py), distributed as
+        owner-computes partial sums psum-reduced into a replicated sparse
+        coarse matrix, inverted identically on every device
+        (saddle-split dense inverse)."""
+        if getattr(self, "_tl", None) is not None:
+            return
+        from goma_tpu.solvers.twolevel import _fine_to_coarse_weights
+
+        prob, nd = self.problem, self.n_dev
+        nc, cids, wts, n_ell = _fine_to_coarse_weights(prob)
+        pat = prob.pattern
+        k = cids.shape[1]
+        n = pat.n
+        mo = self.max_own
+        # per-device transfer rows over owned dofs (pad: sentinel nc, w=0)
+        cids_l = np.full((nd, mo, k), nc, dtype=np.int64)
+        wts_l = np.zeros((nd, mo, k))
+        for d in range(nd):
+            o = self._owned[d]
+            cids_l[d, :o.shape[0]] = cids[o]
+            wts_l[d, :o.shape[0]] = wts[o]
+        # Galerkin expansion over the GLOBAL pattern, split by row owner
+        r = pat.rows.astype(np.int64)
+        c = pat.indices.astype(np.int64)
+        ci = cids[r][:, :, None]
+        cj = cids[c][:, None, :]
+        w = (wts[r][:, :, None] * wts[c][:, None, :]).reshape(-1)
+        flat = (ci * nc + cj).reshape(-1)
+        rep = np.repeat(np.arange(pat.nnz), k * k)
+        keep = np.abs(w) > 1e-14
+        flat, w, rep = flat[keep], w[keep], rep[keep]
+        ckeys = np.unique(flat)
+        c_nnz = ckeys.shape[0]
+        idx = np.searchsorted(ckeys, flat)
+        eown = self._dof_owner[pat.rows[rep]]
+        mxA = max(max(int((eown == d).sum()) for d in range(nd)), 1)
+        ac_idx = np.full((nd, mxA), c_nnz, dtype=np.int64)
+        ac_w = np.zeros((nd, mxA))
+        ac_rep = np.full((nd, mxA), self.max_nnz, dtype=np.int64)
+        for d in range(nd):
+            sel = np.flatnonzero(eown == d)
+            ac_idx[d, :sel.shape[0]] = idx[sel]
+            ac_w[d, :sel.shape[0]] = w[sel]
+            ac_rep[d, :sel.shape[0]] = [self._g2l_nnz[d][int(p)]
+                                        for p in rep[sel]]
+        self._tl = dict(
+            nc=nc, n_ell=n_ell, c_nnz=c_nnz,
+            tabs=dict(
+                cids=cids_l, wts=wts_l, ac_idx=ac_idx, ac_w=ac_w,
+                ac_rep=ac_rep,
+                c_rows=np.tile((ckeys // nc).astype(np.int64)[None], (nd, 1)),
+                c_cols=np.tile((ckeys % nc).astype(np.int64)[None], (nd, 1)),
+            ))
+        self._dev_tables = None  # rebuild with the new tables
+
     def _vk_exchange_vals(self, vals, T1):
         """Ship halo-row CSR entries from their owners (per-factor): the
         nnz analog of exchange_dof, same ppermute ring rounds."""
@@ -778,6 +840,11 @@ class PartitionedProblem:
         mo = self.max_own
         m = restart
         use_vk = smoother == "vanka"
+        use_tl = smoother == "twolevel"
+        if use_tl:
+            self.enable_twolevel()
+            nc, n_ell, c_nnz = (self._tl["nc"], self._tl["n_ell"],
+                                self._tl["c_nnz"])
 
         def cycle(vals, b_own, z_own, tol, T):
             T1 = {k: v[0] for k, v in T.items()}
@@ -789,6 +856,42 @@ class PartitionedProblem:
             if use_vk:
                 fac = self._vanka_factor(vals, T1)
                 apply_M = lambda rr: self._vanka_apply(fac, rr, T1)
+            elif use_tl:
+                # distributed V(1,1): vanka pre/post smoothing + replicated
+                # Galerkin coarse solve (psum-reduced sparse coarse values,
+                # saddle-split dense inverse computed identically on every
+                # device — the src/mm_sol_nonlinear.c allreduce pattern)
+                from goma_tpu.utils.la import saddle_split_inv
+
+                fac = self._vanka_factor(vals, T1)
+                vx = jnp.concatenate([vals, jnp.zeros(1, dtype=dtype)])
+                acv = T1["tl:ac_w"].astype(dtype) * vx[T1["tl:ac_rep"]]
+                cvals = jnp.zeros(c_nnz + 1, dtype=dtype).at[
+                    T1["tl:ac_idx"]].add(acv)[:c_nnz]
+                cvals = jax.lax.psum(cvals, axis)
+                Ac = jnp.zeros((nc, nc), dtype=dtype).at[
+                    T1["tl:c_rows"], T1["tl:c_cols"]].set(cvals)
+                cinv = saddle_split_inv(Ac.astype(jnp.float32), n_ell)
+                cw = T1["tl:wts"].astype(dtype)
+                ccid = T1["tl:cids"]
+
+                def apply_M(rr):
+                    zz = self._vanka_apply(fac, rr, T1)
+                    rf = rr - self._matvec(vals, zz, T1)
+                    rc = jax.lax.psum(
+                        jnp.zeros(nc + 1, dtype=dtype).at[
+                            ccid.reshape(-1)].add(
+                            (cw * rf[:, None]).reshape(-1))[:nc], axis)
+                    with jax.default_matmul_precision("highest"):
+                        zc = jnp.matmul(
+                            cinv, rc.astype(jnp.float32),
+                            preferred_element_type=jnp.float32
+                        ).astype(dtype)
+                    zc_ext = jnp.concatenate([zc, jnp.zeros(1, dtype=dtype)])
+                    zz = zz + jnp.sum(cw * zc_ext[ccid], axis=1) * mask
+                    zz = zz + self._vanka_apply(
+                        fac, rr - self._matvec(vals, zz, T1), T1)
+                    return zz
             else:
                 fac = self._bj_factor(vals, T1)
                 apply_M = lambda rr: self._bj_apply(fac, rr, T1)

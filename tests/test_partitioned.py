@@ -404,3 +404,35 @@ def test_partitioned_vanka_smoother_parity():
                                  smoother="bj").solve(x0, params)
     assert rb.converged
     assert sum(rv.linear_iters) < sum(rb.linear_iters)
+
+
+def test_partitioned_twolevel_parity():
+    """Distributed V(1,1) two-level (vanka smoothing + psum-reduced
+    replicated Galerkin coarse solve) matches the single-device TwoLevel
+    solution on the saddle cavity with far fewer Krylov its than BJ."""
+    from goma_tpu.parallel.partitioned import (PartitionedNewtonSolver,
+                                               PartitionedProblem)
+
+    prob = _cavity(8)
+    x0 = np.zeros(prob.dofmap.n_dof)
+    params = prob.base_params()
+    single = NewtonSolver(prob, NewtonOptions(
+        max_iter=12, tol_residual=1e-9, precond="twolevel",
+        smoother="vanka", smooth_sweeps=1, smooth_damp=1.0,
+        linear_tol=1e-9, gmres_restart=60, linear_maxiter=2000,
+        precond_lag=False, forcing="fixed"))
+    r1 = single.solve(x0, params)
+    assert r1.converged
+
+    pp = PartitionedProblem(prob)
+    rt = PartitionedNewtonSolver(pp, max_iter=12, tol_residual=1e-9,
+                                 linear_tol=1e-9, restart=60,
+                                 linear_maxiter=2000,
+                                 smoother="twolevel").solve(x0, params)
+    assert rt.converged
+    np.testing.assert_allclose(rt.x, np.asarray(r1.x), atol=2e-7)
+
+    rb = PartitionedNewtonSolver(pp, max_iter=12, tol_residual=1e-9,
+                                 linear_tol=1e-9, restart=60,
+                                 linear_maxiter=2000).solve(x0, params)
+    assert sum(rt.linear_iters) < 0.5 * sum(rb.linear_iters)
