@@ -55,12 +55,11 @@ class PartitionedProblem:
 
     def __init__(self, problem, device_mesh: Mesh | None = None,
                  axis: str = "dofs", partition_method: str = "auto"):
-        if problem.ifc_sets or problem.ovs_sets or \
-                getattr(problem, "edge_sets", None):
+        if problem.ovs_sets or getattr(problem, "edge_sets", None):
             raise NotImplementedError(
-                "PartitionedProblem currently covers volume + face kernels "
-                "+ Dirichlet/rotated BCs + external fields; use "
-                "ShardedProblem for interface/overset/edge decks")
+                "PartitionedProblem currently covers volume + face + "
+                "interface kernels + Dirichlet/rotated BCs + external "
+                "fields; use ShardedProblem for overset/edge decks")
         if device_mesh is None:
             device_mesh = Mesh(np.array(jax.devices()), (axis,))
         self.problem = problem
@@ -112,6 +111,24 @@ class PartitionedProblem:
             for d in range(nd):
                 sel = np.where(np.any(gow == d, axis=1))[0]
                 loc_elems[d].append(sel)
+        # interface pairs: each side's partner element joins the local set
+        # wherever the other side is local (a pair assembles where its rows
+        # are owned and needs BOTH elements' dofs; the partner's own volume
+        # contributions land only on non-owned rows and are masked away)
+        for s in problem.ifc_sets:
+            ea = np.asarray(s.elems_a)
+            eb = np.asarray(s.elems_b)
+            for d in range(nd):
+                la = np.zeros(mesh.blocks[s.block_a].n_elem, dtype=bool)
+                la[loc_elems[d][s.block_a]] = True
+                lb = np.zeros(mesh.blocks[s.block_b].n_elem, dtype=bool)
+                lb[loc_elems[d][s.block_b]] = True
+                sel = la[ea] | lb[eb]
+                loc_elems[d][s.block_a] = np.unique(np.concatenate(
+                    [loc_elems[d][s.block_a], ea[sel]])).astype(np.int64)
+                loc_elems[d][s.block_b] = np.unique(np.concatenate(
+                    [loc_elems[d][s.block_b], eb[sel]])).astype(np.int64)
+
         # halo dofs per device
         halos = []
         for d in range(nd):
@@ -283,6 +300,47 @@ class PartitionedProblem:
                         ft[kk][d, k] = np.asarray(v)[fi]
             self._fblocks.append(dict(fsi=fsi, gather=gat, Xref=Xr,
                                       wmask=wm, nmap=lmap, ftabs=ft))
+
+        # ---- local interface-pair tables (cross-block paired-face
+        # kernels): a pair assembles on every device owning any of its
+        # combined dofs; both elements are local there (partner extension
+        # above) and non-owned rows drop on sentinel positions
+        self._iblocks = []
+        for isi, s in enumerate(problem.ifc_sets):
+            gat_g = s.gather_ab.astype(np.int64)  # (npair, nla+nlb)
+            nl = gat_g.shape[1]
+            Xa_g = mesh.coords[mesh.blocks[s.block_a].conn[s.elems_a]]
+            Xb_g = mesh.coords[mesh.blocks[s.block_b].conn[s.elems_b]]
+            nmap_g = problem._ifc_nnz[isi]  # (npair, nl, nl)
+            gow = dof_owner[gat_g]
+            sel_p = [np.flatnonzero(np.any(gow == d, axis=1))
+                     for d in range(nd)]
+            mx = max(max(sp.shape[0] for sp in sel_p), 1)
+            gat = np.full((nd, mx, nl), ml, dtype=np.int64)
+            Xa = np.zeros((nd, mx) + Xa_g.shape[1:])
+            Xb = np.zeros((nd, mx) + Xb_g.shape[1:])
+            wm = np.zeros((nd, mx))
+            lmap = np.full((nd, mx, nl, nl), self.max_nnz, dtype=np.int64)
+            fta = {k: np.zeros((nd, mx) + np.asarray(v).shape[1:])
+                   for k, v in s.ftabs_a.items()}
+            ftb = {k: np.zeros((nd, mx) + np.asarray(v).shape[1:])
+                   for k, v in s.ftabs_b.items()}
+            for d in range(nd):
+                for k, pi in enumerate(sel_p[d]):
+                    gat[d, k] = [l_of_g[d].get(int(g), ml)
+                                 for g in gat_g[pi]]
+                    Xa[d, k] = Xa_g[pi]
+                    Xb[d, k] = Xb_g[pi]
+                    wm[d, k] = 1.0
+                    lmap[d, k] = np.asarray(
+                        [g2l_nnz[d].get(int(p), self.max_nnz)
+                         for p in nmap_g[pi].ravel()]).reshape(nl, nl)
+                    for kk, v in s.ftabs_a.items():
+                        fta[kk][d, k] = np.asarray(v)[pi]
+                    for kk, v in s.ftabs_b.items():
+                        ftb[kk][d, k] = np.asarray(v)[pi]
+            self._iblocks.append(dict(isi=isi, gather=gat, Xa=Xa, Xb=Xb,
+                                      wmask=wm, nmap=lmap, fta=fta, ftb=ftb))
 
         # ---- rotated (normal-tangent) rows: a rotated node's dofs share an
         # owner (node-major numbering + node ownership), so row rotation is
@@ -532,6 +590,17 @@ class PartitionedProblem:
             T[f"fn{fsi}"] = dput(fb["nmap"])
             for k, v in fb["ftabs"].items():
                 T[f"ft{fsi}:{k}"] = dput(v)
+        for ib in self._iblocks:
+            isi = ib["isi"]
+            T[f"ig{isi}"] = dput(ib["gather"])
+            T[f"ixa{isi}"] = dput(ib["Xa"])
+            T[f"ixb{isi}"] = dput(ib["Xb"])
+            T[f"iw{isi}"] = dput(ib["wmask"])
+            T[f"in{isi}"] = dput(ib["nmap"])
+            for k, v in ib["fta"].items():
+                T[f"ita{isi}:{k}"] = dput(v)
+            for k, v in ib["ftb"].items():
+                T[f"itb{isi}:{k}"] = dput(v)
         if self._rot:
             for k, v in self._rtabs.items():
                 T[f"rot:{k}"] = dput(v)
@@ -637,6 +706,25 @@ class PartitionedProblem:
                 jac_fn = jax.jacfwd(face_res, argnums=0, has_aux=True)
                 J, r = jax.vmap(jac_fn, in_axes=(0, 0, 0, 0, None))(
                     x_loc[g], h_loc[g], Xr, ftabs, params)
+                r = r * wm[:, None]
+                J = J * wm[:, None, None]
+                R_loc = R_loc.at[g.reshape(-1)].add(r.reshape(-1))
+                vals = vals.at[nm.reshape(-1)].add(J.reshape(-1))
+            for ib in self._iblocks:
+                isi = ib["isi"]
+                g = T1[f"ig{isi}"]
+                Xa = T1[f"ixa{isi}"].astype(dtype)
+                Xb = T1[f"ixb{isi}"].astype(dtype)
+                wm = T1[f"iw{isi}"].astype(dtype)
+                nm = T1[f"in{isi}"]
+                fta = {k: T1[f"ita{isi}:{k}"].astype(dtype)
+                       for k in ib["fta"]}
+                ftb = {k: T1[f"itb{isi}:{k}"].astype(dtype)
+                       for k in ib["ftb"]}
+                ifc_res = prob._ifc_residual_fn(isi)
+                jac_fn = jax.jacfwd(ifc_res, argnums=0, has_aux=True)
+                J, r = jax.vmap(jac_fn, in_axes=(0, 0, 0, 0, 0, 0, None))(
+                    x_loc[g], h_loc[g], Xa, Xb, fta, ftb, params)
                 r = r * wm[:, None]
                 J = J * wm[:, None, None]
                 R_loc = R_loc.at[g.reshape(-1)].add(r.reshape(-1))

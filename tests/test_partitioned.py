@@ -436,3 +436,45 @@ def test_partitioned_twolevel_parity():
                                  linear_tol=1e-9, restart=60,
                                  linear_maxiter=2000).solve(x0, params)
     assert sum(rt.linear_iters) < 0.5 * sum(rb.linear_iters)
+
+
+def test_partitioned_interface_parity():
+    """Cross-block interface kernels (contact resistance): pair partners
+    join the local element sets, so the distributed assembly matches the
+    single-device solver on the split-interface two-layer deck."""
+    from goma_tpu.mesh.interface import find_interface_faces, split_interface
+    from goma_tpu.parallel.partitioned import (PartitionedNewtonSolver,
+                                               PartitionedProblem)
+    from goma_tpu.physics import InterfaceExchange
+    from tests.test_interface import _two_block_strip
+
+    ka, kb, h = 2.0, 0.5, 4.0
+    mesh = _two_block_strip(4, 2)
+    pairs = find_interface_faces(mesh, 0, 1)
+    split_interface(mesh, pairs)
+    prob = Problem(
+        mesh,
+        [[Energy(interp="Q1", transient=False, convection=False)],
+         [Energy(interp="Q1", transient=False, convection=False)]],
+        [{"rho": 1.0, "Cp": 1.0, "k": ka}, {"rho": 1.0, "Cp": 1.0, "k": kb}])
+    prob.add_dirichlet("left", "temperature", 0, 1.0)
+    prob.add_dirichlet("right", "temperature", 0, 0.0)
+    prob.add_interface_kernel(pairs, InterfaceExchange("temperature",
+                                                       coeff=h))
+    prob.finalize()
+    x0 = np.zeros(prob.dofmap.n_dof)
+    params = prob.base_params()
+
+    single = NewtonSolver(prob, NewtonOptions(
+        max_iter=10, tol_residual=1e-11, precond="block_jacobi",
+        linear_tol=1e-11, gmres_restart=60, linear_maxiter=2000,
+        precond_lag=False, forcing="fixed"))
+    r1 = single.solve(x0, params)
+    assert r1.converged
+
+    pp = PartitionedProblem(prob)
+    r2 = PartitionedNewtonSolver(pp, max_iter=10, tol_residual=1e-11,
+                                 linear_tol=1e-11, restart=60,
+                                 linear_maxiter=2000).solve(x0, params)
+    assert r2.converged
+    np.testing.assert_allclose(r2.x, np.asarray(r1.x), atol=1e-9)
