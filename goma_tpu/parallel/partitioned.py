@@ -55,11 +55,12 @@ class PartitionedProblem:
 
     def __init__(self, problem, device_mesh: Mesh | None = None,
                  axis: str = "dofs", partition_method: str = "auto"):
-        if problem.ovs_sets or getattr(problem, "edge_sets", None):
+        if problem.ovs_sets:
             raise NotImplementedError(
-                "PartitionedProblem currently covers volume + face + "
-                "interface kernels + Dirichlet/rotated BCs + external "
-                "fields; use ShardedProblem for overset/edge decks")
+                "PartitionedProblem covers volume/face/edge/interface "
+                "kernels, Dirichlet/rotated BCs and external fields; "
+                "overset decks use ShardedProblem (global immersed-curve "
+                "coupling)")
         if device_mesh is None:
             device_mesh = Mesh(np.array(jax.devices()), (axis,))
         self.problem = problem
@@ -300,6 +301,44 @@ class PartitionedProblem:
                         ft[kk][d, k] = np.asarray(v)[fi]
             self._fblocks.append(dict(fsi=fsi, gather=gat, Xref=Xr,
                                       wmask=wm, nmap=lmap, ftabs=ft))
+
+        # ---- local edge-curve kernel tables (3D sideset-intersection BCs,
+        # bc_curve.c analog): same owner-computes rule as the face sets
+        self._edblocks = []
+        for esi, es in enumerate(getattr(problem, "edge_sets", []) or []):
+            bi = es.block_index
+            bd = dm.blocks[bi]
+            b = mesh.blocks[bi]
+            nl = bd.n_ldof
+            fe = es.edge_elems
+            gat_g = bd.gather[fe]
+            Xr_g = mesh.coords[b.conn[fe]]
+            nmap_g = problem._nnz_maps[bi][fe]
+            loc_set = [set(int(v) for v in loc_elems[d][bi])
+                       for d in range(nd)]
+            sel_f = [np.asarray([i for i, le in enumerate(fe)
+                                 if int(le) in loc_set[d]], dtype=np.int64)
+                     for d in range(nd)]
+            mx = max(max(s_.shape[0] for s_ in sel_f), 1)
+            gat = np.full((nd, mx, nl), ml, dtype=np.int64)
+            Xr = np.zeros((nd, mx) + Xr_g.shape[1:])
+            wm = np.zeros((nd, mx))
+            lmap = np.full((nd, mx, nl, nl), self.max_nnz, dtype=np.int64)
+            et = {k: np.zeros((nd, mx) + np.asarray(v).shape[1:])
+                  for k, v in es.etabs.items()}
+            for d in range(nd):
+                for k, fi in enumerate(sel_f[d]):
+                    gat[d, k] = [l_of_g[d].get(int(g), ml)
+                                 for g in gat_g[fi]]
+                    Xr[d, k] = Xr_g[fi]
+                    wm[d, k] = 1.0
+                    lmap[d, k] = np.asarray(
+                        [g2l_nnz[d].get(int(p), self.max_nnz)
+                         for p in nmap_g[fi].ravel()]).reshape(nl, nl)
+                    for kk, v in es.etabs.items():
+                        et[kk][d, k] = np.asarray(v)[fi]
+            self._edblocks.append(dict(esi=esi, gather=gat, Xref=Xr,
+                                       wmask=wm, nmap=lmap, etabs=et))
 
         # ---- local interface-pair tables (cross-block paired-face
         # kernels): a pair assembles on every device owning any of its
@@ -590,6 +629,14 @@ class PartitionedProblem:
             T[f"fn{fsi}"] = dput(fb["nmap"])
             for k, v in fb["ftabs"].items():
                 T[f"ft{fsi}:{k}"] = dput(v)
+        for eb2 in self._edblocks:
+            esi = eb2["esi"]
+            T[f"eg{esi}"] = dput(eb2["gather"])
+            T[f"ex{esi}"] = dput(eb2["Xref"])
+            T[f"ew{esi}"] = dput(eb2["wmask"])
+            T[f"en{esi}"] = dput(eb2["nmap"])
+            for k, v in eb2["etabs"].items():
+                T[f"et{esi}:{k}"] = dput(v)
         for ib in self._iblocks:
             isi = ib["isi"]
             T[f"ig{isi}"] = dput(ib["gather"])
@@ -706,6 +753,22 @@ class PartitionedProblem:
                 jac_fn = jax.jacfwd(face_res, argnums=0, has_aux=True)
                 J, r = jax.vmap(jac_fn, in_axes=(0, 0, 0, 0, None))(
                     x_loc[g], h_loc[g], Xr, ftabs, params)
+                r = r * wm[:, None]
+                J = J * wm[:, None, None]
+                R_loc = R_loc.at[g.reshape(-1)].add(r.reshape(-1))
+                vals = vals.at[nm.reshape(-1)].add(J.reshape(-1))
+            for eb2 in self._edblocks:
+                esi = eb2["esi"]
+                g = T1[f"eg{esi}"]
+                Xr = T1[f"ex{esi}"].astype(dtype)
+                wm = T1[f"ew{esi}"].astype(dtype)
+                nm = T1[f"en{esi}"]
+                etabs = {k: T1[f"et{esi}:{k}"].astype(dtype)
+                         for k in eb2["etabs"]}
+                edge_res = prob._edge_residual_fn(esi)
+                jac_fn = jax.jacfwd(edge_res, argnums=0, has_aux=True)
+                J, r = jax.vmap(jac_fn, in_axes=(0, 0, 0, 0, None))(
+                    x_loc[g], h_loc[g], Xr, etabs, params)
                 r = r * wm[:, None]
                 J = J * wm[:, None, None]
                 R_loc = R_loc.at[g.reshape(-1)].add(r.reshape(-1))

@@ -478,3 +478,36 @@ def test_partitioned_interface_parity():
                                  linear_maxiter=2000).solve(x0, params)
     assert r2.converged
     np.testing.assert_allclose(r2.x, np.asarray(r1.x), atol=1e-9)
+
+
+def test_partitioned_edge_kernels_3d_parity():
+    """3D edge-curve BCs (bc_curve.c analog) + a 3D box mesh in the
+    partitioned path: line-source conduction matches the single-device
+    solver."""
+    from goma_tpu.bc.edge import EdgeTraction
+    from goma_tpu.mesh import box_mesh
+    from goma_tpu.parallel.partitioned import (PartitionedNewtonSolver,
+                                               PartitionedProblem)
+
+    mesh = box_mesh(3, 3, 3, elem="HEX27")
+    prob = Problem(mesh, [Energy(interp="Q2", transient=False,
+                                 convection=False)], {"k": 1.0})
+    prob.add_dirichlet("bottom", "temperature", 0, 0.0)
+    prob.add_edge_kernel("top", "right", EdgeTraction("temperature", 1, 2.5))
+    prob.finalize()
+    x0 = np.zeros(prob.dofmap.n_dof)
+    params = prob.base_params()
+
+    single = NewtonSolver(prob, NewtonOptions(
+        max_iter=8, tol_residual=1e-10, precond="block_jacobi",
+        linear_tol=1e-10, gmres_restart=60, linear_maxiter=2000,
+        precond_lag=False, forcing="fixed"))
+    r1 = single.solve(x0, params)
+    assert r1.converged
+
+    pp = PartitionedProblem(prob)
+    r2 = PartitionedNewtonSolver(pp, max_iter=8, tol_residual=1e-10,
+                                 linear_tol=1e-10, restart=60,
+                                 linear_maxiter=2000).solve(x0, params)
+    assert r2.converged
+    np.testing.assert_allclose(r2.x, np.asarray(r1.x), atol=1e-8)
