@@ -55,7 +55,11 @@ def main(argv=None) -> int:
               f"t = {result.t:g}, converged = {conv}")
     else:
         conv = bool(result.converged)
-        print(result.summary())
+        if hasattr(result, "summary"):
+            print(result.summary())
+        else:  # distributed result: (l1, l2, linf) per iteration
+            for k, nrm in enumerate(result.res_norms):
+                print(f"  it {k}: ||R||2 = {nrm[1]:.4e}")
         print(f"converged = {conv}")
     return 0 if conv else 1
 

@@ -390,21 +390,45 @@ def build_problem(deck: dict) -> tuple[Problem, dict]:
 
 def run_deck(deck: dict, x0=None, params_extra: dict | None = None):
     """Build + solve a deck (steady Newton, or transient when "time" given).
+    ``solver: {"distributed": true, ...}`` routes through the
+    partitioned-DOF multi-device path (reference: ``mpirun -np N goma``).
     Returns (problem, result, echo)."""
     prob, echo = build_problem(deck)
-    sopts = NewtonOptions(**deck.get("solver", {}))
+    sdeck = dict(deck.get("solver", {}))
+    distributed = sdeck.pop("distributed", False)
     params = prob.base_params(**(params_extra or {}))
     if x0 is None:
         x0 = np.zeros(prob.dofmap.n_dof)
         for init in deck.get("initial", []):
             x0 = prob.set_nodal_field(x0, init["var"], init.get("comp", 0), init["value"])
-    if "time" in deck:
+    if distributed:
+        from goma_tpu.parallel.partitioned import (PartitionedNewtonSolver,
+                                                   PartitionedProblem,
+                                                   PartitionedTransientSolver)
+
+        nmap = dict(max_iter=sdeck.get("max_iter", 12),
+                    tol_residual=sdeck.get("tol_residual", 1e-10),
+                    linear_tol=sdeck.get("linear_tol", 1e-10),
+                    restart=sdeck.get("gmres_restart", 60),
+                    linear_maxiter=sdeck.get("linear_maxiter", 2000),
+                    smoother=sdeck.get("smoother", "bj"))
+        pp = PartitionedProblem(prob)
+        if "time" in deck:
+            t = dict(deck["time"])
+            result = PartitionedTransientSolver(
+                pp, newton=nmap, dt0=t.get("dt0", 1e-2),
+                t_end=t.get("t_end", 1.0), theta=t.get("theta", 0.0),
+            ).run(x0, params)
+        else:
+            result = PartitionedNewtonSolver(pp, **nmap).solve(x0, params)
+    elif "time" in deck:
         from goma_tpu.solvers.transient import TimeOptions, TransientSolver
 
+        sopts = NewtonOptions(**sdeck)
         ts = TransientSolver(prob, sopts, TimeOptions(**deck["time"]))
         result = ts.run(x0, params)
     else:
-        result = NewtonSolver(prob, sopts).solve(x0, params)
+        result = NewtonSolver(prob, NewtonOptions(**sdeck)).solve(x0, params)
     out = deck.get("output", {})
     if "exodus" in out:
         from goma_tpu.io import write_exodus
