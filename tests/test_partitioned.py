@@ -511,3 +511,31 @@ def test_partitioned_edge_kernels_3d_parity():
                                  linear_maxiter=2000).solve(x0, params)
     assert r2.converged
     np.testing.assert_allclose(r2.x, np.asarray(r1.x), atol=1e-8)
+
+
+def test_deck_distributed_routing():
+    """solver.distributed=true in a deck routes through the partitioned
+    path (steady + transient)."""
+    from goma_tpu.input.deck import run_deck
+
+    base = {
+        "mesh": {"kind": "rectangle", "nx": 6, "ny": 6, "elem": "QUAD9"},
+        "equations": [{"type": "energy", "interp": "Q2",
+                       "transient": False, "convection": False}],
+        "material": {"k": 1.0, "heat_source": 2.0},
+        "bcs": [{"kind": "dirichlet", "nodeset": "left",
+                 "var": "temperature", "comp": 0, "value": 0.0}],
+        "solver": {"distributed": True, "max_iter": 8,
+                   "tol_residual": 1e-10, "linear_tol": 1e-10,
+                   "linear_maxiter": 1500},
+    }
+    prob, res, echo = run_deck(base)
+    assert res.converged
+
+    tdeck = dict(base)
+    tdeck["equations"] = [{"type": "energy", "interp": "Q2",
+                           "transient": True, "convection": False}]
+    tdeck["material"] = {"k": 1.0, "rho": 1.0, "Cp": 1.0}
+    tdeck["time"] = {"dt0": 0.05, "t_end": 0.1}
+    prob, res, echo = run_deck(tdeck)
+    assert res.converged and res.iters == 2  # 2 accepted steps
