@@ -41,6 +41,78 @@ def hoffman_correlation_ca(cos_theta, n_iter: int = 40):
     return ca
 
 
+# 10-point Gauss rule of the reference's Cox integral (mm_ns_bc.c:10454)
+_COX_GPT = np.array([
+    -0.973906528517172, -0.865063366688985, -0.679409568299024,
+    -0.433395394129247, -0.148874338981631, 0.148874338981631,
+    0.433395394129247, 0.679409568299024, 0.865063366688985,
+    0.973906528517172])
+_COX_WT = np.array([
+    0.066671344308688, 0.149451349150581, 0.219086362515982,
+    0.269266719309996, 0.295524224714753, 0.295524224714753,
+    0.269266719309996, 0.219086362515982, 0.149451349150581,
+    0.066671344308688])
+
+
+def cox_f(th, lam):
+    """Cox's hydrodynamic angle function f(theta, lambda)
+    (``src/mm_ns_bc.c:10594-10640``): the local Ca-per-dtheta kernel of
+    the Cox (1986) matched-asymptotics wetting analysis; ``lam`` is the
+    displaced/displacing viscosity ratio."""
+    s, c = jnp.sin(th), jnp.cos(th)
+    pi = np.pi
+    f_num = 2.0 * s * (lam**2 * (th**2 - s**2)
+                       + 2.0 * lam * (th * (pi - th) + s**2)
+                       + ((pi - th) ** 2 - s**2))
+    f_den = (lam * (th**2 - s**2) * (pi - th + s * c)
+             + ((pi - th) ** 2 - s**2) * (th - s * c))
+    return f_num / f_den
+
+
+def cox_wetting_ca(theta, theta_eq, lam=0.0, eps_slip=0.01,
+                   q_inner=0.0, q_outer=0.0):
+    """Capillary number of the Cox dynamic-contact-angle relation
+    (VELO_THETA_COX, ``src/mm_ns_bc.c:10594``):
+
+        Ca = [int_theta_eq^theta dth / f(th, lam)] /
+             [ln(1/eps_slip) + q_i/f(theta_eq) - q_o/f(theta)]
+
+    evaluated with the reference's fixed 10-point Gauss rule (jit- and
+    AD-friendly: no data-dependent control flow)."""
+    theta = jnp.asarray(theta)
+    th = theta_eq + (theta[..., None] - theta_eq) * (
+        jnp.asarray(_COX_GPT) + 1.0) / 2.0
+    g_int = (1.0 / cox_f(th, lam)) @ jnp.asarray(_COX_WT)
+    g_int = g_int * 0.5 * (theta - theta_eq)
+    den = (np.log(1.0 / eps_slip) + q_inner / cox_f(theta_eq, lam)
+           - q_outer / cox_f(theta, lam))
+    return g_int / den
+
+
+def shik_wetting_speed(costheta, costheta_eq, theta_max, v0, g):
+    """Shikhmurzaev interface-formation wetting speed (VELO_THETA_SHIK,
+    ``src/mm_ns_bc.c:10631-10638``):
+
+        u0(th)  = (sin th - th cos th) / (sin th cos th - th)
+        rhs     = (cos th_eq - cos th) /
+                  [(v0 - 1)(u0(th) - u0(th_max)) + cos th - cos th_max]
+        V       = sqrt(g v0) rhs / (2 sqrt(1 + rhs))
+
+    with the reference's runaway guard th_max -> min(1.01 th, pi) when
+    th exceeds th_max."""
+    th = jnp.arccos(jnp.clip(costheta, -0.999999, 0.999999))
+    th_max = jnp.where(th > theta_max,
+                       jnp.minimum(1.01 * th, np.pi), theta_max)
+    s, c = jnp.sin(th), jnp.cos(th)
+    sm, cm = jnp.sin(th_max), jnp.cos(th_max)
+    u0 = (s - th * c) / (s * c - th)
+    u0m = (sm - th_max * cm) / (sm * cm - th_max)
+    rhs = (costheta_eq - costheta) / ((v0 - 1.0) * (u0 - u0m)
+                                      + costheta - cm)
+    return jnp.sqrt(g * v0) * rhs / (2.0 * jnp.sqrt(jnp.maximum(
+        1.0 + rhs, 1e-12)))
+
+
 class LSWettingSpeed(FaceKernel):
     """Diffuse-interface dynamic-contact-angle wetting BC on a wall sideset
     (momentum equation): adds
@@ -53,21 +125,32 @@ class LSWettingSpeed(FaceKernel):
       model="linear":  V = (cos(theta_s) - cos(theta_d)) / beta
       model="blake":   V = v0 * sinh(g * (cos(theta_s) - cos(theta_d)))
       model="hoffman": V = g/mu * (Ca(theta_d) - Ca(theta_s))  [correlation]
+      model="cox":     V = g/mu * Ca_cox(theta_d; lam, eps_slip)  [Cox 1986
+                       matched asymptotics, VELO_THETA_COX]
+      model="shik":    V from the Shikhmurzaev interface-formation relation
+                       (VELO_THETA_SHIK; v0 = dimensionless parameter,
+                       theta_max_deg = runaway cap)
 
     Reference cards: WETTING_SPEED_LINEAR / _BLAKE / _HOFFMAN and the
-    VELO_THETA_TPL / _HOFFMAN family (src/mm_ns_bc.c:12616ff).
+    VELO_THETA_TPL / _HOFFMAN / _COX / _SHIK family
+    (src/mm_ns_bc.c:10482-10640, 12616ff).
     """
 
     def __init__(self, dim: int, theta_s_deg: float, alpha: float,
                  model: str = "blake", v0: float = 1.0, g: float = 1.0,
-                 beta: float = 1.0, depth: float = 1.0, mu: float = 1.0):
+                 beta: float = 1.0, depth: float = 1.0, mu: float = 1.0,
+                 lam: float = 0.0, eps_slip: float = 0.01,
+                 theta_max_deg: float = 180.0):
         super().__init__("velocity", dim)
         self.dim = dim
-        self.cos_ts = float(np.cos(np.deg2rad(theta_s_deg)))
+        self.theta_s = float(np.deg2rad(theta_s_deg))
+        self.cos_ts = float(np.cos(self.theta_s))
         self.alpha = alpha
         self.model = model
         self.v0, self.g, self.beta, self.depth, self.mu = v0, g, beta, depth, mu
-        if model not in ("linear", "blake", "hoffman"):
+        self.lam, self.eps_slip = lam, eps_slip
+        self.theta_max = float(np.deg2rad(theta_max_deg))
+        if model not in ("linear", "blake", "hoffman", "cox", "shik"):
             raise ValueError(f"unknown wetting model {model!r}")
 
     def wet_speed(self, cos_ca):
@@ -75,6 +158,14 @@ class LSWettingSpeed(FaceKernel):
             return (self.cos_ts - cos_ca) / self.beta
         if self.model == "blake":
             return self.v0 * jnp.sinh(self.g * (self.cos_ts - cos_ca))
+        if self.model == "cox":
+            theta = jnp.arccos(jnp.clip(cos_ca, -0.999999, 0.999999))
+            ca = cox_wetting_ca(theta, self.theta_s, lam=self.lam,
+                                eps_slip=self.eps_slip)
+            return (self.g / self.mu) * ca
+        if self.model == "shik":
+            return shik_wetting_speed(cos_ca, self.cos_ts, self.theta_max,
+                                      self.v0, self.g)
         ca_d = hoffman_correlation_ca(-cos_ca)
         ca_s = hoffman_correlation_ca(-jnp.asarray(self.cos_ts))
         return (self.g / self.mu) * (ca_d - ca_s)

@@ -303,6 +303,95 @@ def expand_expressions(obj):
     return obj
 
 
+_GD_AXES = {"x": 0, "y": 1, "z": 2}
+
+
+def build_gd_value(spec: dict):
+    """Declarative generalized-Dirichlet value: a PRODUCT of one-variable
+    factors, each a function of a coordinate (x/y/z/r) or of time.
+
+    Parity: the reference's GD_* card family — GD_CONST / GD_LINEAR /
+    GD_PARAB / GD_POLYN / GD_TIME (linear, exponential, sinusoidal, table)
+    / GD_TABLE (``src/mm_input_bc.c`` ``rd_bc_specs`` GD branch, applied
+    through ``src/bc_colloc.c``) and the TABLE_WICV/WICS space/time tables.
+    The reference chains GD cards on one (equation, nodeset) into a product
+    of factors; here the ``"gd"`` list is that chain.
+
+    spec forms::
+
+        {"gd": [factor, ...]}            # product of factors
+        {"table": {...}}                 # shorthand for one table factor
+
+    factor: ``{"fn": <kind>, "var": "x"|"y"|"z"|"r"|"time", ...}`` with
+
+    - ``const``:  c[0]
+    - ``linear``: c[0] + c[1]*s
+    - ``parab``:  c[0] + c[1]*s + c[2]*s^2
+    - ``poly``:   sum_k c[k] s^k
+    - ``sin``:    c[0] + c[1]*sin(c[2]*s + c[3])
+    - ``exp``:    c[0] + c[1]*exp(c[2]*s)
+    - ``table``:  piecewise-linear through ``points`` [[s, v], ...]
+                  (clamped outside the range)
+
+    Returns a ``(coords, params) -> (n,)`` callable (live at assembly, so
+    time-dependent factors follow the transient solver's clock).
+    """
+    import jax.numpy as jnp
+
+    if "table" in spec and "gd" not in spec:
+        spec = {"gd": [dict(spec["table"], fn="table")]}
+    factors = [dict(f) for f in spec["gd"]]
+    for f in factors:
+        kind, var = f.get("fn", "const"), f.get("var", "x")
+        if kind not in ("const", "linear", "parab", "poly", "sin", "exp",
+                        "table"):
+            raise ValueError(f"unknown gd factor fn {kind!r}")
+        if var not in ("x", "y", "z", "r", "time"):
+            raise ValueError(f"unknown gd factor var {var!r}")
+        if kind == "table":
+            pts = np.asarray(f["points"], dtype=float)
+            if pts.ndim != 2 or pts.shape[1] != 2 or pts.shape[0] < 2:
+                raise ValueError("gd table needs points [[s, v], ...]")
+            if not np.all(np.diff(pts[:, 0]) > 0):
+                raise ValueError("gd table abscissae must be increasing")
+            f["_pts"] = pts
+
+    def value(coords, params):
+        out = None
+        for f in factors:
+            var = f.get("var", "x")
+            if var == "time":
+                s = params["time"]
+            elif var == "r":
+                s = jnp.sqrt(coords[:, 0] ** 2 + coords[:, 1] ** 2)
+            else:
+                s = coords[:, _GD_AXES[var]]
+            kind = f.get("fn", "const")
+            c = f.get("c", [0.0])
+            if kind == "const":
+                g = jnp.asarray(c[0]) + 0.0 * s
+            elif kind == "linear":
+                g = c[0] + c[1] * s
+            elif kind == "parab":
+                g = c[0] + c[1] * s + c[2] * s**2
+            elif kind == "poly":
+                g = sum(ck * s**k for k, ck in enumerate(c))
+            elif kind == "sin":
+                g = c[0] + c[1] * jnp.sin(c[2] * s + (c[3] if len(c) > 3
+                                                      else 0.0))
+            elif kind == "exp":
+                g = c[0] + c[1] * jnp.exp(c[2] * s)
+            else:  # table
+                pts = f["_pts"]
+                g = jnp.interp(s, jnp.asarray(pts[:, 0]),
+                               jnp.asarray(pts[:, 1]))
+            g = jnp.broadcast_to(g, (coords.shape[0],))
+            out = g if out is None else out * g
+        return out
+
+    return value
+
+
 def build_problem(deck: dict) -> tuple[Problem, dict]:
     """Build a finalized Problem from a deck. Returns (problem, echo) where
     echo is the fully-resolved deck (reference: input echo file)."""
@@ -365,7 +454,10 @@ def build_problem(deck: dict) -> tuple[Problem, dict]:
         bc = dict(bc)
         kind = bc.pop("kind")
         if kind == "dirichlet":
-            prob.add_dirichlet(bc["nodeset"], bc["var"], bc.get("comp", 0), bc["value"])
+            value = bc["value"]
+            if isinstance(value, dict):  # GD_*/table card (build_gd_value)
+                value = build_gd_value(value)
+            prob.add_dirichlet(bc["nodeset"], bc["var"], bc.get("comp", 0), value)
         elif kind == "pin":
             node = bc.get("node", 0)
             name = f"_pin_{bc['var']}"

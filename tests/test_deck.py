@@ -185,3 +185,110 @@ def test_deck_overset_cylinder():
     u = FieldSampler(prob).sample(res.x, "velocity",
                                   np.array([[0.7, 0.5 + 0.22]]))
     assert abs(u[0, 0]) < 0.05  # no-slip held at the immersed boundary
+
+
+def test_deck_gd_parabolic_inflow():
+    """GD_PARAB-style deck value: a {"gd": [...]} dict on a Dirichlet card
+    builds a parabolic inflow profile (reference GD_* cards,
+    src/mm_input_bc.c rd_bc_specs GD branch / bc_colloc.c). The Stokes
+    channel then reproduces the exact Poiseuille solution everywhere."""
+    U = 1.5
+    deck = {
+        "mesh": {"kind": "rectangle", "nx": 10, "ny": 5, "elem": "QUAD9",
+                 "xlim": [0.0, 2.0], "ylim": [0.0, 1.0]},
+        "equations": [
+            {"type": "momentum", "dim": 2, "interp": "Q2",
+             "transient": False, "convection": False},
+            {"type": "continuity", "interp": "Q1"},
+        ],
+        "material": {"rho": 1.0, "mu": 1.0},
+        "bcs": [
+            {"kind": "dirichlet", "nodeset": "left", "var": "velocity",
+             "comp": 0,
+             "value": {"gd": [{"fn": "parab", "var": "y",
+                               "c": [0.0, 4.0 * U, -4.0 * U]}]}},
+            {"kind": "dirichlet", "nodeset": "left", "var": "velocity",
+             "comp": 1, "value": 0.0},
+            {"kind": "dirichlet", "nodeset": "right", "var": "velocity",
+             "comp": 0,
+             "value": {"gd": [{"fn": "poly", "var": "y",
+                               "c": [0.0, 4.0 * U, -4.0 * U]}]}},
+            {"kind": "dirichlet", "nodeset": "right", "var": "velocity",
+             "comp": 1, "value": 0.0},
+            {"kind": "dirichlet", "nodeset": "top", "var": "velocity",
+             "comp": 0, "value": 0.0},
+            {"kind": "dirichlet", "nodeset": "top", "var": "velocity",
+             "comp": 1, "value": 0.0},
+            {"kind": "dirichlet", "nodeset": "bottom", "var": "velocity",
+             "comp": 0, "value": 0.0},
+            {"kind": "dirichlet", "nodeset": "bottom", "var": "velocity",
+             "comp": 1, "value": 0.0},
+            {"kind": "pin", "var": "pressure", "value": 0.0},
+        ],
+        "solver": {"max_iter": 6, "tol_residual": 1e-10,
+                   "linear_tol": 1e-12, "linear_maxiter": 3000},
+    }
+    prob, res, echo = run_deck(deck)
+    assert res.converged
+    u = prob.get_nodal_field(res.x, "velocity", 0)
+    y = prob.mesh.coords[:, 1]
+    np.testing.assert_allclose(u, 4 * U * y * (1 - y), atol=2e-8)
+
+
+def test_deck_gd_time_table_transient():
+    """Time-table GD value ({"table": ...} over var "time"): a transient
+    heat deck whose wall temperature ramps along the table — the solved
+    boundary dof follows the table value at each step (TABLE_WICV /
+    GD_TIME table parity)."""
+    deck = {
+        "mesh": {"kind": "rectangle", "nx": 4, "ny": 4, "elem": "QUAD4"},
+        "equations": [{"type": "energy", "interp": "Q1", "transient": True}],
+        "material": {"rho": 1.0, "Cp": 1.0, "k": 1.0},
+        "bcs": [
+            {"kind": "dirichlet", "nodeset": "left", "var": "temperature",
+             "comp": 0,
+             "value": {"table": {"var": "time",
+                                 "points": [[0.0, 0.0], [0.1, 1.0],
+                                            [0.2, 1.0]]}}},
+            {"kind": "dirichlet", "nodeset": "right", "var": "temperature",
+             "comp": 0, "value": 0.0},
+        ],
+        "time": {"dt0": 0.05, "t_end": 0.1, "adapt": False},
+        "solver": {"max_iter": 8, "tol_residual": 1e-11},
+    }
+    prob, res, echo = run_deck(deck)
+    T = prob.get_nodal_field(res.x, "temperature", 0)
+    left = prob.mesh.nodesets["left"]
+    # at t_end = 0.1 the table gives exactly 1.0 on the left wall
+    np.testing.assert_allclose(T[left], 1.0, atol=1e-9)
+
+
+def test_deck_gd_factor_product_and_validation():
+    """GD factors multiply (profile x time ramp), and malformed specs
+    raise named errors."""
+    import jax.numpy as jnp
+    import pytest
+
+    from goma_tpu.input.deck import build_gd_value
+
+    fn = build_gd_value({"gd": [
+        {"fn": "linear", "var": "x", "c": [0.0, 2.0]},
+        {"fn": "sin", "var": "time", "c": [0.0, 3.0, 0.5]},
+    ]})
+    coords = jnp.asarray([[1.0, 0.0], [2.0, 0.0]])
+    v = np.asarray(fn(coords, {"time": jnp.asarray(0.7)}))
+    np.testing.assert_allclose(
+        v, [2.0 * 3.0 * np.sin(0.35), 4.0 * 3.0 * np.sin(0.35)], rtol=1e-6)
+    # exp factor
+    fe = build_gd_value({"gd": [{"fn": "exp", "var": "y", "c": [1.0, 2.0, -3.0]}]})
+    ve = np.asarray(fe(coords, {}))
+    np.testing.assert_allclose(ve, 1.0 + 2.0 * np.exp(-3.0 * 0.0), rtol=1e-6)
+    # table clamping outside the range
+    ft = build_gd_value({"table": {"var": "x",
+                                   "points": [[0.0, 5.0], [1.0, 7.0]]}})
+    vt = np.asarray(ft(jnp.asarray([[-1.0, 0.0], [0.5, 0.0], [9.0, 0.0]]), {}))
+    np.testing.assert_allclose(vt, [5.0, 6.0, 7.0], rtol=1e-6)
+    with pytest.raises(ValueError, match="unknown gd factor fn"):
+        build_gd_value({"gd": [{"fn": "nope", "var": "x"}]})
+    with pytest.raises(ValueError, match="increasing"):
+        build_gd_value({"table": {"var": "x", "points": [[1, 0], [0, 1]]}})

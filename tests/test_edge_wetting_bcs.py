@@ -122,12 +122,13 @@ def test_ls_wetting_speed_models():
     """Wetting kernels: zero velocity + interface normal at the static
     angle gives zero residual; off-equilibrium angles pull the fluid
     toward equilibrium with the model's speed law (Blake sinh, linear,
-    Hoffman correlation all finite and sign-correct)."""
+    Hoffman correlation, Cox asymptotics, Shikhmurzaev relation all
+    finite and sign-correct)."""
     from goma_tpu.bc.wetting import LSWettingSpeed, hoffman_correlation_ca
     from goma_tpu.physics.level_set import FILL_VAR, FillEquation
 
     theta_s = 60.0
-    for model in ("linear", "blake", "hoffman"):
+    for model in ("linear", "blake", "hoffman", "cox", "shik"):
         mesh = rectangle_mesh(4, 4, elem="QUAD9")
         prob = Problem(
             mesh,
@@ -168,6 +169,55 @@ def test_ls_wetting_speed_models():
     ca1 = float(hoffman_correlation_ca(jnp.cos(jnp.deg2rad(30.0))))
     ca2 = float(hoffman_correlation_ca(jnp.cos(jnp.deg2rad(120.0))))
     assert 0 < ca1 < ca2
+
+
+def test_cox_wetting_ca_against_dense_integral():
+    """The 10-pt Gauss Cox integral (VELO_THETA_COX, mm_ns_bc.c:10594)
+    matches a dense trapezoid evaluation of int dtheta/f over
+    [theta_eq, theta]; Ca has the wetting sign and grows with theta."""
+    from goma_tpu.bc.wetting import cox_f, cox_wetting_ca
+
+    lam, eps_slip = 0.1, 1e-3
+    th_eq, th = np.deg2rad(60.0), np.deg2rad(110.0)
+    ca = float(cox_wetting_ca(jnp.asarray(th), th_eq, lam=lam,
+                              eps_slip=eps_slip))
+    ts = np.linspace(th_eq, th, 20001)
+    dense = np.trapezoid(1.0 / np.asarray(cox_f(jnp.asarray(ts), lam)), ts)
+    ca_ref = dense / np.log(1.0 / eps_slip)
+    np.testing.assert_allclose(ca, ca_ref, rtol=1e-8)
+    assert ca > 0
+    # receding angle -> negative Ca; monotone in theta
+    ca_rec = float(cox_wetting_ca(jnp.asarray(np.deg2rad(30.0)), th_eq,
+                                  lam=lam, eps_slip=eps_slip))
+    assert ca_rec < 0
+    ca2 = float(cox_wetting_ca(jnp.asarray(np.deg2rad(130.0)), th_eq,
+                               lam=lam, eps_slip=eps_slip))
+    assert ca2 > ca
+
+
+def test_shik_wetting_speed_formula():
+    """Shikhmurzaev relation (VELO_THETA_SHIK, mm_ns_bc.c:10631): V = 0 at
+    equilibrium, matches the hand-evaluated formula off it, and the
+    theta_max runaway guard keeps V finite past the cap."""
+    from goma_tpu.bc.wetting import shik_wetting_speed
+
+    th_eq, th_max, v0, g = np.deg2rad(60.0), np.deg2rad(150.0), 0.7, 2.0
+    V_eq = float(shik_wetting_speed(jnp.asarray(np.cos(th_eq)),
+                                    np.cos(th_eq), th_max, v0, g))
+    assert abs(V_eq) < 1e-12
+    th = np.deg2rad(100.0)
+    u0 = lambda t: (np.sin(t) - t * np.cos(t)) / (np.sin(t) * np.cos(t) - t)
+    rhs = (np.cos(th_eq) - np.cos(th)) / (
+        (v0 - 1.0) * (u0(th) - u0(th_max)) + np.cos(th) - np.cos(th_max))
+    V_ref = np.sqrt(g * v0) * rhs / (2.0 * np.sqrt(1.0 + rhs))
+    V = float(shik_wetting_speed(jnp.asarray(np.cos(th)), np.cos(th_eq),
+                                 th_max, v0, g))
+    np.testing.assert_allclose(V, V_ref, rtol=1e-10)
+    assert V > 0
+    # past theta_max the 1.01*theta guard keeps the speed finite
+    V_big = float(shik_wetting_speed(jnp.asarray(np.cos(np.deg2rad(170.0))),
+                                     np.cos(th_eq), th_max, v0, g))
+    assert np.isfinite(V_big)
 
 
 def test_velo_normal_edge_directionality():
