@@ -9,6 +9,12 @@ from goma_tpu.bc.shell_end import (
     EndpointFlux,
     shell_end_sidesets,
 )
+from goma_tpu.bc.porous_leak import (
+    LatentHeatFlux,
+    PorousMassFlux,
+    VNormLeak,
+    kelvin_gas_density,
+)
 from goma_tpu.bc.fluid import (
     ConvectiveHeatFlux,
     FlowPressure,

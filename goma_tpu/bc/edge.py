@@ -13,7 +13,10 @@ the reference hand-codes.
 Kernels: :class:`VeloTangentEdge` (VELO_TANGENT_EDGE,
 ``src/mm_ns_bc.c:1819 fvelo_tangent_edge_bc``), :class:`VeloNormalEdge`
 (VELO_NORMAL_EDGE), :class:`EdgeTraction` (line loads / contact-line
-forces, the 3D CAP_ENDFORCE analog).
+forces, the 3D CAP_ENDFORCE analog), :class:`CAEdge` (CA_EDGE /
+CA_EDGE_INT static contact angle, ``src/mm_ns_bc.c:9748 fapply_CA``) and
+:class:`VarCAEdge` (VAR_CA_EDGE velocity-dependent contact angle,
+``src/mm_ns_bc.c:9843 fapply_var_CA``).
 """
 
 from __future__ import annotations
@@ -237,6 +240,99 @@ class VeloNormalEdge(EdgeKernel):
         mis = jnp.einsum("qk,qk->q", n, u) - V
         phi = efv.phi["velocity"]
         return self.penalty * jnp.einsum("q,qa,qi->qai", mis, n, phi)
+
+
+class CAEdge(EdgeKernel):
+    """CA_EDGE / CA_EDGE_INT (``src/bc_curve.c:790,308`` dispatch;
+    ``src/mm_ns_bc.c:9748 fapply_CA``): static contact angle between the
+    free surface (sideset A, carrying the mesh motion) and the solid
+    surface (sideset B) along the 3D contact curve. Replaces the kinematic
+    closure there with the weak penalty
+
+        penalty * (n_fs . n_ss - cos(theta)) * n_fs_a * phi_i
+
+    on the mesh-displacement rows. Both normals are evaluated on the
+    displaced configuration inside :func:`eval_edgevars`, so the
+    mesh-position sensitivities the reference hand-codes
+    (``dfsnormal_dx`` / ``dssnormal_dx``) come from AD. ``theta`` in
+    radians; scalar, param name (str), or callable(efv, mat, params)."""
+
+    def __init__(self, theta, dim: int = 3, penalty: float = 1e6):
+        from goma_tpu.fem.fields import MESH_VAR
+
+        super().__init__(MESH_VAR, dim)
+        self.theta = theta
+        self.penalty = penalty
+
+    def _cos_theta(self, efv, mat, params):
+        th = self.theta
+        if isinstance(th, str):
+            th = params[th]
+        elif callable(th):
+            th = th(efv, mat, params)
+        return jnp.cos(th)
+
+    def residual(self, efv, mat, params):
+        from goma_tpu.fem.fields import MESH_VAR
+
+        nfs, nss = efv.normal_a, efv.normal_b
+        mis = jnp.einsum("qk,qk->q", nfs, nss) - self._cos_theta(efv, mat, params)
+        phi = efv.phi[MESH_VAR]
+        return self.penalty * jnp.einsum("q,qa,qi->qai", mis, nfs, phi)
+
+
+def contact_line_normal(efv):
+    """In-wall contact-line normal n_cl = +-(n_ss x t_edge), signed so
+    n_cl . n_fs > 0 (``src/mm_fill_aux.c:2157 calc_CL_normal``): the unit
+    vector lying in the solid surface, perpendicular to the contact line,
+    pointing out of the wetted region."""
+    ncl = jnp.cross(efv.normal_b, efv.tangent)
+    ncl = ncl / jnp.linalg.norm(ncl, axis=1, keepdims=True)
+    sgn = jnp.sign(jnp.einsum("qk,qk->q", ncl, efv.normal_a))
+    return ncl * sgn[:, None]
+
+
+class VarCAEdge(CAEdge):
+    """VAR_CA_EDGE (``src/mm_ns_bc.c:9843 fapply_var_CA``; dispatch
+    ``src/bc_curve.c:369``): velocity-dependent contact angle along the 3D
+    contact curve,
+
+        cos(theta) = cos(theta_s) - cT * Ca,
+        Ca = mu * n_cl . (v_web - xdot) / sigma
+
+    with n_cl the in-wall contact-line normal (:func:`contact_line_normal`)
+    and xdot the mesh velocity (zero for steady solves, matching the
+    reference's TimeIntegration switch). cos(theta) is clamped to the
+    [1 deg, 179 deg] window like the reference. ``mu``/``sigma`` default to
+    the material's ``mu``/``sigma`` entries (reference: gn->mu0,
+    mp->surface_tension)."""
+
+    def __init__(self, theta_s: float, cT: float, v_web=(0.0, 0.0, 0.0),
+                 mu=None, sigma=None, dim: int = 3, penalty: float = 1e6):
+        super().__init__(theta_s, dim=dim, penalty=penalty)
+        self.cT = cT
+        self.v_web = np.asarray(v_web, dtype=float)
+        self.mu = mu
+        self.sigma = sigma
+
+    def _cos_theta(self, efv, mat, params):
+        from goma_tpu.fem.fields import MESH_VAR
+        from goma_tpu.physics.materials import prop
+
+        mu = self.mu if self.mu is not None else prop(mat, "mu", efv, params, 1.0)
+        sigma = (self.sigma if self.sigma is not None
+                 else prop(mat, "sigma", efv, params, 1.0))
+        ncl = contact_line_normal(efv)
+        vw = jnp.asarray(self.v_web, dtype=efv.x.dtype)[None, :]
+        if MESH_VAR in efv.dot:
+            vw = vw - efv.dot[MESH_VAR]
+        Ca = mu * jnp.einsum("qk,qk->q", ncl, vw) / sigma
+        th = self.theta
+        if isinstance(th, str):
+            th = params[th]
+        cos_ca = jnp.cos(th) - self.cT * Ca
+        lo, hi = np.cos(np.deg2rad(179.0)), np.cos(np.deg2rad(1.0))
+        return jnp.clip(cos_ca, lo, hi)
 
 
 class EdgeTraction(EdgeKernel):

@@ -41,8 +41,13 @@ class VanGenuchten:
     def krel(self, p):
         suction = jnp.where(p < 0, -p, 0.0)
         se = (1.0 + (self.alpha * suction) ** self.n) ** (-self.m)
-        se = jnp.clip(se, 1e-7, 1.0)
-        kr = jnp.sqrt(se) * (1.0 - (1.0 - se ** (1.0 / self.m)) ** self.m) ** 2
+        # the saturated branch is exactly 1; the unsaturated branch is
+        # evaluated at se clipped AWAY from 1 because (1 - se^(1/m))^m has
+        # infinite slope at se = 1 — under forward-mode AD (jacfwd, the
+        # assembly path) that becomes 0 * inf = NaN for every p >= 0
+        se = jnp.clip(se, 1e-7, 1.0 - 1e-9)
+        kr_unsat = jnp.sqrt(se) * (1.0 - (1.0 - se ** (1.0 / self.m)) ** self.m) ** 2
+        kr = jnp.where(p < 0, kr_unsat, 1.0)
         return jnp.maximum(kr, self.kr_min)
 
 
@@ -307,8 +312,10 @@ class TanhHystSaturation:
     def krel_fv(self, p, fv):
         """Mualem k_r on the effective saturation of the current state."""
         S = self.saturation_fv(p, fv)
+        # high clip away from 1: (1 - se^(1/m))^m has infinite slope at
+        # se = 1, a 0*inf = NaN under jacfwd (see VanGenuchten.krel)
         se = jnp.clip((S - self.s_min) / (self.s_max - self.s_min),
-                      1e-7, 1.0)
+                      1e-7, 1.0 - 1e-9)
         m = self.mualem_m
         kr = jnp.sqrt(se) * (1.0 - (1.0 - se ** (1.0 / m)) ** m) ** 2
         return jnp.maximum(kr, self.kr_min)
