@@ -197,6 +197,31 @@ def _init_face_registry():
         sdc_stefan_flow=lambda a: SDCStefanFlow(**a),
     )
 
+    from goma_tpu.bc import LatentHeatFlux, PorousMassFlux, VNormLeak
+
+    _FACE_KERNELS.update(
+        porous_flux=lambda a: PorousMassFlux(**a),       # POROUS_FLUX
+        latent_heat=lambda a: LatentHeatFlux(**a),       # LATENT_HEAT
+        vnorm_leak=lambda a: VNormLeak(**a),             # VNORM_LEAK
+    )
+
+
+_EDGE_KERNELS = {}
+
+
+def _init_edge_registry():
+    """3D edge-curve BC cards (reference bc_curve.c families)."""
+    from goma_tpu.bc.edge import (CAEdge, EdgeTraction, VarCAEdge,
+                                  VeloNormalEdge, VeloTangentEdge)
+
+    _EDGE_KERNELS.update(
+        velo_tangent_edge=lambda a: VeloTangentEdge(**a),
+        velo_normal_edge=lambda a: VeloNormalEdge(**a),
+        edge_traction=lambda a: EdgeTraction(**a),
+        ca_edge=lambda a: CAEdge(**a),                   # CA_EDGE(_INT)
+        var_ca_edge=lambda a: VarCAEdge(**a),            # VAR_CA_EDGE
+    )
+
 
 def build_mesh(spec: dict):
     spec = dict(spec)
@@ -398,6 +423,7 @@ def build_problem(deck: dict) -> tuple[Problem, dict]:
     if not _EQUATIONS:
         _init_registry()
         _init_face_registry()
+        _init_edge_registry()
     deck = expand_expressions(deck)
     echo: dict[str, Any] = json.loads(json.dumps(deck, default=str))
 
@@ -467,6 +493,18 @@ def build_problem(deck: dict) -> tuple[Problem, dict]:
             k = bc.pop("sideset")
             fk = _FACE_KERNELS[bc.pop("type")](bc.get("args", {}))
             prob.add_face_kernel(k, fk)
+        elif kind == "edge":
+            # 3D curve BC on a sideset intersection (bc_curve.c cards)
+            ek = _EDGE_KERNELS[bc.pop("type")](bc.get("args", {}))
+            prob.add_edge_kernel(bc["sideset_a"], bc["sideset_b"], ek)
+        elif kind == "rotated":
+            # rotated strong constraint q.n / q.t = value (ROT cards +
+            # VELO_NORMAL/VELO_TANGENT strong forms)
+            value = bc.get("value", 0.0)
+            if isinstance(value, dict):
+                value = build_gd_value(value)
+            prob.add_rotated_dirichlet(bc["sideset"], bc["var"],
+                                       bc.get("direction", "normal"), value)
         else:
             raise ValueError(f"unknown bc kind {kind}")
     prob.finalize()

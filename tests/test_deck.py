@@ -292,3 +292,65 @@ def test_deck_gd_factor_product_and_validation():
         build_gd_value({"gd": [{"fn": "nope", "var": "x"}]})
     with pytest.raises(ValueError, match="increasing"):
         build_gd_value({"table": {"var": "x", "points": [[1, 0], [0, 1]]}})
+
+
+def test_deck_edge_and_rotated_bcs():
+    """Deck kinds "edge" (bc_curve.c cards: CA_EDGE on a sideset
+    intersection) and "rotated" (strong n.q constraint): the contact-angle
+    box from tests/test_ca_edge_porous.py expressed declaratively."""
+    theta = float(np.deg2rad(70.0))
+    deck = {
+        "mesh": {"kind": "box", "nx": 3, "ny": 3, "nz": 2, "elem": "HEX8",
+                 "zlim": [0.0, 0.5]},
+        "equations": [{"type": "mesh_elliptic", "dim": 3, "interp": "Q1"}],
+        "material": {},
+        "bcs": [
+            {"kind": "dirichlet", "nodeset": "bottom",
+             "var": "mesh_displacement", "comp": c, "value": 0.0}
+            for c in range(3)
+        ] + [
+            {"kind": "dirichlet", "nodeset": ns, "var": "mesh_displacement",
+             "comp": 0, "value": 0.0} for ns in ("left", "right")
+        ] + [
+            {"kind": "dirichlet", "nodeset": ns, "var": "mesh_displacement",
+             "comp": 1, "value": 0.0} for ns in ("front", "back")
+        ] + [
+            {"kind": "edge", "sideset_a": "top", "sideset_b": "right",
+             "type": "ca_edge", "args": {"theta": theta, "penalty": 1e4}},
+        ],
+        "solver": {"max_iter": 30, "tol_residual": 1e-9,
+                   "linear_solver": "direct"},
+    }
+    prob, res, echo = run_deck(deck)
+    assert res.converged, res.summary()
+    from test_ca_edge_porous import _edge_fs_dot
+
+    dots, _ = _edge_fs_dot(prob, res.x)
+    np.testing.assert_allclose(dots, np.cos(theta), atol=2e-2)
+
+    # rotated kind: strong no-penetration on a tilted lid via deck
+    deck2 = {
+        "mesh": {"kind": "rectangle", "nx": 4, "ny": 4, "elem": "QUAD9"},
+        "equations": [
+            {"type": "momentum", "dim": 2, "transient": False},
+            {"type": "continuity", "interp": "Q1"},
+        ],
+        "material": {"rho": 1.0, "mu": 1.0},
+        "bcs": [
+            {"kind": "dirichlet", "nodeset": ns, "var": "velocity",
+             "comp": c, "value": 0.0}
+            for ns in ("left", "right", "bottom") for c in range(2)
+        ] + [
+            {"kind": "rotated", "sideset": "top", "var": "velocity",
+             "direction": "normal", "value": 0.0},
+            {"kind": "pin", "var": "pressure", "value": 0.0},
+        ],
+        "solver": {"max_iter": 10, "tol_residual": 1e-10,
+                   "linear_solver": "direct"},
+    }
+    prob2, res2, _ = run_deck(deck2)
+    assert res2.converged
+    dm = prob2.dofmap
+    uy = np.asarray(res2.x)[dm.dof_of_node_svar[
+        prob2.mesh.nodesets["top"], dm.svar("velocity", 1)]]
+    np.testing.assert_allclose(uy, 0.0, atol=1e-8)
