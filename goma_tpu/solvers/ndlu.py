@@ -587,12 +587,31 @@ class NDLU:
     def solve(self, facs, b):
         return self._solve_jit(facs, b, self.tabs)
 
-    def solve_refined(self, facs, b, matvec, refine: int = 2):
-        """x = A^{-1} b with `refine` iterative-refinement sweeps; matvec
-        should apply the SAME (equilibrated) operator the factorization saw,
-        at its native (possibly higher) precision."""
+    def solve_refined(self, facs, b, matvec, refine: int = 2,
+                      rel_tol: float = 0.0, max_refine: int = 8):
+        """x = A^{-1} b with iterative-refinement sweeps; matvec should
+        apply the SAME (equilibrated) operator the factorization saw, at
+        its native (possibly higher) precision.
+
+        ``refine`` fixed sweeps are always taken; if ``rel_tol > 0``,
+        refinement continues (up to ``max_refine`` total) until
+        ||b - A x|| <= rel_tol * ||b|| — the f32-front refinement rate is
+        ~10x/sweep, but where it lands relative to a caller's guard varies
+        with hardware rounding (TPU vs CPU), so a fixed count alone can
+        strand the solve just above the guard."""
         x = self.solve(facs, b).astype(b.dtype)
-        for _ in range(refine):
+        bnorm = None
+        for sweep in range(max_refine):
             r = b - matvec(x)
+            if sweep >= refine:
+                if rel_tol <= 0.0:
+                    break
+                import jax as _jax
+
+                if bnorm is None:
+                    bnorm = float(_jax.device_get(jnp.linalg.norm(b)))
+                rn = float(_jax.device_get(jnp.linalg.norm(r)))
+                if not np.isfinite(rn) or rn <= rel_tol * (bnorm + 1e-300):
+                    break
             x = x + self.solve(facs, r).astype(b.dtype)
         return x

@@ -679,8 +679,12 @@ class NewtonSolver:
                     )
                 fac = nd.factor(vals)
                 bD = scale * R
+                rel_tol = max(1e-5, opts.linear_tol)
+                # refine-to-tolerance (0.5x headroom under the guard below):
+                # the fixed-count landing point varies with hardware rounding
                 z = nd.solve_refined(fac, bD, self._matvec(vals),
-                                     refine=opts.ndlu_refine)
+                                     refine=opts.ndlu_refine,
+                                     rel_tol=0.5 * rel_tol)
                 # singular/rank-deficient guard (direct-path semantics):
                 # refined solve must leave a small relative residual. The
                 # floor is the f32-factorization refinement limit; anything
@@ -688,7 +692,6 @@ class NewtonSolver:
                 # valid Newton step (same eta the Krylov path would use).
                 rel = jnp.linalg.norm(bD - self._ell.matvec(vals, z)) / (
                     jnp.linalg.norm(bD) + 1e-300)
-                rel_tol = max(1e-5, opts.linear_tol)
                 if not np.isfinite(float(jax.device_get(rel))) or float(rel) > rel_tol:
                     t_slv += time.perf_counter() - t0
                     converged = False

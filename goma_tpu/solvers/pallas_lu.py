@@ -29,6 +29,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# index-map constants must be explicit i32: under jax_enable_x64 plain
+# python 0s canonicalize to i64 and Mosaic fails to legalize the index
+# map's func.return (observed on v5e)
+_I0 = lambda i: (i, jnp.int32(0), jnp.int32(0))
+_I0b = lambda i: (i, jnp.int32(0))
+
 
 def _lu_kernel(a_ref, out_ref, *, m: int, pivot_tol: float):
     A = a_ref[0]
@@ -52,19 +58,23 @@ def _lu_kernel(a_ref, out_ref, *, m: int, pivot_tol: float):
         A = jnp.where((ci == k) & (ri == k), piv, A)  # boosted pivot
         return A
 
-    out_ref[0] = jax.lax.fori_loop(0, m, body, A)
+    # i32 loop bounds: under jax_enable_x64 python-int bounds make the
+    # index i64, and `ri == k` then promotes the i32 iota to i64 — a
+    # conversion Mosaic cannot lower (infinite _convert_helper recursion)
+    out_ref[0] = jax.lax.fori_loop(jnp.int32(0), jnp.int32(m), body, A)
 
 
 def _trsv_kernel(lu_ref, b_ref, out_ref, *, m: int, lower: bool):
     """Single-RHS substitution against the packed LU: forward (unit-lower)
     or backward (upper, divides by the stored boosted pivots)."""
     L = lu_ref[0]
-    b = b_ref[:]  # (1, m)
+    b = b_ref[0]  # (1, m) — RHS carried as (nn, 1, m): Mosaic requires the
+    # block's last two dims divisible by (8, 128) or equal to the array's
     ri = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)
     ci = jax.lax.broadcasted_iota(jnp.int32, (1, m), 1)
 
     def body(i, y):
-        k = i if lower else m - 1 - i
+        k = i if lower else jnp.int32(m - 1) - i
         rowk = jnp.sum(jnp.where(ri == k, L, 0.0), axis=0, keepdims=True)
         done = (ci < k) if lower else (ci > k)
         acc = jnp.sum(jnp.where(done, rowk * y, 0.0))
@@ -74,7 +84,8 @@ def _trsv_kernel(lu_ref, b_ref, out_ref, *, m: int, lower: bool):
             yk = yk / jnp.sum(jnp.where(ci == k, rowk, 0.0))
         return jnp.where(ci == k, yk, y)
 
-    out_ref[:] = jax.lax.fori_loop(0, m, body, jnp.zeros_like(b))
+    out_ref[0] = jax.lax.fori_loop(jnp.int32(0), jnp.int32(m), body,
+                                   jnp.zeros_like(b))  # i32: see _lu_kernel
 
 
 @functools.partial(jax.jit, static_argnames=("lower", "interpret"))
@@ -85,18 +96,16 @@ def batched_trsv(lu, b, lower: bool = True, interpret: bool = False):
     for single-column RHS on TPU, like lax.linalg.lu does)."""
     nn, m, _ = lu.shape
     kern = functools.partial(_trsv_kernel, m=m, lower=lower)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kern,
         grid=(nn,),
-        in_specs=[pl.BlockSpec((1, m, m), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-                  pl.BlockSpec((1, m), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, m), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nn, m), lu.dtype),
+        in_specs=[pl.BlockSpec((1, m, m), _I0, memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, 1, m), _I0, memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, 1, m), _I0, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nn, 1, m), lu.dtype),
         interpret=interpret,
-    )(lu, b)
+    )(lu, b.reshape(nn, 1, m))
+    return out.reshape(nn, m)
 
 
 @functools.partial(jax.jit, static_argnames=("pivot_tol", "interpret"))
@@ -111,10 +120,8 @@ def batched_lu(A, pivot_tol: float = 1e-8, interpret: bool = False):
     return pl.pallas_call(
         kern,
         grid=(nn,),
-        in_specs=[pl.BlockSpec((1, m, m), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, m, m), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
+        in_specs=[pl.BlockSpec((1, m, m), _I0, memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, m, m), _I0, memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nn, m, m), A.dtype),
         interpret=interpret,
     )(A)
