@@ -39,7 +39,31 @@ from dataclasses import dataclass
 import numpy as np
 import jax
 import jax.numpy as jnp
-from jax.lax.linalg import triangular_solve
+from jax.lax.linalg import triangular_solve as _lax_triangular_solve
+
+
+def triangular_solve(lu, B, **kw):
+    """Batched triangular solve, CHUNKED over the batch (front) axis.
+
+    XLA lowers batched triangular_solve to an InvertDiagBlocks custom call
+    that stack-allocates the whole batch of diagonal-block inverses in
+    scoped VMEM; past ~16 MB (e.g. 280 fronts of 81x81 at leaf_max=96 on
+    v5e) compilation fails with "Ran out of memory in memory space vmem".
+    Bounding each call's padded batch bytes keeps the allocation inside the
+    scoped limit; chunks are static slices, so this is a handful of
+    sequential kernels, not a dynamic loop."""
+    nn, m = lu.shape[0], lu.shape[-1]
+    # v5e native tile is (8, 128) f32; the custom call also keeps a work
+    # copy, so budget half the 16 MB scoped limit
+    padded = (-(-m // 8) * 8) * (-(-m // 128) * 128) * 4
+    per = max(1, (4 << 20) // max(padded, 1))
+    if nn <= per:
+        return _lax_triangular_solve(lu, B, **kw)
+    outs = [
+        _lax_triangular_solve(lu[i:i + per], B[i:i + per], **kw)
+        for i in range(0, nn, per)
+    ]
+    return jnp.concatenate(outs, axis=0)
 
 from goma_tpu.fem.sparsity import CSRPattern
 
@@ -601,6 +625,7 @@ class NDLU:
         strand the solve just above the guard."""
         x = self.solve(facs, b).astype(b.dtype)
         bnorm = None
+        prev_rn = None
         for sweep in range(max_refine):
             r = b - matvec(x)
             if sweep >= refine:
@@ -613,5 +638,13 @@ class NDLU:
                 rn = float(_jax.device_get(jnp.linalg.norm(r)))
                 if not np.isfinite(rn) or rn <= rel_tol * (bnorm + 1e-300):
                     break
+                if prev_rn is not None and rn >= 0.9 * prev_rn:
+                    # refinement stalled/diverging (a LAGGED factorization
+                    # against a fresh operator does this once the Jacobian
+                    # has moved too far: rho(I - A_new A_old^-1) >= 1) —
+                    # stop burning sweeps; the caller's residual guard
+                    # decides whether to refactor
+                    break
+                prev_rn = rn
             x = x + self.solve(facs, r).astype(b.dtype)
         return x

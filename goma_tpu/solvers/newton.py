@@ -57,6 +57,14 @@ class NewtonOptions:
     ndlu_refine: int = 2
     ndlu_dtype: str = "float32"  # factorization precision (refinement runs
     # at the assembled vals' precision, recovering f64-quality solves)
+    # lagged factorization: reuse the previous Newton iteration's (or time
+    # step's) multifrontal factors and iterate refinement against the FRESH
+    # operator; refactor only when refinement cannot reach the residual
+    # guard. The accepted step always satisfies ||b - A_new z|| <= rel_tol
+    # ||b|| against the fresh Jacobian, so Newton convergence is the inexact-
+    # Newton one the Krylov path uses. Reference analog: Aztec AZ_reuse
+    # (src/sl_util.c:380) applied to a direct factorization.
+    ndlu_lag: bool = True
     # auto: two-level p-multigrid when the problem has a genuinely smaller
     # Q1/P1 coarse space that fits a dense coarse solve, else block-Jacobi
     precond: str = "auto"  # auto | block_jacobi | fieldsplit | pcd | twolevel
@@ -87,6 +95,15 @@ class NewtonOptions:
     # the cost of extra Newton steps); the endgame clamp below still
     # tightens the final solves enough to reach tol_residual
     ew_eta_floor: float = 0.0
+    # endgame interaction of the EW forcing with tol_residual:
+    #   "tighten": eta <- min(eta_ew, 0.5 tol/||R||) — every solve is at
+    #              least accurate enough to finish (never a wasted last
+    #              step, but mid-run solves oversolve: the next residual is
+    #              nonlinearity-dominated, C ||R||^2 >> tol)
+    #   "standard": eta <- max(eta_ew, 0.5 tol/||R||) — the classic
+    #              oversolving safeguard (Eisenstat-Walker '96 §3): never
+    #              solve tighter than finishing needs; mid-run keeps eta_ew
+    ew_endgame: str = "tighten"  # tighten | standard
     # preconditioner factor storage: "f32" (default: factor dtype) or
     # "bf16" — smoother inverses + dense coarse inverse stored in bfloat16,
     # halving the apply's HBM traffic; the apply accumulates in the Krylov
@@ -221,12 +238,26 @@ class NewtonSolver:
         # Direct paths (host direct / tpu_direct multifrontal) never matvec
         # through the element aux either (refinement uses the ELL operator),
         # so skip building it — it is the largest non-R+J cost in _prep
-        self._use_elem_mv = (
+        _elem_capable = (
             hasattr(problem, "_assemble_with_elem")
-            and self.opts.linear_solver not in ("direct", "tpu_direct")
             and not getattr(problem, "ifc_sets", None)
             and not getattr(problem, "ovs_sets", None)
             and not getattr(problem, "edge_sets", None)
+        )
+        self._use_elem_mv = (
+            _elem_capable
+            and self.opts.linear_solver not in ("direct", "tpu_direct")
+        )
+        # tpu_direct never matvecs through the element aux, but it still
+        # wants the ELEMENT assembly: it is the only path that honors
+        # problem.jacobian_dtype (mixed precision — plain _assemble jacfwds
+        # at the residual dtype, and f64 is software-emulated on TPU, ~5x
+        # slower measured on the 64x64 cavity: 563 vs 118 ms). Iterative
+        # refinement recovers residual-dtype step quality. The HOST direct
+        # path stays on plain f64 assembly: spsolve has no refinement loop,
+        # so its steps must be full precision.
+        self._elem_asm_only = (
+            _elem_capable and self.opts.linear_solver == "tpu_direct"
         )
         # padded node-slot matvec: row gathers instead of scalar gathers
         # (see fem/padded.py); falls back when padding doesn't pay off
@@ -257,6 +288,8 @@ class NewtonSolver:
         self._fac_cache = None
         self._fac_base_its = None
         self._ndlu = None  # lazy tpu_direct multifrontal (solvers/ndlu.py)
+        self._ndlu_fac = None  # lagged tpu_direct factors (opts.ndlu_lag)
+        self._ndlu_nfactor = 0  # fresh factorization count (perf telemetry)
         self._cycle_jit = jax.jit(self._gmres_cycle)
         self._solve_gmres = self._linsolve_gmres  # host restart loop
         self._solve_bicgstab = jax.jit(self._linsolve_bicgstab)
@@ -276,6 +309,11 @@ class NewtonSolver:
                 # re-index blockJ into the padded node-slot layout once per
                 # Newton iteration (the matvec then runs on row gathers)
                 aux = self.problem.pad_aux(aux, self.problem._tb(params))
+        elif self._elem_asm_only:
+            # direct path: element assembly for its mixed-precision Jacobian;
+            # the aux is discarded (refinement matvecs through the CSR)
+            R, vals, _ = self.problem._assemble_with_elem(x, params)
+            aux = ((), (), ())
         else:
             R, vals = self.problem._assemble(x, params)
             aux = ((), (), ())
@@ -635,10 +673,18 @@ class NewtonSolver:
                                        0.5 * (float(l2) / prev_l2) ** 1.5))
                 if opts.ew_eta_floor > 0:
                     eta = max(eta, opts.ew_eta_floor)
-                # never looser than what finishing this step would need
                 if float(l2) > 0 and opts.tol_residual > 0:
                     need = 0.5 * opts.tol_residual / float(l2)
-                    eta = max(opts.linear_tol, min(eta, max(need, opts.linear_tol)))
+                    if opts.ew_endgame == "standard":
+                        # classic oversolving safeguard: never solve tighter
+                        # than finishing this step would need
+                        eta = min(0.1, max(eta, min(need, 0.1)))
+                        eta = max(eta, opts.linear_tol)
+                    else:
+                        # never looser than what finishing this step would
+                        # need (tightens mid-run solves)
+                        eta = max(opts.linear_tol,
+                                  min(eta, max(need, opts.linear_tol)))
             prev_l2 = float(l2)
             t0 = time.perf_counter()
             if opts.linear_solver == "direct":
@@ -677,22 +723,42 @@ class NewtonSolver:
                         defer_dofs=zero_diag_defer_mask(
                             self.problem.pattern, jax.device_get(vals)),
                     )
-                fac = nd.factor(vals)
                 bD = scale * R
                 rel_tol = max(1e-5, opts.linear_tol)
-                # refine-to-tolerance (0.5x headroom under the guard below):
-                # the fixed-count landing point varies with hardware rounding
-                z = nd.solve_refined(fac, bD, self._matvec(vals),
-                                     refine=opts.ndlu_refine,
-                                     rel_tol=0.5 * rel_tol)
+                mv = self._matvec(vals)
+
+                def _try(fac):
+                    # refine-to-tolerance (0.5x headroom under the guard):
+                    # the fixed-count landing point varies with hardware
+                    # rounding; refinement always runs against the FRESH
+                    # equilibrated operator
+                    z = nd.solve_refined(fac, bD, mv,
+                                         refine=opts.ndlu_refine,
+                                         rel_tol=0.5 * rel_tol)
+                    rel = jnp.linalg.norm(bD - self._ell.matvec(vals, z)) / (
+                        jnp.linalg.norm(bD) + 1e-300)
+                    return z, float(jax.device_get(rel))
+
+                fresh = not (opts.ndlu_lag and self._ndlu_fac is not None)
+                if fresh:
+                    self._ndlu_nfactor += 1
+                fac = nd.factor(vals) if fresh else self._ndlu_fac
+                z, rel = _try(fac)
+                if (not np.isfinite(rel) or rel > rel_tol) and not fresh:
+                    # stale factors can't carry refinement to tolerance on
+                    # this Jacobian — refactor and retry once
+                    fac = nd.factor(vals)
+                    fresh = True
+                    self._ndlu_nfactor += 1
+                    z, rel = _try(fac)
+                if opts.ndlu_lag:
+                    self._ndlu_fac = fac
                 # singular/rank-deficient guard (direct-path semantics):
                 # refined solve must leave a small relative residual. The
                 # floor is the f32-factorization refinement limit; anything
                 # up to the configured inexact-Newton linear_tol is still a
                 # valid Newton step (same eta the Krylov path would use).
-                rel = jnp.linalg.norm(bD - self._ell.matvec(vals, z)) / (
-                    jnp.linalg.norm(bD) + 1e-300)
-                if not np.isfinite(float(jax.device_get(rel))) or float(rel) > rel_tol:
+                if not np.isfinite(rel) or rel > rel_tol:
                     t_slv += time.perf_counter() - t0
                     converged = False
                     break

@@ -93,3 +93,29 @@ def test_singular_direct_solve_raises():
                        ).solve(np.asarray(x), prob.base_params())
     assert not res.converged
     assert np.all(np.isfinite(res.x))
+
+
+def test_ew_endgame_standard_converges():
+    """ew_endgame='standard' (the classic Eisenstat-Walker oversolving
+    safeguard: eta >= 0.5 tol/||R||) converges the cavity to the same
+    tolerance with strictly fewer total Krylov iterations than the
+    'tighten' variant, which forces every mid-run solve to finishing
+    accuracy."""
+    import numpy as np
+
+    from goma_tpu.solvers import NewtonOptions, NewtonSolver
+
+    from tests.test_ndlu import _cavity
+
+    prob = _cavity(10)
+    x0 = np.zeros(prob.dofmap.n_dof)
+    rt = NewtonSolver(prob, NewtonOptions(
+        max_iter=15, tol_residual=1e-6, ew_endgame="tighten")).solve(
+        x0, prob.base_params())
+    rs = NewtonSolver(prob, NewtonOptions(
+        max_iter=15, tol_residual=1e-6, ew_endgame="standard")).solve(
+        x0, prob.base_params())
+    assert rt.converged and rs.converged
+    assert rs.res_norms[-1][1] < 1e-6
+    assert sum(rs.linear_iters) < sum(rt.linear_iters), (
+        rs.linear_iters, rt.linear_iters)
