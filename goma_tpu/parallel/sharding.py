@@ -8,9 +8,11 @@ METIS element partitioning (``src/metis_decomp.c:372``), halo exchange
 "elems" axis with ``shard_map``; each device scatters its partial residual /
 CSR values with ``segment_sum`` and a single ``psum`` over ICI replaces the
 entire MPI halo machinery (the dof vector is replicated — the analog of
-Goma's ghost rows — so no point-to-point exchange is needed at all; true
-dof-partitioned halos via ``ppermute`` are the planned next stage for
-problems too large to replicate).
+Goma's ghost rows — so no point-to-point exchange is needed at all). For
+problems too large to replicate, the dof-PARTITIONED design lives in
+``goma_tpu.parallel.partitioned`` (ghost elements, ``ppermute`` halo
+rounds, sharded Krylov with per-device preconditioner blocks); this
+replicated path remains the simpler choice for small decks.
 
 Element order within a block is partitioned contiguously; pair with a
 locality-preserving host partition (see ``goma_tpu.mesh.partition``) so each

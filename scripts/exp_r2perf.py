@@ -47,6 +47,11 @@ def run(tag, prob, x0, params, opts_kw, reset=True):
 
 def main():
     import jax
+
+    # f64 residual / f32 Jacobian+Krylov — bench.py's mixed-precision setup;
+    # without x64 the f32 residual noise floor sits above tol_residual and
+    # Newton churns at maxiter forever
+    jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
 
     sys.path.insert(0, "/root/repo")
@@ -58,15 +63,17 @@ def main():
     x0 = jnp.zeros(prob.dofmap.n_dof, dtype=prob.dtype)
     params = prob.base_params()
 
-    run("twolevel/tighten", prob, x0, params,
-        dict(linear_solver="gmres", precond="twolevel", smooth_sweeps=1))
-    run("twolevel/standard", prob, x0, params,
-        dict(linear_solver="gmres", precond="twolevel", smooth_sweeps=1,
-             ew_endgame="standard"))
-    run("ndlu/leaf192/lag", prob, x0, params,
-        dict(linear_solver="tpu_direct", ndlu_leaf_max=192), reset=False)
-    run("ndlu/leaf96/lag", prob, x0, params,
-        dict(linear_solver="tpu_direct", ndlu_leaf_max=96), reset=False)
+    # bench-matched tuned options (bench.py tl_opts)
+    tl = dict(linear_solver="gmres", precond="twolevel", smooth_sweeps=1,
+              linear_tol=1e-4, gmres_restart=240, linear_maxiter=480)
+    run("twolevel/tighten", prob, x0, params, tl)
+    run("twolevel/standard", prob, x0, params, dict(tl, ew_endgame="standard"))
+    nd = dict(linear_solver="tpu_direct", ndlu_leaf_max=192, ndlu_refine=2,
+              linear_tol=1e-4)
+    run("ndlu/leaf192/nolag", prob, x0, params, dict(nd, ndlu_lag=False))
+    run("ndlu/leaf192/lag", prob, x0, params, nd, reset=False)
+    run("ndlu/leaf96/lag", prob, x0, params, dict(nd, ndlu_leaf_max=96),
+        reset=False)
 
 
 if __name__ == "__main__":
