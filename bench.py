@@ -203,10 +203,14 @@ def bench_buoyant(direct_kind="twolevel"):
     prob.finalize()
     prob.jacobian_dtype = jnp.float32
     if direct_kind == "tpu_direct":
-        # near-exact on-device direct solves: 6 Newton its vs 10, and no
-        # 1000-it Krylov tail (CPU-validated convergence parity)
+        # near-exact on-device direct solves, no 1000-it Krylov tail.
+        # leaf_max=256 (not the cavity's 192): with 5 fields/node the
+        # 192-dof leaves split pressure dofs from their conjugate
+        # momentum partners and the unpivoted pallas front goes singular
+        # (TPU-measured: 192 and 384 fail the rel-residual guard, 256
+        # converges in 9 its at 2.1 s/iter vs twolevel's 7.0)
         opts = NewtonOptions(max_iter=15, tol_residual=1e-6,
-                             linear_solver="tpu_direct", ndlu_leaf_max=192)
+                             linear_solver="tpu_direct", ndlu_leaf_max=256)
     else:
         opts = NewtonOptions(max_iter=15, tol_residual=1e-6, linear_tol=1e-4,
                              precond="twolevel", smooth_sweeps=1,
