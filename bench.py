@@ -90,7 +90,7 @@ def bench_cavity():
             prob,
             NewtonOptions(max_iter=20, tol_residual=1e-6, linear_tol=1e-4,
                           linear_solver="tpu_direct", ndlu_leaf_max=192,
-                          ndlu_refine=2),
+                          ndlu_refine=1),
             "tpu_direct")
         if r2.converged:
             variants["tpu_direct"] = (s2, r2, t2)

@@ -630,7 +630,8 @@ class NDLU:
         return self._solve_jit(facs, b, self.tabs)
 
     def solve_refined(self, facs, b, matvec, refine: int = 2,
-                      rel_tol: float = 0.0, max_refine: int = 8):
+                      rel_tol: float = 0.0, max_refine: int = 8,
+                      return_rel: bool = False, sweep=None):
         """x = A^{-1} b with iterative-refinement sweeps; matvec should
         apply the SAME (equilibrated) operator the factorization saw, at
         its native (possibly higher) precision.
@@ -640,20 +641,40 @@ class NDLU:
         ||b - A x|| <= rel_tol * ||b|| — the f32-front refinement rate is
         ~10x/sweep, but where it lands relative to a caller's guard varies
         with hardware rounding (TPU vs CPU), so a fixed count alone can
-        strand the solve just above the guard."""
+        strand the solve just above the guard.
+
+        ``return_rel``: also return the measured ||b - A x|| / ||b|| of
+        the RETURNED iterate, or None when the loop exited without
+        measuring it (caller decides whether to recompute — each measure
+        costs a matvec plus a host sync, which on a remote-dispatch TPU
+        is comparable to a whole substitution sweep).
+
+        ``sweep``: optional FUSED step ``(facs, b, x) -> (x_new, rn)``
+        computing ``r = b - A x; rn = ||r||; x_new = x + solve(facs, r)``
+        in ONE jitted dispatch (the separate matvec/norm/solve calls cost
+        ~3 host->device round trips each on a remote-dispatch TPU). The
+        math is identical to the unfused path."""
+        import jax as _jax
+
         x = self.solve(facs, b).astype(b.dtype)
         bnorm = None
         prev_rn = None
-        for sweep in range(max_refine):
-            r = b - matvec(x)
-            if sweep >= refine:
+        rel = None
+        for it in range(max_refine):
+            if sweep is not None:
+                x_new, rn_d = sweep(facs, b, x)
+            else:
+                r = b - matvec(x)
+                rn_d = None
+            if it >= refine:
                 if rel_tol <= 0.0:
                     break
-                import jax as _jax
-
                 if bnorm is None:
                     bnorm = float(_jax.device_get(jnp.linalg.norm(b)))
-                rn = float(_jax.device_get(jnp.linalg.norm(r)))
+                if rn_d is None:
+                    rn_d = jnp.linalg.norm(r)
+                rn = float(_jax.device_get(rn_d))
+                rel = rn / (bnorm + 1e-300)  # residual of the CURRENT x
                 if not np.isfinite(rn) or rn <= rel_tol * (bnorm + 1e-300):
                     break
                 if prev_rn is not None and rn >= 0.9 * prev_rn:
@@ -664,5 +685,7 @@ class NDLU:
                     # decides whether to refactor
                     break
                 prev_rn = rn
-            x = x + self.solve(facs, r).astype(b.dtype)
-        return x
+            x = (x_new if sweep is not None
+                 else x + self.solve(facs, r).astype(b.dtype))
+            rel = None  # x moved past the last measurement
+        return (x, rel) if return_rel else x

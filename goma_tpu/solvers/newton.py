@@ -54,7 +54,11 @@ class NewtonOptions:
     # direct dispatch (src/mm_sol_nonlinear.c:1290-1515)
     linear_solver: str = "gmres"  # gmres | bicgstab | direct | tpu_direct
     ndlu_leaf_max: int = 96
-    ndlu_refine: int = 2
+    # fixed sweeps before the rel_tol checks take over: 1, not 2 — the
+    # checks stop refinement as soon as the guard is met, so a second
+    # unconditional sweep only pays when the first already sufficed
+    # (TPU-measured on the cavity: 966 vs 1000 ms/iter)
+    ndlu_refine: int = 1
     ndlu_dtype: str = "float32"  # factorization precision (refinement runs
     # at the assembled vals' precision, recovering f64-quality solves)
     # lagged factorization: reuse the previous Newton iteration's (or time
@@ -65,13 +69,13 @@ class NewtonOptions:
     # Newton one the Krylov path uses. Reference analog: Aztec AZ_reuse
     # (src/sl_util.c:380) applied to a direct factorization.
     ndlu_lag: bool = True
-    # refinement patience: a lagged-factor refinement sweep costs one
-    # substitution (~60 ms on the 64x64 cavity, v5e) vs ~1.6 s for a fresh
-    # factorization, so let refinement run long before giving up — the
-    # stall check (rate >= 0.9/sweep) still cuts genuinely diverging
-    # sweeps immediately (TPU-measured: 24 vs 8 saves one refactor on a
-    # cold 5-iteration cavity solve, 9.99 -> 8.24 s total solve time)
-    ndlu_max_refine: int = 24
+    # refinement patience: bound total sweeps per solve. The break-even is
+    # ~(factorization time / sweep time); with the one-hot extend-add
+    # factor at ~0.7 s and a fused sweep at ~0.1 s on the 64x64 cavity
+    # (v5e) that is ~8 — more patience just grinds slow-converging
+    # lagged-factor sweeps past the point a refactor would be cheaper
+    # (TPU-measured: 8 -> 1000 ms/iter, 24 -> 1038)
+    ndlu_max_refine: int = 8
     # auto: two-level p-multigrid when the problem has a genuinely smaller
     # Q1/P1 coarse space that fits a dense coarse solve, else block-Jacobi
     precond: str = "auto"  # auto | block_jacobi | fieldsplit | pcd | twolevel
@@ -297,6 +301,7 @@ class NewtonSolver:
         self._ndlu = None  # lazy tpu_direct multifrontal (solvers/ndlu.py)
         self._ndlu_fac = None  # lagged tpu_direct factors (opts.ndlu_lag)
         self._ndlu_nfactor = 0  # fresh factorization count (perf telemetry)
+        self._ndlu_sweep = None  # fused refinement step (one dispatch/sweep)
         self._cycle_jit = jax.jit(self._gmres_cycle)
         self._solve_gmres = self._linsolve_gmres  # host restart loop
         self._solve_bicgstab = jax.jit(self._linsolve_bicgstab)
@@ -733,19 +738,42 @@ class NewtonSolver:
                 bD = scale * R
                 rel_tol = max(1e-5, opts.linear_tol)
                 mv = self._matvec(vals)
+                if self._ndlu_sweep is None:
+                    # one refinement sweep = matvec + norm + substitution
+                    # + update fused into ONE dispatch (separate calls pay
+                    # ~3 host<->device round trips each on remote TPU);
+                    # tables/vals are jit ARGS, not consts
+                    ell = self._ell
+                    nd_solve = nd._solve
+
+                    @jax.jit
+                    def _fused(facs, tabs, vals_a, b, x):
+                        r = b - ell.matvec(vals_a, x)
+                        rn = jnp.linalg.norm(r)
+                        return x + nd_solve(facs, r, tabs).astype(b.dtype), rn
+
+                    self._ndlu_sweep = _fused
+                sweep_fn = (lambda facs, b, x:
+                            self._ndlu_sweep(facs, nd.tabs, vals, b, x))
 
                 def _try(fac):
                     # refine-to-tolerance (0.5x headroom under the guard):
                     # the fixed-count landing point varies with hardware
                     # rounding; refinement always runs against the FRESH
-                    # equilibrated operator
-                    z = nd.solve_refined(fac, bD, mv,
-                                         refine=opts.ndlu_refine,
-                                         rel_tol=0.5 * rel_tol,
-                                         max_refine=opts.ndlu_max_refine)
-                    rel = jnp.linalg.norm(bD - self._ell.matvec(vals, z)) / (
-                        jnp.linalg.norm(bD) + 1e-300)
-                    return z, float(jax.device_get(rel))
+                    # equilibrated operator. solve_refined hands back the
+                    # residual it already measured for the returned iterate
+                    # so the guard doesn't pay a second matvec + host sync
+                    z, rel = nd.solve_refined(fac, bD, mv,
+                                              refine=opts.ndlu_refine,
+                                              rel_tol=0.5 * rel_tol,
+                                              max_refine=opts.ndlu_max_refine,
+                                              return_rel=True,
+                                              sweep=sweep_fn)
+                    if rel is None:
+                        rel = float(jax.device_get(
+                            jnp.linalg.norm(bD - self._ell.matvec(vals, z))
+                            / (jnp.linalg.norm(bD) + 1e-300)))
+                    return z, rel
 
                 fresh = not (opts.ndlu_lag and self._ndlu_fac is not None)
                 if fresh:
