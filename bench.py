@@ -96,6 +96,22 @@ def bench_cavity():
             variants["tpu_direct"] = (s2, r2, t2)
     except Exception as e:
         log(f"bench[cavity:tpu_direct]: FAILED {type(e).__name__}: {e}")
+    # (c) GMRES with the LAGGED multifrontal factor as preconditioner:
+    #     Krylov acceleration converges in ~10 its where stationary
+    #     refinement needs ~6 sweeps per factor-reuse, and refactors are
+    #     rarer (TPU-measured: 759 ms/iter vs 966 tpu_direct)
+    try:
+        s3, r3, t3 = _time_cavity_solver(
+            prob,
+            NewtonOptions(max_iter=20, tol_residual=1e-6, linear_tol=1e-4,
+                          precond="ndlu", linear_solver="gmres",
+                          gmres_restart=60, linear_maxiter=240,
+                          ndlu_leaf_max=192),
+            "gmres+ndlu")
+        if r3.converged:
+            variants["gmres+ndlu"] = (s3, r3, t3)
+    except Exception as e:
+        log(f"bench[cavity:gmres+ndlu]: FAILED {type(e).__name__}: {e}")
     conv = [k for k in variants if variants[k][1].converged]
     if not conv:  # last resort (e.g. CPU fallback + tpu_direct failure)
         sec_per_iter, res, t_total = _time_cavity_solver(prob, tl_opts,

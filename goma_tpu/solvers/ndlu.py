@@ -462,6 +462,10 @@ class NDLU:
                 pad_node=jax.device_put(lev.pad_node),
                 pad_slot=jax.device_put(lev.pad_slot),
             ))
+        # preconditioner-protocol alias: NewtonSolver routes these through
+        # its ntab jit-argument pytree (precond="ndlu") so the tables never
+        # serialize into the traced program as constants
+        self.tables = self.tabs
         self._factor_jit = jax.jit(self._factor)
         self._solve_jit = jax.jit(self._solve)
 

@@ -406,7 +406,11 @@ class NewtonSolver:
         if self._precond_kind == "pcd":
             return self.precond.factor(vals, xp, ct)
         if self._precond_kind == "ndlu":
-            return (self.precond.factor(vals),)
+            # tables flow through ntab as jit ARGUMENTS — tracing the
+            # multifrontal factor with its gather/one-hot tables closed
+            # over as constants serializes them into the HLO (hundreds of
+            # MB: remote-compile rejects it)
+            return (self.precond._factor(vals, (ntab or self._ntab)["prec"]),)
         return (self.precond.factor(vals, tb),)
 
     def _apply_precond_mv(self, mv, vals, ntab, fac_num, r):
@@ -416,7 +420,8 @@ class NewtonSolver:
         if self._precond_kind in ("fieldsplit", "pcd"):
             return self.precond.apply((*fac_num, mv), r)
         if self._precond_kind == "ndlu":
-            return self.precond.solve(fac_num[0], r)
+            tb = ntab["prec"] if ntab else self.precond.tabs
+            return self.precond._solve(fac_num[0], r, tb)
         return self.precond.apply(fac_num[0], r, None)
 
     def _gmres_cycle(self, vals, scale, aux, ptab, ntab, fac_num, x, b, tol):
