@@ -399,10 +399,18 @@ class NDLU:
                  dtype=jnp.float32, pivot_tol: float = 1e-8,
                  lu_block: int | None = 128,
                  defer_dofs: np.ndarray | None = None,
-                 front_lu: str = "auto"):
+                 front_lu: str = "auto", invert: bool = False):
         self.pattern = pattern
         self.dtype = dtype
         self.pivot_tol = pivot_tol
+        # invert=True: SELECTIVE INVERSION (SuperLU_DIST-style) — L/U are
+        # explicitly inverted at factor time so every solve application is
+        # a batched MXU matmul instead of a sequential triangular solve
+        # (~5x faster applies on v5e). The inverse-apply rounding error is
+        # ~eps*cond(front), which a KRYLOV wrapper absorbs but stationary
+        # iterative refinement may not — use for preconditioning
+        # (precond="ndlu"), keep False for tpu_direct refinement solves.
+        self.invert = invert
         # front factorization backend: "pallas" = one-kernel unpivoted LU
         # (whole front in VMEM, no per-pivot dispatch; requires defer_dofs
         # ordering on saddle systems), "lax" = lax.linalg.lu with partial
@@ -558,6 +566,16 @@ class NDLU:
                 lu, _piv, perm = jax.lax.linalg.lu(A11)
                 lu = self._boost(lu)
             m = lu.shape[-1]  # == s, or the bs-padded size under lu_block
+            if self.invert:
+                # invert ONCE so later applies (A12/A21 panels here, every
+                # substitution in solve()) are batched MXU matmuls
+                eye = jnp.broadcast_to(jnp.eye(m, dtype=self.dtype),
+                                       (lev.nn, m, m))
+                fwd = triangular_solve(lu, eye, left_side=True, lower=True,
+                                       unit_diagonal=True)
+                bwd = triangular_solve(lu, eye, left_side=True, lower=False)
+            else:
+                fwd = bwd = lu  # substitution path (exact triangular solves)
             if lev.bmax:
                 A12 = F[:, :s, s:]
                 A21 = F[:, s:, :s]
@@ -571,61 +589,76 @@ class NDLU:
                                         self.dtype)], axis=2)
                 A12p = (A12 if perm is None else
                         jnp.take_along_axis(A12, perm[:, :, None], axis=1))
-                Y = triangular_solve(lu, A12p, left_side=True, lower=True,
-                                     unit_diagonal=True)
-                X = triangular_solve(lu, A21, left_side=False, lower=False)
+                if self.invert:
+                    Y = fwd @ A12p        # == L^{-1} P A12
+                    X = A21 @ bwd         # == A21 U^{-1}
+                else:
+                    Y = triangular_solve(lu, A12p, left_side=True,
+                                         lower=True, unit_diagonal=True)
+                    X = triangular_solve(lu, A21, left_side=False,
+                                         lower=False)
                 S_prev = A22 - X @ Y
             else:
                 X = jnp.zeros((lev.nn, 0, m), self.dtype)
                 Y = jnp.zeros((lev.nn, m, 0), self.dtype)
                 S_prev = jnp.zeros((lev.nn, 0, 0), self.dtype)
-            facs.append((lu, perm, X, Y))
+            facs.append((fwd, bwd, perm, X, Y))
         return facs
 
     def factor(self, vals):
         return self._factor_jit(vals, self.tabs)
 
-    # --- forward/backward substitution through the tree
+    # --- forward/backward substitution through the tree. invert=True:
+    # batched matvecs against the precomputed inverses (MXU; HIGHEST
+    # precision). invert=False: exact triangular substitution (pallas
+    # in-kernel sweep for unpivoted fronts).
     def _solve(self, facs, b, tabs):
         n = self.n
+        hi = jax.lax.Precision.HIGHEST
         w = jnp.zeros(n + 2, self.dtype).at[:n].set(b.astype(self.dtype))
-        for lev, tb, (lu, perm, X, Y) in zip(self.levels, tabs, facs):
+        for lev, tb, (fwd, bwd, perm, X, Y) in zip(self.levels, tabs, facs):
             bs = w[tb["own_w"]]
-            m = lu.shape[-1]
+            m = fwd.shape[-1]
             if m != lev.smax:  # lu_block padding: zero-extend the segment
                 bs = jnp.concatenate(
                     [bs, jnp.zeros((bs.shape[0], m - lev.smax), bs.dtype)],
                     axis=1)
-            if perm is None:  # pallas factor: in-kernel substitution
+            if self.invert:
+                if perm is not None:
+                    bs = jnp.take_along_axis(bs, perm, axis=1)
+                y = jnp.einsum("nij,nj->ni", fwd, bs, precision=hi)
+            elif perm is None:  # pallas factor: in-kernel substitution
                 from goma_tpu.solvers.pallas_lu import batched_trsv
 
-                y = batched_trsv(lu, bs, lower=True,
+                y = batched_trsv(fwd, bs, lower=True,
                                  interpret=self._pl_interpret)
             else:
                 bsp = jnp.take_along_axis(bs, perm, axis=1)
-                y = triangular_solve(lu, bsp[..., None], left_side=True,
+                y = triangular_solve(fwd, bsp[..., None], left_side=True,
                                      lower=True, unit_diagonal=True)[..., 0]
             w = w.at[tb["own_w"]].set(y[:, :lev.smax])
             if lev.bmax:
                 w = w.at[tb["bnd_w"]].add(-jnp.einsum(
                     "nbs,ns->nb", X, y))
-        for lev, tb, (lu, perm, X, Y) in zip(
+        for lev, tb, (fwd, bwd, perm, X, Y) in zip(
                 reversed(self.levels), reversed(tabs), reversed(facs)):
             y = w[tb["own_w"]]
-            m = lu.shape[-1]
+            m = bwd.shape[-1]
             if m != lev.smax:
                 y = jnp.concatenate(
                     [y, jnp.zeros((y.shape[0], m - lev.smax), y.dtype)],
                     axis=1)
             if lev.bmax:
                 y = y - jnp.einsum("nsb,nb->ns", Y, w[tb["bnd_w"]])
-            if perm is None:
+            if self.invert:
+                x = jnp.einsum("nij,nj->ni", bwd, y, precision=hi)
+            elif perm is None:
                 from goma_tpu.solvers.pallas_lu import batched_trsv
 
-                x = batched_trsv(lu, y, lower=False,
+                x = batched_trsv(bwd, y, lower=False,
                                  interpret=self._pl_interpret)
             else:
-                x = triangular_solve(lu, y[..., None], left_side=True,
+                x = triangular_solve(bwd, y[..., None], left_side=True,
                                      lower=False)[..., 0]
             w = w.at[tb["own_w"]].set(x[:, :lev.smax])
         return w[:n]

@@ -226,10 +226,14 @@ class NewtonSolver:
             from goma_tpu.solvers.ndlu import NDLU
             from goma_tpu.solvers.twolevel import _saddle_mask
 
+            # invert=True: applies become batched MXU matmuls (selective
+            # inversion) — safe here because GMRES wraps the apply; the
+            # tpu_direct refinement path keeps exact substitution
             self.precond = NDLU(problem.pattern,
                                 leaf_max=self.opts.ndlu_leaf_max,
                                 dtype=jnp.dtype(self.opts.ndlu_dtype),
-                                defer_dofs=_saddle_mask(problem))
+                                defer_dofs=_saddle_mask(problem),
+                                invert=True)
         elif kind != "_done":
             self.precond = BlockJacobi(problem.pattern, problem.dofmap)
         if self.opts.precond_dtype == "bf16":
