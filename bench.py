@@ -336,9 +336,18 @@ def bench_slot_coater(direct_kind="direct"):
         # iterative preconditioners (like the reference, which runs such
         # decks on direct solvers): tpu_direct (on-device multifrontal,
         # CPU-validated to match host direct step-for-step) when the
-        # cavity A/B proved the pallas path on this hardware, else host
-        prob, ts, x0 = sc.build(nx=24, ny=6, t_end=0.04,
-                                linear_solver=direct_kind)
+        # cavity A/B proved the pallas path on this hardware, else host.
+        # gmres_ndlu: GMRES with the lagged selective-inversion factor —
+        # near-direct accuracy (linear_tol 1e-9) at preconditioner cost
+        if direct_kind == "gmres_ndlu":
+            prob, ts, x0 = sc.build(
+                nx=24, ny=6, t_end=0.04, linear_solver="gmres",
+                newton_overrides=dict(precond="ndlu", gmres_restart=60,
+                                      linear_maxiter=240,
+                                      ndlu_leaf_max=256))
+        else:
+            prob, ts, x0 = sc.build(nx=24, ny=6, t_end=0.04,
+                                    linear_solver=direct_kind)
         return ts, x0, prob.base_params()
 
     out = _transient_sec_per_iter(make, 0.04, 0.08)
@@ -377,15 +386,20 @@ def bench_two_phase(direct_kind="direct"):
         prob.jacobian_dtype = jnp.float32
         F0 = np.linalg.norm(mesh.coords, axis=1) - r0
         x0 = prob.set_nodal_field(np.zeros(prob.dofmap.n_dof), "fill", 0, F0)
-        ts = TransientSolver(
-            prob,
-            # the CSF band system also resists the current iterative
-            # preconditioners (pre-existing round-1 limitation, tracked in
-            # PARITY known gaps): direct solve (on-device multifrontal
-            # when the cavity A/B proved the pallas path, else host)
-            NewtonOptions(max_iter=10, tol_residual=1e-8,
-                          linear_solver=direct_kind),
-            TimeOptions(dt0=0.02, t_end=0.04, adapt=False))
+        if direct_kind == "gmres_ndlu":
+            nopts = NewtonOptions(max_iter=10, tol_residual=1e-8,
+                                  linear_solver="gmres", precond="ndlu",
+                                  linear_tol=1e-6, gmres_restart=60,
+                                  linear_maxiter=240, ndlu_leaf_max=256)
+        else:
+            # the CSF band system also resists the classic iterative
+            # preconditioners (round-1 limitation, tracked in PARITY known
+            # gaps): direct solve (on-device multifrontal when the cavity
+            # A/B proved the pallas path, else host)
+            nopts = NewtonOptions(max_iter=10, tol_residual=1e-8,
+                                  linear_solver=direct_kind)
+        ts = TransientSolver(prob, nopts,
+                             TimeOptions(dt0=0.02, t_end=0.04, adapt=False))
         return ts, x0, prob.base_params(ls_eps=jnp.asarray(0.2))
 
     out = _transient_sec_per_iter(make, 0.04, 0.04)
@@ -442,8 +456,11 @@ def main():
     for name, fn, kinds in [
             ("buoyant_mes", bench_buoyant, gn + [dk2, "twolevel"]),
             ("viscoelastic", bench_viscoelastic, gn + [dk2, "twolevel"]),
+            # slot coater: NO gmres_ndlu rung — the ALE + penalty-kinematic
+            # system dt-underflows under it (TPU-measured), and a failed
+            # transient rung costs minutes of ladder time
             ("slot_coater_ale", bench_slot_coater, [dk, "direct"]),
-            ("two_phase_ls", bench_two_phase, [dk, "direct"])]:
+            ("two_phase_ls", bench_two_phase, gn + [dk, "direct"])]:
         kinds = list(dict.fromkeys(kinds))  # dedupe, keep order
         log(f"bench[{name}]: running...")
         t0 = time.perf_counter()

@@ -124,6 +124,17 @@ class EllOperator:
         return jnp.sum(ve * xe, axis=1)
 
 
+def row_sums_ell(vals, pos):
+    """Row sums of |A| via the ELL gather map — scatter-free.
+
+    ``segment_sum`` over CSR rows lowers to a TPU scatter-add (serial,
+    ~200 ms for 2.2M nnz on v5e); gathering the values into the padded
+    (n, K) ELL layout and dense-reducing costs ~1 ms. ``pos`` is
+    ``EllOperator.tables["pos"]`` (pad slot -> nnz, value 0)."""
+    ve = jnp.concatenate([vals, jnp.zeros(1, dtype=vals.dtype)])[pos]
+    return jnp.sum(jnp.abs(ve), axis=1)
+
+
 def row_sum_scale(vals, R, rows, n):
     """Row-sum scaling (reference ``src/sl_matrix_util.c:442``):
     scale rows of A and R by 1/sum_j |A_ij|. Returns scaled (vals, R, scale)."""

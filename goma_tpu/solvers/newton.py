@@ -316,9 +316,14 @@ class NewtonSolver:
         self._dr_small_jit = jax.jit(self._dr_small_mats)
         self._dr_unew_jit = jax.jit(self._dr_unew)
 
-    def _prepare(self, x, params):
+    def _prepare(self, x, params, ell_tb=None):
         """Assemble + scale + norms, one device call. Also returns the
-        element-Jacobian aux pytree powering the matrix-free matvec."""
+        element-Jacobian aux pytree powering the matrix-free matvec.
+
+        ``ell_tb``: the ELL tables (passed as jit ARGS) enabling
+        scatter-free row sums — on TPU the segment_sum equilibration
+        otherwise dominates the whole assembly phase (~100 ms vs 0.1 ms
+        of actual assembly on the 64x64 cavity)."""
         if self._use_elem_mv:
             R, vals, aux = self.problem._assemble_with_elem(x, params)
             if self._use_padded:
@@ -340,17 +345,37 @@ class NewtonSolver:
         # the two-level preconditioner (measured 2x iteration inflation),
         # while no equilibration at all breaks penalty-BC systems.
         if self.opts.row_scaling:
-            from goma_tpu.fem.sparsity import sym_sum_scale
+            if ell_tb is not None:
+                # one scatter-free row-sum pass shared by the row-scaled
+                # norms AND the symmetric equilibration
+                from goma_tpu.fem.sparsity import row_sums_ell
 
-            _, Rn, _ = row_sum_scale(vals, R, self._rows, self._n)
-            vals, scale = sym_sum_scale(vals, self._rows, self._cols, self._n)
+                rs = row_sums_ell(vals, ell_tb["pos"])
+                rs = jnp.where(rs > 0, rs, jnp.ones_like(rs))
+                Rn = R / rs
+                scale = 1.0 / jnp.sqrt(rs)
+                vals = vals * (scale[self._rows] * scale[self._cols])
+            else:
+                from goma_tpu.fem.sparsity import sym_sum_scale
+
+                _, Rn, _ = row_sum_scale(vals, R, self._rows, self._n)
+                vals, scale = sym_sum_scale(vals, self._rows, self._cols,
+                                            self._n)
         else:
             Rn = R
             scale = jnp.ones(self._n, dtype=vals.dtype)
+        # norms in f32 (f64 reductions are software-emulated on TPU,
+        # ~44 ms for these three passes); max-scaled so the sum of
+        # squares cannot overflow f32 range. The CHECKS are absolute
+        # thresholds, so the ~1e-7 relative rounding of the norm value
+        # is immaterial at any magnitude.
+        Rn32 = Rn.astype(jnp.float32)
+        mx = jnp.max(jnp.abs(Rn32))
+        sc = jnp.where(mx > 0, mx, jnp.float32(1.0))
         norms = (
-            jnp.sum(jnp.abs(Rn)),
-            jnp.linalg.norm(Rn),
-            jnp.max(jnp.abs(Rn)),
+            jnp.sum(jnp.abs(Rn32 / sc)) * sc,
+            jnp.linalg.norm(Rn32 / sc) * sc,
+            mx,
         )
         return R, vals, norms, scale, aux
 
@@ -676,7 +701,7 @@ class NewtonSolver:
             self._cur_x = x
             self._cur_ct = params.get("ct", 0.0) if isinstance(params, dict) else 0.0
             t0 = time.perf_counter()
-            R, vals, norms, scale, aux = self._prep(x, params)
+            R, vals, norms, scale, aux = self._prep(x, params, self._ntab["ell"])
             l1, l2, li = jax.device_get(norms)
             t_asm += time.perf_counter() - t0
             res_norms.append((float(l1), float(l2), float(li)))
@@ -820,7 +845,7 @@ class NewtonSolver:
             upd_norms.append(un)
             if opts.tol_update > 0 and un < opts.tol_update:
                 # correction-norm convergence (reference Epsilon[2] path)
-                R, vals, norms, scale, aux = self._prep(x, params)
+                R, vals, norms, scale, aux = self._prep(x, params, self._ntab["ell"])
                 l1, l2, li = jax.device_get(norms)
                 res_norms.append((float(l1), float(l2), float(li)))
                 converged = True
