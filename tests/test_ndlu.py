@@ -210,3 +210,88 @@ def test_ndlu_chunked_triangular_solve():
                                   left_side=True, lower=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-12, atol=1e-12)
+
+
+def test_gmres_with_ndlu_preconditioner():
+    """precond="ndlu": GMRES accelerated by the (selective-inversion)
+    multifrontal factor — lin its stay small and the solution matches the
+    host direct path. Tables flow through the ntab jit args (the
+    regression here was oversized traced programs on remote TPUs)."""
+    prob = _cavity(12)
+    x0 = jnp.zeros(prob.dofmap.n_dof)
+    s = NewtonSolver(prob, NewtonOptions(
+        max_iter=12, tol_residual=1e-8, linear_tol=1e-6, precond="ndlu",
+        linear_solver="gmres", gmres_restart=60, linear_maxiter=240))
+    r = s.solve(x0, prob.base_params())
+    assert r.converged
+    assert max(r.linear_iters) <= 60  # near-exact preconditioner
+    sd = NewtonSolver(prob, NewtonOptions(max_iter=12, tol_residual=1e-8,
+                                          linear_solver="direct"))
+    rd = sd.solve(x0, prob.base_params())
+    np.testing.assert_allclose(r.x, rd.x, atol=1e-6)
+
+
+def test_ndlu_invert_solve_matches_substitution():
+    """invert=True factors apply through explicit L^-1/U^-1 matmuls; the
+    result must match the substitution path to f32 roundoff."""
+    from goma_tpu.solvers.ndlu import NDLU, zero_diag_defer_mask
+    from goma_tpu.fem.sparsity import sym_sum_scale
+
+    _prob, pat, vals, R = _saddle_system(8)
+    dd = zero_diag_defer_mask(pat, vals)
+    b = jnp.asarray(np.asarray(R, dtype=np.float64))
+    x_ref = None
+    for invert in (False, True):
+        nd = NDLU(pat, leaf_max=64, dtype=jnp.float64, defer_dofs=dd,
+                  invert=invert)
+        x = np.asarray(nd.solve(nd.factor(jnp.asarray(vals)), b))
+        if x_ref is None:
+            x_ref = x
+        else:
+            np.testing.assert_allclose(x, x_ref, rtol=0, atol=1e-9)
+
+
+def test_solve_refined_return_rel_and_sweep():
+    """return_rel hands back the measured residual of the RETURNED iterate
+    (or None if unmeasured); a fused sweep callable gives identical
+    results to the matvec path."""
+    from goma_tpu.solvers.ndlu import NDLU, zero_diag_defer_mask
+    from goma_tpu.fem.sparsity import EllOperator
+
+    _prob, pat, vals, R = _saddle_system(8)
+    nd = NDLU(pat, leaf_max=64, dtype=jnp.float32,
+              defer_dofs=zero_diag_defer_mask(pat, vals))
+    ell = EllOperator(pat)
+    v = jnp.asarray(vals)
+    b = jnp.asarray(np.asarray(R, dtype=np.float64))
+    fac = nd.factor(v)
+    mv = lambda x: ell.matvec(v.astype(b.dtype), x)
+    x1, rel = nd.solve_refined(fac, b, mv, refine=1, rel_tol=1e-6,
+                               max_refine=8, return_rel=True)
+    assert rel is None or rel <= 1e-6 * 1.01
+    rn = float(jnp.linalg.norm(b - mv(x1)) / jnp.linalg.norm(b))
+    assert rn <= 1e-5
+
+    def sweep(facs, bb, x):
+        r = bb - mv(x)
+        return x + nd.solve(facs, r).astype(bb.dtype), jnp.linalg.norm(r)
+
+    x2, rel2 = nd.solve_refined(fac, b, mv, refine=1, rel_tol=1e-6,
+                                max_refine=8, return_rel=True, sweep=sweep)
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(x1),
+                               rtol=0, atol=1e-10)
+
+
+def test_row_sums_ell_matches_segment_sum():
+    """Scatter-free ELL row sums == segment_sum row sums."""
+    from goma_tpu.fem.sparsity import EllOperator, row_sums_ell
+
+    _prob, pat, vals, _ = _saddle_system(6)
+    ell = EllOperator(pat)
+    rs = np.asarray(row_sums_ell(jnp.asarray(vals),
+                                 ell.tables["pos"]))
+    import jax as _jax
+    ref = np.asarray(_jax.ops.segment_sum(jnp.abs(jnp.asarray(vals)),
+                                          jnp.asarray(pat.rows),
+                                          num_segments=pat.n))
+    np.testing.assert_allclose(rs, ref, rtol=1e-6, atol=1e-12)
