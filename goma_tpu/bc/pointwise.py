@@ -36,12 +36,29 @@ def build_point_constraints(problem, specs) -> list[PointConstraintSet]:
     ``var`` may be a list of variable names for multi-variable constraints
     (e.g. the TOTAL_ALE mesh<->solid tie): q passed to g is then the
     concatenation of all listed variables' components at the node, and the
-    replaced row is component ``replace_comp`` of the *first* variable."""
+    replaced row is component ``replace_comp`` of the *first* variable.
+
+    Duplicate resolution (reference ``src/mm_bc_conflict.c``): a row may be
+    claimed by at most one strong condition. DIRICHLET specs take
+    precedence over everything (``:806``); among the remaining strong
+    claims — rotated constraints (built first) and collocated point
+    constraints, in registration order — the FIRST one is kept and later
+    ones discarded (``:1000`` "The first one is kept, while the second one
+    is discarded"). Every resolution is appended to ``problem.bc_dup_log``
+    (the analog of the reference's ``-bc_dup`` diagnostic file)."""
+    import warnings
+
     out = []
     pat = problem.pattern
     dofmap = problem.dofmap
     mesh = problem.mesh
-    for nodeset, var, comp, g in specs:
+    log = getattr(problem, "bc_dup_log", None)
+    claimed: dict[int, str] = {}
+    rot = getattr(problem, "_rotation", None)
+    if rot is not None and rot.con_rows.size:
+        for r in rot.con_rows:
+            claimed[int(r)] = "rotated constraint"
+    for si, (nodeset, var, comp, g) in enumerate(specs):
         nodes = mesh.nodesets[nodeset] if isinstance(nodeset, str) else np.asarray(nodeset)
         vlist = [var] if isinstance(var, str) else list(var)
         ncomps = [dofmap.var(v).ncomp for v in vlist]
@@ -60,7 +77,29 @@ def build_point_constraints(problem, specs) -> list[PointConstraintSet]:
                 # DIRICHLET precedence: a Dirichlet spec on this dof swamps
                 # the collocated condition (mm_bc_conflict.c:806 "first give
                 # all DIRICHLET Conditions Precedence")
+                if log is not None:
+                    log.append({"row": row, "node": int(node),
+                                "kept": "DIRICHLET",
+                                "dropped": f"point constraint #{si} ({var})",
+                                "rule": "DIRICHLET precedence "
+                                        "(mm_bc_conflict.c:806)"})
                 continue
+            prior = claimed.get(row)
+            if prior is not None:
+                # first strong claim wins (mm_bc_conflict.c:1000)
+                if log is not None:
+                    log.append({"row": row, "node": int(node),
+                                "kept": prior,
+                                "dropped": f"point constraint #{si} ({var})",
+                                "rule": "first strong claim kept "
+                                        "(mm_bc_conflict.c:1000)"})
+                warnings.warn(
+                    f"point constraint #{si} on {var} at node {int(node)} "
+                    f"discarded: row already claimed by {prior} (first "
+                    "strong claim wins, mm_bc_conflict.c dup rule)",
+                    stacklevel=2)
+                continue
+            claimed[row] = f"point constraint #{si} ({var})"
             p = pat.find(np.full(ncomp, row), dd)
             if np.any(p < 0):
                 raise RuntimeError("point constraint entries missing from pattern")

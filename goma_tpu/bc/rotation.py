@@ -165,6 +165,7 @@ def build_rotation(problem, specs, constraints) -> RotationData | None:
     import warnings
 
     dmask = getattr(problem, "_dir_mask", None)
+    duplog = getattr(problem, "bc_dup_log", None)
     con_map: dict[tuple, tuple] = {}
     for ssets, var, direction, value in constraints:
         nrm_map = normals_cache[tuple(ssets)]
@@ -183,12 +184,35 @@ def build_rotation(problem, specs, constraints) -> RotationData | None:
                         f"rotated constraint on {var} at node {node} dropped: "
                         "all coordinate rows carry Dirichlet specs "
                         "(DIRICHLET precedence)", stacklevel=2)
+                    if duplog is not None:
+                        duplog.append({
+                            "row": int(dnode[direction]), "node": int(node),
+                            "kept": "DIRICHLET",
+                            "dropped": f"rotated constraint ({var})",
+                            "rule": "DIRICHLET precedence, no free row "
+                                    "(mm_bc_conflict.c:806)"})
                     continue
                 if dshift != direction:
                     warnings.warn(
                         f"rotated constraint on {var} at node {node} moved "
                         f"from row {direction} to {dshift} (displaced by a "
                         "Dirichlet spec)", stacklevel=2)
+                    if duplog is not None:
+                        duplog.append({
+                            "row": int(dnode[direction]), "node": int(node),
+                            "kept": "DIRICHLET",
+                            "dropped": f"rotated constraint ({var}) -> "
+                                       f"moved to row {dshift}",
+                            "rule": "rotated condition displaced to next "
+                                    "coordinate (mm_bc_conflict.c:866)"})
+            prev = con_map.get((var, node, dshift))
+            if prev is not None and duplog is not None:
+                duplog.append({
+                    "row": int(dnode[dshift]), "node": int(node),
+                    "kept": "rotated constraint (first spec)",
+                    "dropped": f"rotated constraint ({var}, dir {direction})",
+                    "rule": "first strong claim kept "
+                            "(mm_bc_conflict.c:1000)"})
             con_map.setdefault((var, node, dshift), (slot, value, node, direction))
 
     con_rows, con_entry_pos, con_coeff, con_dofs, con_val, con_mask = [], [], [], [], [], []

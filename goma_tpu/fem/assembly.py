@@ -474,6 +474,12 @@ class Problem:
         import inspect
         import warnings
 
+        # BC duplicate-resolution log (the reference's -bc_dup diagnostic
+        # output, src/mm_bc_conflict.c check_for_bc_conflicts2D/3D): every
+        # precedence decision made while finalizing strong conditions is
+        # recorded here; see bc_dup_report().
+        self.bc_dup_log: list[dict] = []
+
         dofs, vals = [], []
         param_specs = []  # (spec slice start, d, x, fn) before dedup
         for nodeset, var, comp, value in self._dirichlet:
@@ -521,6 +527,12 @@ class Problem:
                     "precedence (mm_bc_conflict.c dup rule)",
                     stacklevel=2,
                 )
+            for r in dd[~keep_mask]:
+                self.bc_dup_log.append({
+                    "row": int(r), "kept": "DIRICHLET (first spec)",
+                    "dropped": "DIRICHLET (later spec)",
+                    "rule": "first occurrence kept "
+                            "(mm_bc_conflict.c:832)"})
             self.dirichlet_dofs = dd[keep_mask]
             self.dirichlet_vals = np.nan_to_num(vv[keep_mask])
             # parametric specs keep only the entries they own
@@ -983,6 +995,22 @@ class Problem:
         return out
 
     # ------------------------------------------------------------ parameters
+    def bc_dup_report(self) -> str:
+        """Human-readable table of every BC duplicate/conflict resolution
+        made at finalize — the analog of the reference's ``-bc_dup``
+        diagnostic file (``src/mm_bc_conflict.c`` writes bc_dup.txt listing
+        which condition was kept/discarded at each contested node)."""
+        log = getattr(self, "bc_dup_log", [])
+        if not log:
+            return "bc_dup: no duplicate boundary conditions detected"
+        lines = [f"bc_dup: {len(log)} resolution(s)",
+                 "  row      node   kept -> dropped   [rule]"]
+        for e in log:
+            node = e.get("node", "-")
+            lines.append(f"  {e['row']:<8} {node:<6} {e['kept']} -> "
+                         f"{e['dropped']}   [{e['rule']}]")
+        return "\n".join(lines)
+
     def base_params(self, **extra) -> dict:
         """Default parameter pytree: steady state, registered Dirichlet values."""
         dt = self.dtype

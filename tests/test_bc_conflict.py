@@ -102,3 +102,53 @@ def test_rotated_constraint_dropped_when_all_rows_dirichlet():
     with pytest.warns(UserWarning, match="dropped"):
         prob.finalize()
     assert prob._rotation.con_rows.size == 0
+
+
+def test_point_constraint_first_strong_claim_wins():
+    """Two collocated constraints claiming the same row: the FIRST spec is
+    kept, the later one discarded (mm_bc_conflict.c:1000), and the
+    resolution lands in bc_dup_log / bc_dup_report."""
+    mesh = rectangle_mesh(4, 4, elem="QUAD4")
+    prob = Problem(mesh, [Energy(interp="Q1", transient=False, convection=False)], {})
+    prob.add_dirichlet("top", "temperature", 0, 0.0)
+    # first claim: T = 1 on the bottom rows; second claim (shares the
+    # corner nodes with "left") must lose at the shared nodes
+    prob.add_point_constraint("bottom", "temperature", 0,
+                              lambda q, c, params: q[0] - 1.0)
+    prob.add_point_constraint("left", "temperature", 0,
+                              lambda q, c, params: q[0] - 2.0)
+    with pytest.warns(UserWarning, match="first strong claim wins"):
+        prob.finalize()
+    corner = np.intersect1d(mesh.nodesets["bottom"], mesh.nodesets["left"])
+    assert corner.size == 1
+    dm = prob.dofmap
+    crow = int(dm.dof_of_node_svar[corner[0], dm.svar("temperature", 0)])
+    # the corner row belongs to the FIRST (bottom) set only
+    rows0 = set(int(r) for r in prob._point_sets[0].rows)
+    rows1 = set(int(r) for r in prob._point_sets[1].rows)
+    assert crow in rows0 and crow not in rows1
+    assert any(e["row"] == crow for e in prob.bc_dup_log)
+    res = NewtonSolver(prob, NewtonOptions(max_iter=5, linear_solver="direct")
+                       ).solve(np.zeros(prob.dofmap.n_dof), prob.base_params())
+    assert res.converged
+    T = prob.get_nodal_field(res.x, "temperature", 0)
+    np.testing.assert_allclose(T[corner[0]], 1.0, atol=1e-10)  # first spec
+
+
+def test_bc_dup_report_lists_resolutions():
+    mesh = rectangle_mesh(4, 4, elem="QUAD4")
+    prob = Problem(mesh, [Energy(interp="Q1", transient=False, convection=False)], {})
+    prob.add_dirichlet("top", "temperature", 0, 2.0)
+    prob.add_dirichlet("left", "temperature", 0, 5.0)
+    prob.add_point_constraint("top", "temperature", 0,
+                              lambda q, c, params: q[0] - 9.0)
+    with pytest.warns(UserWarning):
+        prob.finalize()
+    rep = prob.bc_dup_report()
+    assert "DIRICHLET precedence" in rep
+    assert "first occurrence kept" in rep
+    # clean problem reports no duplicates
+    p2 = Problem(mesh, [Energy(interp="Q1", transient=False, convection=False)], {})
+    p2.add_dirichlet("top", "temperature", 0, 1.0)
+    p2.finalize()
+    assert "no duplicate" in p2.bc_dup_report()
