@@ -515,6 +515,10 @@ def build_problem(deck: dict) -> tuple[Problem, dict]:
         "nnz": prob.pattern.nnz,
         "variables": [(v.name, v.ncomp) for v in prob.dofmap.vars],
     }
+    # BC duplicate resolutions made at finalize — the reference's -bc_dup
+    # diagnostic output (src/mm_bc_conflict.c), echoed alongside the deck
+    if getattr(prob, "bc_dup_log", None):
+        echo["resolved"]["bc_dup"] = prob.bc_dup_report()
     return prob, echo
 
 
