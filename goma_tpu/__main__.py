@@ -27,6 +27,8 @@ def main(argv=None) -> int:
                    help="force a JAX platform (default: environment)")
     p.add_argument("--x64", action="store_true",
                    help="enable float64 (recommended on CPU)")
+    p.add_argument("--no-compile-cache", action="store_true",
+                   help="disable the persistent XLA compilation cache")
     a = p.parse_args(argv)
 
     import jax
@@ -35,6 +37,10 @@ def main(argv=None) -> int:
         jax.config.update("jax_platforms", a.platform)
     if a.x64:
         jax.config.update("jax_enable_x64", True)
+    if not a.no_compile_cache:
+        from goma_tpu.utils.compile_cache import enable_compile_cache
+
+        enable_compile_cache()
 
     from goma_tpu.input.deck import run_deck
 

@@ -198,21 +198,43 @@ def build_rotation(problem, specs, constraints) -> RotationData | None:
                         f"from row {direction} to {dshift} (displaced by a "
                         "Dirichlet spec)", stacklevel=2)
                     if duplog is not None:
+                        # the constraint is MOVED, not dropped — record it as
+                        # a displacement (the reference moves the condition to
+                        # the next coordinate direction, mm_bc_conflict.c:866)
                         duplog.append({
                             "row": int(dnode[direction]), "node": int(node),
-                            "kept": "DIRICHLET",
-                            "dropped": f"rotated constraint ({var}) -> "
-                                       f"moved to row {dshift}",
+                            "action": "moved",
+                            "kept": f"rotated constraint ({var}) "
+                                    f"moved to row {dshift}",
+                            "dropped": "(none; row ceded to DIRICHLET)",
                             "rule": "rotated condition displaced to next "
                                     "coordinate (mm_bc_conflict.c:866)"})
             prev = con_map.get((var, node, dshift))
-            if prev is not None and duplog is not None:
-                duplog.append({
-                    "row": int(dnode[dshift]), "node": int(node),
-                    "kept": "rotated constraint (first spec)",
-                    "dropped": f"rotated constraint ({var}, dir {direction})",
-                    "rule": "first strong claim kept "
-                            "(mm_bc_conflict.c:1000)"})
+            if prev is not None:
+                # distinguish identical re-specification from a real conflict
+                # (the reference tags exact duplicates IDENTICAL at
+                # mm_bc_conflict.c:832 and conflicting claims take the first)
+                pv = prev[1]
+                pv_f = pv(mesh.coords[node]) if callable(pv) else float(pv)
+                nv_f = value(mesh.coords[node]) if callable(value) else float(value)
+                identical = prev[3] == direction and pv_f == nv_f
+                if not identical:
+                    warnings.warn(
+                        f"duplicate rotated constraint on {var} at node "
+                        f"{node} (dir {direction}) discarded; first strong "
+                        "claim wins (mm_bc_conflict.c dup rule)", stacklevel=2)
+                if duplog is not None:
+                    duplog.append({
+                        "row": int(dnode[dshift]), "node": int(node),
+                        "action": "identical" if identical else "dropped",
+                        "kept": "rotated constraint (first spec)",
+                        "dropped": f"rotated constraint ({var}, dir "
+                                   f"{direction})"
+                                   + (" [identical value]" if identical else ""),
+                        "rule": ("IDENTICAL duplicate (mm_bc_conflict.c:832)"
+                                 if identical else
+                                 "first strong claim kept "
+                                 "(mm_bc_conflict.c:1000)")})
             con_map.setdefault((var, node, dshift), (slot, value, node, direction))
 
     con_rows, con_entry_pos, con_coeff, con_dofs, con_val, con_mask = [], [], [], [], [], []

@@ -63,12 +63,22 @@ def main():
     log(f"  lin its: {res.linear_iters}")
 
     x = jnp.asarray(res.x)
-    ell_tb = solver._ntab.get("ell") if isinstance(solver._ntab, dict) else None
+    ell_tb = solver._ntab["ell"]
 
-    # component timings at the converged state
-    tprep = t_of(lambda: solver._prepare(x, params)[1])
-    log(f"  _prepare: {tprep*1000:.1f} ms")
-    R, vals, norms, scale, aux = solver._prepare(x, params)
+    # component timings at the converged state — time the jitted prep WITH
+    # the ELL tables: that is the production iteration path (the unjitted
+    # fallback takes the sym_sum_scale route instead)
+    tprep = t_of(lambda: solver._prep(x, params, ell_tb)[1])
+    log(f"  _prepare (jit, ELL row sums): {tprep*1000:.1f} ms")
+    R, vals, norms, scale, aux = solver._prep(x, params, ell_tb)
+    # sub-breakdown of prep: assembly alone, then R+vals without aux combine
+    asm_jit = jax.jit(lambda xx, pp: prob._assemble_with_elem(xx, pp)[1])
+    tasm0 = t_of(lambda: asm_jit(x, params))
+    log(f"  _assemble_with_elem (jit): {tasm0*1000:.1f} ms")
+    from goma_tpu.fem.sparsity import row_sums_ell
+    rs_jit = jax.jit(lambda vv: row_sums_ell(vv, ell_tb["pos"]))
+    trs = t_of(lambda: rs_jit(vals))
+    log(f"  row_sums_ell (jit): {trs*1000:.1f} ms")
     tfac = t_of(lambda: solver._factor_jit(vals, solver._ntab,
                                            *solver._factor_state(vals)), reps=3)
     log(f"  NDLU factor: {tfac*1000:.1f} ms")
