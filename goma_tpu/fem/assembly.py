@@ -1319,13 +1319,10 @@ class Problem:
                 )
         return R, vals
 
-    def _assemble_with_elem(self, x, params):
-        """Like _assemble but also returns the per-element (and per-face)
-        local Jacobians plus point-constraint rows, enabling the matrix-free
-        element matvec (see ``element_matvec``): on TPU, A@x as
-        gather -> batched dense matmul (MXU) -> small scatter is an order of
-        magnitude faster than any ELL/CSR gather-based SpMV."""
-        T = self._tb(params)
+    def _elem_rj_parts(self, x, params, T):
+        """Element/face loops shared by ``_assemble_with_elem`` and
+        ``_assemble_fast``: per-part residual vectors plus per-element local
+        Jacobians (mixed precision honored). Returns (r_parts, blockJ, faceJ)."""
         dtype = self.dtype
         jdt = jnp.dtype(self.jacobian_dtype) if self.jacobian_dtype else dtype
         mixed = jdt != dtype
@@ -1423,6 +1420,21 @@ class Problem:
                 )
             faceJ.append(J)
             r_parts.append(r)
+        return r_parts, blockJ, faceJ
+
+    def _assemble_with_elem(self, x, params):
+        """Like _assemble but also returns the per-element (and per-face)
+        local Jacobians plus point-constraint rows, enabling the matrix-free
+        element matvec (see ``element_matvec``): on TPU, A@x as
+        gather -> batched dense matmul (MXU) -> small scatter is an order of
+        magnitude faster than any ELL/CSR gather-based SpMV."""
+        T = self._tb(params)
+        dtype = self.dtype
+        jdt = jnp.dtype(self.jacobian_dtype) if self.jacobian_dtype else dtype
+        x = x.astype(dtype)
+        hist = params["hist"]
+        n = self.dofmap.n_dof
+        r_parts, blockJ, faceJ = self._elem_rj_parts(x, params, T)
 
         # combine: R via the dof transpose-gather (measured 3.2 ms vs 8.0 ms
         # for segment_sum on TPU); vals stays a segment_sum — the (nnz, kc)
@@ -1477,6 +1489,89 @@ class Problem:
             R, vals = apply_point_constraints(self, self._point_sets, x, R, vals, params, T)
         R, vals = self._apply_dirichlet(x, R, vals, params)
         return R, vals, (tuple(blockJ), tuple(faceJ), tuple(pc_dg), tuple(pl_dfs))
+
+    def _assemble_fast(self, x, params):
+        """Vals-free assembly for the iterative fast path: residual, element
+        Jacobians, and element-level absolute row sums — NO global CSR values.
+
+        The reference assembles the global matrix every Newton iteration
+        (``load_lec``, src/mm_fill.c:4959) because its solvers consume it; on
+        TPU the nnz-sized segment_sum scatter plus the equilibration/scaling
+        passes over it dominate the whole assembly phase (measured 119 ms vs
+        ~7 ms of element work on the 64x64 cavity). The Krylov path only ever
+        needs (a) a matvec — served matrix-free from the element Jacobians —
+        and (b) row sums for the reference's row-sum scaling
+        (src/sl_matrix_util.c:442) — served here as
+
+            rs[i] = sum_e sum_j |J_e[i_loc, j]|
+
+        via the same dof transpose-gather that combines R. This upper-bounds
+        the assembled row sum (triangle inequality; exact when contributions
+        to a shared entry agree in sign — the dominant Galerkin terms do).
+        CSR values are materialized only when a preconditioner refactor needs
+        them (``NewtonSolver._scaled_vals``). Returns (R, rs, aux)."""
+        T = self._tb(params)
+        dtype = self.dtype
+        jdt = jnp.dtype(self.jacobian_dtype) if self.jacobian_dtype else dtype
+        x = x.astype(dtype)
+        n = self.dofmap.n_dof
+        r_parts, blockJ, faceJ = self._elem_rj_parts(x, params, T)
+
+        flat_r = jnp.concatenate(
+            [p.reshape(-1) for p in r_parts] + [jnp.zeros(1, dtype=dtype)])
+        R = jnp.sum(flat_r[T["tg"]], axis=1)
+        # element-level |row| sums through the SAME transpose-gather
+        s_parts = [jnp.sum(jnp.abs(J), axis=2).reshape(-1).astype(jdt)
+                   for J in blockJ + faceJ]
+        flat_s = jnp.concatenate(s_parts + [jnp.zeros(1, dtype=jdt)])
+        rs = jnp.sum(flat_s[T["tg"]], axis=1)
+
+        # --- row surgery, mirrored on rs (same order as _assemble_with_elem)
+        pl_dfs = []
+        if self._point_loads:
+            from goma_tpu.bc.pointwise import apply_point_loads
+
+            R, _, pl_dfs = apply_point_loads(
+                self, self._point_loads, x, R, None, params, T)
+            for k, df in enumerate(pl_dfs):
+                rows = T[f"pld{k}:rows"]
+                rs = rs.at[rows.reshape(-1)].add(
+                    jnp.sum(jnp.abs(df), axis=2).reshape(-1).astype(jdt))
+        rd = self._rotation
+        if rd is not None:
+            Q = T["rQ"]
+            dofs = T["rdofs"]
+            R = R.at[dofs].set(jnp.einsum("nij,nj->ni", Q, R[dofs]))
+            rs = rs.at[dofs].set(
+                jnp.einsum("nij,nj->ni", jnp.abs(Q).astype(jdt), rs[dofs]))
+            if rd.con_rows.size:
+                crows = T["rcrow"]
+                ccoef = T["rcoef"]
+                cdofs = T["rcdofs"]
+                cval = jnp.asarray(rd.con_value, dtype=R.dtype)
+                R = R.at[crows].set(
+                    jnp.einsum("ni,ni->n", ccoef, x[cdofs]) - cval)
+                rs = rs.at[crows].set(
+                    jnp.sum(jnp.abs(ccoef), axis=1).astype(jdt))
+        pc_dg = []
+        if self._point_sets:
+            from goma_tpu.bc.pointwise import apply_point_constraints
+
+            for k, pc in enumerate(self._point_sets):
+                dofs = T[f"pc{k}:dofs"]
+                X0 = T[f"pc{k}:coords"]
+                dg = jax.vmap(jax.jacfwd(
+                    lambda qi, Xi: pc.g(qi, Xi, params), argnums=0))(
+                    x[dofs], X0)
+                pc_dg.append(dg)
+                rs = rs.at[T[f"pc{k}:rows"]].set(
+                    jnp.sum(jnp.abs(dg), axis=1).astype(jdt))
+            R, _ = apply_point_constraints(
+                self, self._point_sets, x, R, None, params, T)
+        R, _ = self._apply_dirichlet(x, R, None, params)
+        if self.dirichlet_dofs.size:
+            rs = jnp.where(T["dirmask"], jnp.ones((), dtype=jdt), rs)
+        return R, rs, (tuple(blockJ), tuple(faceJ), tuple(pc_dg), tuple(pl_dfs))
 
     def element_matvec(self, T, aux, scale, v):
         """Matrix-free y = A@v from the stored element Jacobians, reproducing

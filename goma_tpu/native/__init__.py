@@ -234,6 +234,39 @@ def ref_assembly_seconds_per_element(n_rep: int = 20000) -> float | None:
         qpts.shape[0], *(k[1] for k in keep), n_rep))
 
 
+def ref_assembly_generic_seconds_per_element(nv2: int, nv1: int,
+                                             n_rep: int = 4000) -> float | None:
+    """Compiled reference-style multi-field element assembly time (one x86
+    core, -O3): nv2 Q2-interpolated scalar fields + nv1 Q1 fields on a 2D
+    quad — the per-config baseline denominator for BASELINE decks #2-#5
+    (the reference hand-codes R and every dR/dq per entry; cost shape
+    ~ nq * n_ldof^2, src/mm_fill.c:1144-1700). None if native unavailable."""
+    so = _compile("refassembly")
+    if so is None:
+        return None
+    from goma_tpu.elements import eval_basis, volume_rule
+
+    lib = ctypes.CDLL(str(so))
+    fn = lib.ref_assembly_generic_seconds_per_element
+    fn.restype = ctypes.c_double
+    fn.argtypes = [ctypes.c_int] * 3 + [
+        ctypes.POINTER(ctypes.c_double)] * 6 + [ctypes.c_int]
+
+    qpts, qwts = volume_rule("quad", 3)
+    N2, dN2 = eval_basis("quad", "Q2", qpts)
+    N1, _ = eval_basis("quad", "Q1", qpts)
+    X = np.array([[0, 0], [1, 0], [1, 1], [0, 1], [0.5, 0], [1, 0.5],
+                  [0.5, 1], [0, 0.5], [0.5, 0.5]], dtype=float) * 0.1
+    q = np.random.RandomState(0).rand(9 * nv2 + 4 * nv1)
+
+    def p(a):
+        a = np.ascontiguousarray(a, dtype=np.float64)
+        return a, a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+
+    keep = [p(a) for a in (N2, dN2, N1, qwts, X, q)]
+    return float(fn(qpts.shape[0], nv2, nv1, *(k[1] for k in keep), n_rep))
+
+
 # ------------------------------------------------------ CSR graph kernels
 _GRAPH_LIB = None
 _GRAPH_TRIED = False

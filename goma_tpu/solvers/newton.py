@@ -296,9 +296,26 @@ class NewtonSolver:
             "ell": self._ell.tables,
         }
         self._prep = jax.jit(self._prepare)
+        # vals-free fast prep (the iterative hot path): row-scaled norms and
+        # equilibration from element-level row sums; global CSR values are
+        # built only when the preconditioner refactors (_scaled_vals). See
+        # Problem._assemble_fast for the design rationale.
+        self._fast_prep = (
+            self._use_elem_mv
+            and self.opts.row_scaling
+            and self.opts.linear_solver in ("gmres", "bicgstab")
+            and hasattr(problem, "_assemble_fast")
+        )
+        self._fastprep_jit = jax.jit(self._prepare_fast)
+        self._vals_jit = jax.jit(self._scaled_vals)
+        self._jdt = (jnp.dtype(problem.jacobian_dtype)
+                     if getattr(problem, "jacobian_dtype", None)
+                     else jnp.dtype(problem.dtype))
         self._factor_jit = jax.jit(self._factor_num)
         # current state for state-dependent preconditioners (PCD convection)
+        # and for deferred vals materialization (_vals_for_factor)
         self._cur_x = None
+        self._cur_params = None
         self._cur_ct = 0.0
         self._fac_cache = None
         self._fac_base_its = None
@@ -378,6 +395,43 @@ class NewtonSolver:
             mx,
         )
         return R, vals, norms, scale, aux
+
+    def _prepare_fast(self, x, params):
+        """Vals-free prep for the iterative path: one device call producing
+        (R, norms, scale, aux). Row sums come from the element Jacobians
+        (Problem._assemble_fast) — no nnz-sized scatter, no ELL row-sum
+        gather, no vals scaling. Matches the reference's row-sum-scaled
+        norms (src/mm_sol_nonlinear.c:972,1106) up to element-level sign
+        agreement (see _assemble_fast; parity test in
+        tests/test_fast_prep.py)."""
+        R, rs, aux = self.problem._assemble_fast(x, params)
+        if self._use_padded:
+            aux = self.problem.pad_aux(aux, self.problem._tb(params))
+        rs = jnp.where(rs > 0, rs, jnp.ones_like(rs))
+        Rn = R / rs
+        scale = 1.0 / jnp.sqrt(rs)
+        Rn32 = Rn.astype(jnp.float32)
+        mx = jnp.max(jnp.abs(Rn32))
+        sc = jnp.where(mx > 0, mx, jnp.float32(1.0))
+        norms = (
+            jnp.sum(jnp.abs(Rn32 / sc)) * sc,
+            jnp.linalg.norm(Rn32 / sc) * sc,
+            mx,
+        )
+        return R, norms, scale, aux
+
+    def _scaled_vals(self, x, params, scale):
+        """Global CSR values, symmetrically equilibrated with the fast-prep
+        scale — called only when a preconditioner (re)factor needs the
+        assembled matrix. The residual side of _assemble_with_elem is dead
+        code under jit here (XLA DCE removes it)."""
+        _, vals, _ = self.problem._assemble_with_elem(x, params)
+        d = (scale[self._rows] * scale[self._cols]).astype(vals.dtype)
+        return vals * d
+
+    def _vals_for_factor(self, scale):
+        """Materialize equilibrated CSR values at the current Newton state."""
+        return self._vals_jit(self._cur_x, self._cur_params, scale)
 
     def _factor_state(self, vals):
         """(xp, ct) extra factor inputs for state-dependent preconditioners."""
@@ -578,11 +632,16 @@ class NewtonSolver:
         if self.opts.precond_lag and self._fac_cache is not None:
             fac = self._fac_cache
         else:
-            fac = self._factor_jit(vals, self._ntab, *self._factor_state(vals))
+            # fast-prep path carries vals=None: materialize the equilibrated
+            # CSR values only now, when the factor actually needs them
+            vals_f = vals if vals is not None else self._vals_for_factor(scale)
+            fac = self._factor_jit(vals_f, self._ntab,
+                                   *self._factor_state(vals_f))
             self._fac_cache = fac
             self._fac_base_its = None
         # symmetric equilibration: solve (DAD) z = D R, then dx = D z
-        b = (scale.astype(R.dtype) * R).astype(vals.dtype)
+        kdt = vals.dtype if vals is not None else self._jdt
+        b = (scale.astype(R.dtype) * R).astype(kdt)
         z = jnp.zeros_like(b)
         if tol is None:
             tol = opts.linear_tol
@@ -651,14 +710,17 @@ class NewtonSolver:
         if self.opts.precond_lag and self._fac_cache is not None:
             fac = self._fac_cache
         else:
-            fac = self._factor_jit(vals, self._ntab, *self._factor_state(vals))
+            vals_f = vals if vals is not None else self._vals_for_factor(scale)
+            fac = self._factor_jit(vals_f, self._ntab,
+                                   *self._factor_state(vals_f))
             self._fac_cache = fac
             self._fac_base_its = None
         mv = self._matvec_state(vals, scale, aux, ptab, self._ntab)
         M = lambda r: self._apply_precond_mv(mv, vals, self._ntab, fac, r)
         if scale is None:
             scale = jnp.ones_like(R)
-        b = (scale.astype(R.dtype) * R).astype(vals.dtype)
+        b = (scale.astype(R.dtype) * R).astype(
+            vals.dtype if vals is not None else self._jdt)
         lr = bicgstab(
             mv, b, precond=M,
             tol=self.opts.linear_tol if tol is None else tol,
@@ -699,9 +761,15 @@ class NewtonSolver:
         prev_l2 = None
         for it in range(opts.max_iter):
             self._cur_x = x
+            self._cur_params = params
             self._cur_ct = params.get("ct", 0.0) if isinstance(params, dict) else 0.0
             t0 = time.perf_counter()
-            R, vals, norms, scale, aux = self._prep(x, params, self._ntab["ell"])
+            if self._fast_prep:
+                R, norms, scale, aux = self._fastprep_jit(x, params)
+                vals = None
+            else:
+                R, vals, norms, scale, aux = self._prep(x, params,
+                                                        self._ntab["ell"])
             l1, l2, li = jax.device_get(norms)
             t_asm += time.perf_counter() - t0
             res_norms.append((float(l1), float(l2), float(li)))
@@ -845,7 +913,11 @@ class NewtonSolver:
             upd_norms.append(un)
             if opts.tol_update > 0 and un < opts.tol_update:
                 # correction-norm convergence (reference Epsilon[2] path)
-                R, vals, norms, scale, aux = self._prep(x, params, self._ntab["ell"])
+                if self._fast_prep:
+                    R, norms, scale, aux = self._fastprep_jit(x, params)
+                else:
+                    R, vals, norms, scale, aux = self._prep(
+                        x, params, self._ntab["ell"])
                 l1, l2, li = jax.device_get(norms)
                 res_norms.append((float(l1), float(l2), float(li)))
                 converged = True
