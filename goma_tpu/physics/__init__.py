@@ -31,6 +31,11 @@ from goma_tpu.physics.electro import (ButlerVolmerBC, HORFlux,
                                       ORRFlux, Potential)
 from goma_tpu.physics.lubrication import ReynoldsFilm
 from goma_tpu.physics.shell import ShellConduction, TensionedString, attach_shell_block
+from goma_tpu.physics.shell_film import (FilmHeight, FilmParticles,
+                                         FilmPressure, ShellEnergy)
+from goma_tpu.physics.shell_porous import (LubPorousSink, PorousShellClosed,
+                                           PorousShellOpen,
+                                           PorousShellStackLayer)
 from goma_tpu.physics.level_set import (
     CSFSurfaceTension,
     FillEquation,
