@@ -764,7 +764,12 @@ class NewtonSolver:
             self._cur_params = params
             self._cur_ct = params.get("ct", 0.0) if isinstance(params, dict) else 0.0
             t0 = time.perf_counter()
-            if self._fast_prep:
+            # opts.linear_solver may be switched after construction (e.g.
+            # the segregated driver re-routes sub-solvers to direct):
+            # direct paths need the assembled vals, so re-gate per solve
+            fast = self._fast_prep and opts.linear_solver in ("gmres",
+                                                              "bicgstab")
+            if fast:
                 R, norms, scale, aux = self._fastprep_jit(x, params)
                 vals = None
             else:
@@ -913,7 +918,7 @@ class NewtonSolver:
             upd_norms.append(un)
             if opts.tol_update > 0 and un < opts.tol_update:
                 # correction-norm convergence (reference Epsilon[2] path)
-                if self._fast_prep:
+                if fast:
                     R, norms, scale, aux = self._fastprep_jit(x, params)
                 else:
                     R, vals, norms, scale, aux = self._prep(
