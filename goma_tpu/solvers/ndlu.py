@@ -432,16 +432,12 @@ class NDLU:
                                     defer_dofs=defer_dofs)
         self.n = pattern.n
         # device tables, passed as jit arguments (too big for jaxpr consts).
-        # Dense (nn, f, f) gather maps are materialized on HOST from the
-        # compact (lin, src) pairs and device_put once: slot value 0 =
-        # dummy, real source positions stored +1 (factor prepends a zero to
-        # the source arrays). (A jitted device scatter here cost ~3 remote
-        # compiles x 9 levels ~ 200 s through the axon tunnel.)
-        def dense(lin, src, size):
-            g = np.zeros(size, np.int32)
-            g[lin] = src + 1
-            return jax.device_put(g)
-
+        # Front assembly uses the COMPACT (lin, src) pairs with a
+        # unique-index scatter-set on device: the earlier dense (nn, f, f)
+        # gather maps paid XLA's element-by-element parameter-index gather
+        # over EVERY front slot (~86M slots, 646 ms on the 64x64 cavity);
+        # the compact scatter touches only the ~2.2M real CSR entries
+        # (56 ms; whole factor 713 -> 98 ms, bit-identical).
         def onehot(pos, f):
             # (nn, f, cb) f32 placement: P[q, pos[q, i], i] = 1; pad slots
             # (pos == f) fall off the end -> all-zero column
@@ -454,8 +450,6 @@ class NDLU:
         self.tabs = []
         for lev in self.levels:
             f = lev.smax + lev.bmax
-            size = lev.nn * f * f
-            gm_a = dense(lev.a_lin, lev.a_src, size).reshape(lev.nn, f, f)
             p0 = p1 = i0 = i1 = None
             if lev.c0_pos is not None and lev.cb:
                 p0 = onehot(lev.c0_pos, f)
@@ -465,7 +459,8 @@ class NDLU:
             self.tabs.append(dict(
                 own_w=jax.device_put(lev.own_w),
                 bnd_w=jax.device_put(lev.bnd_w),
-                gmap_a=gm_a,
+                a_lin=jax.device_put(lev.a_lin),
+                a_src=jax.device_put(lev.a_src),
                 p0=p0, p1=p1, i0=i0, i1=i1,
                 pad_node=jax.device_put(lev.pad_node),
                 pad_slot=jax.device_put(lev.pad_slot),
@@ -530,13 +525,17 @@ class NDLU:
 
     # --- numeric factorization: one batched dense elimination per level
     def _factor(self, vals, tabs):
-        # slot 0 of every source array is the dummy (gather-map sentinel)
-        vals_ext = jnp.concatenate(
-            [jnp.zeros(1, self.dtype), vals.astype(self.dtype)])
+        vals32 = vals.astype(self.dtype)
         facs = []
         S_prev = None
         for lev, tb in zip(self.levels, tabs):
-            F = vals_ext[tb["gmap_a"]]
+            f = lev.smax + lev.bmax
+            # compact unique-index scatter-set: only real CSR entries touch
+            # the front array (see __init__ note; 7x whole-factor speedup
+            # over the dense per-slot gather on v5e)
+            F = jnp.zeros(lev.nn * f * f, self.dtype).at[tb["a_lin"]].set(
+                vals32[tb["a_src"]], unique_indices=True,
+            ).reshape(lev.nn, f, f)
             if S_prev is not None and tb["p0"] is not None:
                 # extend-add via one-hot placement matmuls on the MXU
                 # (HIGHEST precision: exact f32 — the 0/1 one-hot only
