@@ -539,3 +539,93 @@ def test_deck_distributed_routing():
     tdeck["time"] = {"dt0": 0.05, "t_end": 0.1}
     prob, res, echo = run_deck(tdeck)
     assert res.converged and res.iters == 2  # 2 accepted steps
+
+
+def test_partitioned_ndlu_subdomain_solver():
+    """Distributed NDLU (VERDICT r3 item 5): every device factors its
+    owned-subdomain matrix with the stacked multifrontal LU and applies it
+    as the additive-Schwarz subdomain solve — the SuperLU_DIST/MUMPS
+    analog (src/sl_amesos_interface.cpp:68). Same converged solution as
+    the single-device path, far fewer Krylov its than BJ."""
+    from goma_tpu.parallel.partitioned import (PartitionedNewtonSolver,
+                                               PartitionedProblem)
+
+    prob = _cavity(8)
+    x0 = np.zeros(prob.dofmap.n_dof)
+    params = prob.base_params()
+    single = NewtonSolver(prob, NewtonOptions(
+        max_iter=12, tol_residual=1e-9, linear_tol=1e-9,
+        gmres_restart=60, linear_maxiter=2000, forcing="fixed"))
+    r1 = single.solve(x0, params)
+    assert r1.converged
+
+    pp = PartitionedProblem(prob)
+    rn = PartitionedNewtonSolver(pp, max_iter=12, tol_residual=1e-9,
+                                 linear_tol=1e-9, restart=60,
+                                 linear_maxiter=2000,
+                                 smoother="ndlu").solve(x0, params)
+    assert rn.converged
+    np.testing.assert_allclose(rn.x, np.asarray(r1.x), atol=2e-7)
+    # Newton-count parity with the single-device solver
+    assert rn.iters == r1.iters
+
+    rb = PartitionedNewtonSolver(pp, max_iter=12, tol_residual=1e-9,
+                                 linear_tol=1e-9, restart=60,
+                                 linear_maxiter=2000,
+                                 smoother="bj").solve(x0, params)
+    assert rb.converged
+    assert sum(rn.linear_iters) < 0.7 * sum(rb.linear_iters)
+
+
+def test_stacked_ndlu_exact_local_solves():
+    """Each device's stacked factor inverts exactly its owned-subdomain
+    matrix (Schwarz-block property): A_dd z = r to ~f32 accuracy."""
+    from goma_tpu.parallel.partitioned import PartitionedProblem
+    from jax.sharding import PartitionSpec as P
+
+    prob = _cavity(6)
+    pp = PartitionedProblem(prob)
+    pp.enable_ndlu(leaf_max=48)
+    T = pp._tables()
+    params = prob.base_params()
+    x = pp.scatter_global(np.zeros(prob.dofmap.n_dof))
+    hist = pp.scatter_global(np.zeros(prob.dofmap.n_dof))
+    prep = pp._prep_fn()
+    p2 = dict(params); p2["hist"] = jnp.zeros(0, dtype=prob.dtype)
+    R, vals, scale, *_ = prep(x, hist, p2, T)
+    nd_L = len(pp._ndlu.tabs)
+
+    def fs(vals_s, r_s, T_s):
+        T1 = {k: v[0] for k, v in T_s.items()}
+        tabs = [{k: T1[f"nd{i}:{k}"] for k in
+                 ("own_w", "bnd_w", "lin", "src", "padD",
+                  "p0", "p1", "i0", "i1")} for i in range(nd_L)]
+        fac = pp._ndlu.factor(vals_s[0], tabs)
+        z = pp._ndlu.solve(fac, r_s[0], tabs)
+        return z[None]
+
+    sh = P(pp.axis)
+    rng = np.random.default_rng(0)
+    r_own = jax.device_put(
+        jnp.asarray(rng.normal(size=(pp.n_dev, pp.max_own))
+                    * np.asarray(pp._own_mask)),
+        jax.sharding.NamedSharding(pp.device_mesh, sh))
+    z = jax.jit(jax.shard_map(fs, mesh=pp.device_mesh,
+                              in_specs=(sh, sh, sh), out_specs=sh,
+                              check_vma=False))(vals, r_own, T)
+    # verify per device on host: A_dd z_d = r_d
+    import scipy.sparse as sp
+
+    zh = np.asarray(jax.device_get(z))
+    rh = np.asarray(jax.device_get(r_own))
+    vh = np.asarray(jax.device_get(vals))
+    for d in range(pp.n_dev):
+        n_d = pp._owned[d].shape[0]
+        live = (pp._nnz_mask[d] > 0) & (pp._lcol[d] < n_d)
+        sel = np.flatnonzero(live)
+        A = sp.coo_matrix((vh[d, sel],
+                           (pp._lrow[d, sel], pp._lcol[d, sel])),
+                          shape=(n_d, n_d)).tocsr()
+        res = A @ zh[d, :n_d] - rh[d, :n_d]
+        denom = np.linalg.norm(rh[d, :n_d]) + 1e-30
+        assert np.linalg.norm(res) / denom < 5e-5, (d, np.linalg.norm(res))
