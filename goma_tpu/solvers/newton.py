@@ -310,7 +310,7 @@ class NewtonSolver:
         self._vals_jit = jax.jit(self._scaled_vals)
         self._jdt = (jnp.dtype(problem.jacobian_dtype)
                      if getattr(problem, "jacobian_dtype", None)
-                     else jnp.dtype(problem.dtype))
+                     else jnp.dtype(getattr(problem, "dtype", jnp.float64)))
         self._factor_jit = jax.jit(self._factor_num)
         # current state for state-dependent preconditioners (PCD convection)
         # and for deferred vals materialization (_vals_for_factor)
