@@ -336,11 +336,13 @@ def bench_buoyant(direct_kind="twolevel"):
                              ndlu_leaf_max=256)
     elif direct_kind == "tpu_direct":
         # near-exact on-device direct solves, no 1000-it Krylov tail.
-        # leaf_max=256 (not the cavity's 192): with 5 fields/node the
-        # 192-dof leaves split pressure dofs from their conjugate
-        # momentum partners and the unpivoted pallas front goes singular
-        # (TPU-measured: 192 and 384 fail the rel-residual guard, 256
-        # converges in 9 its at 2.1 s/iter vs twolevel's 7.0)
+        # leaf_max=256: the round-2 TPU-measured sweet spot for this
+        # 5-field front density (2.1 s/iter vs twolevel's 7.0). Since
+        # round 3 the node-clustered bisection (ndlu_cluster, default on)
+        # keeps every pressure dof in a front with its conjugate momentum
+        # rows, so ANY leaf size is elimination-safe (the r2 fragility
+        # where 192/384 split saddle pairs and the unpivoted front went
+        # singular is structurally gone — tests/test_ndlu.py leaf sweep)
         opts = NewtonOptions(max_iter=15, tol_residual=1e-6,
                              linear_solver="tpu_direct", ndlu_leaf_max=256)
     else:

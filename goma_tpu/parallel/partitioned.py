@@ -941,10 +941,12 @@ class PartitionedProblem:
         inversion: batched MXU matmuls), no halo traffic."""
         if getattr(self, "_ndlu", None) is not None:
             return
+        from goma_tpu.solvers.ndlu import node_clusters
         from goma_tpu.solvers.ndlu_stack import StackedNDLU
         from goma_tpu.solvers.twolevel import _saddle_mask
 
         saddle = _saddle_mask(self.problem)
+        clusters = node_clusters(self.problem)
         mo = self.max_own
         locals_ = []
         lrow, lcol, mask = self._lrow, self._lcol, self._nnz_mask
@@ -955,7 +957,8 @@ class PartitionedProblem:
             locals_.append((n_d, lrow[d, sel].astype(np.int32),
                             lcol[d, sel].astype(np.int32),
                             sel.astype(np.int32),
-                            saddle[self._owned[d]]))
+                            saddle[self._owned[d]],
+                            clusters[self._owned[d]]))
         self._ndlu = StackedNDLU(locals_, mo=mo, max_nnz=self.max_nnz,
                                  leaf_max=leaf_max,
                                  dtype=jnp.dtype(self.problem.dtype)

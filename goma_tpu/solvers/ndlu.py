@@ -123,13 +123,39 @@ def zero_diag_defer_mask(pattern: CSRPattern, vals,
     return d <= tol * np.maximum(rowmax, 1e-300)
 
 
+def node_clusters(problem) -> np.ndarray:
+    """(n_dof,) cluster ids grouping every mesh node's dofs (velocity +
+    pressure + scalars at that node) into one atomic unit for the ND
+    bisection; elemental (P0/P1E) dofs stay singletons. See
+    :func:`build_nd_tree` ``clusters``."""
+    dm = problem.dofmap
+    n = dm.n_dof
+    cl = np.arange(n, dtype=np.int64)
+    cnt = np.asarray(dm.node_dof_count)
+    start = np.asarray(dm.node_dof_start)
+    live = np.flatnonzero(cnt > 0)
+    idx = np.concatenate([start[i] + np.arange(cnt[i]) for i in live]) \
+        if live.size else np.empty(0, np.int64)
+    cl[idx] = n + np.repeat(live, cnt[live])
+    return cl
+
+
 def build_nd_tree(pattern: CSRPattern, leaf_max: int = 96, debug: bool = False,
-                  defer_dofs: np.ndarray | None = None):
+                  defer_dofs: np.ndarray | None = None,
+                  clusters: np.ndarray | None = None):
     """Host symbolic analysis: separator tree + per-level gather plans.
 
     ``defer_dofs`` (bool (n,)): dofs ordered last within each tree node's
     own block (stable), so panel-restricted pivoting (``lu_block``) factors
-    the elliptic sub-block before any zero-diagonal saddle row."""
+    the elliptic sub-block before any zero-diagonal saddle row.
+
+    ``clusters`` (int (n,)): atomic dof groups — bisection and separators
+    operate on the CLUSTER graph, so all dofs of a cluster land in the
+    same tree node. Passing the mesh-node clustering keeps every saddle
+    (pressure) dof in the same front as its own node's conjugate momentum
+    rows, the structural guarantee that the defer-ordered unpivoted front
+    elimination fills the saddle diagonals before they pivot (the per-deck
+    leaf_max tuning this replaces: docs/PERFORMANCE.md r2 notes)."""
     import time as _time
 
     import scipy.sparse as sp
@@ -149,24 +175,45 @@ def build_nd_tree(pattern: CSRPattern, leaf_max: int = 96, debug: bool = False,
     G.setdiag(0)
     G.eliminate_zeros()
 
+    if clusters is not None:
+        # condense the dof graph to the cluster graph, run the IDENTICAL
+        # tree construction on it, and expand own/boundary sets back to
+        # dofs at the end (the recursion below sees cluster vertex ids)
+        cl = np.asarray(clusters, dtype=np.int64)
+        _, cl = np.unique(cl, return_inverse=True)  # densify ids
+        ncl = int(cl.max()) + 1
+        Pm = sp.csr_matrix((np.ones(n, np.int8), (cl, np.arange(n))),
+                           shape=(ncl, n))
+        Gc = (Pm @ G @ Pm.T).tocsr()
+        Gc.setdiag(0)
+        Gc.eliminate_zeros()
+        order = np.argsort(cl, kind="stable")
+        cstart = np.searchsorted(cl[order], np.arange(ncl + 1))
+        dofs_of_cluster = [order[cstart[i]:cstart[i + 1]] for i in range(ncl)]
+        csize = np.diff(cstart)
+        G_work, n_work = Gc, ncl
+    else:
+        G_work, n_work = G, n
+        csize = np.ones(n, dtype=np.int64)
+
     own_of, parent, depth = [], [], []  # per tree node
 
-    mark = np.full(n, -1, dtype=np.int64)  # global -> local id scratch
+    mark = np.full(n_work, -1, dtype=np.int64)  # global -> local id scratch
 
     def _subgraph(verts: np.ndarray):
-        """CSR of G restricted to `verts` (vectorized; ~6x faster than
-        scipy's double fancy-index `G[verts][:, verts]`)."""
+        """CSR of G_work restricted to `verts` (vectorized; ~6x faster than
+        scipy's double fancy-index)."""
         k = verts.shape[0]
         mark[verts] = np.arange(k)
-        start = G.indptr[verts]
-        cnt = G.indptr[verts + 1] - start
+        start = G_work.indptr[verts]
+        cnt = G_work.indptr[verts + 1] - start
         total = int(cnt.sum())
         # flat positions of all rows' entries: repeat each row start, add
         # a within-row ramp
         off = np.repeat(start - np.concatenate(([0], np.cumsum(cnt)[:-1])),
                         cnt)
         pos = off + np.arange(total)
-        loc = mark[G.indices[pos]]
+        loc = mark[G_work.indices[pos]]
         keep = loc >= 0
         row_of = np.repeat(np.arange(k), cnt)[keep]
         indptr = np.concatenate(
@@ -175,7 +222,7 @@ def build_nd_tree(pattern: CSRPattern, leaf_max: int = 96, debug: bool = False,
         return indptr.astype(np.int64), loc[keep].astype(np.int64)
 
     def rec(verts: np.ndarray, par: int, d: int) -> None:
-        if verts.shape[0] <= leaf_max:
+        if int(csize[verts].sum()) <= leaf_max:
             own_of.append(verts)
             parent.append(par)
             depth.append(d)
@@ -207,9 +254,18 @@ def build_nd_tree(pattern: CSRPattern, leaf_max: int = 96, debug: bool = False,
         if c1.shape[0]:
             rec(c1, me, d + 1)
 
-    rec(np.arange(n, dtype=np.int32), -1, 0)
+    rec(np.arange(n_work, dtype=np.int32), -1, 0)
     _mark("recursion")
     n_nodes = len(own_of)
+    if clusters is not None:
+        # expand cluster vertex sets back to dof sets; everything below
+        # (boundaries, entry assignment) runs on the dof graph G
+        own_of = [
+            np.concatenate([dofs_of_cluster[c] for c in verts]).astype(
+                np.int64)
+            if verts.shape[0] else np.empty(0, np.int64)
+            for verts in own_of
+        ]
     if defer_dofs is not None:
         # elliptic-first / saddle-last inside every own block: with blocked
         # panel LU the leading panels then always pivot on rows that carry a
@@ -399,7 +455,8 @@ class NDLU:
                  dtype=jnp.float32, pivot_tol: float = 1e-8,
                  lu_block: int | None = 128,
                  defer_dofs: np.ndarray | None = None,
-                 front_lu: str = "auto", invert: bool = False):
+                 front_lu: str = "auto", invert: bool = False,
+                 clusters: np.ndarray | None = None):
         self.pattern = pattern
         self.dtype = dtype
         self.pivot_tol = pivot_tol
@@ -429,7 +486,8 @@ class NDLU:
         # permutation and the solve path is unchanged. None = plain lu.
         self.lu_block = lu_block
         self.levels = build_nd_tree(pattern, leaf_max=leaf_max,
-                                    defer_dofs=defer_dofs)
+                                    defer_dofs=defer_dofs,
+                                    clusters=clusters)
         self.n = pattern.n
         # device tables, passed as jit arguments (too big for jaxpr consts).
         # Front assembly uses the COMPACT (lin, src) pairs with a

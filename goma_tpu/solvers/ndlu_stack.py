@@ -47,10 +47,13 @@ class StackedNDLU:
 
     Parameters
     ----------
-    locals_ : list of (n_d, rows_d, cols_d, src_d, defer_d) per device —
-        the owned-subdomain pattern in device-local dof ids (0..n_d-1),
-        ``src_d`` mapping each entry to its position in that device's
-        padded (max_nnz,) CSR-values slice, and the saddle defer mask.
+    locals_ : list of (n_d, rows_d, cols_d, src_d, defer_d[, clusters_d])
+        per device — the owned-subdomain pattern in device-local dof ids
+        (0..n_d-1), ``src_d`` mapping each entry to its position in that
+        device's padded (max_nnz,) CSR-values slice, the saddle defer
+        mask, and optionally the atomic dof clustering (mesh-node groups,
+        see :func:`goma_tpu.solvers.ndlu.node_clusters`) so every saddle
+        dof shares its front with its node's momentum rows.
     mo : padded owned-vector length (PartitionedProblem.max_own).
     max_nnz : padded values length (sentinel slot appended on device).
     """
@@ -68,12 +71,15 @@ class StackedNDLU:
         self._interpret = interpret
 
         trees = []
-        for n_d, rows_d, cols_d, src_d, defer_d in locals_:
+        for loc in locals_:
+            n_d, rows_d, cols_d, src_d, defer_d = loc[:5]
+            clusters_d = loc[5] if len(loc) > 5 else None
             pat, order = _local_pattern(n_d, np.asarray(rows_d),
                                         np.asarray(cols_d))
             src_sorted = np.asarray(src_d)[order]
             levels = build_nd_tree(pat, leaf_max=leaf_max,
-                                   defer_dofs=defer_d)
+                                   defer_dofs=defer_d,
+                                   clusters=clusters_d)
             trees.append((levels, src_sorted))
 
         L = max(len(t[0]) for t in trees)

@@ -59,6 +59,10 @@ class NewtonOptions:
     # unconditional sweep only pays when the first already sufficed
     # (TPU-measured on the cavity: 966 vs 1000 ms/iter)
     ndlu_refine: int = 1
+    # atomic mesh-node clustering of the ND bisection: every saddle
+    # (pressure) dof shares a front with its node's momentum rows — the
+    # structural robustness fix replacing per-deck leaf_max tuning
+    ndlu_cluster: bool = True
     ndlu_dtype: str = "float32"  # factorization precision (refinement runs
     # at the assembled vals' precision, recovering f64-quality solves)
     # lagged factorization: reuse the previous Newton iteration's (or time
@@ -229,11 +233,15 @@ class NewtonSolver:
             # invert=True: applies become batched MXU matmuls (selective
             # inversion) — safe here because GMRES wraps the apply; the
             # tpu_direct refinement path keeps exact substitution
+            from goma_tpu.solvers.ndlu import node_clusters
+
             self.precond = NDLU(problem.pattern,
                                 leaf_max=self.opts.ndlu_leaf_max,
                                 dtype=jnp.dtype(self.opts.ndlu_dtype),
                                 defer_dofs=_saddle_mask(problem),
-                                invert=True)
+                                invert=True,
+                                clusters=node_clusters(problem)
+                                if self.opts.ndlu_cluster else None)
         elif kind != "_done":
             self.precond = BlockJacobi(problem.pattern, problem.dofmap)
         if self.opts.precond_dtype == "bf16":
@@ -836,11 +844,15 @@ class NewtonSolver:
                     # value-based saddle detection (the equilibrated vals are
                     # live here): zero-diagonal rows go last in every front so
                     # blocked panel pivoting stays nonsingular
+                    from goma_tpu.solvers.ndlu import node_clusters
+
                     nd = self._ndlu = NDLU(
                         self.problem.pattern, leaf_max=opts.ndlu_leaf_max,
                         dtype=jnp.dtype(opts.ndlu_dtype),
                         defer_dofs=zero_diag_defer_mask(
                             self.problem.pattern, jax.device_get(vals)),
+                        clusters=node_clusters(self.problem)
+                        if opts.ndlu_cluster else None,
                     )
                 bD = scale * R
                 rel_tol = max(1e-5, opts.linear_tol)
