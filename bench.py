@@ -579,10 +579,12 @@ def main():
     for name, fn, kinds in [
             ("buoyant_mes", bench_buoyant, gn + [dk2, "twolevel"]),
             ("viscoelastic", bench_viscoelastic, gn + [dk2, "twolevel"]),
-            # slot coater: NO gmres_ndlu rung — the ALE + penalty-kinematic
-            # system dt-underflows under it (TPU-measured), and a failed
-            # transient rung costs minutes of ladder time
-            ("slot_coater_ale", bench_slot_coater, [dk, "direct"]),
+            # slot coater: gmres_ndlu re-enabled in r3 — the r2 dt-underflow
+            # mechanism (stale lagged factors carried across transient
+            # rejects + saddle pairs split across fronts) is removed by
+            # refactor-on-reject (NewtonSolver.reset_lagged) + the
+            # node-clustered bisection; CPU repro runs 12 steps, 0 failures
+            ("slot_coater_ale", bench_slot_coater, gn + [dk, "direct"]),
             ("two_phase_ls", bench_two_phase, gn + [dk, "direct"])]:
         kinds = list(dict.fromkeys(kinds))  # dedupe, keep order
         log(f"bench[{name}]: running...")

@@ -341,6 +341,19 @@ class NewtonSolver:
         self._dr_small_jit = jax.jit(self._dr_small_mats)
         self._dr_unew_jit = jax.jit(self._dr_unew)
 
+    def reset_lagged(self):
+        """Drop all lagged factors (preconditioner + tpu_direct NDLU +
+        recycling space). Called by the transient failure ladder on a
+        rejected step: a factor laid down along a diverging trajectory is
+        a bad basis for the halved-dt retry (the dt-underflow mode the
+        slot coater hit under gmres+ndlu — the reference refactors every
+        iteration so never carries this state across a backoff,
+        src/rf_solve.c:1956)."""
+        self._fac_cache = None
+        self._fac_base_its = None
+        self._ndlu_fac = None
+        self._recycle_U = None
+
     def _prepare(self, x, params, ell_tb=None):
         """Assemble + scale + norms, one device call. Also returns the
         element-Jacobian aux pytree powering the matrix-free matvec.

@@ -158,6 +158,10 @@ class TransientSolver:
                         f"{failures} failures"
                     )
                 dt *= 0.5  # reference: halve dt and retry (rf_solve.c:1956)
+                # refactor-on-reject: factors lagged along the diverging
+                # trajectory are a bad basis for the halved-dt retry
+                if hasattr(self.newton, "reset_lagged"):
+                    self.newton.reset_lagged()
                 continue
 
             x_new = res.x
@@ -168,6 +172,8 @@ class TransientSolver:
                 failures += 1
                 if failures <= to.max_failures:
                     dt *= 0.5
+                    if hasattr(self.newton, "reset_lagged"):
+                        self.newton.reset_lagged()
                     continue
 
             # accept
