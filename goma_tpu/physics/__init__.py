@@ -75,3 +75,5 @@ from goma_tpu.physics.normal_mode_ale import (
     zmode_equations,
 )
 from goma_tpu.physics.kinetics import ReactionNetwork
+from goma_tpu.physics.placid import (SurfaceMechanism, placid,
+                                     surface_kinetics_flux)
