@@ -32,7 +32,8 @@ from goma_tpu.physics.electro import (ButlerVolmerBC, HORFlux,
 from goma_tpu.physics.lubrication import ReynoldsFilm
 from goma_tpu.physics.shell import ShellConduction, TensionedString, attach_shell_block
 from goma_tpu.physics.shell_film import (FilmHeight, FilmParticles,
-                                         FilmPressure, ShellEnergy)
+                                         FilmPressure, ShellEnergy,
+                                         ShellSpecies)
 from goma_tpu.physics.shell_porous import (LubPorousSink, PorousShellClosed,
                                            PorousShellOpen,
                                            PorousShellStackLayer)

@@ -241,3 +241,52 @@ class ShellEnergy(Equation):
         if self.transient:
             c = c + (rho * Cp * H * fv.dot[SH_TEMP][:, 0])[:, None] * wt
         return c[:, None, :]
+
+
+SH_CONC = "shell_species"  # shell R_MASS rows
+
+
+class ShellSpecies(Equation):
+    """Scalar species transport in a lubrication gap, gap-integrated with
+    concentration constant across the shell (``assemble_shell_species``,
+    ``src/mm_fill_shell.c:8095``):
+
+        R_c,i = H dc/dt phi_i + (q . grad c) phi_i
+                + H D grad(c) . grad(phi_i) - s phi_i
+
+    Material keys: ``D_shell`` (diffusivity, per species), ``gap`` (film
+    thickness H: constant or callable), ``lub_flux`` (callable
+    q(fv, mat, params) -> (nq, dim) volumetric film flux, default 0),
+    ``shell_species_source`` (constant or callable — the reference's
+    CONSTANT / ETCHING_KOH source models)."""
+
+    def __init__(self, n_species: int = 1, interp: str = "Q1",
+                 transient: bool = True):
+        super().__init__(SH_CONC, n_species, interp)
+        self.transient = transient
+
+    def residual(self, fv, mat, params):
+        nq = fv.x.shape[0]
+        hfun = mat.get("gap", 1.0)
+        H = hfun(fv, mat, params) if callable(hfun) else \
+            jnp.full(nq, float(hfun), dtype=fv.x.dtype)
+        C = fv.val[SH_CONC]                    # (nq, nw)
+        gC = fv.grad[SH_CONC]                  # (nq, nw, dim)
+        phi = fv.phi[SH_CONC]
+        gphi = fv.gphi[SH_CONC]
+        D = jnp.broadcast_to(
+            jnp.asarray(mat.get("D_shell", 1.0), dtype=fv.x.dtype),
+            (self.ncomp,))
+        c = jnp.einsum("q,w,qwk,qik->qwi", H, D, gC, gphi)
+        qf = mat.get("lub_flux", None)
+        if qf is not None:
+            q = qf(fv, mat, params)            # (nq, dim)
+            c = c + jnp.einsum("qk,qwk,qi->qwi", q, gC, phi)
+        s = mat.get("shell_species_source", None)
+        if s is not None:
+            sv = s(fv, mat, params) if callable(s) else \
+                jnp.full((nq, self.ncomp), float(s), dtype=fv.x.dtype)
+            c = c - jnp.einsum("qw,qi->qwi", sv, phi)
+        if self.transient:
+            c = c + jnp.einsum("q,qw,qi->qwi", H, fv.dot[SH_CONC], phi)
+        return c

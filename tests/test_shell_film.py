@@ -134,3 +134,56 @@ def test_disjoining_pressure_models():
     assert abs(float(v[2])) < abs(float(v[1]))
     pi1 = disjoining_one_term(2.0, 3.0, 0.01)
     np.testing.assert_allclose(float(pi1(jnp.asarray([0.01]), {})[0]), 2.0)
+
+
+def test_shell_species_advection_diffusion_exact():
+    """Gap-integrated species transport (assemble_shell_species,
+    mm_fill_shell.c:8095): steady advection-diffusion boundary layer in
+    a uniform lubrication flux vs the exact exponential profile
+    c = (exp(Pe x/L)-1)/(exp(Pe)-1), Pe = qL/(H D)."""
+    from goma_tpu.physics import ShellSpecies
+
+    L, H, D, q = 1.0, 0.2, 0.05, 0.04
+    Pe = q * L / (H * D)
+    mesh, bi = _film_mesh(nx=40, L=L)
+    qf = lambda fv, mat, params: jnp.broadcast_to(
+        jnp.array([q, 0.0]), (fv.x.shape[0], 2))
+    prob = Problem(
+        mesh,
+        [[], [ShellSpecies(interp="Q2", transient=False)]],
+        [{}, {"D_shell": D, "gap": H, "lub_flux": qf}])
+    prob.add_dirichlet("left", "shell_species", 0, 0.0)
+    prob.add_dirichlet("right", "shell_species", 0, 1.0)
+    prob.finalize()
+    solver = NewtonSolver(prob, NewtonOptions(max_iter=5, tol_residual=1e-11,
+                                              linear_solver="direct"))
+    res = solver.solve(np.zeros(prob.dofmap.n_dof), prob.base_params())
+    assert res.converged
+    c = prob.get_nodal_field(res.x, "shell_species", 0)
+    shell_nodes = np.unique(mesh.blocks[1].conn)
+    xs = mesh.coords[shell_nodes, 0]
+    cex = (np.exp(Pe * xs / L) - 1.0) / (np.exp(Pe) - 1.0)
+    np.testing.assert_allclose(c[shell_nodes], cex, rtol=2e-3, atol=2e-3)
+
+
+def test_shell_species_source_decay_transient():
+    """Transient well-mixed balance H dc/dt = s with a constant source:
+    uniform concentration grows linearly at rate s/H."""
+    from goma_tpu.physics import ShellSpecies
+
+    H, s, t_end = 0.5, 0.3, 0.4
+    mesh, bi = _film_mesh(nx=6)
+    prob = Problem(
+        mesh,
+        [[], [ShellSpecies(interp="Q2", transient=True)]],
+        [{}, {"D_shell": 0.01, "gap": H, "shell_species_source": s}])
+    prob.finalize()
+    ts = TransientSolver(
+        prob, NewtonOptions(max_iter=6, tol_residual=1e-12,
+                            linear_solver="direct"),
+        TimeOptions(dt0=0.05, t_end=t_end, adapt=False))
+    r = ts.run(np.zeros(prob.dofmap.n_dof), prob.base_params())
+    c = prob.get_nodal_field(r.x, "shell_species", 0)
+    shell_nodes = np.unique(mesh.blocks[1].conn)
+    np.testing.assert_allclose(c[shell_nodes], s / H * t_end,
+                               rtol=1e-8, atol=1e-10)
