@@ -41,8 +41,12 @@ from goma_tpu.physics.level_set import (
     CSFSurfaceTension,
     FillEquation,
     LevelSetProperty,
+    LSEmbeddedFlux,
+    LSRecoilPressure,
     delta,
     heaviside,
+    kanouff_recoil,
+    qrad_flux,
     renormalize,
     renormalize_mass,
     XFEMPressureContinuity,

@@ -207,6 +207,102 @@ class CSFSurfaceTension(Equation):
         )
 
 
+class LSEmbeddedFlux(Equation):
+    """Embedded-interface source on ``var`` rows:
+
+        R_i -= int f delta_eps(F) |grad F| phi_i
+
+    — the diffuse-interface form of the LS_Q* family applied where the
+    zero contour crosses elements (reference dispatch
+    ``src/mm_fill_terms.c:4759-4778``: ``assemble_q_source`` LS_Q
+    (:5532, constant flux), ``assemble_qrad_source`` LS_QRAD (:6276),
+    LS_QLASER/LS_QVAPOR user models). ``flux``: constant or callable
+    ``(fv, mat, params) -> (nq,)`` per-interface-area source of ``var``
+    (positive = into the domain)."""
+
+    def __init__(self, var: str, flux, interp: str = "Q2"):
+        super().__init__(var, 1, interp)
+        self.flux = flux
+
+    def residual(self, fv, mat, params):
+        eps = params["ls_eps"]
+        F = fv.val[FILL_VAR][:, 0]
+        gF = fv.grad[FILL_VAR][:, 0, :]
+        dl = delta(F, eps) * jnp.sqrt(jnp.sum(gF * gF, axis=1) + 1e-30)
+        f = self.flux(fv, mat, params) if callable(self.flux) else \
+            jnp.full_like(F, float(self.flux))
+        phi = fv.phi[self.var]
+        return (-(f * dl)[:, None] * phi)[:, None, :]
+
+
+def qrad_flux(htc, Tref, emiss=0.0, sigma_sb=0.0):
+    """LS_QRAD flux closure: convective + radiative interface loss
+    -htc (T - Tref) - emiss sigma (T^4 - Tref^4) (reference
+    ``assemble_qrad_source``, ``src/mm_fill_terms.c:6276``)."""
+    def f(fv, mat, params):
+        T = fv.val["temperature"][:, 0]
+        return -(htc * (T - Tref)
+                 + emiss * sigma_sb * (T ** 4 - Tref ** 4))
+    return f
+
+
+def kanouff_recoil(T_boil, P_scale=1.0, T_scale=1.0):
+    """Kanouff ablation-pressure curve fit (iron for T_boil > 2000 K,
+    ice otherwise; reference ``assemble_precoil_source``,
+    ``src/mm_fill_terms.c:8887-8920``): p(T) as a cubic in
+    theta = max(T - T_boil, 0), with the iron fit switching
+    coefficient sets at theta = 170 K."""
+    atm = 1.0133e5
+    if T_boil > 2000.0 * T_scale:
+        lo = (0.0, 1.8272e-4 * atm, -1.9436e-6 * atm, 1.5732e-8 * atm)
+        hi = (0.0, -5.7333e-4 * atm, 4.5500e-6 * atm, 2.3022e-9 * atm)
+    else:
+        lo = hi = (0.0, 3.294180e+03, -7.726940e+00, 5.480973e-01)
+
+    def p(T):
+        th = jnp.maximum(T - T_boil, 0.0)
+        def cubic(c):
+            s = 1.0 / T_scale
+            return (c[0] + c[1] * s * th + c[2] * s * s * th ** 2
+                    + c[3] * s ** 3 * th ** 3)
+        val = jnp.where(th <= 170.0 * T_scale, cubic(lo), cubic(hi))
+        return P_scale * jnp.where(th > 0.0, val, 0.0)
+    return p
+
+
+class LSRecoilPressure(Equation):
+    """LS_RECOIL_PRESSURE (reference ``assemble_precoil_source``,
+    ``src/mm_fill_terms.c:8856``): vapor-recoil ablation pressure acting
+    along the interface normal on the momentum rows,
+
+        R_(a,i) += int p(T) n_a delta_eps(F) |grad F| phi_i
+
+    with n = grad F / |grad F| (pointing toward F > 0, the vapor side)
+    — the force pushes the liquid along -n. ``p_fn``: callable p(T),
+    e.g. :func:`kanouff_recoil`, or a constant."""
+
+    def __init__(self, dim: int, p_fn, interp: str = "Q2", sign=1.0):
+        super().__init__("velocity", dim, interp)
+        self.dim = dim
+        self.p_fn = p_fn
+        self.sign = sign
+
+    def residual(self, fv, mat, params):
+        eps = params["ls_eps"]
+        F = fv.val[FILL_VAR][:, 0]
+        gF = fv.grad[FILL_VAR][:, 0, :]
+        mag = jnp.sqrt(jnp.sum(gF * gF, axis=1) + 1e-30)
+        n = gF / mag[:, None]
+        dl = delta(F, eps) * mag
+        if callable(self.p_fn):
+            T = fv.val["temperature"][:, 0]
+            p = self.p_fn(T)
+        else:
+            p = jnp.full_like(F, float(self.p_fn))
+        phi = fv.phi["velocity"]
+        return self.sign * jnp.einsum("q,qa,qi->qai", p * dl, n, phi)
+
+
 # ---------------------------------------------------------- renormalization
 def interface_facets(mesh, Fnode: np.ndarray):
     """Zero-contour segments from linear interpolation on element corner

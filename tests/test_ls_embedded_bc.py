@@ -183,3 +183,125 @@ def test_ls_attach_band_localization():
     far = build(lambda c: s * (c[:, 0] - 0.5) + s * c[:, 1] + 3.0)
     assert near > 1e-4
     assert far < 1e-12
+
+
+class _PinFill:
+    """Weak L2 pin of the fill field to a prescribed signed distance —
+    freezes F for embedded-source tests (exact for targets in the basis
+    span)."""
+
+    def __new__(cls, g, interp="Q2"):
+        from goma_tpu.fem.equations import Equation
+
+        class Pin(Equation):
+            def __init__(self):
+                super().__init__(FILL_VAR, 1, interp)
+
+            def residual(self, fv, mat, params):
+                v = fv.val[FILL_VAR][:, 0]
+                phi = fv.phi[FILL_VAR]
+                return ((v - g(fv.x))[:, None] * phi)[:, None, :]
+
+        return Pin()
+
+
+def test_ls_embedded_flux_q_source_exact():
+    """LS_Q (assemble_q_source, mm_fill_terms.c:5532): steady conduction
+    with an embedded interface heat source q0 at x=0.5, T=0 at both ends
+    -> symmetric tent profile with peak q0 L/(4k) at the interface."""
+    from goma_tpu.physics import Energy, LSEmbeddedFlux
+
+    k, q0 = 1.0, 3.0
+    mesh = rectangle_mesh(20, 2, elem="QUAD9")
+    prob = Problem(
+        mesh,
+        [Energy(interp="Q2", transient=False),
+         _PinFill(lambda X: X[:, 0] - 0.5),
+         LSEmbeddedFlux("temperature", q0)],
+        {"k": k, "rho": 0.0, "Cp": 0.0})
+    prob.add_dirichlet("left", "temperature", 0, 0.0)
+    prob.add_dirichlet("right", "temperature", 0, 0.0)
+    prob.finalize()
+    x0 = prob.set_nodal_field(np.zeros(prob.dofmap.n_dof), "fill", 0,
+                              mesh.coords[:, 0] - 0.5)
+    res = NewtonSolver(prob, NewtonOptions(max_iter=8, tol_residual=1e-11,
+                                           linear_solver="direct")).solve(
+        jnp.asarray(x0), prob.base_params(ls_eps=jnp.asarray(0.1)))
+    assert res.converged
+    T = prob.get_nodal_field(res.x, "temperature", 0)
+    # outside the smoothing band the solution is EXACTLY linear with
+    # slope q0/2k regardless of the delta profile (flux balance):
+    # T(x) = q0 x / (2 k) for x <= 0.5 - eps
+    xq = np.flatnonzero(np.abs(mesh.coords[:, 0] - 0.25) < 1e-12)
+    np.testing.assert_allclose(T[xq], q0 * 0.25 / (2 * k), rtol=1e-6)
+    # and the interface peak is bounded by the sharp-limit tent value
+    mid = np.flatnonzero(np.abs(mesh.coords[:, 0] - 0.5) < 1e-12)
+    assert np.all(T[mid] < q0 / 4.0) and np.all(T[mid] > 0.8 * q0 / 4.0)
+
+
+def test_ls_qrad_equilibrates_to_ambient():
+    """LS_QRAD (assemble_qrad_source, mm_fill_terms.c:6276): with only
+    the interface convective loss active, the steady field is T = Tref."""
+    from goma_tpu.physics import Energy, LSEmbeddedFlux, qrad_flux
+
+    Tref = 0.7
+    mesh = rectangle_mesh(8, 2, elem="QUAD9")
+    prob = Problem(
+        mesh,
+        [Energy(interp="Q2", transient=False),
+         _PinFill(lambda X: X[:, 0] - 0.5),
+         LSEmbeddedFlux("temperature", qrad_flux(htc=5.0, Tref=Tref))],
+        {"k": 1.0, "rho": 0.0, "Cp": 0.0})
+    prob.finalize()
+    x0 = prob.set_nodal_field(np.zeros(prob.dofmap.n_dof), "fill", 0,
+                              mesh.coords[:, 0] - 0.5)
+    x0 = prob.set_nodal_field(x0, "temperature", 0,
+                              0.2 * np.ones(mesh.coords.shape[0]))
+    res = NewtonSolver(prob, NewtonOptions(max_iter=10, tol_residual=1e-11,
+                                           linear_solver="direct")).solve(
+        jnp.asarray(x0), prob.base_params(ls_eps=jnp.asarray(0.1)))
+    assert res.converged
+    T = prob.get_nodal_field(res.x, "temperature", 0)
+    np.testing.assert_allclose(T, Tref, rtol=0, atol=1e-8)
+
+
+def test_ls_recoil_pressure_flat_interface_jump():
+    """LS_RECOIL_PRESSURE (assemble_precoil_source,
+    mm_fill_terms.c:8856): a constant recoil pressure on a flat
+    quiescent interface produces the static jump p(liquid, F<0) -
+    p(vapor, F>0) = p_r with u ~ 0 (flat-interface analog of the CSF
+    static-bubble test)."""
+    from goma_tpu.physics import Continuity, LSRecoilPressure, Momentum
+
+    pr = 2.5
+    mesh = rectangle_mesh(16, 4, elem="QUAD9")
+    mesh.nodesets["pin"] = np.array([len(mesh.coords) - 1], dtype=np.int32)
+    prob = Problem(
+        mesh,
+        [Momentum(dim=2, transient=False), Continuity(),
+         _PinFill(lambda X: X[:, 0] - 0.5),
+         LSRecoilPressure(dim=2, p_fn=pr)],
+        {"rho": 0.0, "mu": 1.0})
+    for ns in ("left", "right", "top", "bottom"):
+        prob.add_dirichlet(ns, "velocity", 0, 0.0)
+        prob.add_dirichlet(ns, "velocity", 1, 0.0)
+    prob.add_dirichlet("pin", "pressure", 0, 0.0)  # pin on the vapor side
+    prob.finalize()
+    x0 = prob.set_nodal_field(np.zeros(prob.dofmap.n_dof), "fill", 0,
+                              mesh.coords[:, 0] - 0.5)
+    res = NewtonSolver(prob, NewtonOptions(max_iter=8, tol_residual=1e-10,
+                                           linear_solver="direct")).solve(
+        jnp.asarray(x0), prob.base_params(ls_eps=jnp.asarray(0.15)))
+    assert res.converged
+    # the smoothed-step pressure profile is not exactly representable in
+    # Q1, so (as with CSF) small parasitic currents remain; they must be
+    # small relative to the pr L / mu velocity scale
+    u = prob.get_nodal_field(res.x, "velocity", 0)
+    assert np.max(np.abs(u)) < 5e-3 * pr
+    p = prob.get_nodal_field(res.x, "pressure", 0)
+    xs, ys = mesh.coords[:, 0], mesh.coords[:, 1]
+    # pressure is Q1: corner nodes only (integer grid coords on QUAD9)
+    corner = (np.isclose(xs * 16 % 1, 0) & np.isclose(ys * 4 % 1, 0))
+    pl = np.mean(p[corner & (xs < 0.2)])
+    pv = np.mean(p[corner & (xs > 0.8)])
+    np.testing.assert_allclose(pl - pv, pr, rtol=1e-2)
