@@ -29,13 +29,15 @@ from goma_tpu.physics.porous import (PorousFlow, TanhHystSaturation,
                                      TwoPhasePorous, VanGenuchten)
 from goma_tpu.physics.electro import (ButlerVolmerBC, HORFlux,
                                       ORRFlux, Potential)
-from goma_tpu.physics.lubrication import ReynoldsFilm
-from goma_tpu.physics.shell import ShellConduction, TensionedString, attach_shell_block
+from goma_tpu.physics.lubrication import (LubricationCurvature, ReynoldsFilm,
+                                          ReynoldsFilmPowerLaw)
+from goma_tpu.physics.shell import (ShellConduction, SurfaceCharge,
+                                    TensionedString, attach_shell_block)
 from goma_tpu.physics.shell_film import (FilmHeight, FilmParticles,
                                          FilmPressure, ShellEnergy,
                                          ShellSpecies)
 from goma_tpu.physics.shell_porous import (LubPorousSink, PorousShellClosed,
-                                           PorousShellOpen,
+                                           PorousShellGasN, PorousShellOpen,
                                            PorousShellStackLayer)
 from goma_tpu.physics.level_set import (
     CSFSurfaceTension,

@@ -204,3 +204,128 @@ def _gap_dot(fv, mat, params, h):
     t = params["time"]
     _, dhdt = _jax.jvp(h_of_t, (t,), (jnp.ones((), t.dtype),))
     return dhdt
+
+
+class ReynoldsFilmPowerLaw(Equation):
+    """Reynolds lubrication for a POWER-LAW fluid (capability of
+    ``assemble_lubrication_power_law``, ``src/mm_fill_shell.c:14633`` +
+    ``calculate_lub_q_v_nonnewtonian``). The reference solves auxiliary
+    wall-shear-rate unknowns per point because its hand-coded Jacobians
+    need them; with AD the closed-form pressure-driven channel flux for
+    tau = m (du/dz)^n differentiates directly:
+
+        q = -(2n/(2n+1)) (h/2)^((2n+1)/n) (|grad P|/m)^(1/n)
+              * grad P / |grad P|  +  U_avg h
+
+    (n = 1 recovers the Newtonian h^3/(12 m) mobility exactly), and the
+    lubrication mass balance is div q + dh/dt = 0, tested weakly.
+
+    Material keys: ``gap`` (h: constant or callable), ``m_lub``
+    (consistency), ``n_exp`` (power-law index), ``wall_velocity``
+    (average plate velocity U_avg, optional)."""
+
+    def __init__(self, interp: str = "Q1", transient: bool = False,
+                 eps_reg: float = 1e-12):
+        super().__init__(LUB_VAR, 1, interp)
+        self.transient = transient
+        self.eps_reg = eps_reg
+
+    def residual(self, fv, mat, params):
+        nq = fv.x.shape[0]
+        gp = fv.grad[LUB_VAR][:, 0, :]
+        m = prop(mat, "m_lub", fv, params, 1.0)
+        n = mat.get("n_exp", 1.0)
+        hfun = mat["gap"]
+        h = hfun(fv, mat, params) if callable(hfun) else \
+            jnp.broadcast_to(jnp.asarray(hfun), (nq,))
+        gphi = fv.gphi[LUB_VAR]
+        phi = fv.phi[LUB_VAR]
+        # |grad P| regularized so the 1/n-1 power is AD-safe at gp = 0
+        gmag = jnp.sqrt(jnp.sum(gp * gp, axis=1) + self.eps_reg)
+        coef = (2.0 * n / (2.0 * n + 1.0)) * (h / 2.0) ** ((2.0 * n + 1.0) / n)
+        qmag_over_g = coef * (gmag / m) ** (1.0 / n) / gmag  # q = -this * gp
+        # weak form: -q . grad(phi)
+        contrib = jnp.einsum("q,qk,qik->qi", qmag_over_g, gp, gphi)
+        U = mat.get("wall_velocity", None)
+        if U is not None:
+            Uv = U(fv, mat, params) if callable(U) else jnp.broadcast_to(
+                jnp.asarray(U), (nq, fv.x.shape[1]))
+            contrib = contrib - jnp.einsum("qk,q,qik->qi", Uv, h, gphi)
+        if self.transient:
+            dhdt = _gap_dot(fv, mat, params, h)
+            contrib = contrib + dhdt[:, None] * phi
+        return contrib[:, None, :]
+
+
+LUB_CURV = "lub_curv"  # SHELL_LUB_CURV
+
+
+class LubricationCurvature(Equation):
+    """SHELL_LUB_CURV rows (``assemble_lubrication_curvature``,
+    ``src/mm_fill_shell.c:13772``): in-plane curvature of the level-set
+    interface inside a lubrication gap, fed to the two-phase lubrication
+    capillary pressure. Pseudo-relaxed projection of div(n_LS):
+
+        R_i = (kappa + lambda dkappa/dt) w_i
+              + lambda (v_avg . grad kappa) w_i
+              + K_diff h_elem^2 grad(kappa) . grad(phi_i)
+              + curvX * n_LS . grad(phi_i)
+
+    with n_LS = grad(F)/|grad F| from the shell level-set field ``fill``,
+    SUPG weighting w_i = phi_i + (v_avg/|v|h) . grad(phi_i) (supg = 1 in
+    the reference), and interface modulation curvX (Lub_Curv_Modulation):
+    1 inside |F| < alpha, ramping 2 - |F|/alpha to zero by 2 alpha.
+
+    Material keys: ``curv_relax`` (lambda, default 0), ``curv_diff``
+    (K_diff, default 0.2), ``ls_alpha`` (interface half-width; 0 disables
+    modulation), ``lub_velocity`` (callable v_avg(fv, mat, params) ->
+    (nq, dim), default 0)."""
+
+    def __init__(self, interp: str = "Q1", transient: bool = False,
+                 supg: float = 1.0):
+        super().__init__(LUB_CURV, 1, interp)
+        self.transient = transient
+        self.supg = supg
+
+    def residual(self, fv, mat, params):
+        nq = fv.x.shape[0]
+        kap = fv.val[LUB_CURV][:, 0]
+        gk = fv.grad[LUB_CURV][:, 0, :]
+        phi = fv.phi[LUB_CURV]
+        gphi = fv.gphi[LUB_CURV]
+        F = fv.val["fill"][:, 0]
+        gF = fv.grad["fill"][:, 0, :]
+        nmag = jnp.sqrt(jnp.sum(gF * gF, axis=1))
+        ninv = jnp.where(nmag > 0, 1.0 / jnp.maximum(nmag, 1e-30), 1.0)
+        nls = gF * ninv[:, None]
+        lam = mat.get("curv_relax", 0.0)
+        Kd = mat.get("curv_diff", 0.2)
+        alpha = mat.get("ls_alpha", 0.0)
+        vfun = mat.get("lub_velocity", None)
+        wt = phi
+        if vfun is not None:
+            v = vfun(fv, mat, params)
+            if self.supg > 0:
+                v2 = jnp.sum(v * v, axis=1)
+                hinv = jnp.where(v2 > 0,
+                                 fv.h_elem / (2.0 * jnp.sqrt(v2 + 1e-30)), 0.0)
+                wt = phi + self.supg * hinv[:, None] * \
+                    jnp.einsum("qk,qik->qi", v, gphi)
+        c = kap[:, None] * wt
+        if lam:
+            if self.transient:
+                c = c + lam * fv.dot[LUB_CURV][:, 0][:, None] * wt
+            if vfun is not None:
+                adv = jnp.einsum("qk,qk->q", v, gk)
+                c = c + lam * adv[:, None] * wt
+        if Kd:
+            c = c + jnp.einsum("q,qk,qik->qi", Kd * fv.h_elem ** 2, gk, gphi)
+        if alpha:
+            aF = jnp.abs(F)
+            curvX = jnp.where(aF < alpha, 1.0,
+                              jnp.where(aF < 2.0 * alpha,
+                                        2.0 - aF / alpha, 0.0))
+        else:
+            curvX = jnp.ones_like(F)
+        c = c + curvX[:, None] * jnp.einsum("qk,qik->qi", nls, gphi)
+        return c[:, None, :]

@@ -112,6 +112,38 @@ class ShellConduction(Equation):
         return (self.ks * jnp.einsum("qk,qik->qi", gT, gphi))[:, None, :]
 
 
+class SurfaceCharge(Equation):
+    """R_SURF_CHARGE rows (``assemble_surface_charge``,
+    ``src/mm_fill_shell.c:470``): surface charge density qs transported
+    along the shell by surface diffusion,
+
+        R_i = phi_i dqs/dt + D_s (dqs/ds) (dphi_i/ds) - phi_i * src
+
+    ``src`` (optional material key ``qs_source``, callable or constant)
+    carries the bulk normal-current drive n.J that the reference applies
+    through its electric-field boundary terms."""
+
+    def __init__(self, surf_diff: float, var: str = "surface_charge",
+                 interp: str = "Q1", transient: bool = True):
+        super().__init__(var, 1, interp)
+        self.Ds = surf_diff
+        self.transient = transient
+
+    def residual(self, fv, mat, params):
+        gq = fv.grad[self.var][:, 0, :]
+        gphi = fv.gphi[self.var]
+        phi = fv.phi[self.var]
+        c = self.Ds * jnp.einsum("qk,qik->qi", gq, gphi)
+        s = mat.get("qs_source", None)
+        if s is not None:
+            sv = s(fv, mat, params) if callable(s) else \
+                jnp.full(fv.x.shape[0], float(s), dtype=fv.x.dtype)
+            c = c - sv[:, None] * phi
+        if self.transient:
+            c = c + fv.dot[self.var][:, 0][:, None] * phi
+        return c[:, None, :]
+
+
 class TensionedString(Equation):
     """Membrane/string deflection under transverse load:
     -T d2w/ds2 = q  ->  int T dw/ds dphi/ds - phi q.

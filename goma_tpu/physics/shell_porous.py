@@ -67,7 +67,12 @@ def closed_cell_vz(fv, mat, params):
     theta = jnp.deg2rad(jnp.asarray(mat.get("contact_angle_deg", 0.0),
                                     S.dtype))
     P0 = mat.get("P0", 1.0)
-    nbar = mat.get("nbar", 1.0)
+    # trapped-gas moles: the GASN field when the gas-dissolution equation
+    # is active (reference: nbar = fv->sh_sat_gasn, mm_fill_shell.c:10967)
+    if "shell_sat_gasn" in fv.val:
+        nbar = fv.val["shell_sat_gasn"][:, 0]
+    else:
+        nbar = mat.get("nbar", 1.0)
     dPrefatm = mat.get("Pref", 0.0) - mat.get("Patm", 0.0)
     if LUB_VAR in fv.val:
         plub = fv.val[LUB_VAR][:, 0]
@@ -173,6 +178,58 @@ class PorousShellOpen(Equation):
             # d/dt (H phi_p S(P)) = H phi_p S'(P) dP/dt via AD
             dS = jax.vmap(jax.grad(S_of_P))(P)
             c = c + (H * phi_p * dS * fv.dot[P_OPEN][:, 0])[:, None] * phi
+        return c[:, None, :]
+
+
+SAT_GASN = "shell_sat_gasn"       # SHELL_SAT_GASN
+
+
+class PorousShellGasN(Equation):
+    """SHELL_SAT_GASN rows (``assemble_porous_shell_gasn``,
+    ``src/mm_fill_shell.c:11650``): trapped-gas inventory n in a closed-cell
+    porous shell, dissolving into the invading liquid by Henry's law:
+
+        R_n,i = phi_i * ( dn/dt - flux ),
+        flux  = -Z/S * ( n/(1-S) - Patm/P0 ),   Z = RT D / (H^2 kH)
+
+    with the reference's first-order Taylor extension outside
+    S in [dS, 1-dS] (dS = 1e-2) so the flux stays finite as the cell
+    saturates or empties. Couples to SHELL_SAT_CLOSED (S).
+
+    Material keys: ``P0`` (initial gas pressure), ``Patm``, ``henry`` (kH),
+    ``RT``, ``gas_diffusivity`` (D), ``pore_height`` (H)."""
+
+    DS_CLAMP = 1e-2
+
+    def __init__(self, interp: str = "Q1"):
+        super().__init__(SAT_GASN, 1, interp)
+
+    def residual(self, fv, mat, params):
+        n = fv.val[SAT_GASN][:, 0]
+        S = fv.val[SAT_CLOSED][:, 0]
+        H = mat.get("pore_height", 1.0)
+        P0 = mat.get("P0", 1.0)
+        Patm = mat.get("Patm", 1.0)
+        kH = mat.get("henry", 1.0)
+        RT = mat.get("RT", 1.0)
+        D = mat.get("gas_diffusivity", 1.0)
+        Z = RT * D / (H * H * kH)
+        Pbr = Patm / P0
+        dS = self.DS_CLAMP
+
+        def f(s):
+            return -Z / s * (n / (1.0 - s) - Pbr)
+
+        si = jnp.clip(S, dS, 1.0 - dS)
+        fi = f(si)
+        # d(fi)/dS at si (same algebra the reference hand-codes as fi_S)
+        fi_S = Z / si ** 2 * (n / (1.0 - si) - Pbr) \
+            - Z / si * n / (1.0 - si) ** 2
+        inside = (S >= dS) & (S <= 1.0 - dS)
+        flux = jnp.where(inside, f(jnp.where(inside, S, si)),
+                         fi + (S - si) * fi_S)
+        phi = fv.phi[SAT_GASN]
+        c = (fv.dot[SAT_GASN][:, 0] - flux)[:, None] * phi
         return c[:, None, :]
 
 
