@@ -176,11 +176,15 @@ def bench_cavity():
     return out
 
 
-def bench_cavity_scaling(sizes=(128, 256)):
+def bench_cavity_scaling(sizes=(128, 192)):
     """Size-scaling entries (VERDICT r3 item 3): the TPU advantage must GROW
     with n — SuperLU's O(n^1.5) factor and the 1-core assembly both blow up
     where the batched element work and the multifrontal MXU fronts keep
-    scaling. Each entry carries its own measured 1-core denominator."""
+    scaling. Each entry carries its own measured 1-core denominator.
+    (256x256/592k dof OOMs the 16 GB chip under SELECTIVE INVERSION —
+    the inverted front tables roughly double the factor storage; a
+    tpu_direct 256 run is the multi-chip partitioned path's job, where
+    per-device subdomain factors shrink O(1/n_dev).)"""
     import jax.numpy as jnp
 
     from __graft_entry__ import _cavity_problem

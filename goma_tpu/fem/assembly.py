@@ -242,6 +242,7 @@ class Problem:
         self._rot_specs: list = []
         self._rot_constraints: list = []
         self._point_specs: list = []
+        self._periodic_specs: list = []
         self._point_load_specs: list = []
         self._edge_specs: list = []
         self._ifc_specs: list = []
@@ -428,6 +429,61 @@ class Problem:
         self._ovs_specs.append((bar_block, fluid_block, kernel, quad_order,
                                 solid))
 
+    def add_periodic(self, nodeset_a: str, nodeset_b: str, translation=None,
+                     tol: float = 1e-8):
+        """PERIODIC_BC (reference ``include/rf_bc_const.h`` PERIODIC_BC,
+        realized there through PETSc constraint rows): identify every node
+        of ``nodeset_b`` with its image in ``nodeset_a`` under
+        ``x_b = x_a + translation``. The paired nodes SHARE dofs — all
+        variables active at both — so periodicity is exact, conservative,
+        and adds no constraint rows or sparsity. ``translation`` (dim,)
+        defaults to the mean offset between the two sets. Pairs are matched
+        by nearest image point; a mismatch beyond ``tol`` (relative to the
+        mesh extent) raises."""
+        self._periodic_specs.append((nodeset_a, nodeset_b, translation, tol))
+
+    def _periodic_alias(self):
+        """Root-node map from the registered periodic identifications
+        (union-find so doubly-periodic corners chain correctly)."""
+        if not self._periodic_specs:
+            return None
+        mesh = self.mesh
+        root = np.arange(mesh.n_nodes, dtype=np.int64)
+
+        def find(i):
+            while root[i] != i:
+                root[i] = root[root[i]]
+                i = root[i]
+            return i
+
+        scale = float(np.max(np.ptp(mesh.coords, axis=0)))
+        for ns_a, ns_b, tr, tol in self._periodic_specs:
+            a = np.asarray(mesh.nodesets[ns_a], dtype=np.int64)
+            b = np.asarray(mesh.nodesets[ns_b], dtype=np.int64)
+            if a.size != b.size:
+                raise ValueError(
+                    f"periodic sets '{ns_a}' ({a.size}) and '{ns_b}' "
+                    f"({b.size}) differ in size")
+            ca, cb = mesh.coords[a], mesh.coords[b]
+            t = (np.mean(cb, axis=0) - np.mean(ca, axis=0)
+                 if tr is None else np.asarray(tr, dtype=float))
+            from scipy.spatial import cKDTree
+
+            d, j = cKDTree(cb).query(ca + t[None, :])
+            if np.max(d) > tol * max(scale, 1.0) or \
+                    len(np.unique(j)) != a.size:
+                raise ValueError(
+                    f"periodic match '{ns_a}'->'{ns_b}' failed: max image "
+                    f"distance {np.max(d):.3e} (tol {tol * max(scale, 1.0):.1e})"
+                    " or non-bijective pairing; pass an explicit translation")
+            for m, s in zip(a, b[j]):
+                rm, rs = find(int(m)), find(int(s))
+                if rm != rs:
+                    root[max(rm, rs)] = min(rm, rs)
+        for i in range(mesh.n_nodes):
+            find(i)
+        return root
+
     def add_point_load(self, nodeset, var: str, f, source_vars=None):
         """Additive weak nodal term (reference "special" BCs,
         ``src/bc_special.c:77``): ``f(q, X0, params) -> (ncomp(var),)`` is
@@ -444,7 +500,8 @@ class Problem:
         block_vars = [
             [(eq.var, eq.ncomp, eq.interp) for eq in eqs] for eqs in self.equations
         ]
-        self.dofmap: DofMap = build_dofmap(mesh, block_vars)
+        self.dofmap: DofMap = build_dofmap(
+            mesh, block_vars, node_alias=self._periodic_alias())
         # interface (paired-face) sets add cross-block couplings to the graph
         self.ifc_sets: list[_IfcSet] = self._build_interface_sets()
         # overset (fictitious-domain) couplings likewise
@@ -1319,12 +1376,44 @@ class Problem:
                 )
         return R, vals
 
-    def _elem_rj_parts(self, x, params, T):
+    def _elem_rj_parts(self, x, params, T, rdt=None):
         """Element/face loops shared by ``_assemble_with_elem`` and
         ``_assemble_fast``: per-part residual vectors plus per-element local
-        Jacobians (mixed precision honored). Returns (r_parts, blockJ, faceJ)."""
-        dtype = self.dtype
-        jdt = jnp.dtype(self.jacobian_dtype) if self.jacobian_dtype else dtype
+        Jacobians (mixed precision honored). Returns (r_parts, blockJ, faceJ)
+        — the residual parts at ``rdt`` (or ``self.dtype``), the Jacobians at
+        ``jacobian_dtype``.
+
+        ``rdt``: residual-dtype override (switched-precision Newton). With
+        ``rdt == jacobian_dtype`` the whole prep runs single-dtype — residual
+        and Jacobian come out of ONE jacfwd/fused call, skipping the separate
+        full-precision residual pass (f64 is software-emulated on TPU; the
+        early Newton iterations don't need it — see NewtonOptions.prep32_tol).
+        """
+        # Exact-f32 dots throughout the element work: at TPU DEFAULT
+        # precision, f32 einsums (field evaluation N@q, grad contractions,
+        # and everything jacfwd differentiates through) round via bf16
+        # passes, leaving ~1e-3-relative Jacobian entries. On stiff coupled
+        # systems (e.g. Ra=1e4 Boussinesq) that inexactness stalls Newton
+        # on TPU while the bit-identical f32 algorithm converges on CPU.
+        # The per-element contractions are tiny (<=27x27) — extra MXU
+        # passes are noise next to the gathers.
+        with jax.default_matmul_precision("highest"):
+            return self._elem_rj_parts_body(x, params, T, rdt)
+
+    def _elem_rj_parts_body(self, x, params, T, rdt=None):
+        dtype = jnp.dtype(rdt) if rdt is not None else self.dtype
+        jdt = jnp.dtype(self.jacobian_dtype) if self.jacobian_dtype else self.dtype
+        down = dtype != self.dtype
+        if down:
+            params = jax.tree.map(
+                lambda a: a.astype(dtype)
+                if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating)
+                else a,
+                params,
+            )
+        tc = (lambda a: a.astype(dtype) if hasattr(a, "dtype")
+              and jnp.issubdtype(a.dtype, jnp.floating) else a) if down \
+            else (lambda a: a)
         mixed = jdt != dtype
         x = x.astype(dtype)
         hist = params["hist"]
@@ -1367,17 +1456,17 @@ class Problem:
                 blockJ.append(J)
                 r_parts.append(r)
                 continue
-            Xref = T[f"x{bi}"]
+            Xref = tc(T[f"x{bi}"])
             conn = T[f"c{bi}"]
-            ext = self._ext_gather(params, conn)
-            elem_res = self._elem_residual_fn(bi)
+            ext = tc(self._ext_gather(params, conn))
+            elem_res = self._elem_residual_fn(bi, dtype)
             sgn = bd.edge_signs
             if sgn is not None:
-                sg, sax = T[f"sg{bi}"], 0
+                sg, sax = tc(T[f"sg{bi}"]), 0
             else:
                 sg, sax = 1.0, None
             r, _ = jax.vmap(elem_res, in_axes=(0, 0, 0, 0, sax, None))(
-                x[gather], hist[gather], Xref, ext, sg, params
+                x[gather], hist[gather].astype(dtype), Xref, ext, sg, params
             )
             if mixed:
                 jac_fn = jax.jacfwd(self._elem_residual_fn(bi, jdt), argnums=0,
@@ -1390,7 +1479,8 @@ class Problem:
             else:
                 jac_fn = jax.jacfwd(elem_res, argnums=0, has_aux=True)
                 J, r = jax.vmap(jac_fn, in_axes=(0, 0, 0, 0, sax, None))(
-                    x[gather], hist[gather], Xref, ext, sg, params
+                    x[gather], hist[gather].astype(dtype), Xref, ext, sg,
+                    params
                 )
             blockJ.append(J)
             r_parts.append(r)
@@ -1400,11 +1490,11 @@ class Problem:
             blk = self.mesh.blocks[fs.block_index]
             fe = fs.face_elems
             gather = T[f"fg{fsi}"]
-            Xref = T[f"fx{fsi}"]
-            ftabs = {k: T[f"ft{fsi}:{k}"] for k in fs.ftabs}
-            face_res = self._face_residual_fn(fs)
+            Xref = tc(T[f"fx{fsi}"])
+            ftabs = {k: tc(T[f"ft{fsi}:{k}"]) for k in fs.ftabs}
+            face_res = self._face_residual_fn(fs, dtype)
             r, _ = jax.vmap(face_res, in_axes=(0, 0, 0, 0, None))(
-                x[gather], hist[gather], Xref, ftabs, params
+                x[gather], hist[gather].astype(dtype), Xref, ftabs, params
             )
             if mixed:
                 jac_fn = jax.jacfwd(self._face_residual_fn(fs, jdt), argnums=0,
@@ -1416,7 +1506,7 @@ class Problem:
             else:
                 jac_fn = jax.jacfwd(face_res, argnums=0, has_aux=True)
                 J, r = jax.vmap(jac_fn, in_axes=(0, 0, 0, 0, None))(
-                    x[gather], hist[gather], Xref, ftabs, params
+                    x[gather], hist[gather].astype(dtype), Xref, ftabs, params
                 )
             faceJ.append(J)
             r_parts.append(r)
@@ -1490,9 +1580,13 @@ class Problem:
         R, vals = self._apply_dirichlet(x, R, vals, params)
         return R, vals, (tuple(blockJ), tuple(faceJ), tuple(pc_dg), tuple(pl_dfs))
 
-    def _assemble_fast(self, x, params):
+    def _assemble_fast(self, x, params, rdt=None):
         """Vals-free assembly for the iterative fast path: residual, element
         Jacobians, and element-level absolute row sums — NO global CSR values.
+
+        ``rdt``: residual-dtype override — with ``rdt == jacobian_dtype`` the
+        separate full-precision residual pass disappears entirely (the
+        switched-precision Newton prep; see ``_elem_rj_parts``).
 
         The reference assembles the global matrix every Newton iteration
         (``load_lec``, src/mm_fill.c:4959) because its solvers consume it; on
@@ -1511,11 +1605,20 @@ class Problem:
         CSR values are materialized only when a preconditioner refactor needs
         them (``NewtonSolver._scaled_vals``). Returns (R, rs, aux)."""
         T = self._tb(params)
-        dtype = self.dtype
-        jdt = jnp.dtype(self.jacobian_dtype) if self.jacobian_dtype else dtype
+        dtype = jnp.dtype(rdt) if rdt is not None else self.dtype
+        jdt = jnp.dtype(self.jacobian_dtype) if self.jacobian_dtype else self.dtype
+        if dtype != self.dtype:
+            # downcast once so the row-surgery sections below (point loads /
+            # rotation / point constraints / dirichlet) run single-dtype too
+            params = jax.tree.map(
+                lambda a: a.astype(dtype)
+                if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating)
+                else a,
+                params,
+            )
         x = x.astype(dtype)
         n = self.dofmap.n_dof
-        r_parts, blockJ, faceJ = self._elem_rj_parts(x, params, T)
+        r_parts, blockJ, faceJ = self._elem_rj_parts(x, params, T, rdt=rdt)
 
         flat_r = jnp.concatenate(
             [p.reshape(-1) for p in r_parts] + [jnp.zeros(1, dtype=dtype)])
@@ -1539,14 +1642,14 @@ class Problem:
                     jnp.sum(jnp.abs(df), axis=2).reshape(-1).astype(jdt))
         rd = self._rotation
         if rd is not None:
-            Q = T["rQ"]
+            Q = T["rQ"].astype(R.dtype)
             dofs = T["rdofs"]
             R = R.at[dofs].set(jnp.einsum("nij,nj->ni", Q, R[dofs]))
             rs = rs.at[dofs].set(
                 jnp.einsum("nij,nj->ni", jnp.abs(Q).astype(jdt), rs[dofs]))
             if rd.con_rows.size:
                 crows = T["rcrow"]
-                ccoef = T["rcoef"]
+                ccoef = T["rcoef"].astype(R.dtype)
                 cdofs = T["rcdofs"]
                 cval = jnp.asarray(rd.con_value, dtype=R.dtype)
                 R = R.at[crows].set(

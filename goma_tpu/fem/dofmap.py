@@ -72,6 +72,7 @@ class DofMap:
     blocks: list[BlockDofs]
     node_dof_start: np.ndarray  # (n_nodes,) first dof at node (-1 if none)
     node_dof_count: np.ndarray  # (n_nodes,)
+    node_alias: np.ndarray | None = None  # (n_nodes,) periodic root map
 
     def var(self, name: str) -> Var:
         for v in self.vars:
@@ -88,13 +89,22 @@ class DofMap:
         return d[d >= 0].astype(np.int32)
 
 
-def build_dofmap(mesh: Mesh, block_vars: list[list[tuple[str, int, str]]]) -> DofMap:
+def build_dofmap(mesh: Mesh, block_vars: list[list[tuple[str, int, str]]],
+                 node_alias: np.ndarray | None = None) -> DofMap:
     """block_vars[bi] = [(var_name, ncomp, abstract_interp), ...] per mesh block.
 
     The per-block variable list comes from the equations active on the block
     (reference: equation activation in ``src/mm_prob_def.c`` + problem
     description). Variable order within a local element vector follows the
     global first-seen registration order.
+
+    ``node_alias``: optional (n_nodes,) root-node map for PERIODIC
+    identification (reference PERIODIC_BC, applied there as PETSc matrix
+    constraints, ``src/bc_integ.c``/``sl_petsc.c``; here the paired nodes
+    SHARE dofs, so residual contributions from both sides accumulate in one
+    row — exactly conservative, no constraint rows, no extra nnz). Slave
+    nodes (alias[n] != n) get their root's dof rows; activity is unioned
+    into the root.
     """
     assert len(block_vars) == len(mesh.blocks)
 
@@ -144,6 +154,18 @@ def build_dofmap(mesh: Mesh, block_vars: list[list[tuple[str, int, str]]]) -> Do
                 active[nodes[:, None], np.arange(s0, s0 + ncomp)[None, :]] = True
         resolved.append(rbv)
 
+    # periodic identification: union slave activity into the root node,
+    # deactivate slaves, and (after numbering) point slaves at root dofs
+    slaves = None
+    if node_alias is not None:
+        node_alias = np.asarray(node_alias, dtype=np.int64)
+        slaves = np.where(node_alias != np.arange(mesh.n_nodes))[0]
+        if slaves.size:
+            np.logical_or.at(active, node_alias[slaves], active[slaves])
+            active[slaves] = False
+        else:
+            slaves = None
+
     # node-major numbering
     counts = active.sum(axis=1)
     node_start_full = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
@@ -152,9 +174,17 @@ def build_dofmap(mesh: Mesh, block_vars: list[list[tuple[str, int, str]]]) -> Do
     # within a node, dofs ordered by svar index
     order = np.cumsum(active, axis=1) - 1
     dof_of_node_svar[active] = (node_start_full[:-1][:, None] + order)[active].astype(np.int32)
+    if slaves is not None:
+        dof_of_node_svar[slaves] = dof_of_node_svar[node_alias[slaves]]
 
     node_dof_start = np.where(counts > 0, node_start_full[:-1], -1).astype(np.int32)
     node_dof_count = counts.astype(np.int32)
+    if slaves is not None:
+        # slaves report their root's dof range start (element-connectivity
+        # consumers, e.g. the padded node-slot tables, subtract it from
+        # dof_of_node_svar) but count 0, so per-node block enumerations
+        # (node-block Jacobi, partitioned row maps) list each shared dof once
+        node_dof_start[slaves] = node_dof_start[node_alias[slaves]]
 
     # elemental dofs appended
     next_dof = n_node_dof
@@ -236,4 +266,5 @@ def build_dofmap(mesh: Mesh, block_vars: list[list[tuple[str, int, str]]]) -> Do
         blocks=blocks_out,
         node_dof_start=node_dof_start,
         node_dof_count=node_dof_count,
+        node_alias=node_alias if slaves is not None else None,
     )

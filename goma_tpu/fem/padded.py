@@ -51,13 +51,29 @@ def build_padded_tables(problem):
     K = max(int(dm.node_dof_count.max()), 1)
 
     starts = np.maximum(dm.node_dof_start.astype(np.int64), 0)
-    valid = (np.arange(K)[None, :] < dm.node_dof_count[:, None]).astype(np.float64)
+    counts = dm.node_dof_count.copy()
+    alias = dm.node_alias
+    slaves = None
+    if alias is not None:
+        # periodic dof sharing: slave nodes read the ROOT's dof slice (their
+        # start already points there) and must pass it through un-masked...
+        slaves = np.where(alias != np.arange(n_nodes))[0]
+        counts[slaves] = dm.node_dof_count[alias[slaves]]
+    valid = (np.arange(K)[None, :] < counts[:, None]).astype(np.float64)
 
     meta = {"K": K, "blocks": []}
     tables = {
         "pl:starts": starts.astype(np.int32),
         "pl:valid": valid,
     }
+    if slaves is not None and slaves.size:
+        # ...and the transpose-gather sums landing on slave rows must fold
+        # into the root rows before the compact dof readout (write side)
+        tables["pl:slv"] = slaves.astype(np.int32)
+        tables["pl:slvroot"] = alias[slaves].astype(np.int32)
+        meta["has_alias"] = True
+    else:
+        meta["has_alias"] = False
 
     total_rows = 0
     row_offsets = []
@@ -195,5 +211,9 @@ def padded_matvec(problem, meta, T, Jp, v):
 
     flat = jnp.concatenate(flats + [jnp.zeros((1, K), dtype=dtype)], axis=0)
     vp_out = jnp.sum(flat[T["pl:tgn"]], axis=1)  # (n_nodes, melems, K) -> (n_nodes, K)
+    if meta.get("has_alias"):
+        # periodic dof sharing: contributions accumulated at slave-node rows
+        # belong to the root's dofs (boundary-sized scatter-add)
+        vp_out = vp_out.at[T["pl:slvroot"]].add(vp_out[T["pl:slv"]])
     y_nodal = vp_out.reshape(-1)[T["pl:dofpos"]]
     return jnp.concatenate([y_nodal] + tails) if tails else y_nodal

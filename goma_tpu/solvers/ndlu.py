@@ -583,6 +583,17 @@ class NDLU:
 
     # --- numeric factorization: one batched dense elimination per level
     def _factor(self, vals, tabs):
+        # Pin every dense product in the factorization to exact-f32 MXU
+        # passes: at TPU DEFAULT precision f32 dots round through bf16,
+        # which degrades the Schur complements (X @ Y below) to ~3-digit
+        # accuracy per level — refinement then stalls above the Newton
+        # linear-tolerance on stiff multi-field fronts (observed: the 48^2
+        # Boussinesq deck diverged on TPU while converging in 6 Newton
+        # iterations on CPU with the bit-identical f32 algorithm).
+        with jax.default_matmul_precision("highest"):
+            return self._factor_body(vals, tabs)
+
+    def _factor_body(self, vals, tabs):
         vals32 = vals.astype(self.dtype)
         facs = []
         S_prev = None

@@ -186,6 +186,13 @@ class StackedNDLU:
     def factor(self, vals, tabs1):
         """vals: this device's (max_nnz,) CSR values slice. Returns the
         per-level (fwd, bwd, X, Y) factor pytree (selective inversion)."""
+        # exact-f32 MXU passes for the panel/Schur products below — TPU
+        # DEFAULT precision rounds f32 dots through bf16, degrading the
+        # Schur complements past what refinement recovers (see ndlu._factor)
+        with jax.default_matmul_precision("highest"):
+            return self._factor_body(vals, tabs1)
+
+    def _factor_body(self, vals, tabs1):
         from goma_tpu.solvers.pallas_lu import batched_lu
 
         hi = jax.lax.Precision.HIGHEST

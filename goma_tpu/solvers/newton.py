@@ -137,6 +137,16 @@ class NewtonOptions:
     # slowly-varying Jacobian family shares its bad eigenvalue cluster).
     # 0 disables. See solvers/linear.py gmres_dr_cycle.
     recycle_k: int = 0
+    # switched-precision prep (mixed-precision fast path only): while the
+    # row-scaled ||R||_2 stays ABOVE this threshold, the whole per-iteration
+    # prep (residual + element Jacobians + row sums + norms) runs at
+    # jacobian_dtype in ONE pass — on TPU this skips the software-emulated
+    # f64 residual evaluation that otherwise dominates the assembly phase.
+    # Once the f32 norm drops below the threshold (kept well above the f32
+    # row-scaled noise floor ~1e-6), the SAME iteration is re-prepped at
+    # full precision and the endgame — including every convergence check —
+    # runs f64. 0 disables (always full-precision residual).
+    prep32_tol: float = 0.0
 
 
 @dataclass
@@ -315,6 +325,7 @@ class NewtonSolver:
             and hasattr(problem, "_assemble_fast")
         )
         self._fastprep_jit = jax.jit(self._prepare_fast)
+        self._fastprep32_jit = jax.jit(self._prepare_fast32)
         self._vals_jit = jax.jit(self._scaled_vals)
         self._jdt = (jnp.dtype(problem.jacobian_dtype)
                      if getattr(problem, "jacobian_dtype", None)
@@ -426,6 +437,28 @@ class NewtonSolver:
         agreement (see _assemble_fast; parity test in
         tests/test_fast_prep.py)."""
         R, rs, aux = self.problem._assemble_fast(x, params)
+        if self._use_padded:
+            aux = self.problem.pad_aux(aux, self.problem._tb(params))
+        rs = jnp.where(rs > 0, rs, jnp.ones_like(rs))
+        Rn = R / rs
+        scale = 1.0 / jnp.sqrt(rs)
+        Rn32 = Rn.astype(jnp.float32)
+        mx = jnp.max(jnp.abs(Rn32))
+        sc = jnp.where(mx > 0, mx, jnp.float32(1.0))
+        norms = (
+            jnp.sum(jnp.abs(Rn32 / sc)) * sc,
+            jnp.linalg.norm(Rn32 / sc) * sc,
+            mx,
+        )
+        return R, norms, scale, aux
+
+    def _prepare_fast32(self, x, params):
+        """Switched-precision prep (opts.prep32_tol): the whole pass —
+        residual included — at jacobian_dtype. One fused residual+Jacobian
+        evaluation instead of a separate software-emulated f64 residual
+        pass; used only while ||R|| is far from the convergence tolerance
+        (the endgame re-preps at full precision)."""
+        R, rs, aux = self.problem._assemble_fast(x, params, rdt=self._jdt)
         if self._use_padded:
             aux = self.problem.pad_aux(aux, self.problem._tb(params))
         rs = jnp.where(rs > 0, rs, jnp.ones_like(rs))
@@ -790,13 +823,28 @@ class NewtonSolver:
             # direct paths need the assembled vals, so re-gate per solve
             fast = self._fast_prep and opts.linear_solver in ("gmres",
                                                               "bicgstab")
+            if it == 0:
+                prep32 = (fast and opts.prep32_tol > 0
+                          and self._jdt != jnp.dtype(
+                              getattr(self.problem, "dtype", jnp.float64)))
             if fast:
-                R, norms, scale, aux = self._fastprep_jit(x, params)
+                if prep32:
+                    R, norms, scale, aux = self._fastprep32_jit(x, params)
+                else:
+                    R, norms, scale, aux = self._fastprep_jit(x, params)
                 vals = None
             else:
                 R, vals, norms, scale, aux = self._prep(x, params,
                                                         self._ntab["ell"])
             l1, l2, li = jax.device_get(norms)
+            if prep32 and (l2 < max(opts.prep32_tol, 2.0 * opts.tol_residual)
+                           or li < opts.tol_residual):
+                # endgame: the f32 norm is near the threshold — re-prep THIS
+                # iteration at full precision and stay there. Convergence is
+                # only ever declared from full-precision norms.
+                prep32 = False
+                R, norms, scale, aux = self._fastprep_jit(x, params)
+                l1, l2, li = jax.device_get(norms)
             t_asm += time.perf_counter() - t0
             res_norms.append((float(l1), float(l2), float(li)))
             if l2 < opts.tol_residual and li < opts.tol_residual:

@@ -197,6 +197,11 @@ class TwoLevel:
         # as 3 refinement steps); each step costs two dense (nc, nc) matvecs
         # of HBM traffic. Raise for tougher decks via the attribute.
         self.refine_steps = 0 if coarse_solve == "inv" else 0
+        # saddle-diagonal stabilization of the equal-order Galerkin coarse
+        # (see factor()); relative to the mean elliptic diagonal. 1e-6 is
+        # far below preconditioner-quality resolution yet bounds the
+        # periodic-deck checkerboard mode well above f32 eps.
+        self.coarse_reg = 1e-6
 
         nc, cids, wts, n_ell = _fine_to_coarse_weights(problem)
         self.nc = nc
@@ -269,6 +274,19 @@ class TwoLevel:
         cvals = jax.ops.segment_sum(ac_vals, tb["ac_idx"], num_segments=self._c_nnz)
         Ac = jnp.zeros((self.nc, self.nc), dtype=vals.dtype)
         Ac = Ac.at[tb["c_rows"], tb["c_cols"]].set(cvals)
+        if self.coarse_reg and self.n_elliptic < self.nc:
+            # pressure-stabilize the Galerkin coarse: the restricted space is
+            # equal-order (Q1 velocity / Q1 pressure), which is not inf-sup
+            # stable — on periodic/structured decks its checkerboard pressure
+            # mode is EXACTLY singular even when the fine Q2/Q1 operator is
+            # fine. A tiny negative saddle-diagonal shift (the classic
+            # eps-stabilized Stokes form [A B^T; B -eps I]) bounds the mode
+            # away from zero; preconditioner-only, never touches the fine
+            # operator the Krylov iterates against.
+            dm = jnp.mean(jnp.abs(jnp.diagonal(Ac)[: self.n_elliptic])) \
+                if self.n_elliptic else jnp.asarray(1.0, vals.dtype)
+            idx = jnp.arange(self.n_elliptic, self.nc)
+            Ac = Ac.at[idx, idx].add(-self.coarse_reg * dm)
         if self.coarse_solve == "inv":
             from goma_tpu.utils.la import saddle_split_inv
 

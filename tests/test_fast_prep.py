@@ -118,3 +118,35 @@ def test_fast_prep_point_constraint_rows():
     np.testing.assert_allclose(np.asarray(R_fast), np.asarray(R_full),
                                rtol=0, atol=1e-14)
     assert np.all(np.asarray(rs) > 0)
+
+
+def test_prep32_switched_precision_newton():
+    """Switched-precision prep (opts.prep32_tol): early iterations prep
+    entirely at jacobian_dtype (one fused residual+Jacobian pass — on TPU
+    this skips the software-emulated f64 residual), the endgame re-preps at
+    full precision. Must reproduce the full-precision path's iteration
+    count and solution; convergence is only declared from f64 norms."""
+    import dataclasses
+
+    _, prob = cavity_problem(8)
+    prob.jacobian_dtype = jnp.float32
+    x0 = jnp.zeros(prob.dofmap.n_dof, dtype=prob.dtype)
+    base = NewtonOptions(max_iter=20, tol_residual=1e-9, linear_tol=1e-6,
+                         precond="twolevel", gmres_restart=120,
+                         linear_maxiter=400)
+    sw = dataclasses.replace(base, prep32_tol=1e-4)
+    r0 = NewtonSolver(prob, base).solve(x0, prob.base_params())
+    r1 = NewtonSolver(prob, sw).solve(x0, prob.base_params())
+    assert r0.converged and r1.converged
+    assert r1.iters == r0.iters
+    # same root: the switched path must land on the same solution
+    np.testing.assert_allclose(r1.x, r0.x, rtol=0, atol=1e-9)
+    # norms agree to f32 accuracy while above the switch threshold (below
+    # it, tiny step differences compound and the absolute values are in
+    # the sub-tolerance noise — only the root and iter count must match)
+    for (a1, a2, a3), (b1, b2, b3) in zip(r0.res_norms, r1.res_norms):
+        if a2 < 1e-4:
+            break
+        assert abs(a2 - b2) <= 1e-4 * max(a2, 1e-30)
+    # final f64 norm actually below tol (not an f32-noise-floor readout)
+    assert r1.res_norms[-1][1] < 1e-9
