@@ -17,10 +17,14 @@ from goma_tpu.bc.porous_leak import (
 )
 from goma_tpu.bc.fluid import (
     ConvectiveHeatFlux,
+    ElectrokineticSlip,
     FlowPressure,
+    LevelSetSlip,
     MassTransferFlux,
     NavierSlip,
+    PowerLawSlip,
     RadiativeHeatFlux,
+    SlipHeating,
     cap_end_force,
     contact_angle_force,
 )

@@ -157,3 +157,149 @@ def contact_angle_force(wall_tangent, wall_normal, theta, sigma):
         return -s * m
 
     return f
+
+
+class PowerLawSlip(FaceKernel):
+    """VELO_SLIP_POWER / VELO_SLIP_POWER_CARD (``src/mm_ns_bc.c:3553
+    fvelo_slip_power_bc``): nonlinear slip law
+
+        n . sigma = -(1/beta) (t . (u - u_s))^m  t
+
+    — wall traction a power m of the tangential slip speed. ``tangent``
+    fixes t (the CARD variant / 3D requirement); omitted, t is the surface
+    tangent (2D). The m=1 case reduces exactly to :class:`NavierSlip`."""
+
+    def __init__(self, dim: int, beta: float, m: float, u_wall=0.0,
+                 tangent=None):
+        super().__init__("velocity", dim)
+        self.dim = dim
+        self.beta = beta
+        self.m = m
+        self.u_wall = u_wall
+        self.tangent = None if tangent is None else np.asarray(
+            tangent, dtype=float)
+
+    def residual(self, sfv, mat, params):
+        nq = sfv.x.shape[0]
+        uw = self.u_wall(sfv, mat, params) if callable(self.u_wall) \
+            else self.u_wall
+        uw = jnp.broadcast_to(jnp.asarray(uw, dtype=sfv.x.dtype),
+                              (nq, self.dim))
+        du = sfv.val["velocity"] - uw
+        if self.tangent is not None:
+            t = jnp.broadcast_to(jnp.asarray(self.tangent,
+                                             dtype=sfv.x.dtype),
+                                 (nq, self.dim))
+        else:
+            t = sfv.tangents[:, :, 0]
+            t = t / jnp.linalg.norm(t, axis=1, keepdims=True)
+        s = jnp.einsum("qk,qk->q", t, du)
+        # signed power |s|^(m-1) s keeps the law odd (drag opposes slip)
+        # and AD-safe at s = 0 for m >= 1
+        mag = jnp.sqrt(s * s + 1e-30)
+        tr = (1.0 / self.beta) * mag ** (self.m - 1.0) * s
+        phi = sfv.phi["velocity"]
+        return jnp.einsum("q,qk,qi->qki", tr, t, phi)
+
+
+class ElectrokineticSlip(FaceKernel):
+    """VELO_SLIP_EK / VELO_STREAMING (``src/mm_ns_bc.c:2276
+    fvelo_slip_electrokinetic_bc``): Helmholtz-Smoluchowski electroosmotic
+    wall slip — the tangential fluid velocity is driven to
+
+        u_HS = -(eps_perm * zeta / mu) (grad V . t)
+
+    The reference enforces t.v = u_HS strongly on the rotated tangent row;
+    here the same limit is reached through a weak slip term
+    (1/beta)(t.u - u_HS) with small beta, keeping the condition one
+    AD-differentiated face kernel (grad V enters the Jacobian for free)."""
+
+    def __init__(self, dim: int, permittivity: float, zeta: float,
+                 beta: float = 1e-6, potential_var: str = "voltage"):
+        super().__init__("velocity", dim)
+        self.dim = dim
+        self.permittivity = permittivity
+        self.zeta = zeta
+        self.beta = beta
+        self.potential_var = potential_var
+
+    def residual(self, sfv, mat, params):
+        t = sfv.tangents[:, :, 0]
+        t = t / jnp.linalg.norm(t, axis=1, keepdims=True)
+        gV = sfv.grad[self.potential_var][:, 0, :]
+        mu = prop(mat, "mu", sfv, params)
+        u_hs = -(self.permittivity * self.zeta / mu) * jnp.einsum(
+            "qk,qk->q", gV, t)
+        s = jnp.einsum("qk,qk->q", t, sfv.val["velocity"]) - u_hs
+        phi = sfv.phi["velocity"]
+        return (1.0 / self.beta) * jnp.einsum("q,qk,qi->qki", s, t, phi)
+
+
+class LevelSetSlip(FaceKernel):
+    """VELO_SLIP_FILL / VELO_SLIP_LEVEL / VELO_SLIP_LS_HEAVISIDE /
+    VELO_SLIP_ROT_FILL / VELO_SLIP_LEVEL_SIC (``src/mm_ns_bc.c:113
+    fvelo_slip_level``): slip coefficient modulated by the level-set /
+    fill field so the wall switches between a wetted (no-slip-like,
+    ``beta_wet``) and a dry / near-contact-line (``beta_dry``) slip length:
+
+        beta_eff = beta_wet * H_eps(F) + beta_dry * (1 - H_eps(F))
+
+    with H_eps the smoothed Heaviside over half-width ``eps_ls``. This is
+    the standard contact-line stress regularization for LS wetting flows.
+    ``tangential_only=False`` gives the _FILL variants that damp all
+    components (relying on a separate normal condition)."""
+
+    def __init__(self, dim: int, beta_wet: float, beta_dry: float,
+                 eps_ls: float, u_wall=0.0, ls_var: str = "fill",
+                 tangential_only: bool = True):
+        super().__init__("velocity", dim)
+        self.dim = dim
+        self.beta_wet = beta_wet
+        self.beta_dry = beta_dry
+        self.eps_ls = eps_ls
+        self.u_wall = u_wall
+        self.ls_var = ls_var
+        self.tangential_only = tangential_only
+
+    def residual(self, sfv, mat, params):
+        from goma_tpu.physics.level_set import heaviside
+
+        nq = sfv.x.shape[0]
+        uw = self.u_wall(sfv, mat, params) if callable(self.u_wall) \
+            else self.u_wall
+        uw = jnp.broadcast_to(jnp.asarray(uw, dtype=sfv.x.dtype),
+                              (nq, self.dim))
+        du = sfv.val["velocity"] - uw
+        if self.tangential_only:
+            n = sfv.normal
+            du = du - jnp.einsum("qk,qk->q", n, du)[:, None] * n
+        H = heaviside(sfv.val[self.ls_var][:, 0], self.eps_ls)
+        beta_eff = self.beta_wet * H + self.beta_dry * (1.0 - H)
+        phi = sfv.phi["velocity"]
+        return jnp.einsum("qa,qi->qai", du / beta_eff[:, None], phi)
+
+
+class SlipHeating(FaceKernel):
+    """Q_VELO_SLIP (``src/mm_ns_bc.c qside_directional`` family): frictional
+    heating at a slip wall — the slip work (1/beta)|u_t - u_s|^2 enters the
+    energy equation as an INCOMING surface heat flux (sign: heating)."""
+
+    def __init__(self, dim: int, beta: float, u_wall=0.0,
+                 var: str = "temperature"):
+        super().__init__(var, 1)
+        self.dim = dim
+        self.beta = beta
+        self.u_wall = u_wall
+
+    def residual(self, sfv, mat, params):
+        nq = sfv.x.shape[0]
+        uw = self.u_wall(sfv, mat, params) if callable(self.u_wall) \
+            else self.u_wall
+        uw = jnp.broadcast_to(jnp.asarray(uw, dtype=sfv.x.dtype),
+                              (nq, self.dim))
+        du = sfv.val["velocity"] - uw
+        n = sfv.normal
+        dut = du - jnp.einsum("qk,qk->q", n, du)[:, None] * n
+        q = -(1.0 / self.beta) * jnp.einsum("qk,qk->q", dut, dut)
+        phi = sfv.phi[self.var]
+        return q[:, None, None] * phi[:, None, :]
