@@ -19,10 +19,12 @@ from goma_tpu.bc.fluid import (
     ConvectiveHeatFlux,
     ElectrokineticSlip,
     FlowPressure,
+    LaserWeldFlux,
     LevelSetSlip,
     MassTransferFlux,
     NavierSlip,
     PowerLawSlip,
+    QVaporFlux,
     RadiativeHeatFlux,
     SlipHeating,
     cap_end_force,

@@ -303,3 +303,57 @@ class SlipHeating(FaceKernel):
         q = -(1.0 / self.beta) * jnp.einsum("qk,qk->q", dut, dut)
         phi = sfv.phi[self.var]
         return q[:, None, None] * phi[:, None, :]
+
+
+class QVaporFlux(FaceKernel):
+    """Q_VAPOR (``src/bc_integ.c:1486`` -> ``calculate_vapor_cool``,
+    ``src/mm_ns_bc.c:14609``): evaporative cooling of a free surface —
+    the Kanouff curve-fit energy loss leaves through the boundary
+    (positive weak term = outflux)."""
+
+    def __init__(self, T_boil: float, T_scale: float = 1.0,
+                 q_scale: float = 1.0, var: str = "temperature"):
+        super().__init__(var, 1)
+        from goma_tpu.physics.level_set import vapor_cool
+        self._q = vapor_cool(T_boil, T_scale, q_scale)
+
+    def residual(self, sfv, mat, params):
+        q = self._q(sfv.val[self.var][:, 0])
+        phi = sfv.phi[self.var]
+        return q[:, None, None] * phi[:, None, :]
+
+
+class LaserWeldFlux(FaceKernel):
+    """Q_LASER_WELD (``src/bc_integ.c:1482`` -> ``calculate_laser_flux``,
+    ``src/mm_ns_bc.c:14757``): traveling-Gaussian laser beam heating of
+    the surface, optionally with the |n . beam_dir| incidence factor and
+    combined evaporative cooling (the reference pairs them on keyhole
+    welds; pass ``T_boil`` to enable)."""
+
+    def __init__(self, power: float, radius: float, center,
+                 beam_velocity=None, absorptivity: float = 1.0,
+                 e_concen: float = 0.4522, beam_dir=None,
+                 T_boil: float = None, T_scale: float = 1.0,
+                 q_scale: float = 1.0, var: str = "temperature"):
+        super().__init__(var, 1)
+        from goma_tpu.physics.level_set import laser_flux, vapor_cool
+        self._laser = laser_flux(power, radius, center, beam_velocity,
+                                 absorptivity, e_concen)
+        self.beam_dir = None if beam_dir is None else (
+            np.asarray(beam_dir, dtype=float)
+            / np.linalg.norm(beam_dir))
+        self._vapor = None if T_boil is None else vapor_cool(
+            T_boil, T_scale, q_scale)
+
+    def residual(self, sfv, mat, params):
+        q_in = self._laser(sfv.x, params.get("time", 0.0))
+        if self.beam_dir is not None:
+            inc = jnp.abs(jnp.einsum(
+                "qk,k->q", sfv.normal,
+                jnp.asarray(self.beam_dir, dtype=sfv.x.dtype)))
+            q_in = q_in * inc
+        q_out = -q_in
+        if self._vapor is not None:
+            q_out = q_out + self._vapor(sfv.val[self.var][:, 0])
+        phi = sfv.phi[self.var]
+        return q_out[:, None, None] * phi[:, None, :]

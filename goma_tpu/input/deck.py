@@ -352,6 +352,11 @@ def build_gd_value(spec: dict):
     - ``const``:  c[0]
     - ``linear``: c[0] + c[1]*s
     - ``parab``:  c[0] + c[1]*s + c[2]*s^2
+    - ``parab_offset``: c[0] + c[1]*(s - c[3]) + c[2]*(s - c[3])^2
+                  (GD_PARAB_OFFSET, ``src/bc_colloc.c:2121``)
+    - ``inverse``: c[0] + c[1]/s (GD_INVERSE, ``src/bc_colloc.c:2085``)
+    - ``circ``:   c[2]*(s - c[1])^2 - c[0]^2 (GD_CIRC — circular/elliptic
+                  geometry factor, ``src/bc_colloc.c:2144``)
     - ``poly``:   sum_k c[k] s^k
     - ``sin``:    c[0] + c[1]*sin(c[2]*s + c[3])
     - ``exp``:    c[0] + c[1]*exp(c[2]*s)
@@ -368,8 +373,8 @@ def build_gd_value(spec: dict):
     factors = [dict(f) for f in spec["gd"]]
     for f in factors:
         kind, var = f.get("fn", "const"), f.get("var", "x")
-        if kind not in ("const", "linear", "parab", "poly", "sin", "exp",
-                        "table"):
+        if kind not in ("const", "linear", "parab", "parab_offset",
+                        "inverse", "circ", "poly", "sin", "exp", "table"):
             raise ValueError(f"unknown gd factor fn {kind!r}")
         if var not in ("x", "y", "z", "r", "time"):
             raise ValueError(f"unknown gd factor var {var!r}")
@@ -399,6 +404,13 @@ def build_gd_value(spec: dict):
                 g = c[0] + c[1] * s
             elif kind == "parab":
                 g = c[0] + c[1] * s + c[2] * s**2
+            elif kind == "parab_offset":
+                so = s - c[3]
+                g = c[0] + c[1] * so + c[2] * so**2
+            elif kind == "inverse":
+                g = c[0] + c[1] / s
+            elif kind == "circ":
+                g = c[2] * (s - c[1]) ** 2 - c[0] ** 2
             elif kind == "poly":
                 g = sum(ck * s**k for k, ck in enumerate(c))
             elif kind == "sin":

@@ -43,7 +43,9 @@ from goma_tpu.physics.level_set import (
     CSFSurfaceTension,
     FillEquation,
     LevelSetProperty,
+    LSEmbeddedDirichlet,
     LSEmbeddedFlux,
+    LSFlowPressure,
     LSRecoilPressure,
     delta,
     heaviside,

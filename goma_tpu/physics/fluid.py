@@ -31,6 +31,11 @@ def advective_velocity(fv, var: str = "velocity"):
     point (reference: x_dot subtraction throughout mm_fill_*.c for ALE)."""
     from goma_tpu.fem.fields import MESH_VAR
 
+    if var not in fv.val:
+        # pure-transport problems with no flow field (e.g. a pinned fill
+        # used as a frozen distance function): zero advection
+        dim = fv.x.shape[1]
+        return jnp.zeros((fv.x.shape[0], dim), dtype=fv.x.dtype)
     u = fv.val[var]
     if MESH_VAR in fv.dot:
         return u - fv.dot[MESH_VAR]

@@ -460,3 +460,143 @@ class LSCurvatureBoundary(FaceKernel):
         nhat = gF / jnp.sqrt(jnp.sum(gF * gF, axis=1) + 1e-30)[:, None]
         nn = jnp.einsum("qk,qk->q", nhat, sfv.normal)
         return (-nn[:, None] * sfv.phi[self.var])[:, None, :]
+
+
+def vapor_cool(T_boil, T_scale=1.0, q_scale=1.0):
+    """Kanouff evaporation-energy-loss curve fit (iron for
+    T_boil > 2000 T_scale, ice otherwise; the iron fit switches
+    coefficient sets at theta = 170 T_scale) — reference
+    ``calculate_vapor_cool``, ``src/mm_ns_bc.c:14609``. Returns q(T),
+    the energy LOST to vaporization per unit area (>= 0, zero below
+    the boiling point)."""
+    s = 1.0 / T_scale
+    if T_boil > 2000.0 * T_scale:
+        lo = (0.0, 8.14373e5 * s, -2.24831e3 * s * s, 2.71683e1 * s**3)
+        hi = (-3.1036e8, 3.2724e6 * s, -1.8084e3 * s * s, 2.7284e0 * s**3)
+    else:
+        lo = hi = (0.0, 3.442e7 * s, 7.7214e4 * s * s, 3.4523e3 * s**3)
+
+    def q(T):
+        th = jnp.maximum(T - T_boil, 0.0)
+        def cubic(c):
+            return c[0] + c[1] * th + c[2] * th**2 + c[3] * th**3
+        val = jnp.where(th <= 170.0 * T_scale, cubic(lo), cubic(hi))
+        return q_scale * jnp.where(th > 0.0, val, 0.0)
+
+    return q
+
+
+def qvapor_flux(T_boil, T_scale=1.0, q_scale=1.0):
+    """LS_QVAPOR closure for :class:`LSEmbeddedFlux`: evaporative energy
+    loss at the embedded interface (reference ``assemble_qvapor_source``,
+    ``src/mm_fill_terms.c:6124``; negative = out of the domain)."""
+    qv = vapor_cool(T_boil, T_scale, q_scale)
+
+    def f(fv, mat, params):
+        return -qv(fv.val["temperature"][:, 0])
+
+    return f
+
+
+def laser_flux(power, radius, center, beam_velocity=None,
+               absorptivity=1.0, e_concen=0.4522, t_cutoff=None):
+    """Traveling-Gaussian keyhole-weld laser flux (the core distribution
+    of reference ``calculate_laser_flux``, ``src/mm_ns_bc.c:14757``):
+
+        q(x, t) = a * P * 2 R_eff exp(-R_eff (|x - c(t)| / w)^2)
+
+    with R_eff = -ln(1 - e_concen) (reference energy-concentration card,
+    default 0.4522), beam center c(t) = center + beam_velocity * t, and an
+    optional pulse cutoff time. Returns ``f(x, t) -> (nq,)`` for use in
+    both the LS_QLASER embedded source and the Q_LASER_WELD surface BC."""
+    c0 = jnp.asarray(center, dtype=jnp.float64)
+    v = None if beam_velocity is None else jnp.asarray(beam_velocity,
+                                                       dtype=jnp.float64)
+    R_eff = -np.log(1.0 - e_concen)
+
+    def f(x, t):
+        c = c0 if v is None else c0 + v * t
+        r2 = jnp.sum((x - c[None, : x.shape[1]]) ** 2, axis=1)
+        q = absorptivity * power * 2.0 * R_eff * jnp.exp(
+            -R_eff * r2 / radius**2)
+        if t_cutoff is not None:
+            q = q * jnp.where(t <= t_cutoff, 1.0, 0.0)
+        return q
+
+    return f
+
+
+def qlaser_flux(power, radius, center, **kw):
+    """LS_QLASER closure for :class:`LSEmbeddedFlux` (reference
+    ``assemble_qlaser_source``, ``src/mm_fill_terms.c:4766`` dispatch):
+    laser heating at the embedded interface (positive = into the
+    domain)."""
+    lf = laser_flux(power, radius, center, **kw)
+
+    def f(fv, mat, params):
+        return lf(fv.x, params.get("time", 0.0))
+
+    return f
+
+
+class LSEmbeddedDirichlet(Equation):
+    """LS_U / LS_V / LS_W / LS_T / LS_Y family (reference
+    ``src/mm_fill_terms.c`` ``assemble_uvw_source`` / ``assemble_t_source``
+    / ``assemble_y_source``, dispatch :4680-4758): strong-in-the-limit
+    embedded Dirichlet on ``var`` at the level-set zero contour, applied
+    as a penalty source over the diffuse band
+
+        R_i += pen * delta_eps(F) |grad F| (u_comp - value) phi_i
+
+    LS_NO_SLIP is this on all velocity components with value 0. ``value``:
+    constant or callable ``(fv, mat, params) -> (nq,)``."""
+
+    def __init__(self, var: str, value, comp: int = 0, ncomp: int = 1,
+                 penalty: float = 1e6, interp: str = "Q2"):
+        super().__init__(var, ncomp, interp)
+        self.value = value
+        self.comp = comp
+        self.penalty = penalty
+
+    def residual(self, fv, mat, params):
+        eps = params["ls_eps"]
+        F = fv.val[FILL_VAR][:, 0]
+        gF = fv.grad[FILL_VAR][:, 0, :]
+        dl = delta(F, eps) * jnp.sqrt(jnp.sum(gF * gF, axis=1) + 1e-30)
+        v = self.value(fv, mat, params) if callable(self.value) else \
+            jnp.full_like(F, float(self.value))
+        u = fv.val[self.var][:, self.comp]
+        phi = fv.phi[self.var]
+        term = (self.penalty * dl * (u - v))[:, None] * phi
+        out = jnp.zeros((F.shape[0], self.ncomp, phi.shape[1]),
+                        dtype=phi.dtype)
+        return out.at[:, self.comp, :].set(term)
+
+
+class LSFlowPressure(Equation):
+    """LS_FLOW_PRESSURE (reference ``assemble_ls_momentum_source`` /
+    the LS_FLOW_PRESSURE embedded traction, ``src/mm_fill_terms.c``):
+    prescribed pressure P acting on the embedded interface as the
+    diffuse surface force
+
+        R_u,i -= int P n_ls delta_eps(F) |grad F| phi_i,  n_ls = grad F/|grad F|
+
+    At rest this produces the exact jump p(+) - p(-) = P across the
+    zero contour (validated against the static 1D jump)."""
+
+    def __init__(self, dim: int, p0=0.0, interp: str = "Q2"):
+        super().__init__("velocity", dim, interp)
+        self.dim = dim
+        self.p0 = p0
+
+    def residual(self, fv, mat, params):
+        eps = params["ls_eps"]
+        F = fv.val[FILL_VAR][:, 0]
+        gF = fv.grad[FILL_VAR][:, 0, :]
+        mag = jnp.sqrt(jnp.sum(gF * gF, axis=1) + 1e-30)
+        n_ls = gF / mag[:, None]
+        P = self.p0(fv, mat, params) if callable(self.p0) else \
+            jnp.full_like(F, float(self.p0))
+        dl = delta(F, eps) * mag
+        phi = fv.phi["velocity"]
+        return -jnp.einsum("q,qa,qi->qai", P * dl, n_ls, phi)

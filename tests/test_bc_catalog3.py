@@ -162,3 +162,240 @@ def test_slip_heating_couette():
     exact = q0 * (1.0 - mesh.coords[:, 1]) / k
     mask = ~np.isnan(T)
     np.testing.assert_allclose(T[mask], exact[mask], atol=1e-7)
+
+
+def test_ve_stress_gradient_dirichlet_family():
+    """S11/S12/S22 (per-mode stress Dirichlets, reference S11_BC..S33_7_BC)
+    and G11..G22 (velocity-gradient Dirichlets, G11_BC..G33_BC) are plain
+    ``add_dirichlet`` on the ``stress{m}`` / ``velocity_gradient`` fields;
+    U_VES*_PARABOLA is the same with a coords-callable value. Imposing the
+    exact simple-shear values at the inflow must leave the exact solution
+    intact (and the imposed rows must hold exactly)."""
+    from goma_tpu.physics import (VelocityGradientProjection, VEStress)
+
+    lam, mu_p, mu_s, V = 0.5, 1.0, 0.5, 1.0
+    mesh = rectangle_mesh(4, 4, elem="QUAD9")
+    mesh.nodesets["pin"] = np.array([0], dtype=np.int32)
+    prob = Problem(mesh, [
+        Momentum(dim=2, interp="Q2", transient=False, ve_stress_modes=1,
+                 devss_mu=mu_p),
+        Continuity(interp="Q1"),
+        VEStress(0, dim=2, lam=lam, mu_p=mu_p, model="oldroyd_b",
+                 interp="Q1", transient=False),
+        VelocityGradientProjection(dim=2, interp="Q1"),
+    ], {"rho": 0.0, "mu": mu_s})
+    shear = lambda c: V * c[:, 1]
+    for ns in ("left", "right", "top", "bottom"):
+        prob.add_dirichlet(ns, "velocity", 0, shear)
+        prob.add_dirichlet(ns, "velocity", 1, 0.0)
+    prob.add_dirichlet("pin", "pressure", 0, 0.0)
+    # exact simple-shear VE state: S12 = mu_p V, S11 = 2 lam mu_p V^2,
+    # S22 = 0; G = [[0, V], [0, 0]]
+    s11, s12 = 2 * lam * mu_p * V * V, mu_p * V
+    # U_VES..._PARABOLA machinery: coords-callable stress value (constant
+    # here — the exact state is uniform)
+    prob.add_dirichlet("left", "stress0", 0, lambda c: s11 + 0.0 * c[:, 0])
+    prob.add_dirichlet("left", "stress0", 1, s12)
+    prob.add_dirichlet("left", "stress0", 2, 0.0)
+    prob.add_dirichlet("left", "velocity_gradient", 0, 0.0)
+    prob.add_dirichlet("left", "velocity_gradient", 1, V)
+    prob.add_dirichlet("left", "velocity_gradient", 2, 0.0)
+    prob.add_dirichlet("left", "velocity_gradient", 3, 0.0)
+    prob.finalize()
+    res = NewtonSolver(prob, NewtonOptions(
+        max_iter=15, tol_residual=1e-10, linear_solver="direct")).solve(
+        np.zeros(prob.dofmap.n_dof), prob.base_params())
+    assert res.converged
+    S11 = prob.get_nodal_field(res.x, "stress0", 0)
+    S12 = prob.get_nodal_field(res.x, "stress0", 1)
+    S22 = prob.get_nodal_field(res.x, "stress0", 2)
+    G12 = prob.get_nodal_field(res.x, "velocity_gradient", 1)
+    np.testing.assert_allclose(S11[~np.isnan(S11)], s11, atol=1e-7)
+    np.testing.assert_allclose(S12[~np.isnan(S12)], s12, atol=1e-7)
+    np.testing.assert_allclose(S22[~np.isnan(S22)], 0.0, atol=1e-7)
+    np.testing.assert_allclose(G12[~np.isnan(G12)], V, atol=1e-7)
+
+
+def test_gd_circ_inverse_parab_offset():
+    """GD_CIRC / GD_INVERSE / GD_PARAB_OFFSET factor kinds
+    (src/bc_colloc.c:2085,2121,2144) evaluate per the reference formulas."""
+    from goma_tpu.input.deck import build_gd_value
+
+    coords = np.stack([np.linspace(1.0, 3.0, 5),
+                       np.linspace(0.0, 1.0, 5)], axis=1)
+    x = coords[:, 0]
+    v = build_gd_value({"gd": [{"fn": "inverse", "var": "x",
+                                "c": [2.0, 3.0]}]})(coords, {})
+    np.testing.assert_allclose(np.asarray(v), 2.0 + 3.0 / x, rtol=1e-12)
+    v = build_gd_value({"gd": [{"fn": "circ", "var": "x",
+                                "c": [0.5, 2.0, 4.0]}]})(coords, {})
+    np.testing.assert_allclose(np.asarray(v), 4.0 * (x - 2.0) ** 2 - 0.25,
+                               rtol=1e-12)
+    v = build_gd_value({"gd": [{"fn": "parab_offset", "var": "x",
+                                "c": [1.0, 2.0, 3.0, 0.5]}]})(coords, {})
+    np.testing.assert_allclose(
+        np.asarray(v), 1.0 + 2.0 * (x - 0.5) + 3.0 * (x - 0.5) ** 2,
+        rtol=1e-12)
+
+
+def test_qvapor_slab_exact():
+    """Q_VAPOR on the top of a conducting slab, T=T0 at the bottom: steady
+    1D balance k (T0 - T_top)/H = q_vapor(T_top) — the Kanouff cubic —
+    solved on the host by bisection; the FEM profile must be linear through
+    (T0, T_top)."""
+    from goma_tpu.bc import QVaporFlux
+    from goma_tpu.physics.level_set import vapor_cool
+
+    T0, T_boil, k, H = 400.0, 300.0, 50.0, 1.0
+    qv = vapor_cool(T_boil, T_scale=1.0, q_scale=1e-3)
+
+    def bal(Tt):
+        return k * (T0 - Tt) / H - float(qv(jnp.asarray(Tt)))
+
+    lo, hi = T_boil, T0
+    for _ in range(200):
+        mid = 0.5 * (lo + hi)
+        if bal(mid) > 0:
+            lo = mid
+        else:
+            hi = mid
+    T_top = 0.5 * (lo + hi)
+    assert T_boil < T_top < T0
+
+    mesh = rectangle_mesh(3, 6, elem="QUAD9", xlim=(0, 0.5), ylim=(0, H))
+    prob = Problem(mesh, [Energy(interp="Q2", transient=False,
+                                 convection=False)],
+                   {"k": k, "rho": 1.0, "Cp": 1.0})
+    prob.add_dirichlet("bottom", "temperature", 0, T0)
+    prob.add_face_kernel("top", QVaporFlux(T_boil=T_boil, q_scale=1e-3))
+    prob.finalize()
+    res = NewtonSolver(prob, OPTS).solve(
+        np.full(prob.dofmap.n_dof, T0), prob.base_params())
+    assert res.converged
+    T = prob.get_nodal_field(res.x, "temperature", 0)
+    exact = T0 + (T_top - T0) * mesh.coords[:, 1] / H
+    mask = ~np.isnan(T)
+    np.testing.assert_allclose(T[mask], exact[mask], rtol=2e-7)
+
+
+def test_laser_weld_energy_balance():
+    """Q_LASER_WELD Gaussian beam on the top, QCONV h(T - 0) on the bottom,
+    insulated sides: at steady state the heat convected out of the bottom
+    equals the laser power absorbed on top (global energy balance); the
+    absorbed power matches the closed-form 1D Gaussian integral (erf)."""
+    from math import erf, sqrt, pi, log
+
+    from goma_tpu.bc import ConvectiveHeatFlux, LaserWeldFlux
+    from goma_tpu.post import sideset_integral
+
+    P, w, xc, h, L = 10.0, 0.3, 1.0, 5.0, 2.0
+    mesh = rectangle_mesh(16, 6, elem="QUAD9", xlim=(0, L), ylim=(0, 0.5))
+    prob = Problem(mesh, [Energy(interp="Q2", transient=False,
+                                 convection=False)],
+                   {"k": 1.0, "rho": 1.0, "Cp": 1.0})
+    prob.add_face_kernel("top", LaserWeldFlux(power=P, radius=w,
+                                              center=(xc, 0.5)))
+    prob.add_face_kernel("bottom", ConvectiveHeatFlux(h=h, T_inf=0.0))
+    prob.finalize()
+    res = NewtonSolver(prob, OPTS).solve(np.zeros(prob.dofmap.n_dof),
+                                         prob.base_params())
+    assert res.converged
+    q_bot = sideset_integral(
+        prob, "bottom",
+        lambda sfv, mat, params: h * sfv.val["temperature"][:, 0])
+    out = float(q_bot(res.x, prob.base_params()))
+    # analytic absorbed power: int P 2 R exp(-R (x-xc)^2/w^2) dx over [0, L]
+    # int_0^L exp(-a^2 (x-xc)^2) dx = sqrt(pi)/(2a) (erf(a(L-xc)) + erf(a xc))
+    R = -log(1.0 - 0.4522)
+    a = sqrt(R) / w
+    p_in = P * 2.0 * R * (sqrt(pi) / (2.0 * a)) * (
+        erf(a * (L - xc)) + erf(a * xc))
+    np.testing.assert_allclose(out, p_in, rtol=1e-6)
+
+
+def test_ls_embedded_dirichlet_temperature():
+    """LS_T: fill pinned to the linear distance field x - 0.5, T=0 / T=3
+    at the walls, embedded T=2 at the zero contour: away from the diffuse
+    band the exact profile is piecewise linear 0->2 on [0, 0.5] and
+    2->3 on [0.5, 1]."""
+    from goma_tpu.physics import LSEmbeddedDirichlet
+
+    mesh = rectangle_mesh(32, 2, elem="QUAD9", xlim=(0, 1), ylim=(0, 0.1))
+    mesh.nodesets["all"] = np.arange(mesh.coords.shape[0], dtype=np.int32)
+    prob = Problem(mesh, [Energy(interp="Q2", transient=False,
+                                 convection=False),
+                          FillEquation(interp="Q2", transient=False,
+                                       supg=0.0),
+                          LSEmbeddedDirichlet("temperature", 2.0,
+                                              penalty=1e8, interp="Q2")],
+                   {"k": 1.0, "rho": 1.0, "Cp": 1.0})
+    prob.add_dirichlet("left", "temperature", 0, 0.0)
+    prob.add_dirichlet("right", "temperature", 0, 3.0)
+    prob.add_dirichlet("all", "fill", 0, lambda c: c[:, 0] - 0.5)
+    prob.finalize()
+    params = prob.base_params()
+    params["ls_eps"] = 0.06
+    res = NewtonSolver(prob, OPTS).solve(np.zeros(prob.dofmap.n_dof),
+                                         params)
+    assert res.converged
+    T = prob.get_nodal_field(res.x, "temperature", 0)
+    x = mesh.coords[:, 0]
+    # the interface value is met to the penalty tolerance (and held across
+    # the diffuse band)
+    mid = ~np.isnan(T) & (np.abs(x - 0.5) < 0.04)
+    np.testing.assert_allclose(T[mid], 2.0, atol=1e-5)
+    # outside the band the solution is pure linear conduction toward each
+    # wall value: T proportional to x on the left (through (0,0)) and to
+    # (1-x) on the right (through (1,3)); check by two-point ratios
+    ok = ~np.isnan(T)
+    for xa, xb in ((0.125, 0.25), (0.09375, 0.28125)):
+        Ta = T[ok & np.isclose(x, xa)][0]
+        Tb = T[ok & np.isclose(x, xb)][0]
+        np.testing.assert_allclose(Tb / Ta, xb / xa, rtol=1e-6)
+        Tc = T[ok & np.isclose(x, 1 - xa)][0]
+        Td = T[ok & np.isclose(x, 1 - xb)][0]
+        np.testing.assert_allclose((3 - Td) / (3 - Tc), xb / xa, rtol=1e-6)
+    # monotone overall (up to the penalty-scale wiggle inside the band)
+    order = np.argsort(x[ok])
+    assert np.all(np.diff(T[ok][order]) > -1e-5)
+
+
+def test_ls_flow_pressure_static_jump():
+    """LS_FLOW_PRESSURE: prescribed interface pressure P on a vertical
+    embedded boundary in a closed box of still fluid — exact rest state
+    with the pressure jump p(+) - p(-) = P across the zero contour."""
+    from goma_tpu.physics import LSFlowPressure
+
+    P0 = 2.5
+    mesh = rectangle_mesh(24, 6, elem="QUAD9", xlim=(0, 1), ylim=(0, 0.25))
+    mesh.nodesets["pin"] = np.array([0], dtype=np.int32)
+    mesh.nodesets["all"] = np.arange(mesh.coords.shape[0], dtype=np.int32)
+    prob = Problem(mesh, [Momentum(dim=2, interp="Q2", transient=False),
+                          Continuity(interp="Q1"),
+                          FillEquation(interp="Q2", transient=False,
+                                       supg=0.0),
+                          LSFlowPressure(dim=2, p0=P0)],
+                   {"rho": 1.0, "mu": 1.0})
+    for ns in ("left", "right", "top", "bottom"):
+        prob.add_dirichlet(ns, "velocity", 0, 0.0)
+        prob.add_dirichlet(ns, "velocity", 1, 0.0)
+    prob.add_dirichlet("pin", "pressure", 0, 0.0)
+    prob.add_dirichlet("all", "fill", 0, lambda c: c[:, 0] - 0.5)
+    prob.finalize()
+    params = prob.base_params()
+    params["ls_eps"] = 0.1
+    res = NewtonSolver(prob, OPTS).solve(np.zeros(prob.dofmap.n_dof),
+                                         params)
+    assert res.converged
+    u = prob.get_nodal_field(res.x, "velocity", 0)
+    p = prob.get_nodal_field(res.x, "pressure", 0)
+    x = mesh.coords[:, 0]
+    # spurious currents at the diffuse jump are the usual Q2/Q1-CSF
+    # artifact (the pressure space cannot represent the cosine ramp
+    # exactly); they must stay tiny relative to P0/mu
+    assert np.nanmax(np.abs(u)) < 1e-3
+    left = ~np.isnan(p) & (x < 0.5 - 0.12)
+    right = ~np.isnan(p) & (x > 0.5 + 0.12)
+    np.testing.assert_allclose(p[left], 0.0, atol=5e-3)
+    np.testing.assert_allclose(np.nanmean(p[right]) - np.nanmean(p[left]),
+                               P0, rtol=1e-3)
