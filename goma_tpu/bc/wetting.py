@@ -222,3 +222,57 @@ class CapRepulse(FaceKernel):
             ut = u - jnp.einsum("qk,qk->q", n, u)[:, None] * n
             out = out + invs[:, None, None] * jnp.einsum("qa,qi->qai", ut, phi)
         return out
+
+
+class RepulsiveForce(FaceKernel):
+    """REP_FORCE / ATTR_FORCE family (``src/mm_fill_solid.c:1570
+    rep_force_n_dot_f_bc``, roll variant :1725): a normal surface traction
+    that keeps a deforming boundary away from (or attracts it toward) a
+    wall:
+
+        repulsive:  f = -pr / d(x)^m     (pushes away as d -> 0)
+        attractive: f = +pr * d(x)^m     (pulls toward the wall)
+
+    applied along the surface normal, optionally with a Coulomb-like
+    tangential component ``friction * f``. ``d(x)``: distance to the plane
+    a x + b y + c z + dp = 0, or any ``dist_fn(x) -> (nq,)`` (roll / table
+    geometries — the _ROLL/_TABLE variants). ``var`` selects the equation
+    (mesh, real solid, or momentum rows)."""
+
+    def __init__(self, dim: int, pr: float, repexp: float = 4.0,
+                 plane=None, dist_fn=None, friction: float = 0.0,
+                 attract: bool = False, var: str = "mesh_displacement"):
+        super().__init__(var, dim)
+        self.dim = dim
+        self.pr = pr
+        self.repexp = repexp
+        self.friction = friction
+        self.attract = attract
+        if (plane is None) == (dist_fn is None):
+            raise ValueError("give exactly one of plane=(a,b,c,d) or "
+                             "dist_fn")
+        self.plane = None if plane is None else np.asarray(plane,
+                                                           dtype=float)
+        self.dist_fn = dist_fn
+
+    def _dist(self, x):
+        if self.dist_fn is not None:
+            return self.dist_fn(x)
+        p = jnp.asarray(self.plane, dtype=x.dtype)
+        denom = jnp.sqrt(jnp.sum(p[: self.dim] ** 2))
+        return jnp.abs(jnp.einsum("qk,k->q", x, p[: self.dim]) + p[3]) / denom
+
+    def residual(self, sfv, mat, params):
+        d = self._dist(sfv.x)
+        if self.attract:
+            f = self.pr * d ** self.repexp
+        else:
+            f = -self.pr / d ** self.repexp
+        tvec = sfv.normal
+        if self.friction:
+            t1 = sfv.tangents[:, :, 0]
+            t1 = t1 / jnp.linalg.norm(t1, axis=1, keepdims=True)
+            tvec = tvec + self.friction * t1
+        phi = sfv.phi[self.var]
+        # weak form adds -phi f n (a traction, reference func[a] convention)
+        return -jnp.einsum("q,qa,qi->qai", f, tvec, phi)

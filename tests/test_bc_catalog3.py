@@ -399,3 +399,42 @@ def test_ls_flow_pressure_static_jump():
     np.testing.assert_allclose(p[left], 0.0, atol=5e-3)
     np.testing.assert_allclose(np.nanmean(p[right]) - np.nanmean(p[left]),
                                P0, rtol=1e-3)
+
+
+def test_rep_force_plane_equilibrium():
+    """REP_FORCE: an elastic column fixed at the top with wall repulsion
+    -pr/d^m at the bottom (plane at y = -d0). Laterally constrained
+    uniaxial strain: the bottom rises by u_b solving
+    M u_b / H = pr / (d0 + u_b)^m, M = lam + 2 G; linear profile."""
+    from goma_tpu.bc.wetting import RepulsiveForce
+    from goma_tpu.physics import LinearElasticMesh
+
+    G, lam, pr, m, d0, H = 1.0, 1.0, 0.05, 2.0, 0.5, 1.0
+    M = lam + 2.0 * G
+
+    def bal(ub):
+        return M * ub / H - pr / (d0 + ub) ** m
+
+    lo, hi = 0.0, 1.0
+    for _ in range(200):
+        mid = 0.5 * (lo + hi)
+        (lo, hi) = (mid, hi) if bal(mid) < 0 else (lo, mid)
+    u_b = 0.5 * (lo + hi)
+
+    mesh = rectangle_mesh(2, 8, elem="QUAD9", xlim=(0, 0.25), ylim=(0, H))
+    prob = Problem(mesh, [LinearElasticMesh(dim=2, interp="Q2")],
+                   {"mesh_shear_modulus": G, "mesh_lambda": lam})
+    prob.add_dirichlet("top", "mesh_displacement", 1, 0.0)
+    for ns in ("left", "right", "top", "bottom"):
+        prob.add_dirichlet(ns, "mesh_displacement", 0, 0.0)
+    prob.add_face_kernel("bottom", RepulsiveForce(
+        dim=2, pr=pr, repexp=m, plane=(0.0, 1.0, 0.0, d0)))
+    prob.finalize()
+    res = NewtonSolver(prob, OPTS).solve(np.zeros(prob.dofmap.n_dof),
+                                         prob.base_params())
+    assert res.converged
+    uy = prob.get_nodal_field(res.x, "mesh_displacement", 1)
+    exact = u_b * (1.0 - mesh.coords[:, 1] / H)
+    mask = ~np.isnan(uy)
+    np.testing.assert_allclose(uy[mask], exact[mask], atol=2e-6)
+    assert u_b > 1e-3  # the repulsion actually moved the boundary
