@@ -1,5 +1,6 @@
 from goma_tpu.physics.fluid import Continuity, Momentum, SwirlMomentum
-from goma_tpu.physics.scalar_transport import Energy, Species
+from goma_tpu.physics.scalar_transport import (Energy, LightIntensity,
+                                               ResidenceTime, Species)
 from goma_tpu.physics.species_flux import (
     GeneralizedFickianSpecies,
     HydroSpecies,

@@ -73,22 +73,27 @@ class LevelSetProperty:
 
 
 class FillEquation(Equation):
-    """Level-set advection Fdot + u.grad(F) = 0 with SUPG."""
+    """Level-set advection Fdot + u.grad(F) = 0 with SUPG.
 
-    def __init__(self, interp: str = "Q1", supg: float = 0.5, transient: bool = True):
-        super().__init__(FILL_VAR, 1, interp)
+    ``var`` names the advected field — "fill" (default, the F/FILL card)
+    or any phase-field name (the reference's multi-phase-field F1..F5
+    fields, R_PHASE1..R_PHASE5)."""
+
+    def __init__(self, interp: str = "Q1", supg: float = 0.5,
+                 transient: bool = True, var: str = FILL_VAR):
+        super().__init__(var, 1, interp)
         self.supg = supg
         self.transient = transient
 
     def residual(self, fv, mat, params):
-        gF = fv.grad[FILL_VAR][:, 0, :]
+        gF = fv.grad[self.var][:, 0, :]
         u = advective_velocity(fv)
         r = jnp.einsum("qk,qk->q", u, gF)
         if self.transient:
-            r = r + fv.dot[FILL_VAR][:, 0]
-        phi = fv.phi[FILL_VAR]
+            r = r + fv.dot[self.var][:, 0]
+        phi = fv.phi[self.var]
         if self.supg > 0:
-            gphi = fv.gphi[FILL_VAR]
+            gphi = fv.gphi[self.var]
             u2 = jnp.sum(u * u, axis=1)
             tau = self.supg * fv.h_elem * jnp.sqrt(u2 + 1e-30) / (2.0 * u2 + 1e-12)
             w = phi + tau[:, None] * jnp.einsum("qk,qik->qi", u, gphi)

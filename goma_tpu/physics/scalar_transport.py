@@ -96,3 +96,79 @@ class Species(Equation):
             )
             contrib = contrib - jnp.einsum("qw,qi->qwi", Sval, phi)
         return contrib
+
+
+class ResidenceTime(Equation):
+    """RESTIME (reference ``assemble_poynting`` residence-time branch,
+    ``src/mm_fill_terms.c``, eqn R_RESTIME): residence-time transport
+
+        tau_dot + u . grad(tau) - div(D grad tau) = 1
+
+    so tau accumulates 1 unit per unit time along pathlines — the field
+    whose boundary-to-point value is the fluid's residence time.
+    SUPG-stabilized for the advection-dominated (D -> 0) limit."""
+
+    def __init__(self, interp: str = "Q1", D: float = 0.0,
+                 supg: float = 0.5, transient: bool = False):
+        super().__init__("restime", 1, interp)
+        self.D = D
+        self.supg = supg
+        self.transient = transient
+
+    def residual(self, fv, mat, params):
+        from goma_tpu.physics.fluid import advective_velocity
+
+        g = fv.grad["restime"][:, 0, :]
+        u = advective_velocity(fv)
+        r = jnp.einsum("qk,qk->q", u, g) - 1.0
+        if self.transient:
+            r = r + fv.dot["restime"][:, 0]
+        phi = fv.phi["restime"]
+        gphi = fv.gphi["restime"]
+        if self.supg > 0:
+            u2 = jnp.sum(u * u, axis=1)
+            tau = self.supg * fv.h_elem * jnp.sqrt(u2 + 1e-30) / (
+                2.0 * u2 + 1e-12)
+            w = phi + tau[:, None] * jnp.einsum("qk,qik->qi", u, gphi)
+        else:
+            w = phi
+        contrib = jnp.einsum("q,qi->qi", r, w)
+        if self.D:
+            contrib = contrib + self.D * jnp.einsum("qk,qik->qi", g, gphi)
+        return contrib[:, None, :]
+
+
+class LightIntensity(Equation):
+    """LIGHTP / LIGHTM / LIGHTD (reference ``assemble_poynting`` light
+    branches, eqns R_LIGHT_INTP/INTM/INTD): Beer-Lambert directional
+    light-intensity absorption
+
+        s . grad(I) + beta I = 0
+
+    with propagation direction s (+dir for the forward P wave, -dir for
+    the backward M wave, the D diffuse field solved with its own beta).
+    Exact 1D solution I = I0 exp(-beta s.x) (SUPG-stabilized first-order
+    transport)."""
+
+    def __init__(self, direction, beta: float, var: str = "light_intp",
+                 interp: str = "Q1", supg: float = 0.5):
+        super().__init__(var, 1, interp)
+        import numpy as _np
+        d = _np.asarray(direction, dtype=float)
+        self.direction = d / _np.linalg.norm(d)
+        self.beta = beta
+        self.supg = supg
+
+    def residual(self, fv, mat, params):
+        g = fv.grad[self.var][:, 0, :]
+        I = fv.val[self.var][:, 0]
+        s = jnp.asarray(self.direction, dtype=fv.x.dtype)[: fv.x.shape[1]]
+        r = jnp.einsum("qk,k->q", g, s) + self.beta * I
+        phi = fv.phi[self.var]
+        gphi = fv.gphi[self.var]
+        if self.supg > 0:
+            tau = self.supg * fv.h_elem / 2.0
+            w = phi + tau[:, None] * jnp.einsum("qik,k->qi", gphi, s)
+        else:
+            w = phi
+        return jnp.einsum("q,qi->qi", r, w)[:, None, :]

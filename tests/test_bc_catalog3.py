@@ -438,3 +438,76 @@ def test_rep_force_plane_equilibrium():
     mask = ~np.isnan(uy)
     np.testing.assert_allclose(uy[mask], exact[mask], atol=2e-6)
     assert u_b > 1e-3  # the repulsion actually moved the boundary
+
+
+def test_residence_time_plug_flow():
+    """RESTIME: plug flow U through a channel, tau = 0 at the inlet:
+    exact tau(x) = x/U (the SUPG weak form reproduces the linear exact
+    solution exactly on Q1)."""
+    from goma_tpu.physics import ResidenceTime
+
+    U = 2.0
+    mesh = rectangle_mesh(8, 3, elem="QUAD9", xlim=(0, 2.0), ylim=(0, 0.5))
+    mesh.nodesets["pin"] = np.array([0], dtype=np.int32)
+    prob = Problem(mesh, [Momentum(dim=2, interp="Q2", transient=False),
+                          Continuity(interp="Q1"),
+                          ResidenceTime(interp="Q1", supg=0.5)],
+                   {"rho": 1.0, "mu": 1.0})
+    for ns in ("left", "right", "top", "bottom"):
+        prob.add_dirichlet(ns, "velocity", 0, U)
+        prob.add_dirichlet(ns, "velocity", 1, 0.0)
+    prob.add_dirichlet("pin", "pressure", 0, 0.0)
+    prob.add_dirichlet("left", "restime", 0, 0.0)
+    prob.finalize()
+    # pure advection has no tau-rows at u = 0: start from the plug-flow
+    # initial condition (the usual deck initial guess)
+    x0 = np.asarray(prob.set_nodal_field(
+        np.zeros(prob.dofmap.n_dof), "velocity", 0,
+        np.full(mesh.coords.shape[0], U)))
+    res = NewtonSolver(prob, OPTS).solve(x0, prob.base_params())
+    assert res.converged
+    tau = prob.get_nodal_field(res.x, "restime", 0)
+    exact = mesh.coords[:, 0] / U
+    mask = ~np.isnan(tau)
+    np.testing.assert_allclose(tau[mask], exact[mask], atol=1e-8)
+
+
+def test_light_intensity_beer_lambert():
+    """LIGHTP: forward Beer-Lambert absorption along +x with I=I0 at the
+    inlet: exact I = I0 exp(-beta x) to discretization error."""
+    from goma_tpu.physics import LightIntensity
+
+    I0, beta = 3.0, 1.5
+    mesh = rectangle_mesh(48, 2, elem="QUAD9", xlim=(0, 1.0), ylim=(0, 0.1))
+    prob = Problem(mesh, [LightIntensity(direction=(1.0, 0.0), beta=beta,
+                                         interp="Q1", supg=0.2)], {})
+    prob.add_dirichlet("left", "light_intp", 0, I0)
+    prob.finalize()
+    res = NewtonSolver(prob, OPTS).solve(np.zeros(prob.dofmap.n_dof),
+                                         prob.base_params())
+    assert res.converged
+    I = prob.get_nodal_field(res.x, "light_intp", 0)
+    exact = I0 * np.exp(-beta * mesh.coords[:, 0])
+    mask = ~np.isnan(I)
+    np.testing.assert_allclose(I[mask], exact[mask], rtol=3e-3)
+
+
+def test_multi_phase_field_advection():
+    """F1..F5 (R_PHASE1..5): FillEquation with a per-phase var name —
+    two independent phase fields pinned to different planes coexist."""
+    mesh = rectangle_mesh(6, 6, elem="QUAD9")
+    mesh.nodesets["all"] = np.arange(mesh.coords.shape[0], dtype=np.int32)
+    prob = Problem(mesh, [
+        FillEquation(interp="Q2", transient=False, supg=0.0, var="phase1"),
+        FillEquation(interp="Q2", transient=False, supg=0.0, var="phase2"),
+    ], {})
+    prob.add_dirichlet("all", "phase1", 0, lambda c: c[:, 0] - 0.3)
+    prob.add_dirichlet("all", "phase2", 0, lambda c: c[:, 1] - 0.7)
+    prob.finalize()
+    res = NewtonSolver(prob, OPTS).solve(np.zeros(prob.dofmap.n_dof),
+                                         prob.base_params())
+    assert res.converged
+    f1 = prob.get_nodal_field(res.x, "phase1", 0)
+    f2 = prob.get_nodal_field(res.x, "phase2", 0)
+    np.testing.assert_allclose(f1, mesh.coords[:, 0] - 0.3, atol=1e-12)
+    np.testing.assert_allclose(f2, mesh.coords[:, 1] - 0.7, atol=1e-12)
