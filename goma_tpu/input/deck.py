@@ -90,6 +90,18 @@ def _init_registry():
         ),
         potential=lambda a: Potential(**a),
         reynolds_film=lambda a: ReynoldsFilm(**a),
+        restime=lambda a: __import__(
+            'goma_tpu.physics', fromlist=['ResidenceTime']
+        ).ResidenceTime(**a),
+        light_intensity=lambda a: __import__(
+            'goma_tpu.physics', fromlist=['LightIntensity']
+        ).LightIntensity(**a),
+        ls_embedded_dirichlet=lambda a: __import__(
+            'goma_tpu.physics', fromlist=['LSEmbeddedDirichlet']
+        ).LSEmbeddedDirichlet(**a),
+        ls_flow_pressure=lambda a: __import__(
+            'goma_tpu.physics', fromlist=['LSFlowPressure']
+        ).LSFlowPressure(**a),
     )
 
     from goma_tpu.physics import (
@@ -170,6 +182,22 @@ def _init_face_registry():
         butler_volmer=lambda a: ButlerVolmerBC(**a),
         sommerfeld=lambda a: SommerfeldBC(**a),
         navier_slip=lambda a: NavierSlip(**a),
+        power_law_slip=lambda a: __import__(
+            'goma_tpu.bc', fromlist=['PowerLawSlip']).PowerLawSlip(**a),
+        electrokinetic_slip=lambda a: __import__(
+            'goma_tpu.bc', fromlist=['ElectrokineticSlip']
+        ).ElectrokineticSlip(**a),
+        level_set_slip=lambda a: __import__(
+            'goma_tpu.bc', fromlist=['LevelSetSlip']).LevelSetSlip(**a),
+        slip_heating=lambda a: __import__(
+            'goma_tpu.bc', fromlist=['SlipHeating']).SlipHeating(**a),
+        laser_weld_flux=lambda a: __import__(
+            'goma_tpu.bc', fromlist=['LaserWeldFlux']).LaserWeldFlux(**a),
+        qvapor=lambda a: __import__(
+            'goma_tpu.bc', fromlist=['QVaporFlux']).QVaporFlux(**a),
+        repulsive_force=lambda a: __import__(
+            'goma_tpu.bc.wetting', fromlist=['RepulsiveForce']
+        ).RepulsiveForce(**a),
         flow_pressure=lambda a: FlowPressure(**a),
         qconv=lambda a: ConvectiveHeatFlux(**a),
         qrad=lambda a: RadiativeHeatFlux(**a),
