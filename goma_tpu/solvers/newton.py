@@ -127,11 +127,21 @@ class NewtonOptions:
     precond_dtype: str = "f32"
     # lagged preconditioner: reuse the factored preconditioner across Newton
     # iterations (and time steps) until the Krylov iteration count degrades
-    # by >= 2 restart cycles over its post-factor baseline. The Krylov
+    # past the staleness threshold over its post-factor baseline. The Krylov
     # OPERATOR is always the fresh exact Jacobian — only the preconditioner
     # lags, so Newton convergence is unaffected. Reference analog: Aztec
     # pre_calc/AZ_reuse (src/sl_util.c:380).
     precond_lag: bool = True
+    # staleness threshold (extra Krylov its over the post-factor baseline
+    # before the lagged factor is declared stale). For the near-exact NDLU
+    # preconditioner the check also fires MID-SOLVE: the solve refactors and
+    # continues from its current iterate instead of grinding a tight-
+    # tolerance endgame solve on a stale factor (the r3 tol1e10 cliff:
+    # linear_iters [1,120,120,181,240] at 8x the 1e-6 per-iteration cost).
+    # None -> kind-based default: 45 for "ndlu", else 2*gmres_restart
+    # (high-iteration preconditioners like twolevel take 100+ its by design
+    # — growth there is intrinsic, not staleness).
+    precond_stale_its: int | None = None
     # GCRO-DR Krylov recycling: carry a k-dimensional harmonic-Ritz
     # deflation space between the Newton iterations' linear solves (the
     # slowly-varying Jacobian family shares its bad eigenvalue cluster).
@@ -676,6 +686,15 @@ class NewtonSolver:
                                jnp.asarray(g_v, V.dtype), Uz, V)
         return Un
 
+    def _stale_its(self) -> int:
+        """Krylov-iteration growth over the post-factor baseline that marks
+        a lagged preconditioner factor stale (opts.precond_stale_its)."""
+        if self.opts.precond_stale_its is not None:
+            return int(self.opts.precond_stale_its)
+        if self._precond_kind == "ndlu":
+            return 45
+        return 2 * self.opts.gmres_restart
+
     def _linsolve_gmres(self, vals, R, scale=None, aux=None, tol=None):
         opts = self.opts
         if scale is None:
@@ -683,7 +702,8 @@ class NewtonSolver:
         ptab = self._ptab if (aux is not None and self._use_elem_mv) else None
         if aux is None:
             aux = ((), (), ())
-        if self.opts.precond_lag and self._fac_cache is not None:
+        lagged = opts.precond_lag and self._fac_cache is not None
+        if lagged:
             fac = self._fac_cache
         else:
             # fast-prep path carries vals=None: materialize the equilibrated
@@ -734,23 +754,44 @@ class NewtonSolver:
                 if Un is not None:
                     self._recycle_U = Un
         else:
+            stale = self._stale_its()
+            base = self._fac_base_its if lagged else None
+            it_refac = 0
             while rn > target and it < opts.linear_maxiter:
+                if (lagged and it >= (base or 0) + stale):
+                    # the lagged factor can't carry THIS solve's tolerance:
+                    # refactor mid-solve and continue from the current
+                    # iterate (the r3 tol1e10 cliff fix)
+                    vals_f = (vals if vals is not None
+                              else self._vals_for_factor(scale))
+                    fac = self._factor_jit(vals_f, self._ntab,
+                                           *self._factor_state(vals_f))
+                    self._fac_cache = fac
+                    self._fac_base_its = None
+                    lagged = False
+                    it_refac = it
                 prev = rn
                 z, rnj, cj = self._cycle_jit(vals, scale, aux, ptab, self._ntab,
                                              fac, z, b,
                                              jnp.asarray(tol, dtype=b.dtype))
-                rn = float(jax.device_get(rnj))
-                it += max(int(jax.device_get(cj)), 1)
+                # ONE host sync for both scalars: each device_get is a full
+                # tunnel round trip (~30 ms measured) on remote-dispatch TPU
+                rn_h, cj_h = jax.device_get((rnj, cj))
+                rn = float(rn_h)
+                it += max(int(cj_h), 1)
                 if not np.isfinite(rn):
                     break
                 if rn >= 0.999 * prev:
                     break  # stagnation (e.g. optimistic in-cycle estimate)
         if opts.precond_lag:
             # staleness policy: drop the cached factor once the iteration
-            # count degrades by two restart cycles over its baseline
+            # count degrades past the threshold over its baseline. After a
+            # mid-solve refactor the baseline counts only post-refactor its.
             if self._fac_base_its is None:
-                self._fac_base_its = it
-            elif it >= self._fac_base_its + 2 * opts.gmres_restart or not np.isfinite(rn):
+                self._fac_base_its = it - (it_refac if opts.recycle_k == 0
+                                           else 0)
+            elif (it >= self._fac_base_its + self._stale_its()
+                  or not np.isfinite(rn)):
                 self._fac_cache = None
         return LinearResult(
             x=scale * z, iters=jnp.asarray(it), resnorm=jnp.asarray(rn),
@@ -987,8 +1028,13 @@ class NewtonSolver:
                 lin_iters.append(int(jax.device_get(lr.iters)))
             t_slv += time.perf_counter() - t0
             x = x - self._select_damp(float(li)) * dx.astype(x.dtype)
-            un = float(jax.device_get(jnp.linalg.norm(dx)))
-            upd_norms.append(un)
+            if opts.tol_update > 0 or opts.full_history:
+                # the update norm costs a host round trip (~30 ms on the
+                # remote tunnel): fetch it only when something consumes it
+                un = float(jax.device_get(jnp.linalg.norm(dx)))
+                upd_norms.append(un)
+            else:
+                un = np.inf
             if opts.tol_update > 0 and un < opts.tol_update:
                 # correction-norm convergence (reference Epsilon[2] path)
                 if fast:
