@@ -102,6 +102,18 @@ def _init_registry():
         ls_flow_pressure=lambda a: __import__(
             'goma_tpu.physics', fromlist=['LSFlowPressure']
         ).LSFlowPressure(**a),
+        ext_velocity=lambda a: __import__(
+            'goma_tpu.physics', fromlist=['ExtensionVelocity']
+        ).ExtensionVelocity(**a),
+        ls_extv_kinematic=lambda a: __import__(
+            'goma_tpu.physics', fromlist=['LSExtVKinematic']
+        ).LSExtVKinematic(**a),
+        ls_extv_latent=lambda a: __import__(
+            'goma_tpu.physics', fromlist=['LSExtVLatent']
+        ).LSExtVLatent(**a),
+        fill_ext_v=lambda a: __import__(
+            'goma_tpu.physics', fromlist=['FillExtV']
+        ).FillExtV(**a),
     )
 
     from goma_tpu.physics import (

@@ -42,8 +42,12 @@ from goma_tpu.physics.shell_porous import (LubPorousSink, PorousShellClosed,
                                            PorousShellStackLayer)
 from goma_tpu.physics.level_set import (
     CSFSurfaceTension,
+    ExtensionVelocity,
     FillEquation,
+    FillExtV,
     LevelSetProperty,
+    LSExtVKinematic,
+    LSExtVLatent,
     LSEmbeddedDirichlet,
     LSEmbeddedFlux,
     LSFlowPressure,

@@ -578,6 +578,168 @@ class LSEmbeddedDirichlet(Equation):
         return out.at[:, self.comp, :].set(term)
 
 
+EXT_V_VAR = "ext_velocity"
+
+
+class ExtensionVelocity(Equation):
+    """Extension-velocity equation R_EXT_VELOCITY (reference
+    ``assemble_extension_velocity``, ``src/mm_fill_ls.c:8046``): extend a
+    scalar interface speed ``v_ext`` off the zero contour constant along
+    level-set normals,
+
+        grad(F) . grad(v_ext) = 0
+
+    tested with the SIGNED Petrov-Galerkin weight
+
+        w_i = S phi_i + tau grad(F).grad(phi_i),
+        S = 2 H_eps(F) - 1,  tau = h_elem / 2
+
+    (the upwinding runs AWAY from the interface on both sides, so
+    information propagates outward from the pinned band). Pair with
+    :class:`LSExtVKinematic` (or a variant) to pin v_ext = vnorm on the
+    interface, and :class:`FillExtV` to advect F with the extended speed."""
+
+    def __init__(self, interp: str = "Q1", var: str = EXT_V_VAR):
+        super().__init__(var, 1, interp)
+
+    def residual(self, fv, mat, params):
+        eps = params["ls_eps"]
+        F = fv.val[FILL_VAR][:, 0]
+        gF = fv.grad[FILL_VAR][:, 0, :]
+        gv = fv.grad[self.var][:, 0, :]
+        r = jnp.einsum("qk,qk->q", gF, gv)
+        S = 2.0 * heaviside(F, eps) - 1.0
+        tau = 0.5 * fv.h_elem
+        phi = fv.phi[self.var]
+        gphi = fv.gphi[self.var]
+        w = S[:, None] * phi + tau[:, None] * jnp.einsum(
+            "qk,qik->qi", gF, gphi)
+        return (r[:, None] * w)[:, None, :]
+
+
+class LSExtVKinematic(Equation):
+    """LS_EXTV_KINEMATIC / LS_EXTV_KIN_LEAK family (reference
+    ``assemble_extv_kinematic``, ``src/mm_fill_terms.c:7067``): pin the
+    extension velocity to the interfacial normal speed through the
+    diffuse-band source on the EXT_V rows
+
+        R_i += int 2 delta_eps(F) |grad F| (sign*vnorm - coeff*(tau*v_ext_dot
+               + v_ext)) phi_i
+
+    ``vnorm``: None -> fluid u.n (LS_EXTV_KINEMATIC); callable
+    ``(fv, mat, params) -> (nq,)`` for leak/user closures
+    (LS_EXTV_KIN_LEAK with a ``kin_bc_leak``-style closure; the
+    LS_EIK_KINEMATIC / LS_EIK_KIN_LEAK eikonal variants are the same pin
+    with FillExtV advecting F). ``include_fluid=True`` adds u.n on top of a
+    callable vnorm (the reference's Fill_Equation == FILL_EQN_EXT_V
+    convention)."""
+
+    def __init__(self, vnorm=None, sign: float = 1.0, coeff: float = 1.0,
+                 tau: float = 0.0, include_fluid: bool = False,
+                 interp: str = "Q1", var: str = EXT_V_VAR):
+        super().__init__(var, 1, interp)
+        self.vnorm = vnorm
+        self.sign = sign
+        self.coeff = coeff
+        self.tau = tau
+        self.include_fluid = include_fluid
+
+    def _vnorm(self, fv, mat, params, n):
+        if self.vnorm is None:
+            u = fv.val["velocity"]
+            return jnp.einsum("qk,qk->q", u[:, : n.shape[1]], n)
+        v = self.vnorm(fv, mat, params)
+        if self.include_fluid:
+            u = fv.val["velocity"]
+            v = v + jnp.einsum("qk,qk->q", u[:, : n.shape[1]], n)
+        return v
+
+    def residual(self, fv, mat, params):
+        eps = params["ls_eps"]
+        F = fv.val[FILL_VAR][:, 0]
+        gF = fv.grad[FILL_VAR][:, 0, :]
+        mag = jnp.sqrt(jnp.sum(gF * gF, axis=1) + 1e-30)
+        n = gF / mag[:, None]
+        vn = self._vnorm(fv, mat, params, n)
+        v = fv.val[self.var][:, 0]
+        vdot = fv.dot[self.var][:, 0] if self.tau else 0.0
+        src = 2.0 * delta(F, eps) * mag * (
+            self.sign * vn - self.coeff * (self.tau * vdot + v))
+        # note the reference ADDS this to R (it is a pin, not a flux);
+        # our convention solves R = 0, so negate to make d(src)/d(v_ext)
+        # positive-definite on the band
+        return (-src[:, None] * fv.phi[self.var])[:, None, :]
+
+
+class LSExtVLatent(LSExtVKinematic):
+    """LS_EXTV_LATENT (reference ``assemble_extv_kinematic``
+    LS_EXTV_LATENT case, ``src/mm_fill_terms.c:7215``): melting/solidifying
+    interface speed pinned by the latent-heat relaxation
+
+        vnorm = L_coeff (T - T_ref),  coeff = dt_avg grad(T).n,  sign = -1
+
+    with ``tau`` the relaxation time of the v_ext_dot damping term."""
+
+    def __init__(self, L_coeff: float, T_ref: float, dt_avg: float = 1.0,
+                 tau: float = 0.0, interp: str = "Q1", var: str = EXT_V_VAR):
+        super().__init__(vnorm=None, sign=-1.0, coeff=1.0, tau=tau,
+                         interp=interp, var=var)
+        self.L_coeff = L_coeff
+        self.T_ref = T_ref
+        self.dt_avg = dt_avg
+
+    def _vnorm(self, fv, mat, params, n):
+        return self.L_coeff * (fv.val["temperature"][:, 0] - self.T_ref)
+
+    def residual(self, fv, mat, params):
+        eps = params["ls_eps"]
+        F = fv.val[FILL_VAR][:, 0]
+        gF = fv.grad[FILL_VAR][:, 0, :]
+        mag = jnp.sqrt(jnp.sum(gF * gF, axis=1) + 1e-30)
+        n = gF / mag[:, None]
+        vn = self._vnorm(fv, mat, params, n)
+        gT = fv.grad["temperature"][:, 0, :]
+        coeff = self.dt_avg * jnp.einsum("qk,qk->q", gT, n)
+        v = fv.val[self.var][:, 0]
+        vdot = fv.dot[self.var][:, 0] if self.tau else 0.0
+        src = 2.0 * delta(F, eps) * mag * (
+            self.sign * vn - coeff * (self.tau * vdot + v))
+        return (-src[:, None] * fv.phi[self.var])[:, None, :]
+
+
+class FillExtV(Equation):
+    """Level-set advection by the EXTENSION velocity (reference
+    ``assemble_fill_ext_v``, ``src/mm_fill_fill.c:1421``): when the fill
+    equation card selects EXT_V the interface moves with the extended
+    normal speed instead of the fluid velocity,
+
+        F_t + v_ext |grad F| = 0
+
+    with the GLS weight w_i = phi_i + tau_gls v_ext n.grad(phi_i),
+    tau_gls = 1/sqrt((2/dt)^2 + (2 |v_ext|/h)^2)."""
+
+    def __init__(self, interp: str = "Q1", transient: bool = True,
+                 var: str = FILL_VAR, ext_var: str = EXT_V_VAR):
+        super().__init__(var, 1, interp)
+        self.transient = transient
+        self.ext_var = ext_var
+
+    def residual(self, fv, mat, params):
+        gF = fv.grad[self.var][:, 0, :]
+        mag = jnp.sqrt(jnp.sum(gF * gF, axis=1) + 1e-30)
+        v = fv.val[self.ext_var][:, 0]
+        r = v * mag
+        if self.transient:
+            r = r + fv.dot[self.var][:, 0]
+        dt = params.get("dt", 0.0)
+        inv_dt2 = (2.0 / dt) ** 2 if dt else 0.0
+        tau = 1.0 / jnp.sqrt(inv_dt2 + (2.0 * v / fv.h_elem) ** 2 + 1e-30)
+        n = gF / mag[:, None]
+        w = fv.phi[self.var] + (tau * v)[:, None] * jnp.einsum(
+            "qk,qik->qi", n, fv.gphi[self.var])
+        return (r[:, None] * w)[:, None, :]
+
+
 class LSFlowPressure(Equation):
     """LS_FLOW_PRESSURE (reference ``assemble_ls_momentum_source`` /
     the LS_FLOW_PRESSURE embedded traction, ``src/mm_fill_terms.c``):
