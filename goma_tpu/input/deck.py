@@ -114,6 +114,15 @@ def _init_registry():
         fill_ext_v=lambda a: __import__(
             'goma_tpu.physics', fromlist=['FillExtV']
         ).FillExtV(**a),
+        ls_normal=lambda a: __import__(
+            'goma_tpu.physics', fromlist=['SolvedNormal']
+        ).SolvedNormal(**a),
+        bond=lambda a: __import__(
+            'goma_tpu.physics', fromlist=['BondEvolution']
+        ).BondEvolution(**a),
+        vort_dir=lambda a: __import__(
+            'goma_tpu.physics', fromlist=['VorticityDirection']
+        ).VorticityDirection(**a),
     )
 
     from goma_tpu.physics import (

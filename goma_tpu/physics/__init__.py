@@ -1,5 +1,6 @@
 from goma_tpu.physics.fluid import Continuity, Momentum, SwirlMomentum
-from goma_tpu.physics.scalar_transport import (Energy, LightIntensity,
+from goma_tpu.physics.scalar_transport import (BondEvolution, Energy,
+                                               LightIntensity,
                                                ResidenceTime, Species)
 from goma_tpu.physics.species_flux import (
     GeneralizedFickianSpecies,
@@ -48,6 +49,7 @@ from goma_tpu.physics.level_set import (
     LevelSetProperty,
     LSExtVKinematic,
     LSExtVLatent,
+    SolvedNormal,
     LSEmbeddedDirichlet,
     LSEmbeddedFlux,
     LSFlowPressure,
@@ -65,8 +67,10 @@ from goma_tpu.physics.level_set import (
 from goma_tpu.physics.suspension import (
     ParticleMomentum,
     QTensorHydroSpecies,
+    VorticityDirection,
     flow_frame_qtensor,
     particle_drag_force,
+    qtensor_from_vort_dir,
 )
 from goma_tpu.physics.interface import InterfaceExchange
 from goma_tpu.physics import materials

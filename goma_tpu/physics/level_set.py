@@ -578,6 +578,34 @@ class LSEmbeddedDirichlet(Equation):
         return out.at[:, self.comp, :].set(term)
 
 
+NORMAL_VAR = "ls_normal"
+
+
+class SolvedNormal(Equation):
+    """Solved normal-field equations R_NORMAL1..R_NORMAL3 (reference
+    ``assemble_normals``, ``src/mm_fill_terms.c:1876``): the level-set
+    normal as a SOLVED nodal vector field (not a lumped projection),
+
+        R_(a,i) = int phi_i (n_a - grad_a F / |grad F|)
+
+    so downstream kernels (shell geometry, normal-coupled BCs N1/N2/N3)
+    can consume a continuous, differentiable normal with full Jacobian
+    coupling to F."""
+
+    def __init__(self, dim: int, interp: str = "Q1", var: str = NORMAL_VAR,
+                 fill_var: str = FILL_VAR):
+        super().__init__(var, dim, interp)
+        self.dim = dim
+        self.fill_var = fill_var
+
+    def residual(self, fv, mat, params):
+        gF = fv.grad[self.fill_var][:, 0, :]
+        nhat = gF / jnp.sqrt(jnp.sum(gF * gF, axis=1) + 1e-30)[:, None]
+        n = fv.val[self.var][:, : self.dim]
+        phi = fv.phi[self.var]
+        return (n - nhat[:, : self.dim])[:, :, None] * phi[:, None, :]
+
+
 EXT_V_VAR = "ext_velocity"
 
 

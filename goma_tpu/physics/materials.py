@@ -143,3 +143,38 @@ class BoussinesqBodyForce:
     def __call__(self, fv, mat, params):
         T = fv.val[self.tvar][:, 0]
         return self.gravity[None, :] * (1.0 - self.beta * (T - self.T0))[:, None]
+
+
+class BondViscosity:
+    """Structure-dependent thixotropic viscosity (reference
+    ``bond_viscosity``, ``src/mm_viscosity.c:2770``, BOND model):
+
+        mu = a_T [mu_inf + (mu0 - mu_inf) nn^A] + nn tau_y (1-e^(-a_T F gd))/(a_T gd)
+
+    with nn the solved bond structure (:class:`BondEvolution` variable),
+    optional WLF temperature shift a_T, and a Papanastasiou-regularized
+    yield contribution scaled by the structure."""
+
+    def __init__(self, mu0, mu_inf, aexp=1.0, tau_y=0.0, fexp=1.0,
+                 atexp=0.0, wlfc2=1.0, T_ref=0.0, nvar: str = "bond",
+                 tvar: str = "temperature"):
+        self.mu0, self.mu_inf, self.aexp = mu0, mu_inf, aexp
+        self.tau_y, self.fexp = tau_y, fexp
+        self.atexp, self.wlfc2, self.T_ref = atexp, wlfc2, T_ref
+        self.nvar, self.tvar = nvar, tvar
+
+    def __call__(self, fv, mat, params):
+        nn = jnp.maximum(fv.val[self.nvar][:, 0], 0.0)
+        aT = 1.0
+        if self.atexp and self.tvar in fv.val:
+            T = fv.val[self.tvar][:, 0]
+            aT = jnp.exp(self.atexp * (self.T_ref - T)
+                         / (self.wlfc2 + T - self.T_ref))
+        mu = aT * (self.mu_inf + (self.mu0 - self.mu_inf)
+                   * nn ** self.aexp)
+        if self.tau_y:
+            gd = shear_rate(fv)
+            yield_v = self.tau_y * (1.0 - jnp.exp(-aT * self.fexp * gd)) \
+                / jnp.maximum(aT * gd, 1e-12)
+            mu = mu + nn * yield_v
+        return mu

@@ -172,3 +172,46 @@ class LightIntensity(Equation):
         else:
             w = phi
         return jnp.einsum("q,qi->qi", r, w)[:, None, :]
+
+
+class BondEvolution(Equation):
+    """Thixotropic bond-structure evolution R_BOND_EVOLUTION (reference
+    ``assemble_bond_evolution``, ``src/mm_std_models.c:5929``; Mujumdar et
+    al., J. Non-Newt. Fluid Mech. 102, 2002):
+
+        nn_t + u.grad(nn) = -k1 nn gd^a + k2 (n0 - nn) gd^b  (+ D diffusion)
+
+    with gd the shear-rate invariant. Homogeneous steady state:
+    nn_eq = k2 gd^b n0 / (k1 gd^a + k2 gd^b). Pair with
+    :class:`~goma_tpu.physics.materials.BondViscosity` for the
+    structure-dependent viscosity (reference ``bond_viscosity``,
+    ``src/mm_viscosity.c:2770``). NN_BC = Dirichlet on this variable."""
+
+    def __init__(self, k1: float, k2: float, n0: float, aexp: float = 1.0,
+                 bexp: float = 1.0, diff: float = 0.0,
+                 transient: bool = True, interp: str = "Q1",
+                 var: str = "bond"):
+        super().__init__(var, 1, interp)
+        self.k1, self.k2, self.n0 = k1, k2, n0
+        self.aexp, self.bexp, self.diff = aexp, bexp, diff
+        self.transient = transient
+
+    def residual(self, fv, mat, params):
+        from goma_tpu.physics.materials import shear_rate
+
+        nn = fv.val[self.var][:, 0]
+        gnn = fv.grad[self.var][:, 0, :]
+        gd = shear_rate(fv) + 1e-14  # reference offset = DBL_SMALL
+        nn_pos = jnp.maximum(nn, 0.0)  # reference clips negative structure
+        r = self.k1 * nn_pos * gd ** self.aexp \
+            - self.k2 * (self.n0 - nn_pos) * gd ** self.bexp
+        if self.transient:
+            r = r + fv.dot[self.var][:, 0]
+        if "velocity" in fv.val:
+            r = r + jnp.einsum("qk,qk->q", advective_velocity(fv), gnn)
+        phi = fv.phi[self.var]
+        out = r[:, None] * phi
+        if self.diff:
+            out = out + self.diff * jnp.einsum(
+                "qk,qik->qi", gnn, fv.gphi[self.var])
+        return out[:, None, :]

@@ -181,3 +181,82 @@ def particle_drag_force(pmom: ParticleMomentum):
         return beta[:, None] * (vp - uf) / rho[:, None]
 
     return f
+
+
+@jax.custom_jvp
+def _middle_eigvec(E):
+    """Middle eigenvector of one symmetric 3x3 matrix (ascending eigh).
+
+    The reference computes J_vd_v by FINITE DIFFERENCES because the
+    analytic eigenvector derivative is "intractable"
+    (``src/mm_qtensor_model.c:825`` "Must calculate numerical Jacobians").
+    Here the derivative is first-order eigenvector perturbation theory
+    with a regularized spectral gap, so it stays finite even at the
+    degenerate zero-shear state (gamma_dot = 0) where plain ``eigh`` AD
+    produces NaN — matching the reference's "it shouldn't matter what
+    the vorticity direction is" comment for that regime."""
+    _, V = jnp.linalg.eigh(E)
+    return V[:, 1]
+
+
+@_middle_eigvec.defjvp
+def _middle_eigvec_jvp(primals, tangents):
+    (E,), (dE,) = primals, tangents
+    lam, V = jnp.linalg.eigh(E)
+    v = V[:, 1]
+    # dv = sum_{j != 1} v_j (v_j^T dE v) / (lam_1 - lam_j), gap-regularized
+    num = V.T @ (dE @ v)                      # (3,) components v_j^T dE v
+    gap = lam[1] - lam                        # (3,), zero at j = 1
+    inv = gap / (gap * gap + 1e-12)
+    inv = inv.at[1].set(0.0)
+    dv = V @ (num * inv)
+    return v, dv
+
+
+class VorticityDirection(Equation):
+    """Solved vorticity-direction equations R_VORT_DIR1..3 (reference
+    ``assemble_vorticity_direction``, ``src/mm_qtensor_model.c:671``): L2
+    projection of the "super special" eigenvector of the rate-of-strain
+    tensor gamma_dot = grad u + grad u^T — the eigenvector of the MIDDLE
+    eigenvalue (eig_compression < eig_vorticity < eig_tension, the
+    reference's tension/compression/vorticity triad),
+
+        R_(a,i) = int phi_i (vd_a - v_hat_a(gamma_dot))
+
+    TPU-first: the closed-form cubic + deflation of the reference becomes
+    a batched 3x3 ``jnp.linalg.eigh`` (ascending eigenvalues -> index 1),
+    with the sign fixed deterministically by a lexicographic bias (the
+    reference's ``bias_eigenvector_to`` against e_1). The solved field
+    feeds the q-tensor closure q = I - vd vd^T / 2 for suspension fluxes
+    (``assemble_qtensor``, ``src/mm_qtensor_model.c:141``)."""
+
+    def __init__(self, interp: str = "Q1", var: str = "vort_dir"):
+        super().__init__(var, 3, interp)
+
+    @staticmethod
+    def vort_dir(fv):
+        """Middle eigenvector of gamma_dot embedded in 3x3, sign-biased."""
+        g = fv.grad["velocity"]                      # (nq, d, d)
+        nq, d = g.shape[0], g.shape[1]
+        gd = g + jnp.swapaxes(g, 1, 2)
+        E = jnp.zeros((nq, 3, 3), dtype=g.dtype)
+        E = E.at[:, :d, :d].set(gd)
+        v = jax.vmap(_middle_eigvec)(E)              # middle eigenvalue
+        s = jnp.sign(v[:, 0] + 1e-3 * v[:, 1] + 1e-6 * v[:, 2] + 1e-300)
+        return v * s[:, None]
+
+    def residual(self, fv, mat, params):
+        vd = fv.val[self.var][:, :3]
+        vhat = self.vort_dir(fv)
+        phi = fv.phi[self.var]
+        return (vd - vhat)[:, :, None] * phi[:, None, :]
+
+
+def qtensor_from_vort_dir(fv, var: str = "vort_dir"):
+    """q = I - vd vd^T / 2 from the SOLVED vorticity direction (reference
+    ``assemble_qtensor`` quadrature-point q, ``src/mm_qtensor_model.c:202``)
+    — (nq, 3, 3). Use with a solved :class:`VorticityDirection` field when
+    the eigen-decomposition must be smooth/differentiable downstream."""
+    vd = fv.val[var][:, :3]
+    eye = jnp.eye(3, dtype=vd.dtype)
+    return eye[None, :, :] - 0.5 * jnp.einsum("qa,qb->qab", vd, vd)
