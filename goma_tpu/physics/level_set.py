@@ -309,16 +309,134 @@ class LSRecoilPressure(Equation):
 
 
 # ---------------------------------------------------------- renormalization
+# Marching-tetrahedra tables for 3D facet construction (reference
+# ``find_facets``, src/mm_fill_ls.c:3364 — there per-element-type case
+# dissection; here every 3D corner cell is decomposed into tets and ONE
+# case table covers hex + tet blocks).
+# Six-tet decomposition of a hex sharing the 0-6 diagonal:
+_TET_OF_HEX = np.array([[0, 1, 2, 6], [0, 2, 3, 6], [0, 3, 7, 6],
+                        [0, 7, 4, 6], [0, 4, 5, 6], [0, 5, 1, 6]])
+# tet edges: e01, e02, e03, e12, e13, e23
+_TET_EDGES = np.array([[0, 1], [0, 2], [0, 3], [1, 2], [1, 3], [2, 3]])
+# case id = sum over positive vertices of 2^v -> up to two triangles of
+# crossing-edge indices (-1 = unused). Complementary cases share triangles
+# (orientation is irrelevant for distance queries).
+_MT_TABLE = -np.ones((16, 2, 3), dtype=np.int64)
+for _case, _tris in {
+    1: [[0, 1, 2]], 2: [[0, 3, 4]], 4: [[1, 3, 5]], 8: [[2, 4, 5]],
+    14: [[0, 1, 2]], 13: [[0, 3, 4]], 11: [[1, 3, 5]], 7: [[2, 4, 5]],
+    3: [[1, 2, 4], [1, 4, 3]], 5: [[0, 2, 5], [0, 5, 3]],
+    9: [[0, 1, 5], [0, 5, 4]], 6: [[0, 4, 5], [0, 5, 1]],
+    10: [[0, 3, 5], [0, 5, 2]], 12: [[1, 3, 4], [1, 4, 2]],
+}.items():
+    for _k, _t in enumerate(_tris):
+        _MT_TABLE[_case, _k] = _t
+
+
+def _facets_3d(mesh, Fnode: np.ndarray) -> np.ndarray:
+    """Zero-contour triangles (ntri, 3, 3) by marching tetrahedra over the
+    corner tets of every 3D block (vectorized host numpy)."""
+    out = []
+    from goma_tpu.elements import element_type
+
+    for b in mesh.blocks:
+        et = element_type(b.elem_type)
+        if et.dim != 3:
+            continue
+        if et.family == "hex":
+            tets = b.conn[:, :8][:, _TET_OF_HEX].reshape(-1, 4)
+        elif et.family == "tet":
+            tets = b.conn[:, :4]
+        else:
+            continue
+        f = Fnode[tets]                       # (nt, 4)
+        case = ((f > 0.0) @ np.array([1, 2, 4, 8])).astype(np.int64)
+        act = (case > 0) & (case < 15)
+        if not act.any():
+            continue
+        tets, f, case = tets[act], f[act], case[act]
+        X = mesh.coords[tets]                 # (nt, 4, 3)
+        fi = f[:, _TET_EDGES[:, 0]]
+        fj = f[:, _TET_EDGES[:, 1]]
+        den = fi - fj
+        t = np.clip(fi / np.where(np.abs(den) < 1e-300, 1.0, den), 0.0, 1.0)
+        Pi = X[:, _TET_EDGES[:, 0]]
+        Pj = X[:, _TET_EDGES[:, 1]]
+        Pe = Pi + t[..., None] * (Pj - Pi)    # (nt, 6, 3) edge crossings
+        tab = _MT_TABLE[case]                 # (nt, 2, 3)
+        for k in range(2):
+            idx = tab[:, k, :]
+            ok = idx[:, 0] >= 0
+            if ok.any():
+                rows = np.nonzero(ok)[0]
+                out.append(Pe[rows[:, None], idx[ok]])  # (nv, 3, 3)
+    if not out:
+        return np.zeros((0, 3, 3))
+    tris = np.concatenate(out)
+    # drop degenerate slivers (contour through a tet vertex/edge): they
+    # carry no area and would poison point-triangle distance queries
+    area2 = (np.cross(tris[:, 1] - tris[:, 0], tris[:, 2] - tris[:, 0]) ** 2
+             ).sum(1)
+    scale2 = ((tris.max(axis=(0, 1)) - tris.min(axis=(0, 1))) ** 2).sum()
+    return tris[area2 > 1e-24 * max(scale2, 1e-300) ** 2]
+
+
+def _dist_to_triangles(P: np.ndarray, T: np.ndarray) -> np.ndarray:
+    """Unsigned distance from points P (n, 3) to the closest of the
+    triangles T (m, 3, 3), chunked over points to bound memory."""
+    A, B, C = T[:, 0], T[:, 1], T[:, 2]
+    AB, AC = B - A, C - A
+    nvec = np.cross(AB, AC)
+    nn = np.maximum((nvec * nvec).sum(1), 1e-300)
+    d00 = (AB * AB).sum(1)
+    d01 = (AB * AC).sum(1)
+    d11 = (AC * AC).sum(1)
+    denom = np.maximum(d00 * d11 - d01 * d01, 1e-300)
+
+    def seg_d2(p, S0, Sd, Sdd):
+        tt = np.clip(np.einsum("cmd,md->cm", p[:, None, :] - S0[None], Sd)
+                     / Sdd[None], 0.0, 1.0)
+        diff = p[:, None, :] - (S0[None] + tt[..., None] * Sd[None])
+        return (diff * diff).sum(-1)
+
+    BC = C - B
+    dAB = np.maximum(d00, 1e-300)
+    dAC = np.maximum(d11, 1e-300)
+    dBC = np.maximum((BC * BC).sum(1), 1e-300)
+    m = T.shape[0]
+    chunk = max(1, int(4.0e7 / max(m, 1)))
+    dist = np.empty(P.shape[0])
+    for s in range(0, P.shape[0], chunk):
+        p = P[s:s + chunk]
+        AP = p[:, None, :] - A[None]
+        d20 = np.einsum("cmd,md->cm", AP, AB)
+        d21 = np.einsum("cmd,md->cm", AP, AC)
+        v = (d11 * d20 - d01 * d21) / denom
+        w = (d00 * d21 - d01 * d20) / denom
+        # degenerate triangles (nn ~ 0) must fall through to edge distances
+        inside = (v >= 0.0) & (w >= 0.0) & (v + w <= 1.0) & (nn > 1e-30)
+        dn2 = np.einsum("cmd,md->cm", AP, nvec) ** 2 / nn
+        de2 = np.minimum(
+            seg_d2(p, A, AB, dAB),
+            np.minimum(seg_d2(p, A, AC, dAC), seg_d2(p, B, BC, dBC)))
+        dist[s:s + chunk] = np.sqrt(np.where(inside, dn2, de2)).min(axis=1)
+    return dist
+
+
 def interface_facets(mesh, Fnode: np.ndarray):
-    """Zero-contour segments from linear interpolation on element corner
-    triangles/quads (host). Returns (nseg, 2, dim) endpoints (2D only)."""
+    """Zero-contour facets from linear interpolation on element corners
+    (host). 2D: (nseg, 2, 2) segment endpoints; 3D: (ntri, 3, 3) triangles
+    via marching tetrahedra (reference ``find_facets``,
+    src/mm_fill_ls.c:3364)."""
+    if mesh.dim == 3:
+        return _facets_3d(mesh, Fnode)
     segs = []
     for b in mesh.blocks:
         from goma_tpu.elements import element_type
 
         et = element_type(b.elem_type)
         if et.dim != 2:
-            raise NotImplementedError("3D facets later")
+            continue
         corners = b.conn[:, :3] if et.family == "tri" else b.conn[:, :4]
         for cell in corners:
             # split quad corners into triangles for robust contouring
@@ -340,10 +458,13 @@ def interface_facets(mesh, Fnode: np.ndarray):
 
 def renormalize(mesh, Fnode: np.ndarray) -> np.ndarray:
     """Exact signed distance to the piecewise-linear zero contour
-    (reference HUYGENS renormalization)."""
+    (reference HUYGENS renormalization; 2D segments or 3D marching-tet
+    triangles)."""
     segs = interface_facets(mesh, Fnode)
     if segs.shape[0] == 0:
         return Fnode
+    if mesh.dim == 3:
+        return np.sign(Fnode) * _dist_to_triangles(mesh.coords, segs)
     P = mesh.coords  # (n, d)
     A = segs[:, 0]  # (m, d)
     B = segs[:, 1]
