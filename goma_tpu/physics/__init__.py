@@ -74,7 +74,8 @@ from goma_tpu.physics.suspension import (
 )
 from goma_tpu.physics.interface import InterfaceExchange
 from goma_tpu.physics import materials
-from goma_tpu.physics.em import EMAbsorbingBC, EMWave, EMWaveEdge
+from goma_tpu.physics.em import (EMAbsorbingBC, EMAbsorbingBCH, EMWave,
+                                 EMWaveEdge, EMWaveH)
 from goma_tpu.physics.overset import OversetLM, OversetNoSlip
 from goma_tpu.physics.normal_mode import (
     NormalModeContinuity,

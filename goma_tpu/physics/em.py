@@ -30,6 +30,7 @@ from goma_tpu.fem.equations import Equation, FaceKernel
 from goma_tpu.physics.materials import prop
 
 E_RE, E_IM = "em_e_real", "em_e_imag"
+H_RE, H_IM = "em_h_real", "em_h_imag"
 EDGE_RE, EDGE_IM = "em_edge_real", "em_edge_imag"
 
 
@@ -120,6 +121,110 @@ class EMWave(Equation):
             sgn = w if self.part == "real" else -w
             c = c - sgn * jnp.einsum("qa,qn->qan", Jv, phi)
         return c
+
+
+class EMWaveH(Equation):
+    """One real part of the complex H-field curl-curl equation.
+
+    Parity: reference ``src/mm_fill_em.c`` magnetic-field equations
+    (``assemble_emwave:75`` with R_EM_H1..H3 real/imag,
+    ``include/rf_fem_const.h`` EM_H* variables). Dual of :class:`EMWave`:
+
+        curl(1/eps_c curl H) - omega^2 mu H = curl(J/eps_c),
+        eps_c = eps - i sigma/omega
+
+    The complex admittance 1/eps_c = (eps + i sigma/omega)/|eps_c|^2 couples
+    the real/imaginary parts inside the *curl* (and gauge) terms — unlike the
+    E-form, where 1/mu is real and the coupling sits in the reaction term.
+    Nodal grad-div gauge ``alpha`` regularizes exactly as in :class:`EMWave`.
+    Free-current source via material keys ``Jc_re``/``Jc_im`` shaped like the
+    curl (scalar in 2D, 3-vector in 3D), entering weakly as
+    int (1/eps_c) J . curl(phi).
+    """
+
+    def __init__(self, part: str, omega: float, dim: int = 2,
+                 interp: str = "Q2", alpha: float = 1.0):
+        super().__init__(H_RE if part == "real" else H_IM, dim, interp)
+        self.part = part
+        self.omega = omega
+        self.dim = dim
+        self.alpha = alpha
+
+    def residual(self, fv, mat, params):
+        d = self.dim
+        w = self.omega
+        mu_m = prop(mat, "mu_m", fv, params, 1.0)
+        eps = prop(mat, "eps", fv, params, 1.0)
+        sig = prop(mat, "sigma_em", fv, params, 0.0)
+
+        # 1/eps_c = a + i b
+        s = sig / w
+        den = eps * eps + s * s
+        a, b = eps / den, s / den
+        # complex product (a+ib)(X_re + i X_im): real = a X_re - b X_im,
+        # imag = a X_im + b X_re -> self coeff a, other coeff -/+ b
+        ob = -b if self.part == "real" else b
+
+        H_s = fv.val[self.var]
+        other = H_IM if self.part == "real" else H_RE
+        H_o = fv.val[other]
+        g_s, g_o = fv.grad[self.var], fv.grad[other]
+        curl_s, curl_o = _curl(g_s, d), _curl(g_o, d)
+        div_s = jnp.trace(g_s, axis1=1, axis2=2)
+        div_o = jnp.trace(g_o, axis1=1, axis2=2)
+
+        phi = fv.phi[self.var]
+        gphi = fv.gphi[self.var]
+        curl_b = _curl_basis(gphi, d)
+
+        c = jnp.einsum("qc,qanc->qan", a * curl_s + ob * curl_o, curl_b)
+        c = c + self.alpha * jnp.einsum(
+            "q,qna->qan", a * div_s + ob * div_o, gphi)
+        c = c - (w * w) * mu_m * jnp.einsum("qa,qn->qan", H_s, phi)
+
+        J_re, J_im = mat.get("Jc_re", None), mat.get("Jc_im", None)
+        if J_re is not None or J_im is not None:
+            ncurl = curl_s.shape[1]
+
+            def _ev(Jx):
+                if Jx is None:
+                    return jnp.zeros_like(curl_s)
+                v = Jx(fv, mat, params) if callable(Jx) else jnp.asarray(Jx)
+                return jnp.broadcast_to(jnp.atleast_1d(v),
+                                        (curl_s.shape[0], ncurl))
+            Jr, Ji = _ev(J_re), _ev(J_im)
+            Jpart = a * Jr + ob * Ji if self.part == "real" \
+                else a * Ji - ob * Jr
+            c = c - jnp.einsum("qc,qanc->qan", Jpart, curl_b)
+        return c
+
+
+class EMAbsorbingBCH(FaceKernel):
+    """First-order absorbing (Silver-Mueller) boundary for :class:`EMWaveH`.
+
+    Dual of :class:`EMAbsorbingBC` under mu <-> eps: n x curl H =
+    -i k n x (n x H) with k = omega sqrt(mu eps), giving the weak term
+    + (k/eps) (i H_t) . phi_t. In lossy media the lossless k is used (same
+    approximation as the E-field version). Reference: ``src/mm_em_bc.c``
+    H-side absorbing conditions."""
+
+    def __init__(self, part: str, omega: float, dim: int = 2):
+        super().__init__(H_RE if part == "real" else H_IM, dim)
+        self.part = part
+        self.omega = omega
+        self.dim = dim
+
+    def residual(self, sfv, mat, params):
+        mu_m = prop(mat, "mu_m", sfv, params, 1.0)
+        eps = prop(mat, "eps", sfv, params, 1.0)
+        k = self.omega * jnp.sqrt(mu_m * eps)
+        other = H_IM if self.part == "real" else H_RE
+        H_o = sfv.val[other]
+        n = sfv.normal
+        Ht = H_o - jnp.einsum("qa,qa->q", n, H_o)[:, None] * n
+        sgn = -1.0 if self.part == "real" else 1.0
+        phi = sfv.phi[self.var]
+        return sgn * (k / eps) * jnp.einsum("qa,qn->qan", Ht, phi)
 
 
 class EMWaveEdge(Equation):
