@@ -30,3 +30,8 @@ from goma_tpu.bc.fluid import (
     cap_end_force,
     contact_angle_force,
 )
+from goma_tpu.bc.traction import (
+    CoulombFriction,
+    ElecTraction,
+    FlowGradV,
+)

@@ -1,0 +1,177 @@
+"""Exact-solution tests for the stress-based traction BC family:
+ELEC_TRACTION (Maxwell stress), FLOW_GRADV (fully developed outflow),
+FRICTION (Coulomb sliding). Reference: src/mm_ns_bc.c elec_surf_stress:4443,
+flow_n_dot_T_gradv:6440; src/mm_fill_solid.c friction_n_dot_f_bc:1910."""
+
+import numpy as np
+import pytest
+
+from goma_tpu.bc import CoulombFriction, ElecTraction, FlowGradV
+from goma_tpu.fem import Problem
+from goma_tpu.mesh import rectangle_mesh
+from goma_tpu.physics import Continuity, Momentum, Potential
+from goma_tpu.physics.mesh_motion import LinearElasticMesh
+from goma_tpu.physics.solid import SolidTraction
+from goma_tpu.fem.fields import MESH_VAR
+from goma_tpu.solvers import NewtonOptions, NewtonSolver
+
+
+def test_elec_traction_capacitor_pressure():
+    """Static dielectric fluid in a vertical uniform field E = E0 y_hat
+    (parallel-plate capacitor): the Maxwell traction on the top face
+    n.Te = (perm E0^2 / 2) n must be balanced by a uniform fluid pressure
+    p = -perm E0^2 / 2 (u = 0 everywhere)."""
+    E0, perm = 3.0, 2.0
+    mesh = rectangle_mesh(8, 8, elem="QUAD9")
+    eqs = [Momentum(dim=2, interp="Q2", transient=False), Continuity(interp="Q1"),
+           Potential()]
+    prob = Problem(mesh, eqs, {"rho": 1.0, "mu": 1.0})
+    # voltage: V = -E0*y  ->  E = -grad V = E0 y_hat
+    prob.add_dirichlet("bottom", "voltage", 0, 0.0)
+    prob.add_dirichlet("top", "voltage", 0, -E0)
+    for ns in ("left", "right", "bottom"):
+        prob.add_dirichlet(ns, "velocity", 0, 0.0)
+        prob.add_dirichlet(ns, "velocity", 1, 0.0)
+    prob.add_face_kernel("top", ElecTraction(dim=2, permittivity=perm))
+    prob.finalize()
+    res = NewtonSolver(prob, NewtonOptions(max_iter=6, tol_residual=1e-10,
+                                           linear_solver="direct")).solve(
+        np.zeros(prob.dofmap.n_dof), prob.base_params())
+    assert res.converged
+    u = prob.get_nodal_field(res.x, "velocity", 0)
+    v = prob.get_nodal_field(res.x, "velocity", 1)
+    p = prob.get_nodal_field(res.x, "pressure", 0)
+    assert np.nanmax(np.abs(u)) < 1e-9 and np.nanmax(np.abs(v)) < 1e-9
+    p_exact = -0.5 * perm * E0**2
+    np.testing.assert_allclose(p[~np.isnan(p)], p_exact, atol=1e-8)
+
+
+def test_flow_gradv_poiseuille_outflow():
+    """Plane Poiseuille flow: parabolic inflow, no-slip walls, FLOW_GRADV
+    open outflow with p_datum=0. The fully-developed profile passes through
+    unchanged and the pressure gradient matches dp/dx = -2 mu umax / h^2."""
+    mu, umax = 0.7, 1.0
+    L, H = 3.0, 1.0
+    mesh = rectangle_mesh(18, 6, elem="QUAD9", xlim=(0, L), ylim=(0, H))
+    eqs = [Momentum(dim=2, interp="Q2", transient=False), Continuity(interp="Q1")]
+    prob = Problem(mesh, eqs, {"rho": 1.0, "mu": mu})
+
+    def u_in(q, X0, params):
+        return None  # placeholder (not used)
+
+    # parabolic inflow u = 4 umax y(H-y)/H^2
+    prob.add_dirichlet("left", "velocity", 0,
+                       lambda c: 4 * umax * c[:, 1] * (H - c[:, 1]) / H**2)
+    prob.add_dirichlet("left", "velocity", 1, 0.0)
+    for ns in ("top", "bottom"):
+        prob.add_dirichlet(ns, "velocity", 0, 0.0)
+        prob.add_dirichlet(ns, "velocity", 1, 0.0)
+    prob.add_face_kernel("right", FlowGradV(dim=2, p_datum=0.0))
+    prob.finalize()
+    res = NewtonSolver(prob, NewtonOptions(max_iter=8, tol_residual=1e-10,
+                                           linear_solver="direct")).solve(
+        np.zeros(prob.dofmap.n_dof), prob.base_params())
+    assert res.converged
+    c = mesh.coords
+    u = prob.get_nodal_field(res.x, "velocity", 0)
+    p = prob.get_nodal_field(res.x, "pressure", 0)
+    # outlet profile still parabolic
+    out = np.isclose(c[:, 0], L) & ~np.isnan(u)
+    u_ex = 4 * umax * c[out, 1] * (H - c[out, 1]) / H**2
+    np.testing.assert_allclose(u[out], u_ex, atol=2e-3 * umax)
+    # pressure linear in x with the exact Poiseuille gradient; p ~ 0 at exit
+    dpdx_ex = -8.0 * mu * umax / H**2
+    pin = ~np.isnan(p)
+    p_fit = np.polyfit(c[pin, 0], p[pin], 1)
+    np.testing.assert_allclose(p_fit[0], dpdx_ex, rtol=2e-2)
+    assert abs(p_fit[0] * L + p_fit[1] - 0.0) < 2e-2 * abs(dpdx_ex * L)
+
+
+def test_coulomb_friction_block_shear():
+    """Elastic block compressed from the top (sigma_yy = -N) while sliding
+    in +x on its base: friction drags the base with traction -mu_f N x_hat
+    (opposing the slide), so steady sliding needs the driving shear
+    +mu_f N x_hat on the top face. Exact uniform state: sigma_yy=-N,
+    sigma_xy=+mu_f*N; check the displacement field against it."""
+    N, mu_f = 0.1, 0.3
+    G, lam = 10.0, 5.0
+    mesh = rectangle_mesh(8, 8, elem="QUAD9")
+    prob = Problem(mesh, [LinearElasticMesh(dim=2)],
+                   {"mesh_shear_modulus": G, "mesh_lambda": lam})
+    # base: no normal motion; friction supplies the tangential condition
+    prob.add_dirichlet("bottom", MESH_VAR, 1, 0.0)
+    # pin rigid x-translation at one base point (friction row is traction-
+    # level, leaves translation null space along x otherwise)
+    mesh.nodesets["pin"] = np.array([0], dtype=np.int32)
+    prob.add_dirichlet("pin", MESH_VAR, 0, 0.0)
+    # top: normal load -N plus the driving shear +mu_f N; sides carry the
+    # uniform-state shear (sigma.n = (0, -/+ mu_f N)) so the exact solution
+    # is the homogeneous stress state on the finite block
+    prob.add_face_kernel("top", SolidTraction(
+        dim=2, traction=(mu_f * N, -N), var=MESH_VAR))
+    prob.add_face_kernel("left", SolidTraction(
+        dim=2, traction=(0.0, -mu_f * N), var=MESH_VAR))
+    prob.add_face_kernel("right", SolidTraction(
+        dim=2, traction=(0.0, mu_f * N), var=MESH_VAR))
+    prob.add_face_kernel("bottom", CoulombFriction(
+        dim=2, mu_f=mu_f, var=MESH_VAR, slide_velocity=(1.0, 0.0)))
+    prob.finalize()
+    res = NewtonSolver(prob, NewtonOptions(max_iter=8, tol_residual=1e-9,
+                                           linear_solver="direct")).solve(
+        np.zeros(prob.dofmap.n_dof), prob.base_params())
+    assert res.converged
+    dx = prob.get_nodal_field(res.x, MESH_VAR, 0)
+    dy = prob.get_nodal_field(res.x, MESH_VAR, 1)
+    c = mesh.coords
+    # exact uniform-stress solution (plane strain, small strain):
+    # eps from  sigma = 2G eps + lam tr(eps) I  with
+    # sigma = [[0, mu_f N], [mu_f N, -N]]
+    # -> eps_xy = mu_f N/(2G); eps_xx,eps_yy solve the 2x2 normal system
+    A = np.array([[2 * G + lam, lam], [lam, 2 * G + lam]])
+    exx, eyy = np.linalg.solve(A, [0.0, -N])
+    exy = mu_f * N / (2 * G)
+    # displacement: u = exx x + g1(y), v = eyy y + g2(x); with v(y=0)=0 and
+    # u(0,0)=0 the shear splits as u += 2exy*y (base slides freely in x,
+    # so all shear strain goes into u)
+    u_ex = exx * c[:, 0] + 2 * exy * c[:, 1]
+    v_ex = eyy * c[:, 1]
+    np.testing.assert_allclose(dx, u_ex, atol=1e-4)
+    np.testing.assert_allclose(dy, v_ex, atol=1e-4)
+
+
+def test_coulomb_friction_acoustic_reduction():
+    """FRICTION_ACOUSTIC: with acoustic surface velocity v_ac > |v_slide|,
+    the effective friction coefficient drops by (2/pi) asin(|v|/v_ac).
+    Same block as above with the top shear scaled by that factor."""
+    N, mu_f = 0.1, 0.3
+    G, lam = 10.0, 5.0
+    v_slide, v_ac = 1.0, 2.0
+    fac = (2.0 / np.pi) * np.arcsin(v_slide / v_ac)
+    mu_eff = mu_f * fac
+    mesh = rectangle_mesh(6, 6, elem="QUAD9")
+    prob = Problem(mesh, [LinearElasticMesh(dim=2)],
+                   {"mesh_shear_modulus": G, "mesh_lambda": lam})
+    prob.add_dirichlet("bottom", MESH_VAR, 1, 0.0)
+    mesh.nodesets["pin"] = np.array([0], dtype=np.int32)
+    prob.add_dirichlet("pin", MESH_VAR, 0, 0.0)
+    prob.add_face_kernel("top", SolidTraction(
+        dim=2, traction=(mu_eff * N, -N), var=MESH_VAR))
+    prob.add_face_kernel("left", SolidTraction(
+        dim=2, traction=(0.0, -mu_eff * N), var=MESH_VAR))
+    prob.add_face_kernel("right", SolidTraction(
+        dim=2, traction=(0.0, mu_eff * N), var=MESH_VAR))
+    prob.add_face_kernel("bottom", CoulombFriction(
+        dim=2, mu_f=mu_f, var=MESH_VAR, slide_velocity=(v_slide, 0.0),
+        acoustic_velocity=v_ac))
+    prob.finalize()
+    res = NewtonSolver(prob, NewtonOptions(max_iter=8, tol_residual=1e-9,
+                                           linear_solver="direct")).solve(
+        np.zeros(prob.dofmap.n_dof), prob.base_params())
+    assert res.converged
+    dx = prob.get_nodal_field(res.x, MESH_VAR, 0)
+    c = mesh.coords
+    A = np.array([[2 * G + lam, lam], [lam, 2 * G + lam]])
+    exx, _ = np.linalg.solve(A, [0.0, -N])
+    exy = mu_eff * N / (2 * G)
+    u_ex = exx * c[:, 0] + 2 * exy * c[:, 1]
+    np.testing.assert_allclose(dx, u_ex, atol=1e-4)
