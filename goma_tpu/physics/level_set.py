@@ -193,15 +193,20 @@ class CSFSurfaceTension(Equation):
     LS momentum source (``src/mm_fill_terms.c:2085``) + ls capillary BCs.
     """
 
-    def __init__(self, dim: int, sigma: float, interp: str = "Q2"):
+    def __init__(self, dim: int, sigma: float, interp: str = "Q2",
+                 fill_var: str = None):
         super().__init__("velocity", dim, interp)
         self.dim = dim
         self.sigma = sigma
+        # PF_CAPILLARY (src/mm_fill_terms.c:4854 assemble_pf_capillary):
+        # the same CSF tensor sourced from one phase field of the
+        # multi-phase-field family instead of the level set
+        self.fill_var = fill_var or FILL_VAR
 
     def residual(self, fv, mat, params):
         eps = params["ls_eps"]
-        F = fv.val[FILL_VAR][:, 0]
-        gF = fv.grad[FILL_VAR][:, 0, :]
+        F = fv.val[self.fill_var][:, 0]
+        gF = fv.grad[self.fill_var][:, 0, :]
         mag = jnp.sqrt(jnp.sum(gF * gF, axis=1) + 1e-30)
         n = gF / mag[:, None]
         dl = delta(F, eps) * mag  # surface measure density
@@ -210,6 +215,126 @@ class CSFSurfaceTension(Equation):
         return (self.sigma * dl)[:, None, None] * (
             jnp.swapaxes(gphi, 1, 2) - jnp.einsum("qa,qi->qai", n, ndotg)
         )
+
+
+class CSFHysing(Equation):
+    """LS_CAP_HYSING (``src/mm_fill_ls_capillary_bcs.c:736
+    assemble_cap_hysing``): the CSF capillary tensor plus Hysing's
+    semi-implicit interface-viscosity stabilization
+
+        + dt sigma delta scale int grad(phi) : grad_s v,
+        grad_s v = (I - n n^T) . grad v
+
+    which damps parasitic capillary currents at large capillary dt. The
+    reference freezes the interface geometry at the old time (lsi_old);
+    here the current F is used and AD supplies the extra Jacobian coupling
+    (slightly more implicit, same converged states). ``scale`` is the
+    card's scaling float; dt enters through ``params['dt']`` (0 -> term
+    off, matching the steady limit)."""
+
+    def __init__(self, dim: int, sigma: float, scale: float = 1.0,
+                 interp: str = "Q2", fill_var: str = None):
+        super().__init__("velocity", dim, interp)
+        self.dim = dim
+        self.sigma = sigma
+        self.scale = scale
+        self.fill_var = fill_var or FILL_VAR
+
+    def residual(self, fv, mat, params):
+        eps = params["ls_eps"]
+        F = fv.val[self.fill_var][:, 0]
+        gF = fv.grad[self.fill_var][:, 0, :]
+        mag = jnp.sqrt(jnp.sum(gF * gF, axis=1) + 1e-30)
+        n = gF / mag[:, None]
+        dl = delta(F, eps) * mag
+        gphi = fv.gphi["velocity"]
+        ndotg = jnp.einsum("qk,qik->qi", n, gphi)
+        csf = (self.sigma * dl)[:, None, None] * (
+            jnp.swapaxes(gphi, 1, 2) - jnp.einsum("qa,qi->qai", n, ndotg))
+        dt = params.get("dt", 0.0)
+        gv = fv.grad["velocity"]  # (nq, a, k) = dv_a/dx_k
+        # grad_s v: gsv[c, p] = dv_c/dx_p - n_p n_k dv_c/dx_k
+        # (reference grad_s_v[p][q] with p=deriv, q=component)
+        gsv = gv - jnp.einsum("qck,qk,qp->qcp", gv, n, n)
+        # weak: + coeff int dphi_i/dx_k * gsv[a, k] on row (a, i)
+        coeff = dt * self.sigma * self.scale * dl
+        visc = coeff[:, None, None] * jnp.einsum("qak,qik->qai", gsv, gphi)
+        return csf + visc
+
+
+class CSFDennerDiffusion(Equation):
+    """LS_CAP_DENNER_DIFF (``src/mm_fill_ls_capillary_bcs.c:906
+    assemble_cap_denner_diffusion``, ``_n`` variant when the solved normal
+    field is active): ONLY the dt-scaled interface-viscosity term of
+    :class:`CSFHysing` — pair it with :class:`CSFSurfaceTension` exactly as
+    the reference pairs the card with LS_CAPILLARY. ``use_solved_normal``
+    projects with the solved normal field (R_NORMAL family) instead of
+    grad F."""
+
+    def __init__(self, dim: int, sigma: float, scale: float = 1.0,
+                 interp: str = "Q2", fill_var: str = None,
+                 use_solved_normal: bool = False):
+        super().__init__("velocity", dim, interp)
+        self.dim = dim
+        self.sigma = sigma
+        self.scale = scale
+        self.fill_var = fill_var or FILL_VAR
+        self.use_solved_normal = use_solved_normal
+
+    def residual(self, fv, mat, params):
+        eps = params["ls_eps"]
+        F = fv.val[self.fill_var][:, 0]
+        gF = fv.grad[self.fill_var][:, 0, :]
+        mag = jnp.sqrt(jnp.sum(gF * gF, axis=1) + 1e-30)
+        if self.use_solved_normal:
+            nr = fv.val[NORMAL_VAR][:, : self.dim]
+            n = nr / jnp.sqrt(jnp.sum(nr * nr, axis=1) + 1e-30)[:, None]
+        else:
+            n = gF / mag[:, None]
+        dl = delta(F, eps) * mag
+        dt = params.get("dt", 0.0)
+        gv = fv.grad["velocity"]
+        gsv = gv - jnp.einsum("qck,qk,qp->qcp", gv, n, n)
+        gphi = fv.gphi["velocity"]
+        coeff = dt * self.sigma * self.scale * dl
+        return coeff[:, None, None] * jnp.einsum("qak,qik->qai", gsv, gphi)
+
+
+class CSFDivN(Equation):
+    """LS_CAP_DIV_N (``src/mm_fill_ls_capillary_bcs.c:355
+    assemble_div_n_source``): capillary momentum source from the SOLVED
+    normal field's divergence, - sigma (div n) n delta in the reference's
+    row convention — the point-force form of CSF (equivalent to
+    :class:`CSFSurfaceTension` by the surface divergence theorem
+    int (I - nn):grad(phi) = + int (div n) n.phi, so in our momentum
+    convention the term is + sigma (div n) delta |grad F| n . phi).
+    Requires the :class:`SolvedNormal` equations."""
+
+    def __init__(self, dim: int, sigma: float, interp: str = "Q2",
+                 fill_var: str = None, surface_div: bool = False):
+        super().__init__("velocity", dim, interp)
+        self.dim = dim
+        self.sigma = sigma
+        self.fill_var = fill_var or FILL_VAR
+        # LS_CAP_DIV_S_N (assemble_div_s_n_source:554): use the surface
+        # divergence div_s n = div n - n.(grad n).n instead
+        self.surface_div = surface_div
+
+    def residual(self, fv, mat, params):
+        eps = params["ls_eps"]
+        F = fv.val[self.fill_var][:, 0]
+        gF = fv.grad[self.fill_var][:, 0, :]
+        mag = jnp.sqrt(jnp.sum(gF * gF, axis=1) + 1e-30)
+        dl = delta(F, eps) * mag
+        nr = fv.val[NORMAL_VAR][:, : self.dim]
+        nhat = nr / jnp.sqrt(jnp.sum(nr * nr, axis=1) + 1e-30)[:, None]
+        gn = fv.grad[NORMAL_VAR][:, : self.dim, :]  # (nq, a, k) = dn_a/dx_k
+        divn = jnp.trace(gn, axis1=1, axis2=2)
+        if self.surface_div:
+            divn = divn - jnp.einsum("qa,qak,qk->q", nhat, gn, nhat)
+        phi = fv.phi["velocity"]
+        coeff = self.sigma * divn * dl
+        return jnp.einsum("q,qa,qi->qai", coeff, nhat, phi)
 
 
 class LSEmbeddedFlux(Equation):
