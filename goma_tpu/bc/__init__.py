@@ -21,6 +21,7 @@ from goma_tpu.bc.fluid import (
     FlowPressure,
     LaserWeldFlux,
     LevelSetSlip,
+    LSNoPenetration,
     MassTransferFlux,
     NavierSlip,
     PowerLawSlip,

@@ -17,6 +17,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from goma_tpu.fem.equations import FaceKernel
+from goma_tpu.fem.fields import MESH_VAR
 from goma_tpu.physics.materials import prop
 
 
@@ -277,6 +278,89 @@ class LevelSetSlip(FaceKernel):
         beta_eff = self.beta_wet * H + self.beta_dry * (1.0 - H)
         phi = sfv.phi["velocity"]
         return jnp.einsum("qa,qi->qai", du / beta_eff[:, None], phi)
+
+
+class LSNoPenetration(FaceKernel):
+    """VELO_NORMAL_LS / VELO_NORMAL_LS_PETROV / VELO_NORMAL_LS_COLLOC and
+    VELO_TANGENT_LS (``src/mm_ns_bc.c:355 fvelo_normal_bc`` "fake gas
+    outlet" modification, ``:845 fvelo_tangential_ls_bc``): the
+    no-penetration (or tangential-velocity) condition
+
+        n.(v - xdot) = v_n     (t.(v - xdot) = v_t with tangential=True)
+
+    weighted by a level-set gate: full penalty on the liquid side, zero in
+    the gas phase (the boundary becomes a free outlet for the gas), with
+    the smooth Heaviside transition of half-width ``length`` (optionally
+    shifted by ``shift``) and a leak-angle gate that opens the boundary
+    when the interface meets it steeper than ``leak_angle_deg`` (measured
+    as in the reference: cos_leak = cos(180 - angle), transition width
+    sin(180 - angle) sin(10 deg)).
+
+    ``liquid_negative`` maps the reference's viscositymask sign: True means
+    F < 0 is the liquid (penalized) phase. The strong rotated-row
+    application of the reference becomes a normal-projected penalty kernel
+    here (same converged constraint)."""
+
+    def __init__(self, dim: int, vnormal=0.0, length: float = 0.1,
+                 shift: float = 0.0, leak_angle_deg: float = 135.0,
+                 liquid_negative: bool = True, tangential: bool = False,
+                 penalty: float = 1e6, ls_var: str = "fill"):
+        super().__init__("velocity", dim)
+        self.dim = dim
+        self.vnormal = vnormal
+        self.length = length
+        self.shift = shift
+        self.leak_angle_deg = leak_angle_deg
+        self.liquid_negative = liquid_negative
+        self.tangential = tangential
+        self.penalty = penalty
+        self.ls_var = ls_var
+
+    def residual(self, sfv, mat, params):
+        from goma_tpu.physics.level_set import heaviside
+
+        nq = sfv.x.shape[0]
+        sgn = 1.0 if self.liquid_negative else -1.0
+        F = sfv.val[self.ls_var][:, 0]
+        Fp = F / self.length + sgn * self.shift
+        H = heaviside(Fp, 1.0)
+        # liquid_negative (visc_sens=+1): pen_F = 1 - H (liquid F<0 -> 1)
+        pen_F = 1.0 - H if self.liquid_negative else H
+
+        # leak-angle gate (fvelo_normal_bc): open the boundary where the
+        # interface normal turns past the leak angle
+        ang = jnp.deg2rad(180.0 - self.leak_angle_deg)
+        cos_leak = jnp.cos(ang)
+        leak_w = jnp.sin(ang) * jnp.sin(jnp.deg2rad(10.0))
+        gF = sfv.grad[self.ls_var][:, 0, :]
+        n_ls = gF / jnp.sqrt(jnp.sum(gF * gF, axis=1) + 1e-30)[:, None]
+        dot = jnp.einsum("qk,qk->q", sfv.normal, n_ls)
+        Hleak = heaviside((dot - cos_leak) / leak_w, 1.0)
+        gate = jnp.where(jnp.abs(Fp) < 1.0,
+                         jnp.where(dot >= cos_leak + leak_w, 0.0,
+                                   1.0 - Hleak * (dot > cos_leak - leak_w)),
+                         1.0)
+        pen_F = pen_F * gate
+
+        v = sfv.val["velocity"]
+        if MESH_VAR in sfv.dot:
+            v = v - sfv.dot[MESH_VAR]
+        if self.tangential:
+            if self.dim == 2:
+                # reference tangent convention (mm_fill_aux.c
+                # calc_surf_tangent): stangent[0] = (-n_y, n_x)
+                n = sfv.normal
+                d = jnp.stack([-n[:, 1], n[:, 0]], axis=1)
+            else:
+                d = sfv.tangents[:, :, 0]
+                d = d / jnp.linalg.norm(d, axis=1, keepdims=True)
+        else:
+            d = sfv.normal
+        vn = self.vnormal(sfv, mat, params) if callable(self.vnormal) \
+            else self.vnormal
+        s = jnp.einsum("qk,qk->q", d, v) - vn
+        phi = sfv.phi["velocity"]
+        return self.penalty * jnp.einsum("q,qa,qi->qai", pen_F * s, d, phi)
 
 
 class SlipHeating(FaceKernel):
