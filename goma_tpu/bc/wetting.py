@@ -276,3 +276,104 @@ class RepulsiveForce(FaceKernel):
         phi = sfv.phi[self.var]
         # weak form adds -phi f n (a traction, reference func[a] convention)
         return -jnp.einsum("q,qa,qi->qai", f, tvec, phi)
+
+
+class HysteresisWetting(LSWettingSpeed):
+    """HYSTERESIS_WETTING_BC: contact-line law with an advancing/receding
+    hysteresis window — the contact line is PINNED (zero wetting speed)
+    while the dynamic angle sits inside [theta_rec, theta_adv], advances
+    linearly beyond theta_adv and recedes below theta_rec:
+
+        V = (cos(theta_adv) - cos(theta_d))/beta_adv   if theta_d > theta_adv
+            (cos(theta_rec) - cos(theta_d))/beta_rec   if theta_d < theta_rec
+            0                                          otherwise
+
+    The reference snapshot ABORTS on this card ("this model has not been
+    included with this distribution", ``src/mm_ns_bc.c:15573``; the
+    implementation lives in a non-distributed ``func_hysteresis_wet.h``) —
+    this supplies the standard stick-slip window the card advertises,
+    applied through the same delta-band velocity penalty as
+    :class:`LSWettingSpeed`."""
+
+    def __init__(self, dim: int, theta_adv_deg: float, theta_rec_deg: float,
+                 alpha: float, beta_adv: float = 1.0, beta_rec: float = None,
+                 depth: float = 1.0):
+        if theta_rec_deg > theta_adv_deg:
+            raise ValueError("receding angle must not exceed advancing")
+        super().__init__(dim, theta_s_deg=theta_adv_deg, alpha=alpha,
+                         model="linear", beta=beta_adv, depth=depth)
+        self.cos_adv = float(np.cos(np.deg2rad(theta_adv_deg)))
+        self.cos_rec = float(np.cos(np.deg2rad(theta_rec_deg)))
+        self.beta_adv = beta_adv
+        self.beta_rec = beta_adv if beta_rec is None else beta_rec
+
+    def wet_speed(self, cos_ca):
+        adv = (self.cos_adv - cos_ca) / self.beta_adv  # > 0 past theta_adv
+        rec = (self.cos_rec - cos_ca) / self.beta_rec  # < 0 below theta_rec
+        return jnp.where(cos_ca < self.cos_adv, adv,
+                         jnp.where(cos_ca > self.cos_rec, rec, 0.0))
+
+
+def _wall_contact_geometry(sfv, fill_var=FILL_VAR):
+    """Shared geometry of the diffuse LS-wall contact band: band density
+    delta(F)|grad F|, wall tangent t oriented by sign((n_ls x n_w)_z) in 2D
+    (the reference's orientation pick, apply_CA_FILL src/mm_ns_bc.c:11362)
+    or t = n_w x (n_ls x n_w)/|..| in 3D, and dp = t . n_ls."""
+    F = sfv.val[fill_var][:, 0]
+    gF = sfv.grad[fill_var][:, 0, :]
+    mag = jnp.sqrt(jnp.sum(gF * gF, axis=1) + 1e-30)
+    n_ls = gF / mag[:, None]
+    nw = sfv.normal
+    dim = nw.shape[1]
+    if dim == 2:
+        sign = jnp.sign(n_ls[:, 0] * nw[:, 1] - n_ls[:, 1] * nw[:, 0])
+        sign = jnp.where(sign == 0, 1.0, sign)
+        t = jnp.stack([sign * nw[:, 1], -sign * nw[:, 0]], axis=1)
+    else:
+        l = jnp.cross(n_ls, nw)
+        l = l / jnp.maximum(jnp.linalg.norm(l, axis=1, keepdims=True), 1e-30)
+        t = jnp.cross(nw, l)
+        t = t / jnp.maximum(jnp.linalg.norm(t, axis=1, keepdims=True), 1e-30)
+    dp = jnp.einsum("qk,qk->q", t, n_ls)
+    return F, mag, n_ls, nw, t, dp
+
+
+class FillContactAngle(FaceKernel):
+    """FILL_CA (``src/mm_ns_bc.c:11306 apply_CA_FILL``): weak Young force
+    applied to the fluid momentum in the diffuse LS-wall contact band,
+
+        f = delta(F)|grad F| sigma (t . n_ls)
+            (sin(theta_ca) n_w + cos(theta_ca) t)
+
+    pulling the contact region toward the prescribed static angle. The band
+    integral of delta |grad F| (t.n_ls) is exactly 1, so the total applied
+    force is sigma (sin n_w + cos t) — the sharp Young traction. Sign
+    convention matches ``cap_end_force`` (the sharp endpoint analog)."""
+
+    def __init__(self, dim: int, theta_deg: float, sigma: float,
+                 eps=None):
+        super().__init__("velocity", dim)
+        self.dim = dim
+        self.theta = float(np.deg2rad(theta_deg))
+        self.sigma = sigma
+        self.eps = eps
+
+    def force_dir(self, nw, t):
+        return np.sin(self.theta) * nw + np.cos(self.theta) * t
+
+    def residual(self, sfv, mat, params):
+        eps = self.eps if self.eps is not None else params["ls_eps"]
+        F, mag, n_ls, nw, t, dp = _wall_contact_geometry(sfv)
+        dl = delta(F, eps) * mag
+        f = (self.sigma * dl * dp)[:, None] * self.force_dir(nw, t)
+        phi = sfv.phi["velocity"]
+        return -jnp.einsum("qa,qi->qai", f, phi)
+
+
+class WettingTension(FillContactAngle):
+    """WETTING_TENSION (``src/mm_ns_bc.c:13556 apply_wetting_tension``):
+    the tangential-only wetting tension W delta (t.n_ls) t — the
+    theta_ca = 0 branch of :class:`FillContactAngle` with tension W."""
+
+    def __init__(self, dim: int, wetting_tension: float, eps=None):
+        super().__init__(dim, theta_deg=0.0, sigma=wetting_tension, eps=eps)

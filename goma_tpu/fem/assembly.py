@@ -247,6 +247,8 @@ class Problem:
         self._edge_specs: list = []
         self._ifc_specs: list = []
         self._ovs_specs: list = []
+        self._inject_specs: list = []
+        self._inject = None
         self._devcache: dict = {}
         self._devcache_keep: list = []
         # optional lower-precision Jacobian (mixed-precision Newton-Krylov);
@@ -407,6 +409,22 @@ class Problem:
         bc_colloc.c; geometry helpers in goma_tpu.bc.pointwise)."""
         self._point_specs.append((nodeset, var, replace_comp, g))
 
+    def add_row_inject(self, nodeset, from_var: str, to_var: str,
+                       from_comp: int = 0, to_comp: int = 0,
+                       sign: float = 1.0):
+        """Add ``sign`` times the assembled residual/Jacobian row of
+        ``from_var`` into the row of ``to_var`` at each node of ``nodeset``
+        — the reference's cross-equation row moves
+        (``src/mm_shell_bc.c:1743 put_lub_flux_in_film``,
+        ``src/bc_colloc.c put_liquid_stress_in_solid``): flux/traction
+        continuity by transferring one equation's natural boundary content
+        into another's. Typically paired with a point constraint replacing
+        the ``from_var`` row (e.g. the LUBP_SH_FP_MATCH pressure tie).
+        Injection happens before rotations/point constraints/Dirichlet;
+        the element-matvec fast path is disabled (CSR operator used)."""
+        self._inject_specs.append(
+            (nodeset, from_var, to_var, from_comp, to_comp, sign))
+
     def add_overset(self, bar_block, fluid_block, kernel, quad_order=None,
                     solid=None):
         """Overset (fictitious-domain) coupling between an immersed BAR
@@ -506,12 +524,54 @@ class Problem:
         self.ifc_sets: list[_IfcSet] = self._build_interface_sets()
         # overset (fictitious-domain) couplings likewise
         self.ovs_sets: list[_OvsSet] = self._build_overset_sets()
+        # row-inject pairs (add_row_inject): resolve (from_row, to_row) and
+        # widen the graph so the to_row holds every from_row column
+        inj_pairs: list[tuple[int, int, float]] = []
+        inj_gathers: list[np.ndarray] = []
+        for (nodeset, fvar, tvar, fc, tc, sg) in self._inject_specs:
+            nodes = mesh.nodesets[nodeset] if isinstance(nodeset, str) \
+                else np.asarray(nodeset)
+            for node in np.sort(np.asarray(nodes)):
+                fr = int(self.dofmap.dof_of_node_svar[
+                    node, self.dofmap.svar(fvar, fc)])
+                tr = int(self.dofmap.dof_of_node_svar[
+                    node, self.dofmap.svar(tvar, tc)])
+                if fr < 0 or tr < 0:
+                    continue
+                inj_pairs.append((fr, tr, float(sg)))
+                cols = [np.array([fr, tr], dtype=np.int64)]
+                for b in self.dofmap.blocks:
+                    hit = np.any(b.gather == fr, axis=1)
+                    if hit.any():
+                        cols.append(np.unique(b.gather[hit]).astype(np.int64))
+                inj_gathers.append(np.unique(np.concatenate(cols))[None, :])
         self.pattern: CSRPattern = build_pattern(
             self.dofmap.n_dof,
             [b.gather for b in self.dofmap.blocks]
             + [s.gather_ab for s in self.ifc_sets]
-            + [s.gather for s in self.ovs_sets],
+            + [s.gather for s in self.ovs_sets]
+            + inj_gathers,
         )
+        if inj_pairs:
+            fp_l, tp_l, ps_l = [], [], []
+            for fr, tr, sg in inj_pairs:
+                p0, p1 = int(self.pattern.indptr[fr]), int(self.pattern.indptr[fr + 1])
+                fp = np.arange(p0, p1, dtype=np.int64)
+                cols = self.pattern.indices[p0:p1]
+                tp = self.pattern.find(np.full(cols.shape, tr), cols)
+                if np.any(tp < 0):
+                    raise RuntimeError("row-inject target entries missing")
+                fp_l.append(fp)
+                tp_l.append(tp)
+                ps_l.append(np.full(fp.shape, sg))
+            self._inject = {
+                "from_rows": np.array([p[0] for p in inj_pairs]),
+                "to_rows": np.array([p[1] for p in inj_pairs]),
+                "sign_rows": np.array([p[2] for p in inj_pairs]),
+                "from_pos": np.concatenate(fp_l),
+                "to_pos": np.concatenate(tp_l),
+                "sign_pos": np.concatenate(ps_l),
+            }
         self._nnz_maps = [nnz_map_for_gather(self.pattern, b.gather) for b in self.dofmap.blocks]
         self._ifc_nnz = [nnz_map_for_gather(self.pattern, s.gather_ab) for s in self.ifc_sets]
         self._ovs_nnz = [nnz_map_for_gather(self.pattern, s.gather) for s in self.ovs_sets]
@@ -1329,6 +1389,22 @@ class Problem:
         )
         return R, vals
 
+    def _apply_inject(self, R, vals):
+        """Cross-equation row injection (add_row_inject): R[to] += s R[from]
+        and the matching CSR row entries. Runs on the raw assembled system,
+        before rotations/point constraints/Dirichlet."""
+        inj = self._inject
+        if inj is None:
+            return R, vals
+        R = R.at[jnp.asarray(inj["to_rows"])].add(
+            jnp.asarray(inj["sign_rows"], dtype=R.dtype)
+            * R[jnp.asarray(inj["from_rows"])])
+        if vals is not None:
+            vals = vals.at[jnp.asarray(inj["to_pos"])].add(
+                jnp.asarray(inj["sign_pos"], dtype=vals.dtype)
+                * vals[jnp.asarray(inj["from_pos"])])
+        return R, vals
+
     def _apply_rotation(self, x, R, vals, T):
         """Rotate assembled rows into normal-tangent frames and install
         constraint rows (device-side, fully vectorized)."""
@@ -1558,6 +1634,7 @@ class Problem:
             R = R + dR
             vals = vals + dv.astype(vals.dtype)
 
+        R, vals = self._apply_inject(R, vals)
         pl_dfs = []
         if self._point_loads:
             from goma_tpu.bc.pointwise import apply_point_loads
@@ -1838,6 +1915,7 @@ class Problem:
             R = R + dR
             vals = vals + dv
 
+        R, vals = self._apply_inject(R, vals)
         if self._point_loads:
             from goma_tpu.bc.pointwise import apply_point_loads
 
@@ -1901,6 +1979,7 @@ class Problem:
         if self.ovs_sets:
             dR, _ = self._ovs_contribs(x, hist, params, T, with_jac=False)
             R = R + dR
+        R, _ = self._apply_inject(R, None)
         if self._point_loads:
             from goma_tpu.bc.pointwise import apply_point_loads
 

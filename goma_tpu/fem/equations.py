@@ -109,3 +109,20 @@ class SurfaceVars(FieldVars):
         self.normal = None
         self.wdA = None
         self.tangents = None
+
+
+class PassiveVar(Equation):
+    """Register an existing variable on a block without adding physics
+    (identically zero residual): makes the variable's values, gradients and
+    basis available to this block's kernels — e.g. the bulk velocity at a
+    lubrication shell's nodes for the VELO_NORMAL_LUB end coupling. The
+    TPU-first replacement for the reference's shell<->bulk "friend element"
+    gather (``src/mm_shell_util.c:1330 load_neighbor_var_data``): shells
+    share the bulk boundary nodes, so registering the variable on the shell
+    block routes the same dofs through the block's gather."""
+
+    def __init__(self, var: str, ncomp: int, interp: str):
+        super().__init__(var, ncomp, interp)
+
+    def residual(self, fv, mat, params):
+        return 0.0 * fv.val[self.var][:, :, None] * fv.phi[self.var][:, None, :]

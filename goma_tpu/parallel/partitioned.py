@@ -61,6 +61,10 @@ class PartitionedProblem:
                 "kernels, Dirichlet/rotated BCs and external fields; "
                 "overset decks use ShardedProblem (global immersed-curve "
                 "coupling)")
+        if getattr(problem, "_inject", None) is not None:
+            raise NotImplementedError(
+                "row-inject decks (add_row_inject) use ShardedProblem: the "
+                "cross-equation row move would need cross-device row access")
         if device_mesh is None:
             device_mesh = Mesh(np.array(jax.devices()), (axis,))
         self.problem = problem

@@ -329,3 +329,78 @@ class LubricationCurvature(Equation):
             curvX = jnp.ones_like(F)
         c = c + curvX[:, None] * jnp.einsum("qk,qik->qi", nls, gphi)
         return c[:, None, :]
+
+
+def tie_lub_film(problem, junction_nodeset, lub_var: str = LUB_VAR,
+                 film_var: str = "film_pressure", flux_sign: float = 1.0):
+    """LUBP_SH_FP_MATCH + LUBP_SH_FP_FLUX: couple a confined-lubrication
+    (LUBP) shell region to a free-film (SHELL_FILMP) region at their
+    junction node(s).
+
+    Reference: ``src/mm_shell_bc.c:1667 match_lubrication_film_pressure``
+    (pressure continuity, strong row on R_LUBP) and ``:1743
+    put_lub_flux_in_film`` (the lubrication row moved into the film row =
+    flux continuity). Here the same two operations are expressed as a
+    row-inject plus a multi-variable point constraint. ``flux_sign`` is the
+    factor on the injected row: +1 matches flux continuity in THIS
+    framework's weak-form sign conventions (ReynoldsFilm tests +grad(phi)
+    mob grad(p); FilmPressure tests -q . grad(phi) — the reference's -1
+    reflects its opposite filmp row sign)."""
+    problem.add_row_inject(junction_nodeset, lub_var, film_var,
+                           sign=flux_sign)
+    problem.add_point_constraint(junction_nodeset, [lub_var, film_var], 0,
+                                 lambda q, X0, params: q[0] - q[1])
+
+
+class LubEndKinematic(FaceKernel):
+    """VELO_NORMAL_LUB / LUB_KINEMATIC (``src/mm_ns_bc.c:587
+    fvelo_normal_lub_bc``, dispatched for both cards in ``src/bc_integ.c:524``):
+    at a lubrication-shell endpoint meeting the bulk, tie the bulk normal
+    motion to the gap-integrated end flux:
+
+        v . n_end = (lubflux + (q - H xdot) . n_end) / H,
+        q = -H^3/(12 mu) grad_s p + U H/2
+
+    i.e. the bulk boundary velocity (VELO_NORMAL_LUB, var="velocity") or
+    mesh velocity (LUB_KINEMATIC, var=mesh displacement) equals the film's
+    mean end velocity. The reference applies its func = lubflux +
+    (q - H xdot).n STRONGLY on the rotated normal row (row replacement);
+    as a penalty kernel the same constraint needs the explicit v.n term to
+    couple the row to its own variable (a pure penalty on a v-free func is
+    absorbed by the momentum stiffness). Apply on a shell-endpoint sideset
+    (``goma_tpu.bc.shell_end.shell_end_sidesets``); register
+    ``PassiveVar(var, dim, interp)`` on the shell block so the bulk rows
+    are reachable. Material keys as in :class:`ReynoldsFilm`."""
+
+    def __init__(self, dim: int, var: str = "velocity", lubflux=0.0,
+                 penalty: float = 1e6, lub_var: str = LUB_VAR):
+        super().__init__(var, dim)
+        self.dim = dim
+        self.lubflux = lubflux
+        self.penalty = penalty
+        self.lub_var = lub_var
+
+    def residual(self, sfv, mat, params):
+        from goma_tpu.fem.fields import MESH_VAR
+
+        nq = sfv.x.shape[0]
+        mu = prop(mat, "mu_lub", sfv, params, 1.0)
+        hfun = mat["gap"]
+        h = hfun(sfv, mat, params) if callable(hfun) else jnp.broadcast_to(
+            jnp.asarray(hfun, dtype=sfv.x.dtype), (nq,))
+        gp = sfv.grad[self.lub_var][:, 0, :]
+        q = -(h ** 3 / (12.0 * mu))[:, None] * gp
+        U = mat.get("wall_velocity", None)
+        if U is not None:
+            Uv = U(sfv, mat, params) if callable(U) else jnp.broadcast_to(
+                jnp.asarray(U, dtype=sfv.x.dtype), (nq, self.dim))
+            q = q + 0.5 * h[:, None] * Uv
+        if MESH_VAR in sfv.dot:
+            q = q - h[:, None] * sfv.dot[MESH_VAR]
+        lf = self.lubflux(sfv, mat, params) if callable(self.lubflux) \
+            else self.lubflux
+        n = sfv.normal  # endpoint conormal (psign path)
+        vn = jnp.einsum("qk,qk->q", sfv.val[self.var], n)
+        s = vn - (lf + jnp.einsum("qk,qk->q", q, n)) / h
+        phi = sfv.phi[self.var]
+        return self.penalty * jnp.einsum("q,qa,qi->qai", s, n, phi)

@@ -286,6 +286,7 @@ class NewtonSolver:
             and not getattr(problem, "ifc_sets", None)
             and not getattr(problem, "ovs_sets", None)
             and not getattr(problem, "edge_sets", None)
+            and getattr(problem, "_inject", None) is None
         )
         self._use_elem_mv = (
             _elem_capable

@@ -269,3 +269,120 @@ def test_velo_normal_edge_directionality():
     np.testing.assert_allclose(d_n[dz[dz >= 0]].sum(), 1.0, rtol=1e-12)
     dx = dm.dof_of_node_svar[:, dm.svar("velocity", 0)]
     np.testing.assert_allclose(d_n[dx[dx >= 0]], 0.0, atol=1e-12)
+
+
+def test_hysteresis_wetting_window():
+    """HysteresisWetting: pinned (zero residual) anywhere inside the
+    [theta_rec, theta_adv] window, linear advancing/receding branches with
+    the right slopes and signs outside it."""
+    from goma_tpu.bc.wetting import HysteresisWetting
+    from goma_tpu.physics.level_set import FILL_VAR, FillEquation
+
+    th_adv, th_rec = 100.0, 60.0
+    mesh = rectangle_mesh(4, 4, elem="QUAD9")
+    prob = Problem(
+        mesh,
+        [Momentum(dim=2, interp="Q2", transient=False),
+         Continuity(interp="Q1"), FillEquation(interp="Q2")],
+        {"rho": 1.0, "mu": 1.0})
+    prob.add_face_kernel("bottom", HysteresisWetting(
+        dim=2, theta_adv_deg=th_adv, theta_rec_deg=th_rec, alpha=0.2,
+        beta_adv=0.5, beta_rec=0.25, depth=0.1))
+    prob.finalize()
+    dm = prob.dofmap
+
+    def r_at(theta_deg):
+        th = np.deg2rad(theta_deg)
+        nf = np.array([-np.sin(th), -np.cos(th)])
+        x = np.zeros(prob.dofmap.n_dof)
+        dF = dm.dof_of_node_svar[:, dm.svar(FILL_VAR)]
+        okF = dF >= 0
+        x[dF[okF]] = (mesh.coords[okF] - [0.5, 0.0]) @ nf
+        R, _ = prob._assemble(jnp.asarray(x, dtype=prob.dtype),
+                              prob.base_params())
+        du = dm.dof_of_node_svar[:, dm.svar("velocity", 0)]
+        return np.asarray(R)[du[du >= 0]].sum()
+
+    # pinned anywhere inside the window
+    for th in (th_rec, 75.0, 90.0, th_adv):
+        assert abs(r_at(th)) < 1e-10, th
+    r_adv = r_at(th_adv + 20.0)
+    r_rec = r_at(th_rec - 20.0)
+    assert r_adv * r_rec < 0, (r_adv, r_rec)
+
+    # advancing branch == plain linear wetting law with theta_s = theta_adv
+    # (identical kernels there), receding branch == linear with theta_rec
+    from goma_tpu.bc.wetting import LSWettingSpeed
+
+    def r_linear(theta_deg, theta_s, beta):
+        p2 = Problem(
+            mesh,
+            [Momentum(dim=2, interp="Q2", transient=False),
+             Continuity(interp="Q1"), FillEquation(interp="Q2")],
+            {"rho": 1.0, "mu": 1.0})
+        p2.add_face_kernel("bottom", LSWettingSpeed(
+            dim=2, theta_s_deg=theta_s, alpha=0.2, model="linear",
+            beta=beta, depth=0.1))
+        p2.finalize()
+        d2 = p2.dofmap
+        th = np.deg2rad(theta_deg)
+        nf = np.array([-np.sin(th), -np.cos(th)])
+        x = np.zeros(p2.dofmap.n_dof)
+        dF = d2.dof_of_node_svar[:, d2.svar(FILL_VAR)]
+        okF = dF >= 0
+        x[dF[okF]] = (mesh.coords[okF] - [0.5, 0.0]) @ nf
+        R, _ = p2._assemble(jnp.asarray(x, dtype=p2.dtype),
+                            p2.base_params())
+        du = d2.dof_of_node_svar[:, d2.svar("velocity", 0)]
+        return np.asarray(R)[du[du >= 0]].sum()
+
+    np.testing.assert_allclose(
+        r_adv, r_linear(th_adv + 20.0, th_adv, 0.5), rtol=1e-10)
+    np.testing.assert_allclose(
+        r_rec, r_linear(th_rec - 20.0, th_rec, 0.25), rtol=1e-10)
+
+
+def test_fill_ca_total_young_force():
+    """FILL_CA: the band integral of delta |grad F| (t.n_ls) is exactly 1
+    for a planar interface, so the TOTAL applied force equals the sharp
+    Young traction sigma (sin(theta_ca) n_w + cos(theta_ca) t) regardless
+    of the dynamic angle; WETTING_TENSION is its tangential branch."""
+    from goma_tpu.bc.wetting import FillContactAngle, WettingTension
+    from goma_tpu.physics.level_set import FILL_VAR, FillEquation
+
+    sigma, th_ca = 0.8, 55.0
+    for kernel, fdir in (
+        (FillContactAngle(dim=2, theta_deg=th_ca, sigma=sigma, eps=0.15),
+         sigma * np.array([np.cos(np.deg2rad(th_ca)) * (-1.0),
+                           np.sin(np.deg2rad(th_ca)) * (-1.0)])),
+        (WettingTension(dim=2, wetting_tension=sigma, eps=0.15),
+         sigma * np.array([-1.0, 0.0])),
+    ):
+        mesh = rectangle_mesh(8, 4, elem="QUAD9")
+        prob = Problem(
+            mesh,
+            [Momentum(dim=2, interp="Q2", transient=False),
+             Continuity(interp="Q1"), FillEquation(interp="Q2")],
+            {"rho": 1.0, "mu": 1.0})
+        prob.add_face_kernel("bottom", kernel)
+        prob.finalize()
+        dm = prob.dofmap
+        # planar interface through (0.5, 0) at 65 deg dynamic angle:
+        # n_w = (0,-1), t = (-1, 0) (orientation sign), n_ls as in the
+        # wetting tests above
+        th = np.deg2rad(65.0)
+        nf = np.array([-np.sin(th), -np.cos(th)])
+        x = np.zeros(prob.dofmap.n_dof)
+        dF = dm.dof_of_node_svar[:, dm.svar(FILL_VAR)]
+        okF = dF >= 0
+        x[dF[okF]] = (mesh.coords[okF] - [0.5, 0.0]) @ nf
+        R, _ = prob._assemble(jnp.asarray(x, dtype=prob.dtype),
+                              prob.base_params())
+        R = np.asarray(R)
+        tot = []
+        for comp in range(2):
+            du = dm.dof_of_node_svar[:, dm.svar("velocity", comp)]
+            tot.append(R[du[du >= 0]].sum())
+        # residual = -int phi f => sum = -total force; t=(-1,0), n_w=(0,-1)
+        np.testing.assert_allclose(-np.array(tot), fdir, rtol=6e-3,
+                                   err_msg=type(kernel).__name__)

@@ -1,0 +1,135 @@
+"""Confined-lubrication <-> free-film junction (LUBP_SH_FP_MATCH +
+LUBP_SH_FP_FLUX, src/mm_shell_bc.c:1667/1743): pressure continuity and flux
+continuity at the node where a LUBP shell region meets a SHELL_FILMP
+region. Exact piecewise-linear pressure with the flux-continuity kink."""
+
+import numpy as np
+import pytest
+
+from goma_tpu.fem import Problem
+from goma_tpu.mesh import rectangle_mesh
+from goma_tpu.mesh.mesh import SideSet
+from goma_tpu.physics import attach_shell_block
+from goma_tpu.physics.lubrication import LUB_VAR, ReynoldsFilm, tie_lub_film
+from goma_tpu.physics.shell_film import FILMH, FILMP, FilmHeight, FilmPressure
+from goma_tpu.solvers import NewtonOptions, NewtonSolver
+
+
+def test_lub_film_junction_flux_and_pressure_continuity():
+    P0, H1, H2, mu = 1.0, 0.4, 0.3, 1.0
+    xj = 0.5
+    nx = 8
+    mesh = rectangle_mesh(nx, 1, elem="QUAD9", xlim=(0, 1), ylim=(0, 0.05))
+    # split the bottom sideset at the junction
+    ss = mesh.sidesets["bottom"]
+    xc = np.array([mesh.coords[
+        mesh.blocks[0].conn[e]][:, 0].mean() for e in ss.elems])
+    left = xc < xj
+    mesh.sidesets["bot_lub"] = SideSet(elems=ss.elems[left],
+                                       faces=ss.faces[left])
+    mesh.sidesets["bot_film"] = SideSet(elems=ss.elems[~left],
+                                        faces=ss.faces[~left])
+    bl = attach_shell_block(mesh, "bot_lub", "lub")
+    bf = attach_shell_block(mesh, "bot_film", "film")
+
+    eqs = [[] for _ in mesh.blocks]
+    mats = [{} for _ in mesh.blocks]
+    eqs[bl] = [ReynoldsFilm(interp="Q2")]
+    mats[bl] = {"gap": H1, "mu_lub": mu}
+    eqs[bf] = [FilmPressure(interp="Q2", transient=False),
+               FilmHeight(interp="Q2")]
+    mats[bf] = {"mu": mu, "sigma": 1.0}
+    prob = Problem(mesh, eqs, mats)
+
+    lub_nodes = np.unique(mesh.blocks[bl].conn)
+    film_nodes = np.unique(mesh.blocks[bf].conn)
+    junction = np.intersect1d(lub_nodes, film_nodes)
+    assert junction.size == 1
+    mesh.nodesets["junction"] = junction.astype(np.int32)
+    mesh.nodesets["lub_in"] = lub_nodes[
+        np.isclose(mesh.coords[lub_nodes, 0], 0.0)].astype(np.int32)
+    mesh.nodesets["film_out"] = film_nodes[
+        np.isclose(mesh.coords[film_nodes, 0], 1.0)].astype(np.int32)
+    mesh.nodesets["film_all"] = film_nodes.astype(np.int32)
+
+    prob.add_dirichlet("lub_in", LUB_VAR, 0, P0)
+    prob.add_dirichlet("film_out", FILMP, 0, 0.0)
+    # flat film: pin the height field (its equation rows become identities)
+    prob.add_dirichlet("film_all", FILMH, 0, H2)
+    tie_lub_film(prob, "junction")
+    prob.finalize()
+    # seed H = H2 (mobility ~ H^3: a zero start would be singular)
+    x0 = prob.set_nodal_field(np.zeros(prob.dofmap.n_dof), FILMH, 0, H2)
+    res = NewtonSolver(prob, NewtonOptions(
+        max_iter=6, tol_residual=1e-11, linear_solver="direct")).solve(
+        x0, prob.base_params())
+    assert res.converged
+
+    # exact: constant flux Q through both regions
+    mA = H1**3 / (12.0 * mu)
+    mB = H2**3 / (3.0 * mu)
+    Q = P0 / (xj / mA + (1 - xj) / mB)
+    p_lub = prob.get_nodal_field(res.x, LUB_VAR, 0)
+    p_film = prob.get_nodal_field(res.x, FILMP, 0)
+    c = mesh.coords
+    for n in lub_nodes:
+        exact = P0 - Q * c[n, 0] / mA
+        assert abs(p_lub[n] - exact) < 1e-8 * P0, (n, p_lub[n], exact)
+    for n in film_nodes:
+        exact = Q * (1 - c[n, 0]) / mB
+        assert abs(p_film[n] - exact) < 1e-8 * P0, (n, p_film[n], exact)
+    # junction: pressure continuity (the MATCH row)
+    j = junction[0]
+    assert abs(p_lub[j] - p_film[j]) < 1e-10
+
+
+def test_velo_normal_lub_end_flux():
+    """VELO_NORMAL_LUB at a lubrication-shell endpoint: the bulk normal
+    velocity at the feed point equals the film's mean end velocity
+    v.n = q.n / H (lubflux=0). Drive the film with end-to-end pressure
+    Dirichlets so q = H^3 P0/(12 mu L) exactly, and check the bulk corner
+    velocity picks up q/H."""
+    import jax.numpy as jnp
+    from goma_tpu.fem.equations import PassiveVar
+    from goma_tpu.physics import Continuity, Momentum
+    from goma_tpu.physics.lubrication import LubEndKinematic
+    from goma_tpu.bc.shell_end import shell_end_sidesets
+
+    P0, H, mu = 1.0, 0.3, 1.0
+    L = 1.0
+    mesh = rectangle_mesh(6, 3, elem="QUAD9", xlim=(0, L), ylim=(0, 0.3))
+    bi = attach_shell_block(mesh, "bottom", "lub")
+    eqs = [[Momentum(dim=2, interp="Q2", transient=False, convection=False),
+            Continuity(interp="Q1")],
+           [ReynoldsFilm(interp="Q2"), PassiveVar("velocity", 2, "Q2")]]
+    mats = [{"rho": 1.0, "mu": mu},
+            {"gap": H, "mu_lub": mu}]
+    prob = Problem(mesh, eqs, mats)
+    ends = shell_end_sidesets(mesh, bi, prefix="lub_end")
+    lub_nodes = np.unique(mesh.blocks[bi].conn)
+    mesh.nodesets["lub_in"] = lub_nodes[
+        np.isclose(mesh.coords[lub_nodes, 0], 0.0)].astype(np.int32)
+    mesh.nodesets["lub_out"] = lub_nodes[
+        np.isclose(mesh.coords[lub_nodes, 0], L)].astype(np.int32)
+    mesh.nodesets["pin"] = np.array([int(lub_nodes[1])], dtype=np.int32)
+    prob.add_dirichlet("lub_in", LUB_VAR, 0, P0)
+    prob.add_dirichlet("lub_out", LUB_VAR, 0, 0.0)
+    # the x=1 endpoint node must stay free of velocity Dirichlet rows (the
+    # end-kinematic penalty lives there; Dirichlet would wipe it)
+    rn = mesh.nodesets["right"]
+    mesh.nodesets["right_nc"] = rn[mesh.coords[rn, 1] > 1e-9].astype(np.int32)
+    for ns in ("top", "left", "right_nc"):
+        prob.add_dirichlet(ns, "velocity", 0, 0.0)
+        prob.add_dirichlet(ns, "velocity", 1, 0.0)
+    prob.add_dirichlet("pin", "pressure", 0, 0.0)
+    prob.add_face_kernel(ends[1], LubEndKinematic(
+        dim=2, var="velocity", lubflux=0.0, penalty=1e8))
+    prob.finalize()
+    res = NewtonSolver(prob, NewtonOptions(
+        max_iter=6, tol_residual=1e-10, linear_solver="direct")).solve(
+        np.zeros(prob.dofmap.n_dof), prob.base_params())
+    assert res.converged
+    q_exact = H**3 * P0 / (12.0 * mu * L)
+    u = prob.get_nodal_field(res.x, "velocity", 0)
+    end_node = lub_nodes[np.isclose(mesh.coords[lub_nodes, 0], L)]
+    np.testing.assert_allclose(u[end_node], q_exact / H, rtol=1e-6)
