@@ -35,4 +35,6 @@ from goma_tpu.bc.traction import (
     CoulombFriction,
     ElecTraction,
     FlowGradV,
+    ForceSIC,
+    SlopeBC,
 )

@@ -185,3 +185,82 @@ class CoulombFriction(FaceKernel):
             g_t = mu_eff * n_force * t_velo / safe
             out = out - jnp.einsum("q,qa,qi->qai", g_t, t, phi)
         return out
+
+
+class SlopeBC(FaceKernel):
+    """SLOPE / SLOPEX / SLOPEY / SLOPEZ (``src/mm_fill_solid.c:1234
+    slope_n_dot_n0_bc``): drive the deformed boundary to be parallel to the
+    prescribed slope vector s — the condition n . s = 0 imposed on the mesh
+    displacement rows (component ``comp`` = 0/1/2 for SLOPEX/Y/Z, or the
+    normal-projected row for the rotated SLOPE card, ``comp=None``),
+    applied via penalty (the reference replaces the rotated row)."""
+
+    def __init__(self, dim: int, slope, comp=None, var: str = MESH_VAR,
+                 penalty: float = 1e4):
+        super().__init__(var, dim)
+        self.dim = dim
+        self.slope = jnp.asarray(slope, dtype=float)
+        self.comp = comp
+        self.penalty = penalty
+
+    def residual(self, sfv, mat, params):
+        n = sfv.normal
+        s = jnp.einsum("qk,k->q", n, self.slope.astype(sfv.x.dtype))
+        phi = sfv.phi[self.var]
+        if self.comp is None:
+            d = n
+        else:
+            d = jnp.zeros_like(n).at[:, self.comp].set(1.0)
+        return self.penalty * jnp.einsum("q,qa,qi->qai", s, d, phi)
+
+
+class ForceSIC(FaceKernel):
+    """FORCE_SIC / FORCE_USER_SIC (``src/mm_fill_solid.c:1283
+    force_n_dot_f_bc`` with the sic flag): strongly-integrated force
+    balance on a solid/mesh boundary — the computed small-strain traction
+    must equal the prescribed (normal, tangential) force components:
+
+        n.TT.n = f_n,   t_k.TT.n = f_t_k
+
+    applied as penalties on the normal/tangent-projected displacement rows
+    (``force`` = (f_n, f_t1[, f_t2]) constants or a callable -> (nq, dim)
+    for the USER variant). The weak FORCE card is the plain Traction
+    kernel; this variant pins the traction pointwise."""
+
+    def __init__(self, dim: int, force, var: str = MESH_VAR,
+                 penalty: float = 1e4):
+        super().__init__(var, dim)
+        self.dim = dim
+        self.force = force
+        self.penalty = penalty
+
+    def _stress(self, sfv, mat, params):
+        if self.var == MESH_VAR:
+            G = prop(mat, "mesh_shear_modulus", sfv, params, 1.0)
+            lam = prop(mat, "mesh_lambda", sfv, params, 1.0)
+        else:
+            G = prop(mat, "lame_mu", sfv, params, 1.0)
+            lam = prop(mat, "lame_lambda", sfv, params, 1.0)
+        gd = sfv.grad[self.var]
+        eps = 0.5 * (gd + jnp.swapaxes(gd, 1, 2))
+        tr = jnp.trace(eps, axis1=1, axis2=2)
+        return 2.0 * G * eps + lam * tr[:, None, None] * jnp.eye(self.dim)[None]
+
+    def residual(self, sfv, mat, params):
+        nq = sfv.x.shape[0]
+        f = self.force(sfv, mat, params) if callable(self.force) else \
+            jnp.broadcast_to(jnp.asarray(self.force, dtype=sfv.x.dtype),
+                             (nq, self.dim))
+        TT = self._stress(sfv, mat, params)
+        n = sfv.normal
+        nTT = jnp.einsum("qk,qka->qa", n, TT)
+        phi = sfv.phi[self.var]
+        out = self.penalty * jnp.einsum(
+            "q,qa,qi->qai", jnp.einsum("qa,qa->q", nTT, n) - f[:, 0], n, phi)
+        for k in range(self.dim - 1):
+            t = sfv.tangents[:, :, k]
+            t = t / jnp.linalg.norm(t, axis=1, keepdims=True)
+            out = out + self.penalty * jnp.einsum(
+                "q,qa,qi->qai",
+                jnp.einsum("qa,qa->q", nTT, t) - f[:, 1 + k], t, phi)
+        return out

@@ -525,9 +525,11 @@ class Problem:
         # overset (fictitious-domain) couplings likewise
         self.ovs_sets: list[_OvsSet] = self._build_overset_sets()
         # row-inject pairs (add_row_inject): resolve (from_row, to_row) and
-        # widen the graph so the to_row holds every from_row column
+        # widen the graph so the to_row holds every from_row column. Two
+        # passes: the base pattern fixes the from-rows' column sets, then
+        # explicit (to_row, col) keys are unioned in (exact — no spurious
+        # fill; injection chains from->to->... are rejected)
         inj_pairs: list[tuple[int, int, float]] = []
-        inj_gathers: list[np.ndarray] = []
         for (nodeset, fvar, tvar, fc, tc, sg) in self._inject_specs:
             nodes = mesh.nodesets[nodeset] if isinstance(nodeset, str) \
                 else np.asarray(nodeset)
@@ -539,19 +541,33 @@ class Problem:
                 if fr < 0 or tr < 0:
                     continue
                 inj_pairs.append((fr, tr, float(sg)))
-                cols = [np.array([fr, tr], dtype=np.int64)]
-                for b in self.dofmap.blocks:
-                    hit = np.any(b.gather == fr, axis=1)
-                    if hit.any():
-                        cols.append(np.unique(b.gather[hit]).astype(np.int64))
-                inj_gathers.append(np.unique(np.concatenate(cols))[None, :])
-        self.pattern: CSRPattern = build_pattern(
-            self.dofmap.n_dof,
+        base_gathers = (
             [b.gather for b in self.dofmap.blocks]
             + [s.gather_ab for s in self.ifc_sets]
             + [s.gather for s in self.ovs_sets]
-            + inj_gathers,
         )
+        extra_keys = None
+        if inj_pairs:
+            frs = {p[0] for p in inj_pairs}
+            trs = {p[1] for p in inj_pairs}
+            if frs & trs:
+                raise NotImplementedError(
+                    "chained row injections (a to-row is also a from-row) "
+                    "are not supported")
+            pat0 = build_pattern(self.dofmap.n_dof, base_gathers)
+            n64 = np.int64(self.dofmap.n_dof)
+            keys = []
+            for fr, tr, _ in inj_pairs:
+                cols = pat0.indices[pat0.indptr[fr]:pat0.indptr[fr + 1]]
+                keys.append(np.int64(tr) * n64 + cols.astype(np.int64))
+                # the mutual entries: (to, from) for the injection itself and
+                # (from, to) for a replacing cross-variable point constraint
+                # (e.g. the LUBP_SH_FP_MATCH pressure tie on the from row)
+                keys.append(np.array([np.int64(tr) * n64 + fr,
+                                      np.int64(fr) * n64 + tr]))
+            extra_keys = np.concatenate(keys)
+        self.pattern: CSRPattern = build_pattern(
+            self.dofmap.n_dof, base_gathers, extra_keys=extra_keys)
         if inj_pairs:
             fp_l, tp_l, ps_l = [], [], []
             for fr, tr, sg in inj_pairs:

@@ -47,7 +47,8 @@ class CSRPattern:
         return np.where(ok, pos, -1)
 
 
-def build_pattern(n_dof: int, gathers: list[np.ndarray]) -> CSRPattern:
+def build_pattern(n_dof: int, gathers: list[np.ndarray],
+                  extra_keys: np.ndarray = None) -> CSRPattern:
     """Union of element-local dense couplings over all blocks + full diagonal.
     The sort+unique over all element key cross-products is the graph-build
     hot spot at production mesh sizes; it runs in parallel C++
@@ -55,6 +56,8 @@ def build_pattern(n_dof: int, gathers: list[np.ndarray]) -> CSRPattern:
     from goma_tpu.native import sort_unique
 
     keys_parts = [np.arange(n_dof, dtype=np.int64) * n_dof + np.arange(n_dof)]
+    if extra_keys is not None and extra_keys.size:
+        keys_parts.append(np.asarray(extra_keys, dtype=np.int64).ravel())
     for g in gathers:
         g64 = g.astype(np.int64)
         ne, nl = g64.shape

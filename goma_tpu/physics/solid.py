@@ -28,6 +28,7 @@ multi-variable point constraints: see ``tie_mesh_to_solid``.
 
 from __future__ import annotations
 
+import numpy as np
 import jax.numpy as jnp
 
 from goma_tpu.fem.equations import Equation, FaceKernel
@@ -167,3 +168,50 @@ def tie_mesh_to_solid(problem, nodeset, dim: int,
             return q[a] - q[dim + a]
 
         problem.add_point_constraint(nodeset, [mesh_var, solid_var], a, g)
+
+
+class FSIVelocityTie(FaceKernel):
+    """FLUID_SOLID / FLUID_SOLID_RS side of the conforming fluid<->solid
+    interface: replace the fluid momentum rows with the no-slip tie
+    v = d_dot (penalty; the reference's row surgery in
+    ``src/bc_colloc.c:537 put_liquid_stress_in_solid`` path). The solid
+    velocity is the displacement time derivative when ``solid_var`` is
+    registered on the fluid block (``PassiveVar``); absent (or steady) it
+    ties v to zero."""
+
+    def __init__(self, dim: int, solid_var: str = SOLID_VAR,
+                 penalty: float = 1e6):
+        super().__init__("velocity", dim)
+        self.dim = dim
+        self.solid_var = solid_var
+        self.penalty = penalty
+
+    def residual(self, sfv, mat, params):
+        v = sfv.val["velocity"]
+        if self.solid_var in sfv.dot:
+            v = v - sfv.dot[self.solid_var]
+        phi = sfv.phi["velocity"]
+        return self.penalty * jnp.einsum("qa,qi->qai", v, phi)
+
+
+def tie_fluid_solid(problem, interface_nodeset, dim: int,
+                    solid_var: str = SOLID_VAR, v_wall=0.0):
+    """Conforming fluid<->solid interface: SOLID_FLUID(_RS) +
+    FLUID_SOLID(_RS) (``src/bc_colloc.c:537`` ``put_liquid_stress_in_solid``
+    / ``put_liquid_stress_in_solid_ALE``): the fluid momentum rows at the
+    shared interface nodes are injected into the solid displacement rows
+    (row sum = interface traction balance; the +1 sign is this framework's
+    weak-form telescoping, see ``tie_lub_film``), then REPLACED by the
+    no-slip tie — the replacement must happen after the injection (the
+    reference's lec-level copy before its strong row surgery), which is
+    exactly the point-constraint ordering here. The steady tie pins
+    v = v_wall (scalar/(dim,) constant); for a moving solid use the
+    transient :class:`FSIVelocityTie` penalty on a separate sideset
+    instead (v = d_dot, no row replacement)."""
+    vw = np.broadcast_to(np.asarray(v_wall, dtype=float), (dim,))
+    for c in range(dim):
+        problem.add_row_inject(interface_nodeset, "velocity", solid_var,
+                               from_comp=c, to_comp=c, sign=1.0)
+        problem.add_point_constraint(
+            interface_nodeset, "velocity", c,
+            (lambda c=c: lambda q, X0, params: q[c] - vw[c])())

@@ -175,3 +175,81 @@ def test_coulomb_friction_acoustic_reduction():
     exy = mu_eff * N / (2 * G)
     u_ex = exx * c[:, 0] + 2 * exy * c[:, 1]
     np.testing.assert_allclose(dx, u_ex, atol=1e-4)
+
+
+def test_slope_bc_tilts_boundary():
+    """SLOPE: n.s = 0 drives the deformed top boundary parallel to the
+    prescribed slope vector s = (1, eps): the boundary becomes a ramp of
+    slope eps (small-strain elastic mesh, left edge pinned)."""
+    from goma_tpu.bc import SlopeBC
+
+    eps_s = 0.05
+    mesh = rectangle_mesh(6, 6, elem="QUAD9")
+    prob = Problem(mesh, [LinearElasticMesh(dim=2)],
+                   {"mesh_shear_modulus": 5.0, "mesh_lambda": 2.0})
+    for ns in ("bottom", "left", "right"):
+        prob.add_dirichlet(ns, MESH_VAR, 0, 0.0)
+    prob.add_dirichlet("bottom", MESH_VAR, 1, 0.0)
+    # pin the top-left corner height so the ramp is anchored
+    tl = np.where(np.isclose(mesh.coords[:, 0], 0.0)
+                  & np.isclose(mesh.coords[:, 1], 1.0))[0]
+    mesh.nodesets["tl"] = tl.astype(np.int32)
+    prob.add_dirichlet("tl", MESH_VAR, 1, 0.0)
+    prob.add_face_kernel("top", SlopeBC(dim=2, slope=(1.0, eps_s),
+                                        penalty=1e6))
+    prob.finalize()
+    res = NewtonSolver(prob, NewtonOptions(max_iter=10, tol_residual=1e-9,
+                                           linear_solver="direct")).solve(
+        np.zeros(prob.dofmap.n_dof), prob.base_params())
+    assert res.converged
+    dy = prob.get_nodal_field(res.x, MESH_VAR, 1)
+    c = mesh.coords
+    top = np.isclose(c[:, 1], 1.0)
+    # n = (-h', 1)/|..|; n.s = 0 -> h' = eps_s: fitted ramp slope within a
+    # few % (elastic side constraints bow the sheet slightly)
+    fit = np.polyfit(c[top, 0], dy[top], 1)[0]
+    np.testing.assert_allclose(fit, eps_s, rtol=5e-2)
+
+
+def test_force_sic_matches_weak_traction():
+    """FORCE_SIC: pinning the pointwise traction (n.TT.n, t.TT.n) =
+    (-N, tau) reproduces the same uniform stress state as the weak
+    SolidTraction loading."""
+    from goma_tpu.bc import ForceSIC
+
+    N, tau = 0.1, 0.03
+    G, lam = 10.0, 5.0
+    mesh = rectangle_mesh(6, 6, elem="QUAD9")
+    prob = Problem(mesh, [LinearElasticMesh(dim=2)],
+                   {"mesh_shear_modulus": G, "mesh_lambda": lam})
+    prob.add_dirichlet("bottom", MESH_VAR, 0, 0.0)
+    prob.add_dirichlet("bottom", MESH_VAR, 1, 0.0)
+    # top: strong force balance; sides: consistent weak tractions
+    prob.add_face_kernel("top", ForceSIC(dim=2, force=(-N, -tau),
+                                         penalty=1e5))
+    prob.add_face_kernel("left", SolidTraction(
+        dim=2, traction=(0.0, -tau), var=MESH_VAR))
+    prob.add_face_kernel("right", SolidTraction(
+        dim=2, traction=(0.0, tau), var=MESH_VAR))
+    prob.finalize()
+    res = NewtonSolver(prob, NewtonOptions(max_iter=10, tol_residual=1e-9,
+                                           linear_solver="direct")).solve(
+        np.zeros(prob.dofmap.n_dof), prob.base_params())
+    assert res.converged
+    dx = prob.get_nodal_field(res.x, MESH_VAR, 0)
+    dy = prob.get_nodal_field(res.x, MESH_VAR, 1)
+    c = mesh.coords
+    # exact uniform state sigma = [[0, tau], [tau, -N]] with u(y=0)=0:
+    A = np.array([[2 * G + lam, lam], [lam, 2 * G + lam]])
+    exx, eyy = np.linalg.solve(A, [0.0, -N])
+    exy = tau / (2 * G)
+    u_ex = exx * c[:, 0] + 2 * exy * c[:, 1] - exx * c[:, 0] * 0
+    # u(x,0)=0 forces exx*x term to vanish at base: subtract it so both
+    # constraints hold only if exx ~ 0... instead compare strains via fit
+    # shear and vertical strain from the displacement field:
+    np.testing.assert_allclose(
+        np.polyfit(c[np.isclose(c[:, 0], 0.5), 1],
+                   dy[np.isclose(c[:, 0], 0.5)], 1)[0], eyy, rtol=5e-2)
+    np.testing.assert_allclose(
+        np.polyfit(c[np.isclose(c[:, 0], 0.5), 1],
+                   dx[np.isclose(c[:, 0], 0.5)], 1)[0], 2 * exy, rtol=5e-2)
