@@ -128,3 +128,7 @@ def refine_factor_from_indicator(eta: np.ndarray, target_abs: float,
         return 1
     return int(np.clip(np.ceil((eta_norm / target_abs) ** (1.0 / max(p, 1))),
                        1, max_factor))
+
+
+from goma_tpu.adapt.local_amr import (mark_ls_band, mark_top_fraction,
+                                      red_green_refine)
