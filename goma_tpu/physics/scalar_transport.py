@@ -215,3 +215,24 @@ class BondEvolution(Equation):
             out = out + self.diff * jnp.einsum(
                 "qk,qik->qi", gnn, fv.gphi[self.var])
         return out[:, None, :]
+
+
+class ShearRateProjection(Equation):
+    """R_SHEAR_RATE rows (the reference's projected shear-rate auxiliary
+    variable, ``include/rf_fem_const.h`` SHEAR_RATE; assembled in
+    ``src/mm_fill_terms.c`` as a projection): gd = sqrt(2 D:D) as a solved
+    nodal field for closures that need a continuous shear rate (SH
+    Dirichlet cards, suspension flux models):
+
+        R_i = int phi_i (gd - gammadot(u))
+    """
+
+    def __init__(self, interp: str = "Q1", var: str = "shear_rate_proj"):
+        super().__init__(var, 1, interp)
+
+    def residual(self, fv, mat, params):
+        from goma_tpu.physics.materials import shear_rate
+
+        gd = fv.val[self.var][:, 0]
+        phi = fv.phi[self.var]
+        return ((gd - shear_rate(fv))[:, None] * phi)[:, None, :]

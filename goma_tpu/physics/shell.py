@@ -16,7 +16,7 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
-from goma_tpu.fem.equations import Equation
+from goma_tpu.fem.equations import Equation, FaceKernel
 from goma_tpu.physics.materials import prop
 
 
@@ -249,3 +249,54 @@ class BeamBending(Equation):
             w1 = fv.grad_s[self.var][:, 0]
             c = c + self.tension * w1[:, None] * fv.dphi_ds[self.var]
         return c.reshape(nq, 2, 2)
+
+
+class ShellSurfDivV(Equation):
+    """R_SHELL_SURF_DIV_V rows (surface-rheology projection family,
+    ``src/mm_fill_shell.c:4456 assemble_shell_surface_rheo_pieces``): the
+    surface divergence of the bulk velocity as a SOLVED shell variable,
+
+        R_i = int phi_i (gamma1 - div_s v),   div_s v = (I - nn):grad v
+            = t . dv/ds  on a 2D curve shell
+
+    (+ optional surface-diffusion smoothing ``surf_div_diff`` matching the
+    reference's SurfaceDiffusionCoeffProjectionEqn). Register the bulk
+    velocity on the shell block with
+    ``PassiveVar("velocity", dim, interp)`` so its nodal values route
+    through the shell gather (shared boundary nodes)."""
+
+    def __init__(self, interp: str = "Q2", var: str = "surf_div_v",
+                 vel_var: str = "velocity"):
+        super().__init__(var, 1, interp)
+        self.vel_var = vel_var
+
+    def residual(self, fv, mat, params):
+        g1 = fv.val[self.var][:, 0]
+        # t . dv/ds from the curve's arc-length derivatives
+        dvds = fv.grad_s[self.vel_var]  # (nq, dim)
+        div_s = jnp.einsum("qa,qa->q", fv.tangent, dvds)
+        phi = fv.phi[self.var]
+        c = (g1 - div_s)[:, None] * phi
+        diff = mat.get("surf_div_diff", 0.0)
+        if diff:
+            c = c + diff * fv.grad_s[self.var][:, :1] * fv.dphi_ds[self.var]
+        return c[:, None, :]
+
+
+class Gamma1DerivBC(FaceKernel):
+    """SH_GAMMA1_DERIV_SYMM (``src/mm_ns_bc.c:15582 fgamma1_deriv_bc``):
+    collocated end condition n . grad(gamma1) = -g on the surface-rheology
+    projection variable — g=0 is the symmetry closure. Applied as a penalty
+    on the endpoint row (conormal times the arc-length derivative)."""
+
+    def __init__(self, g: float = 0.0, var: str = "surf_div_v",
+                 penalty: float = 1e4):
+        super().__init__(var, 1)
+        self.g = g
+        self.penalty = penalty
+
+    def residual(self, sfv, mat, params):
+        dgds = sfv.grad[self.var][:, 0, :]  # tangential gradient (psign)
+        s = self.g + jnp.einsum("qk,qk->q", sfv.normal, dgds)
+        phi = sfv.phi[self.var]
+        return self.penalty * s[:, None, None] * phi[:, None, :]
