@@ -1299,8 +1299,11 @@ class Problem:
             r = jnp.zeros((q_ab.shape[0],), dtype=q_ab.dtype)
             for k in s.kernels:
                 ca, cb = k.residual(sa, sb, mat_a, mat_b, params)
-                sla = bd_a.slot(k.var)
-                slb = bd_b.slot(k.var)
+                # cross-variable interface kernels (var_a/var_b) target a
+                # different equation on each side (e.g. VP_EQUIL: gas
+                # species vs porous liquid pressure)
+                sla = bd_a.slot(getattr(k, "var_a", None) or k.var)
+                slb = bd_b.slot(getattr(k, "var_b", None) or k.var)
                 acc_a = jnp.einsum("q,qcn->cn", sa.wdA, ca)
                 acc_b = jnp.einsum("q,qcn->cn", sa.wdA, cb)
                 r = r.at[sla.start : sla.start + sla.size].add(acc_a.reshape(-1))

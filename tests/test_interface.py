@@ -128,3 +128,116 @@ def test_interface_jacobian_cross_coupling():
     x = rng.randn(prob.dofmap.n_dof)
     chk = numerical_jacobian_check(prob, x, prob.base_params(), n_columns=14)
     assert chk.ok, chk.report()
+
+
+def test_flory_huggins_vle():
+    """VL_POLY: composition-dependent Flory-Huggins partition through the
+    callable-K path; at the penalty limit the interface satisfies
+    c_gas = a1(c_liq) psat/P with the FH activity, checked against the
+    closed form at the converged interface composition."""
+    from goma_tpu.physics.interface import flory_huggins_partition
+
+    Da, Db = 1.2, 0.3
+    chi, n_poly, psat_P = 0.8, 50.0, 0.6
+    mesh = _two_block_strip(6, 2)
+    pairs = find_interface_faces(mesh, 0, 1)
+    orig, new = split_interface(mesh, pairs)
+    prob = Problem(
+        mesh,
+        [[Species(1, interp="Q1", transient=False, convection=False)],
+         [Species(1, interp="Q1", transient=False, convection=False)]],
+        [{"diffusivity": Da}, {"diffusivity": Db}],
+    )
+    # gas side A (left, Dirichlet low), polymer liquid side B (right, rich)
+    prob.add_dirichlet("left", "species", 0, 0.01)
+    prob.add_dirichlet("right", "species", 0, 0.5)
+    prob.add_interface_kernel(pairs, InterfaceExchange(
+        "species", coeff=1e8,
+        K=flory_huggins_partition(chi, n_poly, psat_P)))
+    prob.finalize()
+    x0 = np.full(prob.dofmap.n_dof, 0.1)
+    res = NewtonSolver(prob, NewtonOptions(max_iter=20, tol_residual=1e-11,
+                                           linear_solver="direct")).solve(
+        x0, prob.base_params())
+    assert res.converged, res.summary()
+    c = prob.get_nodal_field(res.x, "species")
+    ca = c[orig].mean()
+    cb = c[new].mean()
+    phi1 = cb
+    a1 = phi1 * np.exp((1 - 1 / n_poly) * (1 - phi1) + chi * (1 - phi1) ** 2)
+    np.testing.assert_allclose(ca, a1 * psat_P, rtol=1e-6)
+    # flux continuity: piecewise-linear profiles with matching flux
+    qa = Da * (ca - 0.01) / 0.5
+    qb = Db * (0.5 - cb) / 0.5
+    np.testing.assert_allclose(qa, qb, rtol=1e-5)
+
+
+def test_kinetic_prxn_exchange():
+    """VL_EQUIL_PRXN / IS_EQUIL_PRXN kinetic flavor: finite-rate exchange
+    q = k_f (c_a - K c_b) produces the exact kinetic jump (the reference's
+    equilibrium-with-surface-reaction form, raoults_law_prxn)."""
+    Da, Db, kf, K = 1.0, 0.5, 3.0, 1.5
+    mesh = _two_block_strip(4, 2)
+    pairs = find_interface_faces(mesh, 0, 1)
+    orig, new = split_interface(mesh, pairs)
+    prob = Problem(
+        mesh,
+        [[Species(1, interp="Q1", transient=False, convection=False)],
+         [Species(1, interp="Q1", transient=False, convection=False)]],
+        [{"diffusivity": Da}, {"diffusivity": Db}],
+    )
+    prob.add_dirichlet("left", "species", 0, 1.0)
+    prob.add_dirichlet("right", "species", 0, 0.0)
+    prob.add_interface_kernel(pairs, InterfaceExchange("species", coeff=kf,
+                                                       K=K))
+    prob.finalize()
+    res = NewtonSolver(prob, NewtonOptions(max_iter=6, tol_residual=1e-11,
+                                           linear_solver="direct")).solve(
+        np.zeros(prob.dofmap.n_dof), prob.base_params())
+    assert res.converged
+    c = prob.get_nodal_field(res.x, "species")
+    ca, cb = c[orig].mean(), c[new].mean()
+    # steady flux: q = Da(1-ca)/.5 = kf(ca - K cb) = Db(cb-0)/.5
+    # solve the 2x2 linear system for the exact interface values
+    A = np.array([[Da / 0.5 + kf, -kf * K], [kf, -kf * K - Db / 0.5]])
+    b = np.array([Da / 0.5 * 1.0, 0.0])
+    ca_ex, cb_ex = np.linalg.solve(A, b)
+    np.testing.assert_allclose([ca, cb], [ca_ex, cb_ex], rtol=1e-8)
+
+
+def test_interface_match_cross_variable():
+    """InterfaceMatch (VP_EQUIL/POROUS_GAS machinery): gas-side species
+    equation tied to the other block's TEMPERATURE equation through the
+    saturation relation y = a T, with scaled conservative flux exchange —
+    exact two-resistance solution."""
+    from goma_tpu.physics.interface import InterfaceMatch
+
+    Da, kb, a_sat, sb_scale = 1.0, 0.6, 2.0, 0.7
+    mesh = _two_block_strip(4, 2)
+    pairs = find_interface_faces(mesh, 0, 1)
+    orig, new = split_interface(mesh, pairs)
+    prob = Problem(
+        mesh,
+        [[Species(1, interp="Q1", transient=False, convection=False)],
+         [Energy(interp="Q1", transient=False, convection=False)]],
+        [{"diffusivity": Da}, {"rho": 1.0, "Cp": 1.0, "k": kb}],
+    )
+    prob.add_dirichlet("left", "species", 0, 1.0)
+    prob.add_dirichlet("right", "temperature", 0, 0.2)
+    prob.add_interface_kernel(pairs, InterfaceMatch(
+        "species", "temperature", coeff=1e8,
+        g_b=lambda sbv, mat, params: a_sat * sbv.val["temperature"][:, 0],
+        scale_b=sb_scale))
+    prob.finalize()
+    res = NewtonSolver(prob, NewtonOptions(max_iter=6, tol_residual=1e-10,
+                                           linear_solver="direct")).solve(
+        np.zeros(prob.dofmap.n_dof), prob.base_params())
+    assert res.converged
+    y = prob.get_nodal_field(res.x, "species")
+    T = prob.get_nodal_field(res.x, "temperature")
+    yi = y[orig].mean()
+    Ti = T[new].mean()
+    # exact: Da(1-yi)/.5 = q ; kb(Ti-.2)/.5 = sb q ; yi = a Ti
+    Tb_ex = (Da + kb * 0.2 / sb_scale / 1.0) / (Da * a_sat + kb / sb_scale)
+    np.testing.assert_allclose(Ti, Tb_ex, rtol=1e-7)
+    np.testing.assert_allclose(yi, a_sat * Tb_ex, rtol=1e-7)
