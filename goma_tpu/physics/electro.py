@@ -117,3 +117,157 @@ class ORRFlux(FaceKernel):
         phi = sfv.phi[self.var]
         out = jnp.zeros((nq, self.ncomp, phi.shape[1]), dtype=phi.dtype)
         return out.at[:, self.comp, :].set(q[:, None] * phi)
+
+
+class NickelPlatingFlux(FaceKernel):
+    """YFLUX_NI / CURRENT_NI (``src/mm_fill_species.c:2652
+    mass_flux_surf_NI``, wrappers ``:5315``/``:5573``): the fitted
+    four-reaction nickel-electroplating surface kinetics
+
+        H+    + e-  -> H2/2        (alpha_c 0.11, i00 0.289,    U00  0)
+        H2O   + e-  -> H2/2 + OH-  (alpha_c 0.4,  i00 8.80e-9,  U00 -0.8280)
+        NiOH+ + 2e- -> Ni + OH-    (alpha_c 0.33, i00 1.34,     U00 -0.3648)
+        Ni2+  + 2e- -> Ni          (alpha_c 0.21, i00 1.07e-5,  U00 -0.2363)
+
+    with Q_r = (i00/nF) [grpc * (c x)/0.001 - grpa * ...] exactly as coded
+    in the reference (including its one-sided/two-sided branches and
+    electron-count weights). ``mode``: a species index in the reference
+    layout (0=Ni2+, 2=H+, 3=OH-, 4=NiOH+, 6=H2) applies that species' net
+    outward flux on its rows; ``mode="current"`` applies the total molar
+    current sum on the potential rows (the CURRENT_NI card). The total
+    molar concentration c enters via ``c_total`` (constant or
+    callable(sfv, mat, params) -> (nq,); the reference computes rho/M_mix
+    from the density closure). Convective flux terms vanish on fixed
+    no-penetration electrodes and are omitted."""
+
+    F = 96487.0
+    GAS_R = 8.314
+
+    def __init__(self, mode, PHI_E: float, T: float, c_total=1.0,
+                 idx=(0, 2, 3, 4), var: str = "species", ncomp: int = 1):
+        if mode == "current":
+            super().__init__(POT_VAR, 1)
+        else:
+            super().__init__(var, ncomp)
+        self.mode = mode
+        self.PHI_E = PHI_E
+        self.T = T
+        self.c_total = c_total
+        self.i_ni, self.i_h, self.i_oh, self.i_nioh = idx
+        self.species_var = var
+
+    def _fluxes(self, sfv, mat, params):
+        FRT = self.F / (self.GAS_R * self.T)
+        Phi = sfv.val[POT_VAR][:, 0] if POT_VAR in sfv.val else 0.0
+        ct = self.c_total(sfv, mat, params) if callable(self.c_total) \
+            else self.c_total
+        x = sfv.val[self.species_var]
+        dphi = lambda n, U00: n * FRT * (self.PHI_E - Phi - U00)
+        out = {}
+        # H+ + e- -> H2/2
+        d = dphi(1, 0.0)
+        Q1 = (0.289 / (1 * self.F)) * jnp.exp(-0.11 * d) \
+            * ct * x[:, self.i_h] / 0.001
+        # H2O + e- -> H2/2 + OH-
+        d = dphi(1, -0.8280)
+        Q2 = (8.80e-09 / (1 * self.F)) * jnp.exp(-0.4 * d)
+        # NiOH+ + 2e- -> Ni + OH-
+        d = dphi(2, -0.3648)
+        Q3 = (1.34 / (2 * self.F)) * (ct / 0.001) * (
+            jnp.exp(-0.33 * d) * x[:, self.i_nioh]
+            - jnp.exp(0.67 * d) * x[:, self.i_oh])
+        # Ni2+ + 2e- -> Ni
+        d = dphi(2, -0.2363)
+        Q4 = (1.07e-05 / (2 * self.F)) * (
+            jnp.exp(-0.21 * d) * ct * x[:, self.i_ni] / 0.001
+            - jnp.exp(0.79 * d))
+        out[self.i_h] = Q1
+        out[self.i_oh] = -Q2 - Q3
+        out[self.i_nioh] = Q3
+        out[self.i_ni] = Q4
+        out["current"] = Q1 + Q2 + 2.0 * Q3 + 2.0 * Q4
+        return out
+
+    def residual(self, sfv, mat, params):
+        nq = sfv.x.shape[0]
+        fl = self._fluxes(sfv, mat, params)
+        phi = sfv.phi[self.var]
+        if self.mode == "current":
+            q = fl["current"]
+            return (q[:, None] * phi)[:, None, :]
+        q = fl[self.mode]
+        out = jnp.zeros((nq, self.ncomp, phi.shape[1]), dtype=phi.dtype)
+        return out.at[:, self.mode, :].set(q[:, None] * phi)
+
+
+class AlloyEvapFlux(FaceKernel):
+    """YFLUX_ALLOY (``src/mm_fill_species.c:4280 mass_flux_alloy_surf``):
+    metal-evaporation mass flux with a cubic-in-temperature transfer
+    coefficient,
+
+        n.j = exp[c0 + c1 dT - c2 dT^2 + c3 dT^3] (y - y_inf),  dT = T - Tm
+    """
+
+    def __init__(self, Tm: float, c0: float, c1: float, c2: float,
+                 c3: float, y_inf: float, comp: int = 0,
+                 var: str = "species", ncomp: int = 1):
+        super().__init__(var, ncomp)
+        self.Tm, self.c = Tm, (c0, c1, c2, c3)
+        self.y_inf, self.comp = y_inf, comp
+
+    def residual(self, sfv, mat, params):
+        nq = sfv.x.shape[0]
+        T = sfv.val["temperature"][:, 0]
+        dT = T - self.Tm
+        c0, c1, c2, c3 = self.c
+        k = jnp.exp(c0 + c1 * dT - c2 * dT**2 + c3 * dT**3)
+        y = sfv.val[self.var][:, self.comp]
+        q = k * (y - self.y_inf)
+        phi = sfv.phi[self.var]
+        out = jnp.zeros((nq, self.ncomp, phi.shape[1]), dtype=phi.dtype)
+        return out.at[:, self.comp, :].set(q[:, None] * phi)
+
+
+class CurrentSIC(FaceKernel):
+    """CURRENT_SIC / CURRENT_USER_SIC (``src/mm_fill_potential.c:1702
+    apply_potential_grad_bc``, dispatched src/bc_integ.c:1762): strongly
+    pin the boundary current density of the potential equation,
+
+        i_applied + perm (grad V . n) = 0
+
+    (perm: the card's conductivity/permittivity coefficient). ``i_app`` is
+    a constant or callable(sfv, mat, params) -> (nq,) — the USER variant.
+    Applied as a penalty on the voltage rows (the reference replaces the
+    strong-integrated row)."""
+
+    def __init__(self, i_app, perm: float = None, penalty: float = 1e6):
+        super().__init__(POT_VAR, 1)
+        self.i_app = i_app
+        self.perm = perm
+        self.penalty = penalty
+
+    def residual(self, sfv, mat, params):
+        nq = sfv.x.shape[0]
+        perm = self.perm if self.perm is not None else \
+            prop(mat, "permittivity", sfv, params, 1.0)
+        gV = sfv.grad[POT_VAR][:, 0, :]
+        ia = self.i_app(sfv, mat, params) if callable(self.i_app) \
+            else jnp.broadcast_to(jnp.asarray(self.i_app, dtype=sfv.x.dtype),
+                                  (nq,))
+        s = ia + perm * jnp.einsum("qk,qk->q", gV, sfv.normal)
+        phi = sfv.phi[POT_VAR]
+        return self.penalty * (s[:, None] * phi)[:, None, :]
+
+
+def surface_charge_constraint(charges, sigma: float, replace_comp: int):
+    """SURFACE_CHARGE (``src/mm_fill_potential.c:917 surface_charge_surf``):
+    the strong boundary constraint sum_i z_i c_i = sigma on the species
+    (electroneutral surface when sigma = 0). Use with
+    ``Problem.add_point_constraint(nodeset, "species", replace_comp, g)``.
+    """
+    z = jnp.asarray(charges, dtype=float)
+
+    def g(q, X0, params):
+        return jnp.dot(z, q[: z.shape[0]]) - sigma
+
+    return g
