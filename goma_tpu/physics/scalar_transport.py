@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from goma_tpu.fem.equations import Equation
+from goma_tpu.fem.equations import Equation, InterfaceKernel
 from goma_tpu.physics.materials import prop
 from goma_tpu.physics.fluid import _as_nq, advective_velocity
 
@@ -236,3 +236,40 @@ class ShearRateProjection(Equation):
         gd = fv.val[self.var][:, 0]
         phi = fv.phi[self.var]
         return ((gd - shear_rate(fv))[:, None] * phi)[:, None, :]
+
+
+class LightFresnelJump(InterfaceKernel):
+    """LIGHTP_JUMP / LIGHTM_JUMP (+_2) (``src/mm_ns_bc.c:15932
+    qside_light_jump``): Fresnel intensity jump at an internal
+    refractive-index interface, normal incidence (the reference hardwires
+    mucos = 1):
+
+        R = ((n - n_o)/(n + n_o))^2,   Y = (n_o/n)^2 (1 - R)
+        I_f(downstream) - R I_b(downstream) - Y I_f(upstream) = 0
+
+    applied as a penalty on the downstream block's ``var`` rows (side A of
+    the interface pairs; the reference's strong two-sided assembly).
+    ``var``: "light_intp" forward (LIGHTP_JUMP) or "light_intm" backward
+    (LIGHTM_JUMP); ``other_var`` the opposite direction (its reflection
+    contribution is dropped when not registered). Material key
+    ``refindex`` on both blocks."""
+
+    def __init__(self, var: str = "light_intp", other_var: str = "light_intm",
+                 penalty: float = 1e6):
+        super().__init__(var, 1)
+        self.other_var = other_var
+        self.penalty = penalty
+
+    def residual(self, sa, sb, mat_a, mat_b, params):
+        n = mat_a["refindex"]
+        no = mat_b["refindex"]
+        R = ((n - no) / (n + no)) ** 2
+        Y = (no / n) ** 2 * (1.0 - R)
+        If_a = sa.val[self.var][:, 0]
+        If_b = sb.val[self.var][:, 0]
+        Ib_a = sa.val[self.other_var][:, 0] if self.other_var in sa.val \
+            else 0.0
+        s = If_a - R * Ib_a - Y * If_b
+        ca = self.penalty * (s[:, None] * sa.phi[self.var])[:, None, :]
+        cb = jnp.zeros((s.shape[0], 1, sb.phi[self.var].shape[1]))
+        return ca, cb

@@ -241,3 +241,53 @@ def test_interface_match_cross_variable():
     Tb_ex = (Da + kb * 0.2 / sb_scale / 1.0) / (Da * a_sat + kb / sb_scale)
     np.testing.assert_allclose(Ti, Tb_ex, rtol=1e-7)
     np.testing.assert_allclose(yi, a_sat * Tb_ex, rtol=1e-7)
+
+
+def test_light_fresnel_jump_two_layer():
+    """LIGHTP_JUMP: Beer-Lambert transmission through a refractive-index
+    interface at normal incidence — downstream intensity picks up the
+    Fresnel factor Y = (n_up/n_down)^2 (1 - R) exactly."""
+    from goma_tpu.physics.scalar_transport import (LightFresnelJump,
+                                                   LightIntensity)
+
+    I0, b_up, b_down = 1.0, 0.5, 1.2
+    n_up, n_down = 1.0, 1.5
+    mesh = _two_block_strip(5, 2)
+    pairs = find_interface_faces(mesh, 0, 1)
+    orig, new = split_interface(mesh, pairs)
+    # block 0 (left, upstream) propagates +x; block 1 downstream
+    prob = Problem(
+        mesh,
+        [[LightIntensity((1.0, 0.0), b_up, interp="Q1", supg=0.5)],
+         [LightIntensity((1.0, 0.0), b_down, interp="Q1", supg=0.5)]],
+        [{"refindex": n_up}, {"refindex": n_down}],
+    )
+    prob.add_dirichlet("left", "light_intp", 0, I0)
+    # downstream block is side B of the pairs (side A = upstream block 0):
+    # the jump kernel pins the DOWNSTREAM rows, so swap roles via pair
+    # orientation: kernel expects A = downstream -> flip a/b
+    from goma_tpu.mesh.interface import InterfacePairs
+    flipped = InterfacePairs(block_a=pairs.block_b, block_b=pairs.block_a,
+                             elems_a=pairs.elems_b, faces_a=pairs.faces_b,
+                             elems_b=pairs.elems_a, faces_b=pairs.faces_a)
+    prob.add_interface_kernel(flipped, LightFresnelJump())
+    prob.finalize()
+    res = NewtonSolver(prob, NewtonOptions(max_iter=6, tol_residual=1e-11,
+                                           linear_solver="direct")).solve(
+        np.zeros(prob.dofmap.n_dof), prob.base_params())
+    assert res.converged
+    Ip = prob.get_nodal_field(res.x, "light_intp", 0)
+    x = mesh.coords[:, 0]
+    R = ((n_down - n_up) / (n_down + n_up)) ** 2
+    Y = (n_up / n_down) ** 2 * (1 - R)
+    I_if = I0 * np.exp(-b_up * 0.5)
+    # downstream profile
+    right_nodes = np.unique(mesh.blocks[1].conn)
+    right_nodes = right_nodes[x[right_nodes] > 0.5 + 1e-9]
+    exact = Y * I_if * np.exp(-b_down * (x[right_nodes] - 0.5))
+    np.testing.assert_allclose(Ip[right_nodes], exact, rtol=2e-2)
+    # upstream unaffected (pure decay)
+    left_nodes = np.unique(mesh.blocks[0].conn)
+    left_nodes = left_nodes[x[left_nodes] < 0.5 - 1e-9]
+    np.testing.assert_allclose(Ip[left_nodes],
+                               I0 * np.exp(-b_up * x[left_nodes]), rtol=2e-2)
