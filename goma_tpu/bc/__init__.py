@@ -28,6 +28,7 @@ from goma_tpu.bc.fluid import (
     QVaporFlux,
     RadiativeHeatFlux,
     SlipHeating,
+    SpeciesKinematicFlux,
     cap_end_force,
     contact_angle_force,
 )

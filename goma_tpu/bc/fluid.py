@@ -441,3 +441,34 @@ class LaserWeldFlux(FaceKernel):
             q_out = q_out + self._vapor(sfv.val[self.var][:, 0])
         phi = sfv.phi[self.var]
         return q_out[:, None, None] * phi[:, None, :]
+
+
+class SpeciesKinematicFlux(FaceKernel):
+    """KINEMATIC_SPECIES (``src/mm_fill_species.c:3542
+    kinematic_species_bc``): convective species flux across a moving
+    interface — replaces the outward diffusive flux with
+
+        rho Y (v - xdot) . n - vnormal
+
+    on the species rows (call from each side of a discontinuous-species
+    interface; the two sides' terms assemble the jump balance). ``rho``
+    from the material (default 1)."""
+
+    def __init__(self, comp: int = 0, vnormal: float = 0.0,
+                 var: str = "species", ncomp: int = 1):
+        super().__init__(var, ncomp)
+        self.comp = comp
+        self.vnormal = vnormal
+
+    def residual(self, sfv, mat, params):
+        nq = sfv.x.shape[0]
+        rho = prop(mat, "rho", sfv, params, 1.0)
+        Y = sfv.val[self.var][:, self.comp]
+        v = sfv.val["velocity"] if "velocity" in sfv.val else 0.0 * sfv.x
+        if MESH_VAR in sfv.dot:
+            v = v - sfv.dot[MESH_VAR]
+        un = jnp.einsum("qk,qk->q", v, sfv.normal)
+        q = rho * Y * un - self.vnormal
+        phi = sfv.phi[self.var]
+        out = jnp.zeros((nq, self.ncomp, phi.shape[1]), dtype=phi.dtype)
+        return out.at[:, self.comp, :].set(q[:, None] * phi)

@@ -271,3 +271,23 @@ def surface_charge_constraint(charges, sigma: float, replace_comp: int):
         return jnp.dot(z, q[: z.shape[0]]) - sigma
 
     return g
+
+
+def electrodeposition_velocity(PHI_E: float, T: float, Vmolar: float,
+                               c_total=1.0, idx=(0, 2, 3, 4),
+                               var: str = "species"):
+    """KIN_ELECTRODEPOSITION / VNORM_ELECTRODEPOSITION
+    (``src/mm_fill_species.c:8029/8243``): interface recession/normal
+    velocity from the deposition flux, v_n = Vmolar * Q_dep with Q_dep the
+    nickel-plating deposit rate (Ni + NiOH reactions). Use as the ``leak``
+    of :class:`goma_tpu.bc.KinematicBC` (mesh kinematics) or the
+    ``vnormal`` of the normal-velocity penalty kernels."""
+    probe = NickelPlatingFlux(mode=0, PHI_E=PHI_E, T=T, c_total=c_total,
+                              idx=idx, var=var)
+
+    def v_n(sfv, mat, params):
+        fl = probe._fluxes(sfv, mat, params)
+        # deposited metal: Ni2+ + NiOH+ consumption rates
+        return Vmolar * (fl[probe.i_ni] + fl[probe.i_nioh])
+
+    return v_n

@@ -183,3 +183,59 @@ def test_surface_charge_constraint():
     c1 = prob.get_nodal_field(res.x, "species", 1)
     np.testing.assert_allclose(z[0] * c0[rn] + z[1] * c1[rn], 0.0,
                                atol=1e-10)
+
+
+def test_electrodeposition_velocity_closure():
+    """KIN/VNORM_ELECTRODEPOSITION: the interface velocity closure equals
+    Vmolar (Q_Ni + Q_NiOH) at a prescribed state (drives KinematicBC's
+    leak / the normal-velocity penalty)."""
+    from goma_tpu.physics.electro import electrodeposition_velocity
+    import jax.numpy as jnp
+
+    ct, PHI_E, T, Vm = 55.0, -0.4, 298.15, 6.59
+    x_ni, x_h, x_oh, x_nioh = 0.03, 1e-3, 2e-3, 8e-4
+
+    class SFV:
+        pass
+
+    sfv = SFV()
+    sfv.x = jnp.zeros((3, 2))
+    sfv.val = {"species": jnp.tile(jnp.array(
+        [[x_ni, 0.95, x_h, x_oh, x_nioh]]), (3, 1)),
+        "voltage": jnp.zeros((3, 1))}
+    v = electrodeposition_velocity(PHI_E, T, Vm, c_total=ct)(sfv, {}, {})
+    FRT = F / (R * T)
+    d3 = 2 * FRT * (PHI_E + 0.3648)
+    Q3 = (1.34 / (2 * F)) * (ct / 0.001) * (
+        np.exp(-0.33 * d3) * x_nioh - np.exp(0.67 * d3) * x_oh)
+    Q4 = _Q4(x_ni, ct, PHI_E, 0.0, T)
+    np.testing.assert_allclose(np.asarray(v), Vm * (Q3 + Q4), rtol=1e-12)
+
+
+def test_species_kinematic_flux_balance():
+    """KINEMATIC_SPECIES: with an imposed boundary suction velocity v_n,
+    the steady profile satisfies D (Y_b - Y_s)/L = rho Y_s v_n exactly."""
+    from goma_tpu.bc import SpeciesKinematicFlux
+    from goma_tpu.fem.equations import PassiveVar
+
+    D, L, Yb, vn = 0.5, 1.0, 0.3, 0.8
+    mesh = rectangle_mesh(8, 2, elem="QUAD9", xlim=(0, L), ylim=(0, 0.2))
+    mesh.nodesets["all"] = np.arange(mesh.n_nodes, dtype=np.int32)
+    eqs = [Species(1, interp="Q2", transient=False, convection=False),
+           PassiveVar("velocity", 2, "Q2")]
+    prob = Problem(mesh, eqs, {"diffusivity": D, "rho": 1.0})
+    prob.add_dirichlet("left", "species", 0, Yb)
+    prob.add_dirichlet("all", "velocity", 0, vn)
+    prob.add_dirichlet("all", "velocity", 1, 0.0)
+    prob.add_face_kernel("right", SpeciesKinematicFlux())
+    prob.finalize()
+    x0 = prob.set_nodal_field(np.zeros(prob.dofmap.n_dof), "species", 0, Yb)
+    x0 = prob.set_nodal_field(x0, "velocity", 0, vn)
+    res = NewtonSolver(prob, NewtonOptions(
+        max_iter=10, tol_residual=1e-11, linear_solver="direct")).solve(
+        x0, prob.base_params())
+    assert res.converged
+    Y = prob.get_nodal_field(res.x, "species", 0)
+    Ys = Y[np.isclose(mesh.coords[:, 0], L)].mean()
+    Ys_ex = D * Yb / (D + vn * L)
+    np.testing.assert_allclose(Ys, Ys_ex, rtol=1e-8)
