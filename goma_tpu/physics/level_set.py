@@ -1041,3 +1041,91 @@ class LSFlowPressure(Equation):
         dl = delta(F, eps) * mag
         phi = fv.phi["velocity"]
         return -jnp.einsum("q,qa,qi->qai", P * dl, n_ls, phi)
+
+
+def apply_ls_adc(mesh, F, sideset: str, capture_angle_deg: float,
+                 capture_distance: float, capture_rate: float, dt: float,
+                 rng=None):
+    """LS_ADC / LS_ADC_OLD (``src/mm_fill_ls.c:10620 resolve_ls_adc_old``):
+    stochastic air-to-droplet contact. A host-side between-steps operation
+    (like renormalization): for each sideset face of an interface-crossing
+    element whose face itself is NOT yet wetted (uniform F sign, none ~0),
+    a capture probability is computed —
+
+        alignment gate: |avg(n_face . n_ls)| >= |cos(capture_angle)|
+        near (d < capture_distance):  P = rate * face_area * dt   (cap 1)
+        far:   P = rate * sqrt(elem_area) * dt * exp(1 - (d/d_c)^2)
+
+    with d the nearest interface distance from the face (|F| minimum over
+    its nodes for a distance-normalized field). On a draw <= P the contact
+    fires: every interface-crossing sideset face pulls its nodes to
+    F = start_sign * d (the reference's apply_adc_to_ss switch), putting
+    the interface in contact with the wall. Returns (F_new, event).
+    """
+    rng = np.random.default_rng() if rng is None else rng
+    blk = mesh.blocks[0]
+    from goma_tpu.elements import element_type
+    from goma_tpu.mesh.mesh import _face_all_nodes
+
+    ss = mesh.sidesets[sideset]
+    et = element_type(blk.elem_type)
+    F = np.asarray(F, dtype=float)
+
+    # nodal LS normal approximation: average of element-constant gradients
+    # (host-side; fine for the alignment gate)
+    def elem_nodes(e):
+        bi, le = mesh.global_elem_block(int(e))
+        return mesh.blocks[bi].conn[le]
+
+    event = False
+    switch_value = 0.0
+    faces = []
+    for e, f in zip(ss.elems, ss.faces):
+        en = elem_nodes(e)
+        fn = [en[k] for k in _face_all_nodes(et, int(f))]
+        Fe = F[en]
+        crossing = Fe.min() < 0.0 < Fe.max()
+        faces.append((e, f, en, fn, crossing))
+
+    for e, f, en, fn, crossing in faces:
+        if event or not crossing:
+            continue
+        Ff = F[fn]
+        if np.any(np.abs(Ff) < 1e-12) or Ff.max() * Ff.min() < 0.0:
+            continue  # face already wetted / touching
+        # geometry: face normal vs LS normal (from nodal gradients via a
+        # least-squares fit of F over the element nodes)
+        X = mesh.coords[en]
+        A = np.column_stack([X - X.mean(axis=0),
+                             np.ones(len(en))])
+        g = np.linalg.lstsq(A, F[en], rcond=None)[0][: mesh.dim]
+        nls = g / max(np.linalg.norm(g), 1e-30)
+        Xf = mesh.coords[fn]
+        t = Xf[1] - Xf[0]
+        nf = np.array([t[1], -t[0]]) if mesh.dim == 2 else np.cross(
+            t, Xf[2] - Xf[0])
+        nf = nf / max(np.linalg.norm(nf), 1e-30)
+        if abs(nf @ nls) < abs(np.cos(np.deg2rad(capture_angle_deg))):
+            continue
+        d = np.abs(Ff).min()
+        face_area = np.linalg.norm(Xf[1] - Xf[0])
+        elem_area = abs(np.linalg.det(A[:2, :2])) if False else face_area**2
+        if d < capture_distance:
+            P = min(capture_rate * face_area * dt, 1.0)
+        else:
+            P = capture_rate * np.sqrt(elem_area) * dt * np.exp(
+                1.0 - (d / capture_distance) ** 2)
+        if P > 0.0 and rng.random() <= P:
+            event = True
+            switch_value = d
+
+    if event:
+        F = F.copy()
+        start_sign = 0.0
+        for e, f, en, fn, crossing in faces:
+            if not crossing:
+                continue
+            if start_sign == 0.0:
+                start_sign = np.sign(F[fn[0]]) or 1.0
+            F[fn] = start_sign * switch_value
+    return F, event

@@ -134,3 +134,41 @@ def test_velo_tangent_ls_couette():
     c = mesh.coords
     m = ~np.isnan(u)
     np.testing.assert_allclose(u[m], U * c[m, 1], atol=2e-4)
+
+
+def test_ls_adc_capture_and_gates():
+    """LS_ADC: a droplet hovering just above the wall (aligned interface,
+    within capture distance, rate*area*dt >= 1) fires the contact event and
+    pulls the wall face nodes to the switch value; far droplets and
+    misaligned interfaces never fire (P ~ 0 gates)."""
+    from goma_tpu.physics.level_set import apply_ls_adc
+
+    mesh = rectangle_mesh(10, 6, elem="QUAD9", xlim=(0, 1), ylim=(0, 0.6))
+    c = mesh.coords
+    rng = np.random.default_rng(7)
+
+    # near droplet: circle hovering 0.05 above the bottom wall
+    F = 0.2 - np.sqrt((c[:, 0] - 0.5) ** 2 + (c[:, 1] - 0.25) ** 2)
+    F_new, ev = apply_ls_adc(mesh, F, "bottom", capture_angle_deg=25.0,
+                             capture_distance=0.1, capture_rate=1e4, dt=0.1,
+                             rng=rng)
+    assert ev
+    # contact: wall nodes under the droplet now carry the uniform switch
+    # value with the outer-phase sign (interface touches the wall)
+    moved = np.where(F_new != F)[0]
+    assert moved.size > 0
+    assert np.allclose(c[moved, 1], 0.0)
+    # far droplet: capture probability decays as exp(1-(d/dc)^2) ~ 0
+    F_far = 0.1 - np.sqrt((c[:, 0] - 0.5) ** 2 + (c[:, 1] - 0.45) ** 2)
+    for _ in range(20):
+        _, ev_far = apply_ls_adc(mesh, F_far, "bottom",
+                                 capture_angle_deg=25.0,
+                                 capture_distance=0.02, capture_rate=10.0,
+                                 dt=0.01, rng=rng)
+        assert not ev_far
+    # misaligned: vertical interface meets the bottom wall edge-on
+    F_perp = c[:, 0] - 0.5
+    _, ev_perp = apply_ls_adc(mesh, F_perp, "bottom",
+                              capture_angle_deg=25.0, capture_distance=0.5,
+                              capture_rate=1e4, dt=1.0, rng=rng)
+    assert not ev_perp
