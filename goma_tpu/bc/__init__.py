@@ -20,6 +20,8 @@ from goma_tpu.bc.fluid import (
     ElectrokineticSlip,
     FlowPressure,
     LaserWeldFlux,
+    LatentHeatInternal,
+    DvzdrZero,
     LevelSetSlip,
     LSNoPenetration,
     MassTransferFlux,

@@ -472,3 +472,47 @@ class SpeciesKinematicFlux(FaceKernel):
         phi = sfv.phi[self.var]
         out = jnp.zeros((nq, self.ncomp, phi.shape[1]), dtype=phi.dtype)
         return out.at[:, self.comp, :].set(q[:, None] * phi)
+
+
+class LatentHeatInternal(FaceKernel):
+    """LATENT_HEAT_INTERNAL (``src/mm_fill_species.c`` ``lat_heat_internal_bc``,
+    dispatched src/bc_integ.c:1609): latent heat released/absorbed at an
+    internal moving surface (Lagrangian melting front):
+
+        q_n = rho L n . (v - xdot)
+
+    added weakly to the energy rows."""
+
+    def __init__(self, L_heat: float, var: str = "temperature"):
+        super().__init__(var, 1)
+        self.L_heat = L_heat
+
+    def residual(self, sfv, mat, params):
+        rho = prop(mat, "rho", sfv, params, 1.0)
+        v = sfv.val["velocity"] if "velocity" in sfv.val else 0.0 * sfv.x
+        if MESH_VAR in sfv.dot:
+            v = v - sfv.dot[MESH_VAR]
+        un = jnp.einsum("qk,qk->q", v, sfv.normal)
+        q = rho * self.L_heat * un
+        phi = sfv.phi[self.var]
+        return (q[:, None] * phi)[:, None, :]
+
+
+class DvzdrZero(FaceKernel):
+    """DVZDR_ZERO (``src/bc_colloc.c:693 dvzdr_zero_deriv_bc``): swirling
+    flow symmetry collocation n_wall . grad(v_theta) = 0 at a wall —
+    applied as a penalty on the swirl-momentum rows (the swirl velocity is
+    its own scalar variable here, :class:`SwirlMomentum`). ``nwall`` is
+    the card's wall direction (the reference's Float[1..3])."""
+
+    def __init__(self, nwall, var: str = "swirl", penalty: float = 1e6):
+        super().__init__(var, 1)
+        self.nwall = np.asarray(nwall, dtype=float)
+        self.penalty = penalty
+
+    def residual(self, sfv, mat, params):
+        gw = sfv.grad[self.var][:, 0, :]  # (nq, dim)
+        nw = jnp.asarray(self.nwall[: gw.shape[1]], dtype=sfv.x.dtype)
+        s = jnp.einsum("qk,k->q", gw, nw)
+        phi = sfv.phi[self.var]
+        return self.penalty * (s[:, None] * phi)[:, None, :]
