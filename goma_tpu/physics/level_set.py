@@ -1129,3 +1129,35 @@ def apply_ls_adc(mesh, F, sideset: str, capture_angle_deg: float,
                 start_sign = np.sign(F[fn[0]]) or 1.0
             F[fn] = start_sign * switch_value
     return F, event
+
+
+class LSLatentHeat(Equation):
+    """LS_LATENT_HEAT (``src/mm_fill_terms.c`` ``assemble_ls_latent_heat_source``,
+    embedded-BC dispatch src/mm_fill_terms.c:4777): latent heat released at
+    the moving level-set interface as a delta-band energy source,
+
+        s = rho L v_n delta(F) |grad F|,   v_n = u . n_ls
+
+    (the interface normal speed of a purely advected front). Positive L
+    releases heat into the energy equation as the interface advances along
+    +n_ls."""
+
+    def __init__(self, L_heat: float, interp: str = "Q1",
+                 var: str = "temperature", fill_var: str = None):
+        super().__init__(var, 1, interp)
+        self.L_heat = L_heat
+        self.fill_var = fill_var or FILL_VAR
+
+    def residual(self, fv, mat, params):
+        eps = params["ls_eps"]
+        F = fv.val[self.fill_var][:, 0]
+        gF = fv.grad[self.fill_var][:, 0, :]
+        mag = jnp.sqrt(jnp.sum(gF * gF, axis=1) + 1e-30)
+        n_ls = gF / mag[:, None]
+        dl = delta(F, eps) * mag
+        rho = prop(mat, "rho", fv, params, 1.0)
+        u = fv.val["velocity"] if "velocity" in fv.val else 0.0 * fv.x
+        vn = jnp.einsum("qk,qk->q", u, n_ls)
+        s = rho * self.L_heat * vn * dl
+        phi = fv.phi[self.var]
+        return (-s[:, None] * phi)[:, None, :]

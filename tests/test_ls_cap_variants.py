@@ -128,3 +128,34 @@ def test_csf_denner_solved_normal_variant():
     res = _solve(prob, dt=0.05, mesh=mesh)
     jump = _jump(mesh, prob, res.x)
     assert abs(jump - SIGMA / R) < 0.12 * SIGMA / R, jump
+
+
+def test_ls_latent_heat_total_source():
+    """LS_LATENT_HEAT: uniform advection through a flat interface — the
+    band integral of delta |grad F| is 1, so the net energy-row source is
+    exactly rho L u_n."""
+    from goma_tpu.fem.equations import PassiveVar
+    from goma_tpu.physics import Energy
+    from goma_tpu.physics.level_set import LSLatentHeat
+
+    rho, Lh, un = 2.0, 5.0, 0.4
+    mesh = rectangle_mesh(8, 4, elem="QUAD9")
+    mesh.nodesets["all"] = np.arange(mesh.n_nodes, dtype=np.int32)
+    eqs = [Energy(interp="Q2", transient=False, convection=False),
+           FillEquation(interp="Q2", supg=0.0, transient=False),
+           PassiveVar("velocity", 2, "Q2"),
+           LSLatentHeat(Lh, interp="Q2")]
+    prob = Problem(mesh, eqs, {"rho": rho, "Cp": 1.0, "k": 1.0})
+    prob.add_dirichlet("all", FILL_VAR, 0, lambda c: c[:, 0] - 0.5)
+    prob.add_dirichlet("all", "velocity", 0, un)
+    prob.add_dirichlet("all", "velocity", 1, 0.0)
+    prob.finalize()
+    x0 = np.zeros(prob.dofmap.n_dof)
+    x0 = prob.set_nodal_field(x0, FILL_VAR, 0, mesh.coords[:, 0] - 0.5)
+    x0 = prob.set_nodal_field(x0, "velocity", 0, un)
+    params = prob.base_params(ls_eps=jnp.asarray(0.15, dtype=prob.dtype))
+    R = np.asarray(prob.residual(jnp.asarray(x0), params))
+    dm = prob.dofmap
+    dT = dm.dof_of_node_svar[:, dm.svar("temperature", 0)]
+    tot = R[dT[dT >= 0]].sum()
+    np.testing.assert_allclose(-tot, rho * Lh * un, rtol=5e-3)
