@@ -404,3 +404,61 @@ class LubEndKinematic(FaceKernel):
         s = vn - (lf + jnp.einsum("qk,qk->q", q, n)) / h
         phi = sfv.phi[self.var]
         return self.penalty * jnp.einsum("q,qa,qi->qai", s, n, phi)
+
+
+class TFMPFreeFlux(FaceKernel):
+    """SHELL_TFMP_FREE_LIQ / SHELL_TFMP_FREE_GAS / SHELL_LUBRICATION_OUTFLOW
+    (``src/mm_shell_bc.c`` ``shell_n_dot_liq_velo_bc_tfmp`` /
+    ``shell_n_dot_gas_velo_bc_tfmp:`` / ``shell_lubrication_outflow:2757``):
+    open-boundary closure at a thin-film-multiphase end — re-add the
+    integrated-by-parts in-plane flux so the end stops imposing zero
+    phase flux:
+
+        liquid rows (tfmp_sat):  - phi (h^3/(12 mu_l)) Krl (grad P . n)
+        gas rows (tfmp_pres):    - phi rho_g (h^3/(12 mu_g)) Krg (grad P . n)
+
+    Material keys as in :class:`TFMPMass`/:class:`TFMPBound`."""
+
+    def __init__(self, phase: str = "liquid"):
+        assert phase in ("liquid", "gas")
+        super().__init__(TFMP_S if phase == "liquid" else TFMP_P, 1)
+        self.phase = phase
+
+    def residual(self, sfv, mat, params):
+        nq = sfv.x.shape[0]
+        hfun = mat["gap"]
+        h = hfun(sfv, mat, params) if callable(hfun) else jnp.broadcast_to(
+            jnp.asarray(hfun, dtype=sfv.x.dtype), (nq,))
+        S = sfv.val[TFMP_S][:, 0]
+        gP = sfv.grad[TFMP_P][:, 0, :]
+        gPn = jnp.einsum("qk,qk->q", gP, sfv.normal)
+        if self.phase == "liquid":
+            mu_l = prop(mat, "mu_l", sfv, params)
+            krl = mat.get("krl", lambda s: s**3)
+            q = -(h**3 / (12.0 * mu_l)) * krl(S) * gPn
+        else:
+            mu_g = prop(mat, "mu_g", sfv, params)
+            krg = mat.get("krg", lambda s: (1.0 - s) ** 3)
+            P = sfv.val[TFMP_P][:, 0]
+            rg = mat.get("rho_g", 1.0)
+            rho = rg(P) if callable(rg) else rg
+            q = -rho * (h**3 / (12.0 * mu_g)) * krg(S) * gPn
+        phi = sfv.phi[self.var]
+        return (q[:, None] * phi)[:, None, :]
+
+
+class ShellFlowDeveloped(FaceKernel):
+    """SHELL_FLOW_DEVELOPED (``src/mm_shell_bc.c`` ``shell_n_dot_gradp_bc``,
+    dispatched src/bc_integ.c:1068): fully-developed film end — the
+    collocated condition n . grad(P) = 0 on the film-pressure rows,
+    applied as a penalty at the shell endpoint."""
+
+    def __init__(self, var: str = "film_pressure", penalty: float = 1e6):
+        super().__init__(var, 1)
+        self.penalty = penalty
+
+    def residual(self, sfv, mat, params):
+        gP = sfv.grad[self.var][:, 0, :]
+        s = jnp.einsum("qk,qk->q", gP, sfv.normal)
+        phi = sfv.phi[self.var]
+        return self.penalty * (s[:, None] * phi)[:, None, :]

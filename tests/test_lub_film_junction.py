@@ -133,3 +133,78 @@ def test_velo_normal_lub_end_flux():
     u = prob.get_nodal_field(res.x, "velocity", 0)
     end_node = lub_nodes[np.isclose(mesh.coords[lub_nodes, 0], L)]
     np.testing.assert_allclose(u[end_node], q_exact / H, rtol=1e-6)
+
+
+def test_tfmp_free_flux_values():
+    """SHELL_TFMP_FREE_LIQ/GAS: the endpoint kernels re-add exactly the
+    analytic phase fluxes -(h^3/12 mu) Kr (dP/ds) n at a crafted linear-P,
+    uniform-S state."""
+    from goma_tpu.fem.equations import PassiveVar
+    from goma_tpu.physics.lubrication import (TFMP_P, TFMP_S, TFMPFreeFlux,
+                                              TFMPBound, TFMPMass)
+    from goma_tpu.bc.shell_end import shell_end_sidesets
+    import jax.numpy as jnp
+
+    h, mu_l, mu_g, S0, dPdx = 0.2, 1.5, 0.7, 0.4, 3.0
+    mesh = rectangle_mesh(6, 2, elem="QUAD9", xlim=(0, 1), ylim=(0, 0.1))
+    bi = attach_shell_block(mesh, "bottom", "tfmp")
+    eqs = [[], [TFMPMass(interp="Q2", transient=False),
+                TFMPBound(interp="Q2", transient=False)]]
+    mats = [{}, {"gap": h, "mu_l": mu_l, "mu_g": mu_g}]
+    prob = Problem(mesh, eqs, mats)
+    ends = shell_end_sidesets(mesh, bi, prefix="tf_end")
+    prob.add_face_kernel(ends[1], TFMPFreeFlux("liquid"))
+    prob.add_face_kernel(ends[1], TFMPFreeFlux("gas"))
+    sn = np.unique(mesh.blocks[bi].conn)
+    mesh.nodesets["sn"] = sn.astype(np.int32)
+    prob.finalize()
+    x0 = np.zeros(prob.dofmap.n_dof)
+    x0 = prob.set_nodal_field(x0, TFMP_P, 0, dPdx * mesh.coords[:, 0])
+    x0 = prob.set_nodal_field(x0, TFMP_S, 0, S0)
+    R = np.asarray(prob.residual(jnp.asarray(x0), prob.base_params()))
+    dm = prob.dofmap
+    # the interior weak rows telescope: total row sum = -(end fluxes added)
+    # + the interior operator's own boundary defect; evaluate just the
+    # endpoint-node rows' kernel contribution by comparing with/without
+    prob2 = Problem(mesh, eqs, mats)
+    prob2.finalize()
+    R0 = np.asarray(prob2.residual(jnp.asarray(x0), prob2.base_params()))
+    dR = R - R0
+    q_l = -(h**3 / (12 * mu_l)) * S0**3 * dPdx
+    q_g = -(h**3 / (12 * mu_g)) * (1 - S0) ** 3 * dPdx
+    dS = dm.dof_of_node_svar[:, dm.svar(TFMP_S, 0)]
+    dP = dm.dof_of_node_svar[:, dm.svar(TFMP_P, 0)]
+    np.testing.assert_allclose(dR[dS[dS >= 0]].sum(), q_l, rtol=1e-12)
+    np.testing.assert_allclose(dR[dP[dP >= 0]].sum(), q_g, rtol=1e-12)
+
+
+def test_shell_flow_developed_penalty():
+    """SHELL_FLOW_DEVELOPED: the endpoint penalty drives n.grad(P) -> 0;
+    crafted sloped film pressure produces exactly penalty * dP/ds at the
+    end row."""
+    from goma_tpu.physics.lubrication import ShellFlowDeveloped
+    from goma_tpu.physics.shell_film import FILMP, FilmPressure, FilmHeight
+    from goma_tpu.bc.shell_end import shell_end_sidesets
+    import jax.numpy as jnp
+
+    dPdx = 2.5
+    mesh = rectangle_mesh(6, 2, elem="QUAD9", xlim=(0, 1), ylim=(0, 0.1))
+    bi = attach_shell_block(mesh, "bottom", "film")
+    eqs = [[], [FilmPressure(interp="Q2", transient=False),
+                FilmHeight(interp="Q2")]]
+    mats = [{}, {"mu": 1.0, "sigma": 1.0}]
+    prob = Problem(mesh, eqs, mats)
+    ends = shell_end_sidesets(mesh, bi, prefix="fd_end")
+    prob.add_face_kernel(ends[1], ShellFlowDeveloped(penalty=1e4))
+    prob.finalize()
+    x0 = np.zeros(prob.dofmap.n_dof)
+    x0 = prob.set_nodal_field(x0, FILMP, 0, dPdx * mesh.coords[:, 0])
+    x0 = prob.set_nodal_field(x0, "film_height", 0, 0.5)
+    prob2 = Problem(mesh, eqs, mats)
+    prob2.finalize()
+    R = np.asarray(prob.residual(jnp.asarray(x0), prob.base_params()))
+    R0 = np.asarray(prob2.residual(jnp.asarray(x0), prob2.base_params()))
+    dm = prob.dofmap
+    dP = dm.dof_of_node_svar[:, dm.svar(FILMP, 0)]
+    diff = (R - R0)[dP[dP >= 0]]
+    np.testing.assert_allclose(diff.sum(), 1e4 * dPdx, rtol=1e-12)
