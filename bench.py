@@ -179,6 +179,24 @@ def bench_assembly_micro(n=64, loops=32):
     return out
 
 
+def bench_assembly_micro_sweep():
+    """The per-element north star at small AND production batch: a 64x64
+    deck (4k elements) underfills the TPU — per-element time is dominated
+    by fixed pass overheads; the 192x192 deck (36.9k elements) is the
+    representative production batch. The headline vs_baseline is the
+    large-batch number (BASELINE ">=20x assembly per element")."""
+    out = {"b4096": bench_assembly_micro(n=64, loops=32)}
+    if remaining() > 240:
+        big = bench_assembly_micro(n=192, loops=8)
+        out["b36864"] = big
+        out["vs_baseline"] = big["vs_baseline"]
+        out["tpu_elem_us"] = big["tpu_elem_us"]
+    else:
+        out["vs_baseline"] = out["b4096"]["vs_baseline"]
+        out["tpu_elem_us"] = out["b4096"]["tpu_elem_us"]
+    return out
+
+
 # --------------------------------------------------------------- config #1
 def _time_cavity_solver(prob, opts, tag):
     """Warmup + timed full Newton solve; returns (sec_per_iter, res)."""
@@ -691,7 +709,7 @@ def main():
     # 0. assembly-per-element microbench (the >=20x north star, directly)
     if gate("asm_element", 150):
         try:
-            record("asm_element", bench_assembly_micro())
+            record("asm_element", bench_assembly_micro_sweep())
         except Exception as e:
             record("asm_element", {"error": f"{type(e).__name__}: {e}"[:200]})
 

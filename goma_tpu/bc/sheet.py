@@ -110,3 +110,50 @@ def add_sheet_end_slope(problem, nodeset, tension: float, slope0: float,
         return out.at[normal_comp].set(-sign * tension * slope0)
 
     problem.add_point_load(nodeset, MESH_VAR, f)
+
+
+class ShellTangentTraction(FaceKernel):
+    """SH_S11_WEAK / SH_S22_WEAK (``src/mm_shell_bc.c:1520
+    apply_shell_traction_bc``): weak traction on the mesh rows projected on
+    a shell tangent direction, func = e . (tx, ty, tz) with e the first
+    (S11) or second (S22, 3D) shell tangent. Applied on the shell-normal
+    mesh rows as the reference does (rotated weak row): here the projected
+    scalar loads the tangent-direction mesh components."""
+
+    def __init__(self, dim: int, traction, which: int = 0,
+                 var: str = None):
+        from goma_tpu.fem.fields import MESH_VAR
+        super().__init__(var or MESH_VAR, dim)
+        self.dim = dim
+        self.traction = np.asarray(traction, dtype=float)
+        self.which = which
+
+    def residual(self, sfv, mat, params):
+        t = sfv.tangents[:, :, min(self.which, sfv.tangents.shape[2] - 1)]
+        t = t / jnp.linalg.norm(t, axis=1, keepdims=True)
+        T = jnp.asarray(self.traction[: t.shape[1]], dtype=sfv.x.dtype)
+        s = jnp.einsum("qk,k->q", t, T)
+        phi = sfv.phi[self.var]
+        return -jnp.einsum("q,qa,qi->qai", s, t, phi)
+
+
+class LubPressureLoad(FaceKernel):
+    """SH_LUBP_SOLID / SH_LUBP_SOLID_RS (``src/mm_shell_bc.c``
+    ``shell_lubr_solid_struct_bc``, dispatched src/bc_integ.c:637): the
+    lubrication pressure loading the adjoining (real-)solid structure as a
+    normal traction sigma.n = -scale * p_lub n on the displacement rows.
+    Register the lub pressure on the loaded block via PassiveVar (shared
+    shell nodes)."""
+
+    def __init__(self, dim: int, scale: float = 1.0, var: str = None,
+                 lub_var: str = "lub_pressure"):
+        from goma_tpu.fem.fields import MESH_VAR
+        super().__init__(var or MESH_VAR, dim)
+        self.dim = dim
+        self.scale = scale
+        self.lub_var = lub_var
+
+    def residual(self, sfv, mat, params):
+        p = sfv.val[self.lub_var][:, 0]
+        phi = sfv.phi[self.var]
+        return self.scale * jnp.einsum("q,qa,qi->qai", p, sfv.normal, phi)

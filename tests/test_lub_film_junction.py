@@ -208,3 +208,45 @@ def test_shell_flow_developed_penalty():
     dP = dm.dof_of_node_svar[:, dm.svar(FILMP, 0)]
     diff = (R - R0)[dP[dP >= 0]]
     np.testing.assert_allclose(diff.sum(), 1e4 * dPdx, rtol=1e-12)
+
+
+def test_shell_tangent_traction_and_lubp_load():
+    """SH_S11_WEAK + SH_LUBP_SOLID: crafted-state row-sum checks — the
+    tangent traction integrates to -(t.T) t per unit length, the lub
+    pressure load to +scale p n."""
+    from goma_tpu.bc.sheet import LubPressureLoad, ShellTangentTraction
+    from goma_tpu.fem.equations import PassiveVar
+    from goma_tpu.fem.fields import MESH_VAR
+    from goma_tpu.physics.mesh_motion import LinearElasticMesh
+    import jax.numpy as jnp
+
+    T = (2.0, 0.5)
+    pl, scale = 1.3, 0.8
+    mesh = rectangle_mesh(6, 3, elem="QUAD9")
+    prob = Problem(mesh, [LinearElasticMesh(dim=2),
+                          PassiveVar("lub_pressure", 1, "Q2")],
+                   {"mesh_shear_modulus": 1.0, "mesh_lambda": 1.0})
+    mesh.nodesets["all"] = np.arange(mesh.n_nodes, dtype=np.int32)
+    prob.add_dirichlet("all", "lub_pressure", 0, pl)
+    prob.add_face_kernel("bottom", ShellTangentTraction(dim=2, traction=T))
+    prob.add_face_kernel("bottom", LubPressureLoad(dim=2, scale=scale))
+    prob.finalize()
+    prob0 = Problem(mesh, [LinearElasticMesh(dim=2),
+                           PassiveVar("lub_pressure", 1, "Q2")],
+                    {"mesh_shear_modulus": 1.0, "mesh_lambda": 1.0})
+    prob0.add_dirichlet("all", "lub_pressure", 0, pl)
+    prob0.finalize()
+    x0 = prob.set_nodal_field(np.zeros(prob.dofmap.n_dof),
+                              "lub_pressure", 0, pl)
+    dR = np.asarray(prob.residual(jnp.asarray(x0), prob.base_params())) - \
+        np.asarray(prob0.residual(jnp.asarray(x0), prob0.base_params()))
+    dm = prob.dofmap
+    dx = dm.dof_of_node_svar[:, dm.svar(MESH_VAR, 0)]
+    dy = dm.dof_of_node_svar[:, dm.svar(MESH_VAR, 1)]
+    fx = dR[dx[dx >= 0]].sum()
+    fy = dR[dy[dy >= 0]].sum()
+    # residual = -(t.T) t phi (Traction convention: applied force (t.T)t);
+    # invariant under t -> -t, so the row sum is deterministically
+    # (-(t.T) t_x) = -2 per unit length; lub load rows: -scale p (n=(0,-1))
+    np.testing.assert_allclose(fx, -2.0, rtol=1e-12)
+    np.testing.assert_allclose(fy, -scale * pl, rtol=1e-12)
