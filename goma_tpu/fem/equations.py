@@ -121,8 +121,16 @@ class PassiveVar(Equation):
     share the bulk boundary nodes, so registering the variable on the shell
     block routes the same dofs through the block's gather."""
 
-    def __init__(self, var: str, ncomp: int, interp: str):
+    def __init__(self, var: str, ncomp: int, interp: str, reg: float = 0.0):
         super().__init__(var, ncomp, interp)
+        # registering a var on a block where only SOME nodes carry its real
+        # equation (e.g. a shell variable pulled onto the bulk block for a
+        # ShellGradBC trace) leaves the other nodes' rows empty; a tiny
+        # ``reg`` (~1e-8) pins those dofs without polluting the real rows
+        self.reg = reg
 
     def residual(self, fv, mat, params):
-        return 0.0 * fv.val[self.var][:, :, None] * fv.phi[self.var][:, None, :]
+        c = 0.0 * fv.val[self.var][:, :, None] * fv.phi[self.var][:, None, :]
+        if self.reg:
+            c = c + self.reg * fv.val[self.var][:, :, None]                 * fv.phi[self.var][:, None, :]
+        return c

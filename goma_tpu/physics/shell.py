@@ -300,3 +300,38 @@ class Gamma1DerivBC(FaceKernel):
         s = self.g + jnp.einsum("qk,qk->q", sfv.normal, dgds)
         phi = sfv.phi[self.var]
         return self.penalty * s[:, None, None] * phi[:, None, :]
+
+
+class ShellGradBC(FaceKernel):
+    """The WEAK_SHELL_GRAD family (``src/bc_special.c:1429-1456``):
+    bulk-side boundary flux assembled into a SHELL equation's rows —
+    SURFACE_ELECTRIC_FIELD (surface charge <- k n . grad V,
+    ``src/mm_fill_shell.c:2858``), SURFACE_ACOUSTIC_VELOCITY (shell
+    boundary velocity <- acoustic gradients), SURFACE_LUBRICATION (lubp <-
+    bulk momentum flux), SURFACE_USER_SHELL (user closure).
+
+    Apply on the BULK sideset carrying the shell: the parent bulk element
+    supplies full gradients (the reference's two-element assembly), and the
+    shell variable's face trace supplies the test functions — register the
+    shell variable on the bulk block with ``PassiveVar`` so its dofs join
+    the bulk gather. ``flux``: callable(sfv, mat, params) -> (nq,); the
+    canonical electric closure is :func:`bulk_normal_current`."""
+
+    def __init__(self, shell_var: str, flux, sign: float = 1.0):
+        super().__init__(shell_var, 1)
+        self.flux = flux
+        self.sign = sign
+
+    def residual(self, sfv, mat, params):
+        q = self.flux(sfv, mat, params)
+        phi = sfv.phi[self.var]
+        return self.sign * (q[:, None] * phi)[:, None, :]
+
+
+def bulk_normal_current(conductivity: float = 1.0, pot_var: str = "voltage"):
+    """k n . grad(V) of the bulk at the shell (SURFACE_ELECTRIC_FIELD)."""
+    def flux(sfv, mat, params):
+        gV = sfv.grad[pot_var][:, 0, :]
+        return conductivity * jnp.einsum("qk,qk->q", gV, sfv.normal)
+
+    return flux

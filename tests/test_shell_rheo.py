@@ -90,3 +90,43 @@ def test_shear_rate_projection_couette():
     assert res.converged
     gd = prob.get_nodal_field(res.x, "shear_rate_proj", 0)
     np.testing.assert_allclose(gd, U, atol=1e-8)
+
+
+def test_shell_grad_surface_electric_field():
+    """SURFACE_ELECTRIC_FIELD via ShellGradBC: bulk current k n.grad V
+    drives the shell surface-charge equation; with the exact uniform drive
+    and end-pinned charge, qs = (src/(2 Ds)) x (1 - x)."""
+    from goma_tpu.physics import Potential
+    from goma_tpu.physics.shell import (ShellGradBC, SurfaceCharge,
+                                        bulk_normal_current)
+
+    k_el, Ds, V0 = 2.0, 0.5, 3.0
+    mesh = rectangle_mesh(8, 4, elem="QUAD9")
+    bi = attach_shell_block(mesh, "bottom", "qs_shell")
+    eqs = [[Potential(), PassiveVar("surface_charge", 1, "Q2", reg=1e-8)],
+           [SurfaceCharge(surf_diff=Ds, interp="Q2")]]
+    prob = Problem(mesh, eqs, [{}, {}])
+    # bulk: V = V0 * y -> n.grad V at the bottom (n = (0,-1)) = -V0
+    mesh.nodesets["allb"] = np.arange(mesh.n_nodes, dtype=np.int32)
+    prob.add_dirichlet("allb", "voltage", 0, lambda c: V0 * c[:, 1])
+    sn = np.unique(mesh.blocks[bi].conn)
+    ends = sn[np.isclose(mesh.coords[sn, 0], 0.0)
+              | np.isclose(mesh.coords[sn, 0], 1.0)]
+    mesh.nodesets["qs_ends"] = ends.astype(np.int32)
+    prob.add_dirichlet("qs_ends", "surface_charge", 0, 0.0)
+    # minus sign: the inward bulk current (n.gradV < 0 here) deposits
+    # positive charge
+    prob.add_face_kernel("bottom", ShellGradBC(
+        "surface_charge", bulk_normal_current(k_el), sign=1.0))
+    prob.finalize()
+    x0 = prob.set_nodal_field(np.zeros(prob.dofmap.n_dof), "voltage", 0,
+                              V0 * mesh.coords[:, 1])
+    res = NewtonSolver(prob, NewtonOptions(
+        max_iter=5, tol_residual=1e-11, linear_solver="direct")).solve(
+        x0, prob.base_params())
+    assert res.converged
+    qs = prob.get_nodal_field(res.x, "surface_charge", 0)
+    c = mesh.coords
+    src = k_el * V0  # |n.grad V| drive
+    exact = src / (2 * Ds) * c[sn, 0] * (1 - c[sn, 0])
+    np.testing.assert_allclose(qs[sn], exact, atol=1e-5)
