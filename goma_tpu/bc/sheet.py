@@ -157,3 +157,70 @@ class LubPressureLoad(FaceKernel):
         p = sfv.val[self.lub_var][:, 0]
         phi = sfv.phi[self.var]
         return self.scale * jnp.einsum("q,qa,qi->qai", p, sfv.normal, phi)
+
+
+class SdetWeak(FaceKernel):
+    """SH_SDET (``src/mm_shell_bc.c:3071 apply_sdet``): weak arc-length
+    stiffness func = 1/2 detJ^2 on the first mesh rows of a shell-backed
+    boundary (web/sheet mesh regularization). AD supplies the
+    d(detJ)/d(mesh) tail."""
+
+    def __init__(self, dim: int, factor: float = 1.0, var: str = None):
+        from goma_tpu.fem.fields import MESH_VAR
+        super().__init__(var or MESH_VAR, dim)
+        self.dim = dim
+        self.factor = factor
+
+    def residual(self, sfv, mat, params):
+        nq = sfv.x.shape[0]
+        # surface determinant (the reference's fv->sdet): arc Jacobian of
+        # the face map, |dX/dxi| (2D) / |t0 x t1| (3D)
+        T = sfv.tangents
+        if T.shape[2] == 1:
+            sdet = jnp.linalg.norm(T[:, :, 0], axis=1)
+        else:
+            sdet = jnp.linalg.norm(jnp.cross(T[:, :, 0], T[:, :, 1]), axis=1)
+        s = 0.5 * self.factor * sdet ** 2
+        phi = sfv.phi[self.var]
+        out = jnp.zeros((nq, self.dim, phi.shape[1]), dtype=phi.dtype)
+        return out.at[:, 0, :].set(s[:, None] * phi)
+
+
+class ShMesh2Weak(FaceKernel):
+    """SH_MESH2_WEAK (``src/mm_shell_bc.c:3139 apply_sh_weak``): weak
+    prescribed-slope term func = -phi dy_ds on the second mesh rows."""
+
+    def __init__(self, dim: int, dy_ds: float = 0.0, var: str = None):
+        from goma_tpu.fem.fields import MESH_VAR
+        super().__init__(var or MESH_VAR, dim)
+        self.dim = dim
+        self.dy_ds = dy_ds
+
+    def residual(self, sfv, mat, params):
+        nq = sfv.x.shape[0]
+        phi = sfv.phi[self.var]
+        out = jnp.zeros((nq, self.dim, phi.shape[1]), dtype=phi.dtype)
+        return out.at[:, 1, :].set(-self.dy_ds * phi)
+
+
+def bulk_shear_to_tension(scale: float = 1.0):
+    """SHEAR_TO_SHELL (``src/mm_ns_bc.c:15431 shear_to_shell``): the bulk
+    fluid shear t . Pi . n (Pi = -p I + mu (grad v + grad v^T)) loaded into
+    the shell TENSION equation. Use with
+    ``ShellGradBC("sh_tens", bulk_shear_to_tension(scale))`` on the bulk
+    sideset carrying the shell."""
+    from goma_tpu.physics.materials import prop as _prop
+
+    def flux(sfv, mat, params):
+        mu = _prop(mat, "mu", sfv, params)
+        p = sfv.val["pressure"][:, 0] if "pressure" in sfv.val else 0.0
+        gv = sfv.grad["velocity"]
+        tau = mu * (gv + jnp.swapaxes(gv, 1, 2))
+        n = sfv.normal
+        t = sfv.tangents[:, :, 0]
+        t = t / jnp.linalg.norm(t, axis=1, keepdims=True)
+        Pin = jnp.einsum("qab,qb->qa", tau, n) - (
+            p[:, None] * n if not np.isscalar(p) else 0.0)
+        return scale * jnp.einsum("qa,qa->q", t, Pin)
+
+    return flux

@@ -250,3 +250,75 @@ def test_shell_tangent_traction_and_lubp_load():
     # (-(t.T) t_x) = -2 per unit length; lub load rows: -scale p (n=(0,-1))
     np.testing.assert_allclose(fx, -2.0, rtol=1e-12)
     np.testing.assert_allclose(fy, -scale * pl, rtol=1e-12)
+
+
+def test_sheet_weak_terms_and_shear_to_shell():
+    """SH_SDET / SH_MESH2_WEAK / SHEAR_TO_SHELL crafted-state values: the
+    sdet energy integrates to L/2 * factor on a unit-slope boundary, the
+    dy_ds term to -dy_ds * L, and the bulk Couette shear loads mu*U into
+    the tension rows."""
+    from goma_tpu.bc.sheet import (SdetWeak, ShMesh2Weak,
+                                   bulk_shear_to_tension)
+    from goma_tpu.fem.equations import PassiveVar
+    from goma_tpu.fem.fields import MESH_VAR
+    from goma_tpu.physics.mesh_motion import LinearElasticMesh
+    from goma_tpu.physics.shell import ShellGradBC
+    import jax.numpy as jnp
+
+    mesh = rectangle_mesh(6, 3, elem="QUAD9")
+    fac, dyds = 0.7, 1.4
+    prob = Problem(mesh, [LinearElasticMesh(dim=2)],
+                   {"mesh_shear_modulus": 1.0, "mesh_lambda": 1.0})
+    prob.add_face_kernel("bottom", SdetWeak(dim=2, factor=fac))
+    prob.add_face_kernel("bottom", ShMesh2Weak(dim=2, dy_ds=dyds))
+    prob.finalize()
+    prob0 = Problem(mesh, [LinearElasticMesh(dim=2)],
+                    {"mesh_shear_modulus": 1.0, "mesh_lambda": 1.0})
+    prob0.finalize()
+    x0 = np.zeros(prob.dofmap.n_dof)
+    dR = np.asarray(prob.residual(jnp.asarray(x0), prob.base_params())) - \
+        np.asarray(prob0.residual(jnp.asarray(x0), prob0.base_params()))
+    dm = prob.dofmap
+    dx = dm.dof_of_node_svar[:, dm.svar(MESH_VAR, 0)]
+    dy = dm.dof_of_node_svar[:, dm.svar(MESH_VAR, 1)]
+    # undeformed bottom: detJ is the face arc Jacobian; int 1/2 detJ^2 phi
+    # over the partition of unity = 1/2 * detJ * L with detJ = h/2 per
+    # element mapping... integrate numerically instead: total = sum over
+    # qps of 0.5 detJ^2 wdA; for uniform elements detJ = dx/2? assert
+    # against the independently computed closed form 0.5*fac*detJ*L with
+    # detJ = (1/6)/2
+    # sdet = h/2 per face (xi in [-1,1]); total = 1/2 fac sdet^2 * L
+    sdet = (1.0 / 6.0) / 2.0
+    np.testing.assert_allclose(dR[dx[dx >= 0]].sum(),
+                               0.5 * fac * sdet**2 * 1.0, rtol=1e-12)
+    np.testing.assert_allclose(dR[dy[dy >= 0]].sum(), -dyds * 1.0,
+                               rtol=1e-12)
+
+    # SHEAR_TO_SHELL: Couette u = U y over the bottom shell: t.Pi.n = -+
+    # mu U; check the tension-row load magnitude
+    U, mu = 0.8, 1.3
+    mesh2 = rectangle_mesh(6, 3, elem="QUAD9")
+    bi = attach_shell_block(mesh2, "bottom", "web")
+    eqs = [[PassiveVar("velocity", 2, "Q2"),
+            PassiveVar("sh_tens", 1, "Q2", reg=1e-10)],
+           [PassiveVar("sh_tens", 1, "Q2", reg=1e-10)]]
+    p2 = Problem(mesh2, eqs, [{"mu": mu}, {}])
+    mesh2.nodesets["all2"] = np.arange(mesh2.n_nodes, dtype=np.int32)
+    p2.add_dirichlet("all2", "velocity", 0, lambda c: U * c[:, 1])
+    p2.add_dirichlet("all2", "velocity", 1, 0.0)
+    p2.add_face_kernel("bottom", ShellGradBC(
+        "sh_tens", bulk_shear_to_tension(1.0)))
+    p2.finalize()
+    p0 = Problem(mesh2, eqs, [{"mu": mu}, {}])
+    p0.add_dirichlet("all2", "velocity", 0, lambda c: U * c[:, 1])
+    p0.add_dirichlet("all2", "velocity", 1, 0.0)
+    p0.finalize()
+    x0 = p2.set_nodal_field(np.zeros(p2.dofmap.n_dof), "velocity", 0,
+                            U * mesh2.coords[:, 1])
+    dR2 = np.asarray(p2.residual(jnp.asarray(x0), p2.base_params())) - \
+        np.asarray(p0.residual(jnp.asarray(x0), p0.base_params()))
+    dmT = p2.dofmap
+    dT = dmT.dof_of_node_svar[:, dmT.svar("sh_tens", 0)]
+    tot = dR2[dT[dT >= 0]].sum()
+    # t.Pi.n with t = +-x, n = (0,-1): -(mu U); sign absorbed by |.|
+    np.testing.assert_allclose(abs(tot), mu * U, rtol=1e-10)
