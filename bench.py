@@ -59,7 +59,10 @@ def remaining():
 
 
 def emit(final=False):
-    """Flush the cumulative summary; on final, print the ONE JSON line."""
+    """Flush the cumulative summary; on final, print the ONE JSON line.
+    Children never touch the parent's BENCH_PARTIAL.json / stdout line."""
+    if os.environ.get("GOMA_BENCH_CHILD"):
+        return
     line = json.dumps(SUMMARY)
     try:
         with open("BENCH_PARTIAL.json", "w") as f:
@@ -706,64 +709,119 @@ def main():
         "'configs' = all five BASELINE decks + asm_element microbench + "
         "tol1e10 + size scaling" + note)
 
-    # 0. assembly-per-element microbench (the >=20x north star, directly)
-    if gate("asm_element", 150):
-        try:
-            record("asm_element", bench_assembly_micro_sweep())
-        except Exception as e:
-            record("asm_element", {"error": f"{type(e).__name__}: {e}"[:200]})
+    if os.environ.get("GOMA_BENCH_CHILD"):
+        # ---------------- child mode: run exactly one config ------------
+        name = os.environ["GOMA_BENCH_CHILD"]
+        res = run_config(name)
+        print("@@RESULT " + json.dumps(res), flush=True)
+        return
 
-    # 1. headline cavity
-    cav, cav_state = {"error": "skipped"}, None
-    if gate("cavity_ns", 200):
-        try:
-            cav, cav_state = bench_cavity()
-        except Exception as e:
-            cav = {"error": f"{type(e).__name__}: {e}"[:200]}
-        record("cavity_ns", cav)
-        if "sec_per_iter" in cav:
-            SUMMARY["value"] = cav["sec_per_iter"]
-            SUMMARY["vs_baseline"] = cav["vs_baseline"]
-            emit()
+    # ---------------- parent mode: one subprocess per config ------------
+    # A hung TPU call blocks Python signal handlers (the BENCH_r03 rc=124
+    # failure mode: the process wedges inside the remote tunnel and even
+    # SIGTERM handlers never run). Each config therefore runs in its own
+    # child process with a hard wall timeout; a wedged child is killed and
+    # recorded, and the parent always finishes with the full JSON line.
+    import subprocess
 
-    # 2-5. the remaining BASELINE configs, fastest candidate first with a
-    # fall-through ladder so the recorded number is always a converged one
-    for name, fn, kinds, est in [
-            ("buoyant_mes", bench_buoyant,
-             ["gmres_ndlu", "tpu_direct", "twolevel"], 250),
-            ("viscoelastic", bench_viscoelastic,
-             ["gmres_ndlu", "tpu_direct", "twolevel"], 250),
-            ("slot_coater_ale", bench_slot_coater,
-             ["gmres_ndlu", "tpu_direct", "direct"], 350),
-            ("two_phase_ls", bench_two_phase,
-             ["gmres_ndlu", "tpu_direct", "direct"], 300)]:
-        if not gate(name, est):
+    plan = [
+        ("asm_element", 420),
+        ("cavity_ns", 600),
+        ("buoyant_mes", 500),
+        ("viscoelastic", 500),
+        ("slot_coater_ale", 700),
+        ("two_phase_ls", 600),
+        ("cavity_tol1e10", 500),
+    ]
+    if os.environ.get("GOMA_BENCH_SCALING", "1") != "0":
+        plan += [("cavity_128", 500), ("cavity_192", 700)]
+
+    hangs = 0
+    for name, est in plan:
+        if not gate(name, min(est, 180)):
             continue
-        res = None
-        for kind in kinds:
-            try:
-                res = fn(direct_kind=kind)
-            except Exception as e:
-                res = {"error": f"{type(e).__name__}: {e}"[:200]}
-                log(f"bench[{name}:{kind}]: FAILED {res['error']}")
-                continue
-            ok = res.get("converged", res.get("newton_iters", 1) > 0)
-            if ok:
+        env = dict(os.environ)
+        env["GOMA_BENCH_CHILD"] = name
+        env["GOMA_BENCH_BUDGET_S"] = str(int(est * 2))
+        t_child = min(est, max(remaining() - 30, 60))
+        log(f"bench[{name}]: child start (timeout {t_child:.0f}s)")
+        try:
+            cp = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, timeout=t_child, capture_output=True, text=True)
+            res = None
+            for line in (cp.stdout or "").splitlines()[::-1]:
+                if line.startswith("@@RESULT "):
+                    res = json.loads(line[len("@@RESULT "):])
+                    break
+            if res is None:
+                tail = (cp.stderr or "")[-300:].replace("\n", " | ")
+                res = {"error": f"child rc={cp.returncode}: {tail}"[:300]}
+        except subprocess.TimeoutExpired:
+            hangs += 1
+            res = {"hung": f"child killed after {t_child:.0f}s "
+                           f"(wedged TPU call)"}
+            if hangs == 1 and remaining() > 600:
+                log("bench: TPU grant may linger after the kill; "
+                    "waiting 300s before the next config")
+                time.sleep(300)
+            elif hangs >= 2:
+                record(name, res)
+                log("bench: second hang - skipping remaining configs")
+                for later, _ in plan[plan.index((name, est)) + 1:]:
+                    record(later, {"skipped": "after repeated TPU hangs"})
                 break
-            log(f"bench[{name}]: {kind} did not converge; trying next rung")
         record(name, res)
-
-    # 6. deep-convergence 1e-10 (after the five: an extra, not the headline)
-    if cav_state is not None and gate("cavity_tol1e10", 120):
-        record("cavity_tol1e10", bench_cavity_tol1e10(*cav_state))
-
-    # 7. size-scaling entries (GOMA_BENCH_SCALING=0 to skip)
-    if os.environ.get("GOMA_BENCH_SCALING", "1") != "0" and \
-            cav_state is not None:
-        bench_cavity_scaling()
+        if name == "cavity_ns" and isinstance(res, dict) \
+                and "sec_per_iter" in res:
+            SUMMARY["value"] = res["sec_per_iter"]
+            SUMMARY["vs_baseline"] = res.get("vs_baseline")
+            emit()
 
     SUMMARY["configs"]["_elapsed_s"] = round(elapsed(), 1)
     emit(final=True)
+
+
+def run_config(name):
+    """Child-mode dispatcher: run ONE config, return its result dict."""
+    if name == "asm_element":
+        return bench_assembly_micro_sweep()
+    if name == "cavity_ns":
+        cav, _ = bench_cavity()
+        return cav
+    if name == "cavity_tol1e10":
+        cav, state = bench_cavity()  # compile-cache-warm rebuild
+        out = bench_cavity_tol1e10(*state)
+        out["warm_cavity_sec_per_iter"] = cav.get("sec_per_iter")
+        return out
+    if name.startswith("cavity_") and name.split("_")[1].isdigit():
+        n = int(name.split("_")[1])
+        return bench_cavity_scaling(sizes=(n,)).get(name,
+                                                    {"error": "gated"})
+    ladder = {
+        "buoyant_mes": (bench_buoyant,
+                        ["gmres_ndlu", "tpu_direct", "twolevel"]),
+        "viscoelastic": (bench_viscoelastic,
+                         ["gmres_ndlu", "tpu_direct", "twolevel"]),
+        "slot_coater_ale": (bench_slot_coater,
+                            ["gmres_ndlu", "tpu_direct", "direct"]),
+        "two_phase_ls": (bench_two_phase,
+                         ["gmres_ndlu", "tpu_direct", "direct"]),
+    }
+    fn, kinds = ladder[name]
+    res = {"error": "no solver rung ran"}
+    for kind in kinds:
+        try:
+            res = fn(direct_kind=kind)
+        except Exception as e:
+            res = {"error": f"{type(e).__name__}: {e}"[:200]}
+            log(f"bench[{name}:{kind}]: FAILED {res['error']}")
+            continue
+        ok = res.get("converged", res.get("newton_iters", 1) > 0)
+        if ok:
+            break
+        log(f"bench[{name}]: {kind} did not converge; trying next rung")
+    return res
 
 
 if __name__ == "__main__":

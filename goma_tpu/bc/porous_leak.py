@@ -153,3 +153,40 @@ class VNormLeak(FaceKernel):
         mis = un - lk
         phi = sfv.phi["velocity"]
         return self.penalty * jnp.einsum("q,qa,qi->qai", mis, n, phi)
+
+
+class PorousLSWickingFlux(FaceKernel):
+    """POR_LIQ_FLUX_FILL (``src/mm_fill_porous.c:10928 por_liq_flux_fill``):
+    level-set-gated liquid wicking into a porous substrate at a
+    fluid<->porous boundary,
+
+        q = -perm_c (1 - H(F)) (p_liq - pc1) - tau dp_liq/dt
+
+    — the porous liquid pressure relaxes toward the capillary pickup
+    pressure pc1 wherever the LS says liquid wets the boundary (H(F) = 0
+    side), with the tau damping of the reference. Register the fill field
+    on the porous block (shared nodes / PassiveVar)."""
+
+    def __init__(self, perm_c: float, pc1: float, tau: float = 0.0,
+                 eps=None, var: str = "porous_pressure", comp: int = 0,
+                 ncomp: int = 1, fill_var: str = "fill"):
+        super().__init__(var, ncomp)
+        self.perm_c, self.pc1, self.tau = perm_c, pc1, tau
+        self.eps = eps
+        self.comp = comp
+        self.fill_var = fill_var
+
+    def residual(self, sfv, mat, params):
+        from goma_tpu.physics.level_set import heaviside
+
+        nq = sfv.x.shape[0]
+        eps = self.eps if self.eps is not None else params["ls_eps"]
+        H = heaviside(sfv.val[self.fill_var][:, 0], eps)
+        p = sfv.val[self.var][:, self.comp]
+        q = -self.perm_c * (1.0 - H) * (p - self.pc1) \
+            - self.tau * sfv.dot[self.var][:, self.comp]
+        phi = sfv.phi[self.var]
+        out = jnp.zeros((nq, self.ncomp, phi.shape[1]), dtype=phi.dtype)
+        # weak flux into the porous liquid-pressure rows (reference adds
+        # func directly; our diffusion weak form takes -phi q_n)
+        return out.at[:, self.comp, :].set(-q[:, None] * phi)

@@ -322,3 +322,35 @@ def test_sheet_weak_terms_and_shear_to_shell():
     tot = dR2[dT[dT >= 0]].sum()
     # t.Pi.n with t = +-x, n = (0,-1): -(mu U); sign absorbed by |.|
     np.testing.assert_allclose(abs(tot), mu * U, rtol=1e-10)
+
+
+def test_porous_ls_wicking_flux():
+    """POR_LIQ_FLUX_FILL: wetted boundary (H=0) relaxes the porous liquid
+    pressure to pc1 exactly (Robin balance with interior diffusion); dry
+    boundary (H=1) leaves the no-flux solution untouched."""
+    from goma_tpu.bc.porous_leak import PorousLSWickingFlux
+    from goma_tpu.fem.equations import PassiveVar
+    from goma_tpu.physics.porous import PorousFlow
+    import jax.numpy as jnp
+
+    pc1, perm_c = 2.5, 10.0
+    for Fval, expect in ((-1.0, pc1), (1.0, 0.7)):
+        mesh = rectangle_mesh(6, 2, elem="QUAD4", xlim=(0, 1), ylim=(0, 0.2))
+        mesh.nodesets["all"] = np.arange(mesh.n_nodes, dtype=np.int32)
+        eqs = [PorousFlow(interp="Q1", transient=False),
+               PassiveVar("fill", 1, "Q1")]
+        prob = Problem(mesh, eqs, {"permeability": 1.0, "mu_liquid": 1.0})
+        prob.add_dirichlet("all", "fill", 0, Fval)
+        if Fval > 0:
+            prob.add_dirichlet("left", "porous_pressure", 0, 0.7)
+        prob.add_face_kernel("right", PorousLSWickingFlux(
+            perm_c=perm_c, pc1=pc1, eps=0.25))
+        prob.finalize()
+        x0 = prob.set_nodal_field(np.zeros(prob.dofmap.n_dof), "fill", 0,
+                                  Fval)
+        res = NewtonSolver(prob, NewtonOptions(
+            max_iter=8, tol_residual=1e-11, linear_solver="direct")).solve(
+            x0, prob.base_params())
+        assert res.converged
+        p = prob.get_nodal_field(res.x, "porous_pressure", 0)
+        np.testing.assert_allclose(p[np.isfinite(p)], expect, atol=1e-8)
