@@ -291,3 +291,53 @@ def electrodeposition_velocity(PHI_E: float, T: float, Vmolar: float,
         return Vmolar * (fl[probe.i_ni] + fl[probe.i_nioh])
 
     return v_n
+
+
+class PEMWaterFlux(FaceKernel):
+    """YFLUX_H2O_ANODE / YFLUX_H2O_CATHODE (``src/mm_fill_species.c:2270
+    mass_flux_surf_H2O_ANODE``, ``:2314 ..._CATHODE``): PEM fuel-cell water
+    transport by electro-osmotic drag (+ product water at the cathode),
+    transcribed verbatim:
+
+        anode:   q = -ai0 Ha sqrt(c/cref) (alpha_a+alpha_c)/2
+                     (Phi + U0)/(R T) nd
+        cathode: q = -(nd + 2) (ai0 Hc / (4 F)) (c/cref)
+                     exp(-alpha_c F/(R T) (V - Phi - U0))
+
+    with Phi the electrolyte potential field; ``V`` the cell voltage
+    (cathode only). Applied on species component ``comp``."""
+
+    F = 96487.0
+    GAS_R = 8.314
+
+    def __init__(self, side: str, ai0: float, H: float, cref: float,
+                 alpha_a: float, alpha_c: float, T: float, U0: float,
+                 nd: float, V: float = 0.0, comp: int = 0,
+                 var: str = "species", ncomp: int = 1):
+        assert side in ("anode", "cathode")
+        super().__init__(var, ncomp)
+        self.side = side
+        self.ai0, self.H, self.cref = ai0, H, cref
+        self.alpha_a, self.alpha_c = alpha_a, alpha_c
+        self.T, self.U0, self.nd, self.V = T, U0, nd, V
+        self.comp = comp
+
+    def residual(self, sfv, mat, params):
+        nq = sfv.x.shape[0]
+        Phi = sfv.val[POT_VAR][:, 0] if POT_VAR in sfv.val else 0.0
+        c = sfv.val[self.var][:, self.comp]
+        if self.side == "anode":
+            cr = jnp.sqrt(jnp.maximum(c, 1e-30) / self.cref)
+            q = -self.ai0 * self.H * cr * 0.5 \
+                * (self.alpha_a + self.alpha_c) \
+                * (Phi + self.U0) / (self.GAS_R * self.T) * self.nd
+        else:
+            cr = jnp.maximum(c, 1e-10) / self.cref
+            grp = self.alpha_c * self.F / (self.GAS_R * self.T) \
+                * (self.V - Phi - self.U0)
+            q = -(self.nd + 2.0) * (self.ai0 * self.H / (4.0 * self.F)) \
+                * cr * jnp.exp(-grp)
+        phi = sfv.phi[self.var]
+        out = jnp.zeros((nq, self.ncomp, phi.shape[1]), dtype=phi.dtype)
+        # reference: *func -= mass_flux -> the net term entering the rows
+        return out.at[:, self.comp, :].set(-q[:, None] * phi)

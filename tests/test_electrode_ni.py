@@ -239,3 +239,49 @@ def test_species_kinematic_flux_balance():
     Ys = Y[np.isclose(mesh.coords[:, 0], L)].mean()
     Ys_ex = D * Yb / (D + vn * L)
     np.testing.assert_allclose(Ys, Ys_ex, rtol=1e-8)
+
+
+def test_pem_water_flux_values():
+    """YFLUX_H2O_ANODE/CATHODE: crafted-state row sums equal the verbatim
+    transcriptions of the reference closures."""
+    from goma_tpu.physics.electro import PEMWaterFlux
+    from goma_tpu.fem.equations import PassiveVar
+    import jax.numpy as jnp
+
+    ai0, Ha, cref, aa, ac, T, U0, nd, V = (
+        1.2e3, 1e-3, 4e-5, 0.5, 0.5, 353.0, 0.0, 1.2, 0.7)
+    c0, phi0 = 2.5e-5, 0.12
+    for side in ("anode", "cathode"):
+        mesh = rectangle_mesh(4, 2, elem="QUAD9")
+        mesh.nodesets["alln"] = np.arange(mesh.n_nodes, dtype=np.int32)
+        nr = np.where(mesh.coords[:, 0] < 1.0 - 1e-9)[0].astype(np.int32)
+        mesh.nodesets["notright"] = nr
+        eqs = [Species(1, interp="Q2", transient=False, convection=False),
+               PassiveVar("voltage", 1, "Q2", reg=1e-10)]
+        prob = Problem(mesh, eqs, {"diffusivity": 1.0})
+        prob.add_dirichlet("notright", "species", 0, c0)
+        prob.add_dirichlet("alln", "voltage", 0, phi0)
+        prob.add_face_kernel("right", PEMWaterFlux(
+            side, ai0, Ha, cref, aa, ac, T, U0, nd, V=V))
+        prob.finalize()
+        prob0 = Problem(mesh, eqs, {"diffusivity": 1.0})
+        prob0.add_dirichlet("notright", "species", 0, c0)
+        prob0.add_dirichlet("alln", "voltage", 0, phi0)
+        prob0.finalize()
+        x0 = prob.set_nodal_field(np.zeros(prob.dofmap.n_dof),
+                                  "species", 0, c0)
+        x0 = prob.set_nodal_field(x0, "voltage", 0, phi0)
+        dR = np.asarray(prob.residual(jnp.asarray(x0), prob.base_params())) \
+            - np.asarray(prob0.residual(jnp.asarray(x0),
+                                        prob0.base_params()))
+        dm = prob.dofmap
+        dS = dm.dof_of_node_svar[:, dm.svar("species", 0)]
+        tot = dR[dS[dS >= 0]].sum()
+        if side == "anode":
+            q = -ai0 * Ha * np.sqrt(c0 / cref) * 0.5 * (aa + ac) \
+                * (phi0 + U0) / (8.314 * T) * nd
+        else:
+            grp = ac * 96487.0 / (8.314 * T) * (V - phi0 - U0)
+            q = -(nd + 2.0) * (ai0 * Ha / (4 * 96487.0)) * (c0 / cref) \
+                * np.exp(-grp)
+        np.testing.assert_allclose(tot, -q, rtol=1e-10, err_msg=side)
