@@ -16,6 +16,7 @@ from goma_tpu.bc.porous_leak import (
     kelvin_gas_density,
 )
 from goma_tpu.bc.fluid import (
+    AirFilmSlip,
     ConvectiveHeatFlux,
     ElectrokineticSlip,
     FlowPressure,

@@ -516,3 +516,44 @@ class DvzdrZero(FaceKernel):
         s = jnp.einsum("qk,k->q", gw, nw)
         phi = sfv.phi[self.var]
         return self.penalty * (s[:, None] * phi)[:, None, :]
+
+
+class AirFilmSlip(FaceKernel):
+    """AIR_FILM / AIR_FILM_ROT (``src/mm_ns_bc.c:3760 fvelo_airfilm_bc``):
+    air-lubrication drag between a web and a moving (or rotating)
+    substrate: the wall traction is the gas-film shear
+
+        t = gas_mu (u - v_s)                      (gas_flow = 0)
+        t = gas_mu (u - v_s)(u + v_s)/gas_flow    (finite gas_flow)
+
+    with the substrate velocity v_s constant (AIR_FILM) or the rigid
+    rotation omega x (x - X0) (AIR_FILM_ROT; positive omega clockwise as
+    in the reference). The gas_flow branch models the flow-rate-limited
+    film. Reduces exactly to :class:`NavierSlip` (beta = 1/gas_mu,
+    tangential_only=False) for gas_flow = 0."""
+
+    def __init__(self, dim: int, gas_mu: float, v_s=(0.0, 0.0),
+                 gas_flow: float = 0.0, rotation=None):
+        super().__init__("velocity", dim)
+        self.dim = dim
+        self.gas_mu = gas_mu
+        self.v_s = np.asarray(v_s, dtype=float)
+        self.gas_flow = gas_flow
+        self.rotation = rotation  # (omega, x0, y0)
+
+    def residual(self, sfv, mat, params):
+        nq = sfv.x.shape[0]
+        if self.rotation is not None:
+            om, x0, y0 = self.rotation
+            vs = jnp.stack([om * (sfv.x[:, 1] - y0),
+                            -om * (sfv.x[:, 0] - x0)], axis=1)
+        else:
+            vs = jnp.broadcast_to(
+                jnp.asarray(self.v_s[: self.dim], dtype=sfv.x.dtype),
+                (nq, self.dim))
+        u = sfv.val["velocity"]
+        vrel = u - vs
+        if self.gas_flow:
+            vrel = vrel * (u + vs) / self.gas_flow
+        phi = sfv.phi["velocity"]
+        return self.gas_mu * jnp.einsum("qa,qi->qai", vrel, phi)

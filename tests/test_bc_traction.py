@@ -253,3 +253,55 @@ def test_force_sic_matches_weak_traction():
     np.testing.assert_allclose(
         np.polyfit(c[np.isclose(c[:, 0], 0.5), 1],
                    dx[np.isclose(c[:, 0], 0.5)], 1)[0], 2 * exy, rtol=5e-2)
+
+
+def test_air_film_slip_navier_equivalence():
+    """AIR_FILM (gas_flow=0) is exactly NavierSlip with beta = 1/gas_mu and
+    full-vector damping; the ROT variant's substrate velocity is the rigid
+    rotation field."""
+    from goma_tpu.bc import AirFilmSlip, NavierSlip
+    import jax.numpy as jnp
+
+    gas_mu, U = 3.0, 0.4
+    mesh = rectangle_mesh(5, 3, elem="QUAD9")
+    eqs = [Momentum(dim=2, interp="Q2", transient=False),
+           Continuity(interp="Q1")]
+
+    def solve(kern):
+        mesh2 = rectangle_mesh(5, 3, elem="QUAD9")
+        mesh2.nodesets["pin"] = np.array([0], dtype=np.int32)
+        p = Problem(mesh2, eqs, {"rho": 1.0, "mu": 1.0})
+        p.add_dirichlet("top", "velocity", 0, U)
+        p.add_dirichlet("top", "velocity", 1, 0.0)
+        p.add_dirichlet("left", "velocity", 0, 0.0)
+        p.add_dirichlet("left", "velocity", 1, 0.0)
+        p.add_dirichlet("right", "velocity", 0, 0.0)
+        p.add_dirichlet("right", "velocity", 1, 0.0)
+        p.add_dirichlet("pin", "pressure", 0, 0.0)
+        p.add_face_kernel("bottom", kern)
+        p.finalize()
+        r = NewtonSolver(p, NewtonOptions(max_iter=8, tol_residual=1e-10,
+                                          linear_solver="direct")).solve(
+            np.zeros(p.dofmap.n_dof), p.base_params())
+        assert r.converged
+        return p, np.asarray(r.x)
+
+    p1, x1 = solve(AirFilmSlip(dim=2, gas_mu=gas_mu, v_s=(0.2, 0.0)))
+    p2, x2 = solve(NavierSlip(dim=2, beta=1.0 / gas_mu, u_wall=(0.2, 0.0),
+                              tangential_only=False))
+    np.testing.assert_allclose(x1, x2, atol=1e-10)
+
+    # rotation field: substrate velocity at (x, y) is
+    # (omega (y-y0), -omega (x-x0)); check via the residual difference of
+    # the two equivalent constructions at a point state
+    om, x0c, y0c = 2.0, 0.5, -1.0
+    k_rot = AirFilmSlip(dim=2, gas_mu=gas_mu, rotation=(om, x0c, y0c))
+    class S: pass
+    s = S()
+    s.x = jnp.array([[0.3, 0.0]])
+    s.val = {"velocity": jnp.array([[0.1, -0.2]])}
+    s.phi = {"velocity": jnp.array([[1.0]])}
+    out = np.asarray(k_rot.residual(s, {}, {}))[0, :, 0]
+    vs = np.array([om * (0.0 - y0c), -om * (0.3 - x0c)])
+    np.testing.assert_allclose(out, gas_mu * (np.array([0.1, -0.2]) - vs),
+                               rtol=1e-12)
