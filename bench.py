@@ -264,7 +264,9 @@ def bench_cavity():
     # r3-measured winner); ladder falls back only on failure. The old 3-way
     # A/B burned two extra ~150 s compiles per run and timed out the driver.
     variants = {}
-    for kind in ("gmres+ndlu", "twolevel"):
+    kinds = tuple(os.environ.get("GOMA_BENCH_CAVITY_KINDS",
+                                 "gmres+ndlu,twolevel").split(","))
+    for kind in kinds:
         try:
             s, r, t, tw = _time_cavity_solver(prob, _cavity_opts(kind), kind)
         except Exception as e:

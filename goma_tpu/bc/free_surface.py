@@ -119,3 +119,47 @@ class Traction(FaceKernel):
         t = jnp.broadcast_to(jnp.asarray(t), (nq, self.dim))
         phi = sfv.phi["velocity"]
         return -jnp.einsum("qa,qi->qai", t, phi)
+
+
+class SurfaceViscosity(FaceKernel):
+    """CAPILLARY_SHEAR_VISC (``src/mm_fill_shell.c:3109
+    apply_surface_viscosity``, dispatched from the CAPILLARY family in
+    src/bc_integ.c:965): Boussinesq-Scriven surface-viscous extra stress on
+    a capillary boundary,
+
+        tau_s = (kappa_s - mu_s) tr(G) P + mu_s (G + G^T),
+        G = P grad(u) P,  P = I - n n^T
+
+    entering the momentum weak form as + ramp int tau_s : P grad(phi e_a) P
+    (use together with CapillaryBC, as the reference pairs the cards). The
+    reference's own implementation carries heuristic sign toggles (sgn2=-1
+    "I don't see any theoretical basis for this switch"); this is the
+    textbook dissipative form — positive surface viscosities always damp
+    surface strain. ``time_start``/``time_full`` ramp the effect in
+    (params["time"])."""
+
+    def __init__(self, dim: int, mu_s: float, kappa_s: float = 0.0,
+                 time_start: float = 0.0, time_full: float = 0.0):
+        super().__init__("velocity", dim)
+        self.dim = dim
+        self.mu_s = mu_s
+        self.kappa_s = kappa_s
+        self.time_start = time_start
+        self.time_full = time_full
+
+    def residual(self, sfv, mat, params):
+        n = sfv.normal
+        P = jnp.eye(self.dim)[None] - jnp.einsum("qa,qb->qab", n, n)
+        gu = sfv.grad["velocity"]  # (nq, a, k) = du_a/dx_k
+        G = jnp.einsum("qap,qpk,qkb->qab", P, gu, P)
+        trG = jnp.trace(G, axis1=1, axis2=2)
+        tau = (self.kappa_s - self.mu_s) * trG[:, None, None] * P \
+            + self.mu_s * (G + jnp.swapaxes(G, 1, 2))
+        gphi = sfv.gphi["velocity"]  # (nq, i, k)
+        e = jnp.einsum("qgk,qik->qig", P, gphi)  # P grad(phi)
+        ramp = 1.0
+        if self.time_full > self.time_start:
+            t = params.get("time", self.time_full)
+            ramp = jnp.clip((t - self.time_start)
+                            / (self.time_full - self.time_start), 0.0, 1.0)
+        return ramp * jnp.einsum("qpg,qpa,qig->qai", tau, P, e)

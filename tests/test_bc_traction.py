@@ -305,3 +305,48 @@ def test_air_film_slip_navier_equivalence():
     vs = np.array([om * (0.0 - y0c), -om * (0.3 - x0c)])
     np.testing.assert_allclose(out, gas_mu * (np.array([0.1, -0.2]) - vs),
                                rtol=1e-12)
+
+
+def test_surface_viscosity_stretch_moment():
+    """CAPILLARY_SHEAR_VISC (Boussinesq-Scriven): planar extension
+    u=(ax,-ay) over a flat face gives surface stress
+    tau_ss = (kappa_s + mu_s) a; the x-moment of the added rows equals
+    tau_ss * L exactly, and pure cross-shear u=(gy,0) adds nothing."""
+    from goma_tpu.bc.free_surface import SurfaceViscosity
+    from goma_tpu.fem.equations import PassiveVar
+    import jax.numpy as jnp
+
+    a, mu_s, k_s = 0.7, 1.3, 0.4
+    mesh = rectangle_mesh(6, 3, elem="QUAD9")
+    # keep the bottom rows free of Dirichlet (they carry the kernel terms)
+    nb = np.where(mesh.coords[:, 1] > 1e-9)[0].astype(np.int32)
+    mesh.nodesets["notbot"] = nb
+    eqs = [PassiveVar("velocity", 2, "Q2", reg=1e-12)]
+
+    def delta_R(ufun):
+        p1 = Problem(mesh, eqs, {})
+        p1.add_dirichlet("notbot", "velocity", 0, lambda c: ufun(c)[0])
+        p1.add_dirichlet("notbot", "velocity", 1, lambda c: ufun(c)[1])
+        p1.add_face_kernel("bottom", SurfaceViscosity(
+            dim=2, mu_s=mu_s, kappa_s=k_s))
+        p1.finalize()
+        p0 = Problem(mesh, eqs, {})
+        p0.add_dirichlet("notbot", "velocity", 0, lambda c: ufun(c)[0])
+        p0.add_dirichlet("notbot", "velocity", 1, lambda c: ufun(c)[1])
+        p0.finalize()
+        x0 = np.zeros(p1.dofmap.n_dof)
+        x0 = p1.set_nodal_field(x0, "velocity", 0, ufun(mesh.coords)[0])
+        x0 = p1.set_nodal_field(x0, "velocity", 1, ufun(mesh.coords)[1])
+        return (np.asarray(p1.residual(jnp.asarray(x0), p1.base_params()))
+                - np.asarray(p0.residual(jnp.asarray(x0),
+                                         p0.base_params()))), p1
+
+    dR, p1 = delta_R(lambda c: (a * c[:, 0], -a * c[:, 1]))
+    dm = p1.dofmap
+    dx = dm.dof_of_node_svar[:, dm.svar("velocity", 0)]
+    ok = dx >= 0
+    mom = (mesh.coords[ok, 0] * dR[dx[ok]]).sum()
+    np.testing.assert_allclose(mom, (k_s + mu_s) * a, rtol=1e-10)
+    # cross shear: no surface strain -> zero contribution
+    dR2, _ = delta_R(lambda c: (0.3 * c[:, 1], 0.0 * c[:, 0]))
+    assert np.abs(dR2).max() < 1e-12
