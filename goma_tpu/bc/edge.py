@@ -350,3 +350,44 @@ class EdgeTraction(EdgeKernel):
         f = jnp.broadcast_to(jnp.asarray(f), (nq, self.ncomp))
         phi = efv.phi[self.var]
         return -jnp.einsum("qc,qi->qci", f, phi)
+
+
+class CAEdgeOrFix(CAEdge):
+    """CA_EDGE_OR_FIX / CA_OR_FIX (``src/bc_curve.c:874``; the SPECIAL
+    nodal flavor ``src/bc_special.c``): contact angle OR pin at a sharp
+    feature — apply the static angle while the contact line stays on the
+    admissible side of the feature edge; once it reaches the feature
+    (signed distance d = (x - x_feat) . f_dir >= 0), the condition
+    switches to pinning the line at the feature:
+
+        mis = d > 0 ?  d  :  (n_fs . n_ss - cos theta)
+
+    (both branches drive the same penalty row; the reference's discrete
+    OR-FIX logic, smooth through AD's where)."""
+
+    def __init__(self, theta, feature_point, feature_dir, dim: int = 3,
+                 penalty: float = 1e6, pin_scale: float = 1.0,
+                 gate_width: float = 5e-3):
+        super().__init__(theta, dim, penalty)
+        import numpy as _np
+        self.xf = _np.asarray(feature_point, dtype=float)
+        self.fdir = _np.asarray(feature_dir, dtype=float)
+        self.fdir = self.fdir / _np.linalg.norm(self.fdir)
+        self.pin_scale = pin_scale
+        # smooth blend over ~gate_width around the feature (a hard switch
+        # makes Newton chatter across the branch)
+        self.gate_width = gate_width
+
+    def residual(self, efv, mat, params):
+        from goma_tpu.fem.fields import MESH_VAR
+
+        nfs, nss = efv.normal_a, efv.normal_b
+        ca = jnp.einsum("qk,qk->q", nfs, nss) \
+            - self._cos_theta(efv, mat, params)
+        d = jnp.einsum("qk,k->q", efv.x
+                       - jnp.asarray(self.xf, dtype=efv.x.dtype),
+                       jnp.asarray(self.fdir, dtype=efv.x.dtype))
+        g = 0.5 * (1.0 + jnp.tanh(d / self.gate_width))
+        mis = g * self.pin_scale * d + (1.0 - g) * ca
+        phi = efv.phi[MESH_VAR]
+        return self.penalty * jnp.einsum("q,qa,qi->qai", mis, nfs, phi)

@@ -211,3 +211,48 @@ def test_vnorm_leak_uniform_suction():
     uy = np.asarray(res.x)[dm.dof_of_node_svar[:, dm.svar("velocity", 1)]]
     np.testing.assert_allclose(ux, 0.0, atol=1e-6)
     np.testing.assert_allclose(uy, v0, atol=1e-6)
+
+
+def test_ca_edge_or_fix_gate():
+    """CA_EDGE_OR_FIX: with the feature far away it reproduces CA_EDGE
+    exactly; with the feature below the unconstrained contact line, the
+    line pins at the feature plane instead."""
+    from goma_tpu.bc.edge import CAEdge, CAEdgeOrFix
+
+    theta = np.deg2rad(70.0)
+    # far feature: identical to CAEdge
+    p1 = _mesh_box_problem()
+    p1.add_edge_kernel("top", "right", CAEdgeOrFix(
+        theta, feature_point=(1.0, 0.0, 10.0), feature_dir=(0, 0, 1),
+        penalty=1e4))
+    p1.finalize()
+    r1 = _solve(p1)
+    p2 = _mesh_box_problem()
+    p2.add_edge_kernel("top", "right", CAEdge(theta, penalty=1e4))
+    p2.finalize()
+    r2 = _solve(p2)
+    np.testing.assert_allclose(np.asarray(r1.x), np.asarray(r2.x),
+                               atol=1e-10)
+
+    # near feature: the 70-deg line would rise above z = z_feat; the gate
+    # pins it at the feature height instead
+    dmz = p2.dofmap
+    # contact-line z displacement of the unconstrained solve
+    from goma_tpu.fem.fields import MESH_VAR
+    dz = p2.get_nodal_field(np.asarray(r2.x), MESH_VAR, 2)
+    c = p2.mesh.coords
+    edge = np.isclose(c[:, 0], 1.0) & np.isclose(c[:, 2], 0.5)
+    dz_free = dz[edge].mean()
+    assert abs(dz_free) > 5e-3  # the line moved
+    z_feat = 0.5 + 0.5 * dz_free  # halfway to the free position
+    p3 = _mesh_box_problem()
+    p3.add_edge_kernel("top", "right", CAEdgeOrFix(
+        theta, feature_point=(1.0, 0.0, z_feat),
+        feature_dir=(0, 0, np.sign(dz_free)), penalty=1e4))
+    p3.finalize()
+    r3 = _solve(p3)
+    dz3 = p3.get_nodal_field(np.asarray(r3.x), MESH_VAR, 2)
+    zline = c[edge, 2] + dz3[edge]
+    # pinned at the feature height (within the smooth gate width: the
+    # blend balances slightly before the feature)
+    np.testing.assert_allclose(zline, z_feat, atol=0.01)
