@@ -258,3 +258,31 @@ def surface(fun):
         return fun(X0 + d)
 
     return g
+
+
+def roll(center, radius):
+    """ROLL_FLUID / FEATURE_ROLLON geometry (``src/bc_colloc.c`` froll
+    family): pin displaced mesh nodes to a roll (circle/cylinder) surface,
+    g = |x + d - c| - R. The FEATURE_ROLLON use gates the same surface at
+    a feature; combine with a nodeset restricted to the rolled-on span."""
+    c = jnp.asarray(np.asarray(center, dtype=float))
+    R = float(radius)
+
+    def g(d, X0, params):
+        x = X0 + d[: X0.shape[0]]
+        return jnp.linalg.norm(x - c[: X0.shape[0]]) - R
+
+    return g
+
+
+def moving_plane(normal, offset0, rate):
+    """MOVING_PLANE_ETCH (``src/bc_colloc.c`` moving plane family): a plane
+    receding at the etch rate, g = n.(x + d) - (offset0 + rate * t)."""
+    nv = jnp.asarray(np.asarray(normal, dtype=float))
+
+    def g(d, X0, params):
+        x = X0 + d[: X0.shape[0]]
+        t = params.get("time", 0.0)
+        return jnp.dot(nv[: X0.shape[0]], x) - (offset0 + rate * t)
+
+    return g

@@ -122,3 +122,33 @@ class InterfaceMatch(InterfaceKernel):
         cb = cb.at[:, self.comp_b, :].set(
             -self.scale_b * q[:, None] * sb.phi[self.var_b])
         return ca, cb
+
+
+class MassFluxContinuity(InterfaceKernel):
+    """VELO_NORMAL_DISC / KINEMATIC_DISC (``src/mm_ns_bc.c:1692
+    fvelo_normal_disc_bc``): density-weighted normal mass-flux continuity
+    at a discontinuous-velocity internal interface,
+
+        rho_a (v_a . n) = rho_b (v_b . n)
+
+    enforced by a conservative penalty pair on both sides' velocity rows
+    (the reference applies the same density-scaled kinematic residual from
+    each side). Material key ``rho`` on each block."""
+
+    def __init__(self, penalty: float = 1e6, var: str = "velocity",
+                 dim: int = 2):
+        super().__init__(var, dim)
+        self.penalty = penalty
+        self.dim = dim
+
+    def residual(self, sa, sb, mat_a, mat_b, params):
+        n = sa.normal
+        rho_a = mat_a.get("rho", 1.0)
+        rho_b = mat_b.get("rho", 1.0)
+        s = rho_a * jnp.einsum("qk,qk->q", sa.val[self.var], n) \
+            - rho_b * jnp.einsum("qk,qk->q", sb.val[self.var], n)
+        ca = self.penalty * jnp.einsum("q,qa,qi->qai", s, n,
+                                       sa.phi[self.var])
+        cb = -self.penalty * jnp.einsum("q,qa,qi->qai", s, n,
+                                        sb.phi[self.var])
+        return ca, cb

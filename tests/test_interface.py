@@ -291,3 +291,38 @@ def test_light_fresnel_jump_two_layer():
     left_nodes = left_nodes[x[left_nodes] < 0.5 - 1e-9]
     np.testing.assert_allclose(Ip[left_nodes],
                                I0 * np.exp(-b_up * x[left_nodes]), rtol=2e-2)
+
+
+def test_mass_flux_continuity_density_jump():
+    """VELO_NORMAL_DISC: rho-weighted normal velocity continuity across a
+    discontinuous-velocity interface — with rho_a/rho_b = 3, the B-side
+    normal velocity triples exactly."""
+    from goma_tpu.physics.interface import MassFluxContinuity
+    from goma_tpu.fem.equations import PassiveVar
+
+    rho_a, rho_b, u_in = 3.0, 1.0, 0.5
+    mesh = _two_block_strip(4, 2)
+    pairs = find_interface_faces(mesh, 0, 1)
+    orig, new = split_interface(mesh, pairs)
+    eqs = [[PassiveVar("velocity", 2, "Q1", reg=1e-10)],
+           [PassiveVar("velocity", 2, "Q1", reg=1e-10)]]
+    prob = Problem(mesh, eqs, [{"rho": rho_a}, {"rho": rho_b}])
+    # drive side A's velocity; side B's is determined by the interface pair
+    an = np.unique(mesh.blocks[0].conn)
+    mesh.nodesets["aset"] = an.astype(np.int32)
+    prob.add_dirichlet("aset", "velocity", 0, u_in)
+    prob.add_dirichlet("aset", "velocity", 1, 0.0)
+    bn = np.setdiff1d(np.unique(mesh.blocks[1].conn), an)
+    inner_b = bn[~np.isclose(mesh.coords[bn, 0], 0.5)]
+    mesh.nodesets["bset"] = inner_b.astype(np.int32)
+    prob.add_dirichlet("bset", "velocity", 0, 0.0)
+    prob.add_dirichlet("bset", "velocity", 1, 0.0)
+    prob.add_interface_kernel(pairs, MassFluxContinuity(dim=2))
+    prob.finalize()
+    res = NewtonSolver(prob, NewtonOptions(max_iter=5, tol_residual=1e-10,
+                                           linear_solver="direct")).solve(
+        np.zeros(prob.dofmap.n_dof), prob.base_params())
+    assert res.converged
+    u = prob.get_nodal_field(res.x, "velocity", 0)
+    # interface B-side duplicates carry rho_a/rho_b * u_in
+    np.testing.assert_allclose(u[new], rho_a / rho_b * u_in, atol=1e-8)
