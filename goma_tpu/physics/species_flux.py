@@ -25,7 +25,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from goma_tpu.fem.equations import Equation
+from goma_tpu.fem.equations import Equation, FaceKernel
 from goma_tpu.physics.materials import prop
 from goma_tpu.physics.fluid import _as_nq, advective_velocity
 
@@ -220,3 +220,95 @@ class HydroSpecies(Equation):
         contrib = jnp.einsum("q,qi->qi", adv, phi)
         contrib = contrib - jnp.einsum("qk,qik->qi", N, gphi)
         return contrib[:, None, :]
+
+
+def koh_si_etch_rate_100(rho_H2O, rho_KOH, T):
+    """Seidel et al. KOH/Si(100) wet-etch kinetics
+    (``src/mm_std_models.c:6584 calc_KOH_Si_etch_rate_100``), transcribed
+    verbatim: rate = H(rho_KOH) k0 C_H2O^4 C_KOH^0.25 exp(-Ea/kB T),
+    smooth-gated over rho_KOH in [1e-6, 1e-4] g/cm^3, returned in cm/s."""
+    k_B, E_a, k0 = 8.6173305e-5, 0.595, 2480.0
+    MW_H2O, MW_KOH = 18.01528, 56.1056
+    C_H2O = rho_H2O * 1000.0 / MW_H2O
+    C_KOH = jnp.maximum(rho_KOH, 1e-30) * 1000.0 / MW_KOH
+    lo, hi = 1.0e-6, 1.0e-4
+    alpha = 0.5 * (hi - lo)
+    z = (rho_KOH - (hi - alpha)) / alpha
+    H = jnp.where(rho_KOH >= hi, 1.0,
+                  jnp.where(rho_KOH <= lo, 0.0,
+                            0.5 * (1.0 + z + jnp.sin(jnp.pi * z) / jnp.pi)))
+    rate = H * k0 * C_H2O**4 * C_KOH**0.25 * jnp.exp(-E_a / (k_B * T))
+    return rate / 1.0e4 / 3600.0
+
+
+class KOHSiEtchFlux(FaceKernel):
+    """YFLUX_ETCH (``src/mm_fill_species.c:4115 mass_flux_surf_etch``):
+    KOH wet-etching species fluxes on a crystalline-Si(100) surface with
+    the reference's species ordering (0 H2O, 1 KOH/OH-, 2 H2, 3 silicon
+    hydroxyl byproducts) and stoichiometry
+
+        q_0 = +2 (rho_Si/MW_Si) MW_H2O  R,   q_1 = +2 ... MW_OH  R,
+        q_2 = -2 ... MW_H2 R,                q_3 = -1 ... MW_SiO2OH2 R.
+
+    ``T``: process temperature (K)."""
+
+    RHO_SI, MW_SI = 2.3290, 28.0855
+    MWS = (18.01528, 17.008, 2.0 * 1.00794,
+           28.0855 + 2.0 * 15.9994 + 2.0 * 17.008)
+    STOICH = (2.0, 2.0, -2.0, -1.0)
+
+    def __init__(self, comp: int, T: float, var: str = "species",
+                 ncomp: int = 4):
+        super().__init__(var, ncomp)
+        self.comp = comp
+        self.T = T
+
+    def residual(self, sfv, mat, params):
+        nq = sfv.x.shape[0]
+        c = sfv.val[self.var]
+        R = koh_si_etch_rate_100(c[:, 0], c[:, 1], self.T)
+        q = self.STOICH[self.comp] * self.RHO_SI / self.MW_SI \
+            * self.MWS[self.comp] * R
+        phi = sfv.phi[self.var]
+        out = jnp.zeros((nq, self.ncomp, phi.shape[1]), dtype=phi.dtype)
+        return out.at[:, self.comp, :].set(q[:, None] * phi)
+
+
+class ChargedSurfaceGradient(FaceKernel):
+    """FICK_CHRGD_SURF_GRAD (``src/mm_fill_species.c:12579
+    fickian_charged_gradient_bc``): pin the normal component of the
+    charged-Fickian flux (diffusion + electromigration) at a boundary,
+
+        n . (-D grad c - D z c (F/(R T)) grad V) = value
+
+    applied as a penalty on the species rows (the reference's weak-strong
+    hybrid). Material keys: ``diffusivity``, ``charge_number`` (z)."""
+
+    F = 96487.0
+    GAS_R = 8.314
+
+    def __init__(self, value: float, z: float, T: float = 298.15,
+                 comp: int = 0, var: str = "species", ncomp: int = 1,
+                 penalty: float = 1e4, pot_var: str = "voltage"):
+        super().__init__(var, ncomp)
+        self.value, self.z, self.T = value, z, T
+        self.comp = comp
+        self.penalty = penalty
+        self.pot_var = pot_var
+
+    def residual(self, sfv, mat, params):
+        nq = sfv.x.shape[0]
+        D = prop(mat, "diffusivity", sfv, params, 1.0)
+        gc = sfv.grad[self.var][:, self.comp, :]
+        c = sfv.val[self.var][:, self.comp]
+        n = sfv.normal
+        flux = -D * jnp.einsum("qk,qk->q", gc, n)
+        if self.pot_var in sfv.val:
+            gV = sfv.grad[self.pot_var][:, 0, :]
+            flux = flux - D * self.z * c * self.F / (self.GAS_R * self.T) \
+                * jnp.einsum("qk,qk->q", gV, n)
+        s = flux - self.value
+        phi = sfv.phi[self.var]
+        out = jnp.zeros((nq, self.ncomp, phi.shape[1]), dtype=phi.dtype)
+        return out.at[:, self.comp, :].set(
+            self.penalty * s[:, None] * phi)

@@ -285,3 +285,85 @@ def test_pem_water_flux_values():
             q = -(nd + 2.0) * (ai0 * Ha / (4 * 96487.0)) * (c0 / cref) \
                 * np.exp(-grp)
         np.testing.assert_allclose(tot, -q, rtol=1e-10, err_msg=side)
+
+
+def test_koh_etch_flux_values():
+    """YFLUX_ETCH: crafted-state row sums reproduce the Seidel-law fluxes
+    with the reference stoichiometry exactly."""
+    from goma_tpu.physics.species_flux import (KOHSiEtchFlux,
+                                               koh_si_etch_rate_100)
+    import jax.numpy as jnp
+
+    T = 353.0
+    rho_H2O, rho_KOH = 0.9, 5e-4  # above the gate
+    mesh = rectangle_mesh(4, 2, elem="QUAD9")
+    nr = np.where(mesh.coords[:, 0] < 1.0 - 1e-9)[0].astype(np.int32)
+    mesh.nodesets["nr2"] = nr
+    mesh.nodesets["alln2"] = np.arange(mesh.n_nodes, dtype=np.int32)
+    eqs = [Species(4, interp="Q2", transient=False, convection=False)]
+    vals = (rho_H2O, rho_KOH, 1e-5, 1e-5)
+
+    def build(with_kernel, comp):
+        p = Problem(mesh, eqs, {"diffusivity": 1.0})
+        for k, v in enumerate(vals):
+            p.add_dirichlet("nr2", "species", k, v)
+        if with_kernel:
+            p.add_face_kernel("right", KOHSiEtchFlux(comp, T))
+        p.finalize()
+        x0 = np.zeros(p.dofmap.n_dof)
+        for k, v in enumerate(vals):
+            x0 = p.set_nodal_field(x0, "species", k, v)
+        return np.asarray(p.residual(jnp.asarray(x0), p.base_params())), p
+
+    R_rate = float(koh_si_etch_rate_100(jnp.asarray(rho_H2O),
+                                        jnp.asarray(rho_KOH), T))
+    rho_si, mw_si = 2.3290, 28.0855
+    mws = (18.01528, 17.008, 2 * 1.00794, 28.0855 + 2*15.9994 + 2*17.008)
+    st = (2.0, 2.0, -2.0, -1.0)
+    for comp in range(4):
+        R1, p1 = build(True, comp)
+        R0, _ = build(False, comp)
+        dm = p1.dofmap
+        dS = dm.dof_of_node_svar[:, dm.svar("species", comp)]
+        tot = (R1 - R0)[dS[dS >= 0]].sum()
+        q = st[comp] * rho_si / mw_si * mws[comp] * R_rate
+        np.testing.assert_allclose(tot, q, rtol=1e-10, err_msg=str(comp))
+
+
+def test_charged_surface_gradient_pin():
+    """FICK_CHRGD_SURF_GRAD: the penalty drives the total charged-Fickian
+    normal flux to the prescribed value; with migration from a linear V
+    the converged gradient satisfies -D(dc/dn) - D z c FRT dV/dn = q0."""
+    from goma_tpu.physics.species_flux import ChargedSurfaceGradient
+    from goma_tpu.fem.equations import PassiveVar
+    import jax.numpy as jnp
+
+    D, z, T, q0, dVdx = 0.5, 2.0, 298.15, 0.01, -0.002
+    mesh = rectangle_mesh(8, 2, elem="QUAD9", xlim=(0, 1), ylim=(0, 0.2))
+    mesh.nodesets["all3"] = np.arange(mesh.n_nodes, dtype=np.int32)
+    eqs = [Species(1, interp="Q2", transient=False, convection=False),
+           PassiveVar("voltage", 1, "Q2", reg=1e-10)]
+    prob = Problem(mesh, eqs, {"diffusivity": D})
+    prob.add_dirichlet("left", "species", 0, 0.3)
+    prob.add_dirichlet("all3", "voltage", 0, lambda c: dVdx * c[:, 0])
+    prob.add_face_kernel("right", ChargedSurfaceGradient(
+        value=q0, z=z, T=T, penalty=1e6))
+    prob.finalize()
+    x0 = prob.set_nodal_field(np.zeros(prob.dofmap.n_dof), "species", 0, 0.3)
+    x0 = prob.set_nodal_field(x0, "voltage", 0,
+                              dVdx * mesh.coords[:, 0])
+    res = NewtonSolver(prob, NewtonOptions(
+        max_iter=10, tol_residual=1e-11, linear_solver="direct")).solve(
+        x0, prob.base_params())
+    assert res.converged
+    c = prob.get_nodal_field(res.x, "species", 0)
+    xs = mesh.coords[:, 0]
+    # linear-ish c(x): evaluate dc/dn at the right face by one-sided FD on
+    # the Q2 nodal line, then check the imposed flux identity
+    row = np.isclose(mesh.coords[:, 1], 0.1)
+    o = np.argsort(xs[row])
+    cr, xr = c[row][o], xs[row][o]
+    dcdx = (3*cr[-1] - 4*cr[-2] + cr[-3]) / (xr[-1] - xr[-3])
+    FRT = 96487.0 / (8.314 * T)
+    flux = -D * dcdx - D * z * cr[-1] * FRT * dVdx
+    np.testing.assert_allclose(flux, q0, rtol=5e-4)
