@@ -190,3 +190,81 @@ class PorousLSWickingFlux(FaceKernel):
         # weak flux into the porous liquid-pressure rows (reference adds
         # func directly; our diffusion weak form takes -phi q_n)
         return out.at[:, self.comp, :].set(-q[:, None] * phi)
+
+
+class PorousConvection(FaceKernel):
+    """POROUS_CONV (``src/mm_fill_porous.c:3984 porous_convection_bc``):
+    convective mass transfer from a deforming (Lagrangian, mesh-inertia)
+    porous medium — the solid-phase convection velocity carries solvent
+    mass through the boundary:
+
+        func = + n . vconv * rho          (POROUS_SATURATED)
+        func = - n . vconv * rho_bulk     (unsaturated)
+
+    weak on the porous liquid-pressure rows. ``vconv``: material key
+    ``solid_convection`` (callable(sfv, mat, params) -> (nq, dim) or a
+    constant vector — the reference's ``get_convection_velocity``);
+    defaults to the mesh velocity when the mesh variable is transient.
+    ``rho``/``rho_bulk``: material keys ``rho`` / ``bulk_density``
+    (constant or callable)."""
+
+    def __init__(self, saturated: bool = True, comp: int = 0,
+                 ncomp: int = 1, var: str = POR_VAR):
+        super().__init__(var, ncomp)
+        self.saturated = saturated
+        self.comp = comp
+
+    def residual(self, sfv, mat, params):
+        from goma_tpu.fem.fields import MESH_VAR
+
+        nq = sfv.x.shape[0]
+        dim = sfv.x.shape[1]
+        v = mat.get("solid_convection", None)
+        if v is None:
+            v = sfv.dot[MESH_VAR] if MESH_VAR in sfv.dot else \
+                jnp.zeros((nq, dim), dtype=sfv.x.dtype)
+        elif callable(v):
+            v = v(sfv, mat, params)
+        else:
+            v = jnp.broadcast_to(
+                jnp.asarray(v, dtype=sfv.x.dtype), (nq, dim))
+        vn = jnp.einsum("qk,qk->q", v, sfv.normal)
+        if self.saturated:
+            rho = prop(mat, "rho", sfv, params, 1.0)
+            func = rho * vn
+        else:
+            rb = mat.get("bulk_density", 1.0)
+            rb = rb(sfv, mat, params) if callable(rb) else rb
+            func = -rb * vn
+        phi = sfv.phi[self.var]
+        out = jnp.zeros((nq, self.ncomp, phi.shape[1]), dtype=phi.dtype)
+        return out.at[:, self.comp, :].set(func[:, None] * phi)
+
+
+def porous_gas_gen_leak(dens_vap: float, var: str = POR_VAR, comp: int = 0):
+    """VN_POROUS (``src/mm_fill_porous.c:4124 porous_normal_velocity_bc``):
+    fluid-side normal velocity generated by solvent vapor leaving an
+    adjacent porous solid,
+
+        n . v = n . j_rel / dens_vap,
+        j_rel = -rho_l (k/mu_l) (grad p_liq - rho_l g)
+
+    (the Darcy relative mass flux of liquid solvent, the reference's
+    ``pmv->rel_mass_flux``). Returns a ``leak`` callable for
+    :class:`VNormLeak` on the momentum rows; register the porous pressure
+    on the fluid block (shared nodes / ``PassiveVar``). Material keys:
+    ``k_over_mu`` (mobility k/mu_l), ``rho_liq``, optional ``gravity``."""
+
+    def leak(sfv, mat, params):
+        gp = sfv.grad[var][:, comp, :]
+        kmu = prop(mat, "k_over_mu", sfv, params, 1.0)
+        rho_l = mat.get("rho_liq", 1.0)
+        drive = gp
+        g = mat.get("gravity", None)
+        if g is not None:
+            drive = drive - rho_l * jnp.asarray(g, dtype=sfv.x.dtype)[None, :]
+        j = -rho_l * kmu * drive if jnp.ndim(kmu) == 0 else \
+            -rho_l * kmu[:, None] * drive
+        return jnp.einsum("qk,qk->q", j, sfv.normal) / dens_vap
+
+    return leak

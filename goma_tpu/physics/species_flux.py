@@ -185,8 +185,10 @@ class HydroSpecies(Equation):
         rel_mu_denom <= 0 -> 0.01 clamp, src/mm_std_models.c:3612)."""
         return jnp.maximum(1.0 - Y / self.maxpack, self.floor) ** self.nexp
 
-    def residual(self, fv, mat, params):
-        nq = fv.x.shape[0]
+    def particle_flux(self, fv, mat, params):
+        """The Phillips diffusive particle flux N (nq, dim) at the given
+        (element or face) field state — shared by the volumetric equation
+        and the YFLUX_SUS boundary kernel (:class:`SuspensionFlux`)."""
         Y = fv.val["species"][:, 0]
         gY = fv.grad["species"][:, 0, :]  # (nq, dim)
         gd = fv.val[self.gd_var][:, 0]
@@ -209,6 +211,12 @@ class HydroSpecies(Equation):
             N = N + (Dg * self.a2 * del_rho / self.mu0) * (
                 Y * hindrance
             )[:, None] * grav[None, :]
+        return N
+
+    def residual(self, fv, mat, params):
+        nq = fv.x.shape[0]
+        gY = fv.grad["species"][:, 0, :]  # (nq, dim)
+        N = self.particle_flux(fv, mat, params)
 
         adv = jnp.zeros(nq)
         if self.transient:
@@ -312,3 +320,39 @@ class ChargedSurfaceGradient(FaceKernel):
         out = jnp.zeros((nq, self.ncomp, phi.shape[1]), dtype=phi.dtype)
         return out.at[:, self.comp, :].set(
             self.penalty * s[:, None] * phi)
+
+
+class SuspensionFlux(FaceKernel):
+    """YFLUX_SUS (``src/mm_fill_species.c:6706 sus_mass_flux_surf_bc``):
+    weak suspension particle flux on the species rows,
+
+        q_n = rho * n . N_hydro
+
+    with N_hydro the Phillips shear-induced-migration flux of the
+    HYDRODYNAMIC diffusivity model (``hydro_flux``,
+    ``src/mm_std_models.c:3478``) — shared verbatim with
+    :class:`HydroSpecies` via :meth:`HydroSpecies.particle_flux`, so the
+    boundary condition and the volumetric transport use one closure (the
+    reference couples them through ``s_terms.diff_flux``). ``rho`` is the
+    suspension density (the reference's SUSPENSION density model; for
+    SUSPENSION_PM particle phase pass the particle density).
+
+    Requires the shear-rate projection field (``hydro.gd_var``) gathered on
+    the face block — solved (:class:`ShearRateProjection`) or registered as
+    a ``PassiveVar``."""
+
+    def __init__(self, hydro: HydroSpecies, rho: float = 1.0,
+                 var: str = "species", ncomp: int = 1, comp: int = 0):
+        super().__init__(var, ncomp)
+        self.hydro = hydro
+        self.rho = rho
+        self.comp = comp
+
+    def residual(self, sfv, mat, params):
+        nq = sfv.x.shape[0]
+        N = self.hydro.particle_flux(sfv, mat, params)
+        qn = self.rho * jnp.einsum("qk,qk->q", N, sfv.normal)
+        phi = sfv.phi[self.var]
+        out = jnp.zeros((nq, self.ncomp, phi.shape[1]), dtype=phi.dtype)
+        # outward particle flux: + sign, same convention as PorousMassFlux
+        return out.at[:, self.comp, :].set(qn[:, None] * phi)
