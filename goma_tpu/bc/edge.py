@@ -255,12 +255,18 @@ class CAEdge(EdgeKernel):
     displaced configuration inside :func:`eval_edgevars`, so the
     mesh-position sensitivities the reference hand-codes
     (``dfsnormal_dx`` / ``dssnormal_dx``) come from AD. ``theta`` in
-    radians; scalar, param name (str), or callable(efv, mat, params)."""
+    radians; scalar, param name (str), or callable(efv, mat, params).
 
-    def __init__(self, theta, dim: int = 3, penalty: float = 1e6):
+    ``var``: which equation rows carry the constraint — default the mesh
+    displacements (CA_BC); pass ``"velocity"`` for CA_MOMENTUM_BC
+    (``src/bc_special.c:642``: the same ``fapply_CA`` misfit applied in
+    place of the kinematic momentum row n.(v - vs) = 0)."""
+
+    def __init__(self, theta, dim: int = 3, penalty: float = 1e6,
+                 var: str | None = None):
         from goma_tpu.fem.fields import MESH_VAR
 
-        super().__init__(MESH_VAR, dim)
+        super().__init__(var or MESH_VAR, dim)
         self.theta = theta
         self.penalty = penalty
 
@@ -273,11 +279,9 @@ class CAEdge(EdgeKernel):
         return jnp.cos(th)
 
     def residual(self, efv, mat, params):
-        from goma_tpu.fem.fields import MESH_VAR
-
         nfs, nss = efv.normal_a, efv.normal_b
         mis = jnp.einsum("qk,qk->q", nfs, nss) - self._cos_theta(efv, mat, params)
-        phi = efv.phi[MESH_VAR]
+        phi = efv.phi[self.var]
         return self.penalty * jnp.einsum("q,qa,qi->qai", mis, nfs, phi)
 
 
@@ -335,6 +339,45 @@ class VarCAEdge(CAEdge):
         return jnp.clip(cos_ca, lo, hi)
 
 
+class MovingCAEdge(CAEdge):
+    """MOVING_CA (``src/mm_ns_bc.c:10206 fapply_moving_CA``; SPECIAL nodal
+    dispatch ``src/bc_special.c:656``): dynamic contact angle keyed to the
+    contact-line speed relative to the wall,
+
+        theta = theta_s + (theta_adv - theta_s) * tanh(scaling * v_rel),
+        v_rel = (xdot - v_wall) . n_fs
+
+    with xdot the mesh velocity at the contact line (advancing v_rel > 0
+    steepens toward theta_adv; the same misfit n_fs.n_ss - cos theta then
+    drives the penalty rows). Angles in RADIANS here (the reference's cards
+    carry degrees and convert at :10265). ``theta_rec`` is accepted for
+    card parity but — exactly like the reference, which reads but never
+    uses receding_ca in the formula — does not enter; receding lines
+    follow the tanh branch below theta_s."""
+
+    def __init__(self, theta_s: float, theta_adv: float, scaling: float,
+                 theta_rec: float | None = None, v_wall=(0.0, 0.0, 0.0),
+                 dim: int = 3, penalty: float = 1e6, var: str | None = None):
+        super().__init__(theta_s, dim=dim, penalty=penalty, var=var)
+        self.theta_adv = theta_adv
+        self.scaling = scaling
+        self.theta_rec = theta_rec  # unused, matching fapply_moving_CA
+        self.v_wall = np.asarray(v_wall, dtype=float)
+
+    def _cos_theta(self, efv, mat, params):
+        from goma_tpu.fem.fields import MESH_VAR
+
+        th_s = self.theta
+        if isinstance(th_s, str):
+            th_s = params[th_s]
+        vw = jnp.asarray(self.v_wall[: efv.x.shape[1]], dtype=efv.x.dtype)
+        xdot = efv.dot[MESH_VAR] if MESH_VAR in efv.dot else \
+            jnp.zeros_like(efv.x)
+        v_rel = jnp.einsum("qk,qk->q", xdot - vw[None, :], efv.normal_a)
+        th = th_s + (self.theta_adv - th_s) * jnp.tanh(self.scaling * v_rel)
+        return jnp.cos(th)
+
+
 class EdgeTraction(EdgeKernel):
     """Line load along the curve: -int phi f . ds (3D contact-line force;
     the CAP_ENDFORCE analog of bc_special.c in 3D). ``force``: (3,) vector,
@@ -379,8 +422,6 @@ class CAEdgeOrFix(CAEdge):
         self.gate_width = gate_width
 
     def residual(self, efv, mat, params):
-        from goma_tpu.fem.fields import MESH_VAR
-
         nfs, nss = efv.normal_a, efv.normal_b
         ca = jnp.einsum("qk,qk->q", nfs, nss) \
             - self._cos_theta(efv, mat, params)
@@ -389,5 +430,5 @@ class CAEdgeOrFix(CAEdge):
                        jnp.asarray(self.fdir, dtype=efv.x.dtype))
         g = 0.5 * (1.0 + jnp.tanh(d / self.gate_width))
         mis = g * self.pin_scale * d + (1.0 - g) * ca
-        phi = efv.phi[MESH_VAR]
+        phi = efv.phi[self.var]
         return self.penalty * jnp.einsum("q,qa,qi->qai", mis, nfs, phi)

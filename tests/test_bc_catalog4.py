@@ -117,3 +117,73 @@ def test_vn_porous_gas_generation():
     got = _row_sum(prob, prob0, x0, "velocity", comp=0)
     leak = -rho_l * kmu * dpdx / dens_vap
     np.testing.assert_allclose(got, -pen * leak, rtol=1e-12)
+
+
+def _fake_edge(nq=4, dim=3, xdot=None):
+    """Crafted contact-curve state for CAEdge-family kernels."""
+    import types
+
+    from goma_tpu.fem.fields import MESH_VAR
+
+    rng = np.random.default_rng(7)
+    nfs = rng.normal(size=(nq, dim))
+    nfs /= np.linalg.norm(nfs, axis=1, keepdims=True)
+    nss = rng.normal(size=(nq, dim))
+    nss /= np.linalg.norm(nss, axis=1, keepdims=True)
+    efv = types.SimpleNamespace()
+    efv.x = jnp.asarray(rng.normal(size=(nq, dim)))
+    efv.normal_a = jnp.asarray(nfs)
+    efv.normal_b = jnp.asarray(nss)
+    efv.tangent = jnp.asarray(np.cross(nfs, nss))
+    efv.phi = {MESH_VAR: jnp.asarray(rng.normal(size=(nq, 6))),
+               "velocity": jnp.asarray(rng.normal(size=(nq, 6)))}
+    efv.dot = {}
+    if xdot is not None:
+        efv.dot[MESH_VAR] = jnp.asarray(
+            np.broadcast_to(np.asarray(xdot, dtype=float), (nq, dim)))
+    return efv
+
+
+def test_moving_ca_edge_limits():
+    """MOVING_CA: at zero contact-line speed the kernel is exactly the
+    static CAEdge(theta_s); at large advancing speed the enforced angle
+    saturates at theta_adv (tanh -> 1)."""
+    from goma_tpu.bc.edge import CAEdge, MovingCAEdge
+
+    th_s, th_adv, sc = np.deg2rad(60.0), np.deg2rad(120.0), 5.0
+    efv0 = _fake_edge(xdot=(0.0, 0.0, 0.0))
+    r_static = CAEdge(th_s).residual(efv0, {}, {})
+    r_moving = MovingCAEdge(th_s, th_adv, sc).residual(efv0, {}, {})
+    np.testing.assert_allclose(np.asarray(r_moving), np.asarray(r_static),
+                               rtol=1e-12)
+    # large advancing speed along +n_fs: v_rel >> 1/scaling
+    efv_fast = _fake_edge(xdot=(0.0, 0.0, 0.0))
+    efv_fast.dot = {list(efv0.dot)[0]: 100.0 * efv_fast.normal_a}
+    r_fast = MovingCAEdge(th_s, th_adv, sc).residual(efv_fast, {}, {})
+    r_adv = CAEdge(th_adv).residual(efv_fast, {}, {})
+    np.testing.assert_allclose(np.asarray(r_fast), np.asarray(r_adv),
+                               rtol=1e-9)
+    # wall motion cancels the mesh motion -> static again
+    efv_w = _fake_edge(xdot=(0.3, -0.2, 0.1))
+    r_w = MovingCAEdge(th_s, th_adv, sc,
+                       v_wall=(0.3, -0.2, 0.1)).residual(efv_w, {}, {})
+    np.testing.assert_allclose(np.asarray(r_w),
+                               np.asarray(CAEdge(th_s).residual(efv_w, {}, {})),
+                               rtol=1e-12)
+
+
+def test_ca_momentum_rows():
+    """CA_MOMENTUM: the identical fapply_CA misfit lands on the momentum
+    rows (velocity test functions) instead of the mesh rows."""
+    from goma_tpu.bc.edge import CAEdge
+    from goma_tpu.fem.fields import MESH_VAR
+
+    th = np.deg2rad(45.0)
+    efv = _fake_edge()
+    r_mesh = np.asarray(CAEdge(th).residual(efv, {}, {}))
+    r_mom = np.asarray(CAEdge(th, var="velocity").residual(efv, {}, {}))
+    # same misfit * n_fs outer product, different test functions
+    phi_m = np.asarray(efv.phi[MESH_VAR])
+    phi_v = np.asarray(efv.phi["velocity"])
+    np.testing.assert_allclose(
+        r_mom, r_mesh / phi_m[:, None, :] * phi_v[:, None, :], rtol=1e-12)
