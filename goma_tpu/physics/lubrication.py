@@ -462,3 +462,92 @@ class ShellFlowDeveloped(FaceKernel):
         s = jnp.einsum("qk,qk->q", gP, sfv.normal)
         phi = sfv.phi[self.var]
         return self.penalty * (s[:, None] * phi)[:, None, :]
+
+
+class ShellLubWall(FaceKernel):
+    """SHELL_LUB_WALL (``src/mm_shell_bc.c:499 shell_n_dot_flow_wall``):
+    extra flow resistance from a bounding side wall of the lubrication
+    domain — the lubrication flux component along the wall tangent,
+    scaled by the power-law wall factor
+
+        W = -pi (2 + 1/n) / (3 + 1/n) / 2^(2 + 1/n) * fudge,
+
+    loads the lub-pressure rows weakly:  W * (q . t_wall) phi_i  with
+    q = -h^3/(12 mu) grad p + U h/2 (``calculate_lub_q_v``). When a
+    level-set field is present the factor is gated by (1 - H(F)) exactly
+    like the reference. Applied with the proper arc measure (the
+    reference's 1/sdet cancels its own wt*sdet quadrature weight).
+    Material keys as in :class:`ReynoldsFilm` (+ ``ls_alpha`` for the
+    gate width when ``fill`` is gathered)."""
+
+    def __init__(self, pwr_index: float = 1.0, fudge: float = 1.0,
+                 lub_var: str = LUB_VAR, fill_var: str = "fill"):
+        super().__init__(lub_var, 1)
+        self.n_pwr = pwr_index
+        self.fudge = fudge
+        self.fill_var = fill_var
+
+    def residual(self, sfv, mat, params):
+        nq = sfv.x.shape[0]
+        mu = prop(mat, "mu_lub", sfv, params, 1.0)
+        hfun = mat["gap"]
+        h = hfun(sfv, mat, params) if callable(hfun) else jnp.broadcast_to(
+            jnp.asarray(hfun, dtype=sfv.x.dtype), (nq,))
+        gp = sfv.grad[self.var][:, 0, :]
+        q = -(h ** 3 / (12.0 * mu))[:, None] * gp
+        U = mat.get("wall_velocity", None)
+        if U is not None:
+            Uv = U(sfv, mat, params) if callable(U) else jnp.broadcast_to(
+                jnp.asarray(U, dtype=sfv.x.dtype), (nq, sfv.x.shape[1]))
+            q = q + 0.5 * h[:, None] * Uv
+        n = self.n_pwr
+        W = -jnp.pi * (2.0 + 1.0 / n) / (3.0 + 1.0 / n) \
+            / 2.0 ** (2.0 + 1.0 / n) * self.fudge
+        if self.fill_var in sfv.val:
+            from goma_tpu.physics.level_set import heaviside
+
+            eps = mat.get("ls_alpha", params.get("ls_eps", 0.1))
+            H = heaviside(sfv.val[self.fill_var][:, 0], eps)
+            W = W * (1.0 - H)
+        t = sfv.tangents[:, :, 0]
+        t = t / jnp.linalg.norm(t, axis=1, keepdims=True)
+        s = W * jnp.einsum("qk,qk->q", q, t)
+        phi = sfv.phi[self.var]
+        return (s[:, None] * phi)[:, None, :]
+
+
+class TFMPAvgPlateVelo(FaceKernel):
+    """SHELL_TFMP_AVG_PLATE_VELO (``src/mm_shell_bc.c:2221
+    shell_tfmp_avg_plate_velo_liq``): open boundary of a thin-film
+    multiphase gap between translating plates — the liquid carried by the
+    average plate velocity leaves through the side:
+
+        func = h S (n . v_avg),   v_avg = (veloU + veloL)/2
+
+    weak on the saturation (liquid mass) rows. ``v_avg``: explicit average
+    plate velocity; defaults to material key ``wall_velocity`` (already
+    the plate *average* in this framework's TFMP closures)."""
+
+    def __init__(self, v_avg=None):
+        super().__init__(TFMP_S, 1)
+        self.v_avg = v_avg
+
+    def residual(self, sfv, mat, params):
+        nq = sfv.x.shape[0]
+        dim = sfv.x.shape[1]
+        hfun = mat["gap"]
+        h = hfun(sfv, mat, params) if callable(hfun) else jnp.broadcast_to(
+            jnp.asarray(hfun, dtype=sfv.x.dtype), (nq,))
+        S = sfv.val[TFMP_S][:, 0]
+        v = self.v_avg if self.v_avg is not None else \
+            mat.get("wall_velocity", None)
+        if v is None:
+            v = jnp.zeros((nq, dim), dtype=sfv.x.dtype)
+        elif callable(v):
+            v = v(sfv, mat, params)
+        else:
+            v = jnp.broadcast_to(jnp.asarray(v, dtype=sfv.x.dtype),
+                                 (nq, dim))
+        vn = jnp.einsum("qk,qk->q", v, sfv.normal)
+        phi = sfv.phi[TFMP_S]
+        return ((h * S * vn)[:, None] * phi)[:, None, :]

@@ -187,3 +187,58 @@ def test_ca_momentum_rows():
     phi_v = np.asarray(efv.phi["velocity"])
     np.testing.assert_allclose(
         r_mom, r_mesh / phi_m[:, None, :] * phi_v[:, None, :], rtol=1e-12)
+
+
+def test_shell_lub_wall_resistance():
+    """SHELL_LUB_WALL: at a crafted linear lub pressure on a 2D film
+    domain, the side-wall resistance row sum is exactly
+    W(n_pwr) * fudge * (q.t) * |face|, and the level-set gate scales it by
+    (1 - H(F))."""
+    from goma_tpu.physics.lubrication import LUB_VAR, ReynoldsFilm, ShellLubWall
+
+    h, mu, dPdy, n_pwr, fudge = 0.3, 1.2, 2.0, 0.5, 0.7
+    mesh = rectangle_mesh(4, 4, elem="QUAD4")
+    mats = {"gap": h, "mu_lub": mu}
+
+    def build(kern):
+        prob = Problem(mesh, [ReynoldsFilm(interp="Q1")], dict(mats))
+        if kern is not None:
+            prob.add_face_kernel("right", kern)
+        prob.finalize()
+        return prob
+
+    prob = build(ShellLubWall(pwr_index=n_pwr, fudge=fudge))
+    prob0 = build(None)
+    x0 = np.zeros(prob.dofmap.n_dof)
+    x0 = prob.set_nodal_field(x0, LUB_VAR, 0, dPdy * mesh.coords[:, 1])
+    got = _row_sum(prob, prob0, x0, LUB_VAR)
+    W = -np.pi * (2 + 1 / n_pwr) / (3 + 1 / n_pwr) / 2 ** (2 + 1 / n_pwr) \
+        * fudge
+    q_t = -(h**3 / (12 * mu)) * dPdy  # q . (0, +-1): sign from tangent
+    np.testing.assert_allclose(abs(got), abs(W * q_t), rtol=1e-12)
+
+
+def test_tfmp_avg_plate_velo():
+    """SHELL_TFMP_AVG_PLATE_VELO: the open-side liquid carry-out rows sum
+    to exactly h * S * (n . v_avg) * |face|."""
+    from goma_tpu.physics.lubrication import (TFMP_P, TFMP_S, TFMPAvgPlateVelo,
+                                              TFMPBound, TFMPMass)
+
+    h, S0, v_avg = 0.25, 0.6, (1.7, -0.4)
+    mesh = rectangle_mesh(4, 3, elem="QUAD4")
+    mats = {"gap": h, "mu_l": 1.0, "mu_g": 1.0, "wall_velocity": v_avg}
+
+    def build(with_bc):
+        prob = Problem(mesh, [TFMPMass(interp="Q1", transient=False),
+                              TFMPBound(interp="Q1", transient=False)],
+                       dict(mats))
+        if with_bc:
+            prob.add_face_kernel("right", TFMPAvgPlateVelo())
+        prob.finalize()
+        return prob
+
+    prob, prob0 = build(True), build(False)
+    x0 = np.zeros(prob.dofmap.n_dof)
+    x0 = prob.set_nodal_field(x0, TFMP_S, 0, S0)
+    got = _row_sum(prob, prob0, x0, TFMP_S)
+    np.testing.assert_allclose(got, h * S0 * v_avg[0], rtol=1e-12)
