@@ -335,3 +335,185 @@ def bulk_normal_current(conductivity: float = 1.0, pot_var: str = "voltage"):
         return conductivity * jnp.einsum("qk,qk->q", gV, sfv.normal)
 
     return flux
+
+
+class ShellCoordinates(Equation):
+    """R_SHELL_X / R_SHELL_Y rows (``assemble_shell_coordinates``,
+    ``src/mm_fill_shell.c:1638``): inextensible 2D structural-shell
+    coordinate equations on a bar-shell block, realized — exactly like the
+    reference's "const node space version" — on the MESH rows (the shell
+    coordinates ARE the mesh coordinates of the curve):
+
+        x-rows: equal-arc-length node distribution,
+                R_i = -int detJ (dphi_i/dxi)           (telescopes to
+                detJ_left - detJ_right at interior nodes)
+        y-rows: curvature closure d2y/ds2 - K dx/ds = 0,
+                R_i = BIG * int [ -(dy/dxi)(dphi/dxi)/detJ - phi K dx/dxi ]
+
+    K comes from the solved shell curvature field (``curv_var``, default
+    ``sh_K``) or the constant/callable material key ``shell_curvature``.
+    SH_X/SH_Y Dirichlet cards then pin the endpoint coordinates via
+    ``Problem.add_dirichlet`` on the mesh components."""
+
+    def __init__(self, interp: str = "Q1", curv_var: str = "sh_K",
+                 penalty: float = 1e3):
+        from goma_tpu.fem.fields import MESH_VAR
+
+        super().__init__(MESH_VAR, 2, interp)
+        self.curv_var = curv_var
+        self.penalty = penalty
+
+    def residual(self, fv, mat, params):
+        nq = fv.x.shape[0]
+        t = fv.tangent
+        detJ = fv.detJ
+        dphi = fv.dphi_ds[self.var]       # dphi/ds
+        phi = fv.phi[self.var]
+        if self.curv_var in fv.val:
+            K = fv.val[self.curv_var][:, 0]
+        else:
+            Kv = mat.get("shell_curvature", 0.0)
+            K = Kv(fv, mat, params) if callable(Kv) else \
+                jnp.full(nq, float(Kv), dtype=fv.x.dtype)
+        # our assembly integrates c with w*detJ; the reference adds its
+        # terms with bare wt — divide the xi-form terms by detJ once
+        cx = -detJ[:, None] * dphi                       # = -dphi/dxi
+        cy = -t[:, 1][:, None] * detJ[:, None] * dphi \
+            - (K * t[:, 0])[:, None] * phi
+        out = jnp.zeros((nq, 2, phi.shape[1]), dtype=phi.dtype)
+        out = out.at[:, 0, :].set(cx)
+        out = out.at[:, 1, :].set(self.penalty * cy)
+        return out
+
+
+class ShellSurfCurv(Equation):
+    """R_SHELL_SURF_CURV rows (gamma2 of
+    ``assemble_shell_surface_rheo_pieces``, ``src/mm_fill_shell.c:4896``):
+    the surface curvature div_s(n) as a SOLVED shell projection variable,
+
+        R_i = phi_i (kv - t . d(n)/ds) + D3 (dkv/ds)(dphi_i/ds)
+
+    with n the (solved or registered) surface normal field ``normal_var``
+    — register it on the shell block via ``PassiveVar`` or couple the
+    SolvedNormal equations. ``surf_diff`` is the reference's
+    surfaceDiffusionCoeff3 smoothing."""
+
+    def __init__(self, interp: str = "Q2", var: str = "surf_curv",
+                 normal_var: str = "normal", surf_diff: float = 0.0):
+        super().__init__(var, 1, interp)
+        self.normal_var = normal_var
+        self.surf_diff = surf_diff
+
+    def residual(self, fv, mat, params):
+        kv = fv.val[self.var][:, 0]
+        dn = fv.grad_s[self.normal_var]   # (nq, dim) d(n_a)/ds
+        div_n = jnp.einsum("qa,qa->q", fv.tangent, dn)
+        phi = fv.phi[self.var]
+        c = (kv - div_n)[:, None] * phi
+        if self.surf_diff:
+            c = c + self.surf_diff * fv.grad_s[self.var][:, :1] \
+                * fv.dphi_ds[self.var]
+        return c[:, None, :]
+
+
+SH_J = "sh_J"
+
+
+class ShellDiffusionFlux(Equation):
+    """R_SHELL_DIFF_FLUX rows (``assemble_shell_diffusion``,
+    ``src/mm_fill_shell.c:2132``): Mullins surface-diffusion flux unknown
+    on a bar shell,
+
+        R_i = int [ Js phi_i + Ds Gs Va Kd (dphi_i/ds) ] ds
+
+    — which integrates by parts to the strong statement
+    Js = +d/ds(Ds Gs Va Kd) in the reference's sign orientation (surface
+    flux driven by the chemical-potential/curvature gradient; pair with
+    :class:`ShellDiffKinematic`, whose -dJs/ds closes Mullins surface
+    diffusion v_n = -d2s(D Kd) with the usual dissipative sign). ``curv_var``: the
+    curvature field (SHELL_DIFF_CURVATURE analog — a ShellSurfCurv
+    projection or a PassiveVar). Material keys ``surf_diff_Ds``,
+    ``surf_energy_Gs``, ``atomic_vol_Va`` (each default 1, matching the
+    reference's Ds = 1 hardwire at :2235)."""
+
+    def __init__(self, interp: str = "Q1", curv_var: str = "surf_curv"):
+        super().__init__(SH_J, 1, interp)
+        self.curv_var = curv_var
+
+    def residual(self, fv, mat, params):
+        Js = fv.val[SH_J][:, 0]
+        Kd = fv.val[self.curv_var][:, 0]
+        D = mat.get("surf_diff_Ds", 1.0) * mat.get("surf_energy_Gs", 1.0) \
+            * mat.get("atomic_vol_Va", 1.0)
+        phi = fv.phi[SH_J]
+        dphi = fv.dphi_ds[SH_J]
+        c = Js[:, None] * phi + D * Kd[:, None] * dphi
+        return c[:, None, :]
+
+
+class ShellDiffKinematic(Equation):
+    """SHELL_DIFF_KINEMATIC (``src/mm_fill_shell.c:5603
+    shell_diff_kinematic_bc``): kinematic closure on the bulk MESH rows
+    along a diffusing shell surface — the surface recedes/grows by the
+    surface divergence of the Mullins flux:
+
+        penalty * ( n . xdot - sign * d(Js)/ds ) n_a phi_i
+
+    (the reference's mass + diffusion terms, assembled over the shell
+    curve; its -grad_sh_J/sdet is exactly -d(Js)/ds). Register on the
+    bar-shell block carrying :class:`ShellDiffusionFlux`."""
+
+    def __init__(self, interp: str = "Q1", sign: float = 1.0,
+                 penalty: float = 1e4, flux_var: str = SH_J):
+        from goma_tpu.fem.fields import MESH_VAR
+
+        super().__init__(MESH_VAR, 2, interp)
+        self.sign = sign
+        self.penalty = penalty
+        self.flux_var = flux_var
+
+    def residual(self, fv, mat, params):
+        from goma_tpu.fem.fields import MESH_VAR
+
+        nq = fv.x.shape[0]
+        n = fv.normal
+        xdot = fv.dot[MESH_VAR] if MESH_VAR in fv.dot else \
+            jnp.zeros_like(fv.x)
+        dJ = fv.grad_s[self.flux_var][:, 0]
+        mis = jnp.einsum("qk,qk->q", n, xdot) - self.sign * dJ
+        phi = fv.phi[self.var]
+        return self.penalty * jnp.einsum("q,qa,qi->qai", mis, n, phi)
+
+
+def tie_fluid_shell(problem, mesh, nodeset: str, sidesets,
+                    curv_var: str = "sh_K", tens_var: str = "sh_tens",
+                    scale: float = 1.0):
+    """SH_FLUID_STRESS (``src/bc_colloc.c:559`` →
+    ``src/mm_fill_shell.c:3877 put_fluid_stress_on_shell``): load the bulk
+    fluid momentum residual onto the structural-shell rows at shared
+    nodes —
+
+        R[sh_K]    += scale * (n0 R[mom0] + n1 R[mom1])
+        R[sh_tens] += scale * (t0 R[mom0] + t1 R[mom1])
+
+    realized as weighted cross-equation row injections with the averaged
+    boundary normal/tangent per node (``sidesets`` feeds
+    :func:`goma_tpu.bc.rotation.nodal_normals`; the reference evaluates
+    fv->snormal at assembly — setup-time averaged normals match its
+    behavior on non-deforming boundaries)."""
+    import numpy as _np
+
+    from goma_tpu.bc.rotation import nodal_normals
+
+    normals = nodal_normals(mesh, sidesets)
+    nodes = mesh.nodesets[nodeset] if isinstance(nodeset, str) else nodeset
+    for node in _np.asarray(nodes):
+        n = normals[int(node)]
+        t = _np.array([-n[1], n[0]])
+        for a in range(2):
+            if abs(n[a]) > 1e-14:
+                problem.add_row_inject([int(node)], "velocity", curv_var,
+                                       from_comp=a, sign=scale * float(n[a]))
+            if abs(t[a]) > 1e-14:
+                problem.add_row_inject([int(node)], "velocity", tens_var,
+                                       from_comp=a, sign=scale * float(t[a]))

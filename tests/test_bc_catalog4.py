@@ -242,3 +242,167 @@ def test_tfmp_avg_plate_velo():
     x0 = prob.set_nodal_field(x0, TFMP_S, 0, S0)
     got = _row_sum(prob, prob0, x0, TFMP_S)
     np.testing.assert_allclose(got, h * S0 * v_avg[0], rtol=1e-12)
+
+
+def test_shell_coordinates_rows():
+    """R_SHELL_X/R_SHELL_Y: on an equally spaced bar shell the equal-arc
+    x-rows telescope to exactly zero at interior nodes, and with constant
+    curvature K0 the y-rows carry exactly -penalty K0 dx per interior node
+    (the discrete d2y/ds2 - K dx/ds closure at y = 0)."""
+    from goma_tpu.fem.fields import MESH_VAR
+    from goma_tpu.physics.shell import ShellCoordinates, attach_shell_block
+
+    K0, pen = 1.7, 1e3
+    nx = 6
+    mesh = rectangle_mesh(nx, 2, elem="QUAD4")
+    bi = attach_shell_block(mesh, "bottom", "shcoord")
+    prob = Problem(mesh, [[], [ShellCoordinates(interp="Q1", penalty=pen),
+                               PassiveVar("sh_K", 1, "Q1")]],
+                   [{}, {}])
+    prob.finalize()
+    x0 = np.zeros(prob.dofmap.n_dof)
+    x0 = prob.set_nodal_field(x0, "sh_K", 0, K0)
+    R = np.asarray(prob.residual(jnp.asarray(x0), prob.base_params()))
+    dm = prob.dofmap
+    dx = dm.dof_of_node_svar[:, dm.svar(MESH_VAR, 0)]
+    dy = dm.dof_of_node_svar[:, dm.svar(MESH_VAR, 1)]
+    sn = np.unique(mesh.blocks[bi].conn)
+    xs = mesh.coords[sn, 0]
+    interior = sn[(xs > 1e-9) & (xs < 1.0 - 1e-9)]
+    h = 1.0 / nx
+    np.testing.assert_allclose(R[dx[interior]], 0.0, atol=1e-12)
+    np.testing.assert_allclose(R[dy[interior]], -pen * K0 * h, rtol=1e-12)
+
+
+def test_shell_surf_curv_projection():
+    """SH_GAMMA2 equation: with a registered normal field n = (a x, b) on a
+    straight bar, div_s n = a exactly and the projection solves
+    surf_curv = a at every node."""
+    from goma_tpu.physics.shell import ShellSurfCurv, attach_shell_block
+    from goma_tpu.solvers import NewtonOptions, NewtonSolver
+
+    a = 2.3
+    mesh = rectangle_mesh(5, 2, elem="QUAD4")
+    bi = attach_shell_block(mesh, "bottom", "g2")
+    prob = Problem(mesh, [[], [ShellSurfCurv(interp="Q1"),
+                               PassiveVar("normal", 2, "Q1")]],
+                   [{}, {}])
+    sn = np.unique(mesh.blocks[bi].conn)
+    mesh.nodesets["g2_nodes"] = sn.astype(np.int32)
+    prob.add_dirichlet("g2_nodes", "normal", 0, lambda c: a * c[:, 0])
+    prob.add_dirichlet("g2_nodes", "normal", 1, 0.4)
+    prob.finalize()
+    res = NewtonSolver(prob, NewtonOptions(
+        max_iter=4, tol_residual=1e-12, linear_solver="direct")).solve(
+        np.zeros(prob.dofmap.n_dof), prob.base_params())
+    assert res.converged
+    kv = prob.get_nodal_field(res.x, "surf_curv", 0)
+    np.testing.assert_allclose(kv[sn], a, rtol=1e-10)
+
+
+def test_shell_diffusion_flux_and_kinematic():
+    """SHELL_DIFF_FLUX + SHELL_DIFF_KINEMATIC: with Kd = c1 x the flux
+    equation solves Js = +D c1 at interior nodes (the reference's weak
+    orientation: Js phi + D Kd phi' = 0 IBPs to Js = +D dKd/ds; exact for
+    a linear curvature field); the kinematic closure then loads the mesh
+    rows with exactly penalty * (dJs/ds) * n."""
+    from goma_tpu.fem.fields import MESH_VAR
+    from goma_tpu.physics.shell import (SH_J, ShellDiffKinematic,
+                                        ShellDiffusionFlux,
+                                        attach_shell_block)
+    from goma_tpu.solvers import NewtonOptions, NewtonSolver
+
+    c1, Ds, Gs, Va = 1.9, 0.7, 1.3, 0.5
+    D = Ds * Gs * Va
+    mesh = rectangle_mesh(6, 2, elem="QUAD4")
+    bi = attach_shell_block(mesh, "bottom", "mull")
+    prob = Problem(mesh, [[], [ShellDiffusionFlux(curv_var="surf_curv"),
+                               PassiveVar("surf_curv", 1, "Q1")]],
+                   [{}, {"surf_diff_Ds": Ds, "surf_energy_Gs": Gs,
+                         "atomic_vol_Va": Va}])
+    sn = np.unique(mesh.blocks[bi].conn)
+    xs = mesh.coords[sn, 0]
+    mesh.nodesets["mull_nodes"] = sn.astype(np.int32)
+    mesh.nodesets["mull_ends"] = sn[
+        (xs < 1e-9) | (xs > 1 - 1e-9)].astype(np.int32)
+    prob.add_dirichlet("mull_nodes", "surf_curv", 0, lambda c: c1 * c[:, 0])
+    prob.add_dirichlet("mull_ends", SH_J, 0, D * c1)
+    prob.finalize()
+    res = NewtonSolver(prob, NewtonOptions(
+        max_iter=4, tol_residual=1e-12, linear_solver="direct")).solve(
+        np.zeros(prob.dofmap.n_dof), prob.base_params())
+    assert res.converged
+    Js = prob.get_nodal_field(res.x, SH_J, 0)
+    np.testing.assert_allclose(Js[sn], D * c1, rtol=1e-10)
+
+    # kinematic closure: Js = c1 x field, xdot = 0 -> mesh-y row sum
+    # = penalty * (-dJs/ds) * n_y * |curve| = penalty * c1 (n_y = -1)
+    pen = 1e4
+    prob2 = Problem(mesh, [[], [ShellDiffKinematic(penalty=pen),
+                                PassiveVar(SH_J, 1, "Q1")]],
+                    [{}, {}])
+    prob2.finalize()
+    x0 = np.zeros(prob2.dofmap.n_dof)
+    x0 = prob2.set_nodal_field(x0, SH_J, 0, c1 * mesh.coords[:, 0])
+    R = np.asarray(prob2.residual(jnp.asarray(x0), prob2.base_params()))
+    dm = prob2.dofmap
+    dy = dm.dof_of_node_svar[:, dm.svar(MESH_VAR, 1)]
+    dxc = dm.dof_of_node_svar[:, dm.svar(MESH_VAR, 0)]
+    got_y = R[dy[dy >= 0]].sum()
+    got_x = R[dxc[dxc >= 0]].sum()
+    np.testing.assert_allclose(got_y, pen * c1, rtol=1e-12)
+    np.testing.assert_allclose(got_x, 0.0, atol=1e-9 * pen)
+
+
+def test_tie_fluid_shell_injection():
+    """SH_FLUID_STRESS: the weighted row injection adds exactly
+    n . (R_mom0, R_mom1) into the shell-curvature row and
+    t . (R_mom0, R_mom1) into the shell-tension row at every shared
+    node."""
+    from goma_tpu.bc.rotation import nodal_normals
+    from goma_tpu.physics import Continuity, Momentum
+    from goma_tpu.physics.shell import (ShellCurvature, ShellTension,
+                                        attach_shell_block, tie_fluid_shell)
+
+    scale = 0.8
+    mesh = rectangle_mesh(4, 3, elem="QUAD4")
+    bi = attach_shell_block(mesh, "bottom", "fsi_sh")
+    sn = np.unique(mesh.blocks[bi].conn)
+    mesh.nodesets["sh_nodes"] = sn.astype(np.int32)
+
+    def build(tie):
+        prob = Problem(
+            mesh,
+            [[Momentum(dim=2, interp="Q1", transient=False),
+              Continuity(interp="P0")],
+             [ShellCurvature(bend_stiffness=1.0, interp="Q1"),
+              ShellTension(bend_stiffness=1.0, interp="Q1")]],
+            [{"rho": 1.0, "mu": 1.0}, {}])
+        if tie:
+            tie_fluid_shell(prob, mesh, "sh_nodes", ("bottom",),
+                            scale=scale)
+        prob.finalize()
+        return prob
+
+    prob, prob0 = build(True), build(False)
+    x0 = np.zeros(prob.dofmap.n_dof)
+    rng = np.random.default_rng(3)
+    for v, c in (("velocity", 0), ("velocity", 1), ("sh_K", 0),
+                 ("sh_tens", 0)):
+        x0 = prob.set_nodal_field(x0, v, c,
+                                  rng.normal(size=mesh.n_nodes))
+    R = np.asarray(prob.residual(jnp.asarray(x0), prob.base_params()))
+    R0 = np.asarray(prob0.residual(jnp.asarray(x0), prob0.base_params()))
+    dm = prob.dofmap
+    normals = nodal_normals(mesh, ("bottom",))
+    for node in sn:
+        n = normals[int(node)]
+        t = np.array([-n[1], n[0]])
+        rm = np.array([R0[dm.dof_of_node_svar[node, dm.svar("velocity", a)]]
+                       for a in range(2)])
+        dK = dm.dof_of_node_svar[node, dm.svar("sh_K", 0)]
+        dT = dm.dof_of_node_svar[node, dm.svar("sh_tens", 0)]
+        np.testing.assert_allclose(R[dK] - R0[dK], scale * n @ rm,
+                                   rtol=1e-10, atol=1e-12)
+        np.testing.assert_allclose(R[dT] - R0[dT], scale * t @ rm,
+                                   rtol=1e-10, atol=1e-12)
