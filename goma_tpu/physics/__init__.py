@@ -33,8 +33,12 @@ from goma_tpu.physics.electro import (ButlerVolmerBC, HORFlux,
                                       ORRFlux, Potential)
 from goma_tpu.physics.lubrication import (LubricationCurvature, ReynoldsFilm,
                                           ReynoldsFilmPowerLaw)
-from goma_tpu.physics.shell import (ShellConduction, SurfaceCharge,
-                                    TensionedString, attach_shell_block)
+from goma_tpu.physics.shell import (ShellAngle, ShellConduction,
+                                    ShellCoordinates, ShellCurvaturePair,
+                                    ShellDiffKinematic, ShellDiffusionFlux,
+                                    ShellNormal, ShellSurfCurv,
+                                    SurfaceCharge, TensionedString,
+                                    attach_shell_block, tie_fluid_shell)
 from goma_tpu.physics.shell_film import (FilmHeight, FilmParticles,
                                          FilmPressure, ShellEnergy,
                                          ShellSpecies)

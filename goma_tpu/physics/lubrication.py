@@ -25,15 +25,19 @@ LUB_VAR = "lub_pressure"
 class ReynoldsFilm(Equation):
     """Material keys: ``gap`` h(fv, mat, params) -> (nq,) (callable; may read
     fv.x and params["time"]), ``mu_lub``, ``wall_velocity`` (dim,) constant or
-    callable."""
+    callable. ``var``: solved pressure field — pass e.g. ``"lub_pressure_2"``
+    for the reference's second-layer R_LUBP_2 equation
+    (``assemble_lubrication(R_LUBP_2)``, ``src/mm_fill.c:2029``)."""
 
-    def __init__(self, interp: str = "Q1", transient: bool = False):
-        super().__init__(LUB_VAR, 1, interp)
+    def __init__(self, interp: str = "Q1", transient: bool = False,
+                 var: str = LUB_VAR):
+        super().__init__(var, 1, interp)
         self.transient = transient
 
     def residual(self, fv, mat, params):
         import jax as _jax
 
+        LUB_VAR = self.var
         nq = fv.x.shape[0]
         gp = fv.grad[LUB_VAR][:, 0, :]
         mu = prop(mat, "mu_lub", fv, params, 1.0)
@@ -282,19 +286,25 @@ class LubricationCurvature(Equation):
     (nq, dim), default 0)."""
 
     def __init__(self, interp: str = "Q1", transient: bool = False,
-                 supg: float = 1.0):
-        super().__init__(LUB_CURV, 1, interp)
+                 supg: float = 1.0, var: str = LUB_CURV,
+                 fill_var: str = "fill"):
+        # var/fill_var: pass ("lub_curv_2", "pf_2") for the reference's
+        # phase-field-2 R_SHELL_LUB_CURV_2 variant
+        # (assemble_lubrication_curvature_2, src/mm_fill.c:2070)
+        super().__init__(var, 1, interp)
         self.transient = transient
         self.supg = supg
+        self.fill_var = fill_var
 
     def residual(self, fv, mat, params):
+        LUB_CURV = self.var
         nq = fv.x.shape[0]
         kap = fv.val[LUB_CURV][:, 0]
         gk = fv.grad[LUB_CURV][:, 0, :]
         phi = fv.phi[LUB_CURV]
         gphi = fv.gphi[LUB_CURV]
-        F = fv.val["fill"][:, 0]
-        gF = fv.grad["fill"][:, 0, :]
+        F = fv.val[self.fill_var][:, 0]
+        gF = fv.grad[self.fill_var][:, 0, :]
         nmag = jnp.sqrt(jnp.sum(gF * gF, axis=1))
         ninv = jnp.where(nmag > 0, 1.0 / jnp.maximum(nmag, 1e-30), 1.0)
         nls = gF * ninv[:, None]

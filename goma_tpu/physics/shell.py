@@ -517,3 +517,85 @@ def tie_fluid_shell(problem, mesh, nodeset: str, sidesets,
             if abs(t[a]) > 1e-14:
                 problem.add_row_inject([int(node)], "velocity", tens_var,
                                        from_comp=a, sign=scale * float(t[a]))
+
+
+class ShellNormal(Equation):
+    """R_SHELL_NORMAL1-3 rows (``assemble_shell_normal``,
+    ``src/mm_fill_shell.c:15954``): L2 projection of the shell's geometric
+    unit normal into a solved nodal field,
+
+        R_(a,i) = int phi_i (n_a - n_geom_a)
+
+    (the displacement-coupled lubrication height model and the
+    solved-normal curvature projections read this field). Works on BAR
+    shells in 2D (ncomp=2) and QUAD/TRI surface shells in 3D (ncomp=3) —
+    the geometric normal comes from the displaced configuration, so mesh
+    sensitivities are AD-exact."""
+
+    def __init__(self, dim: int, interp: str = "Q1",
+                 var: str = "shell_normal"):
+        super().__init__(var, dim, interp)
+        self.dim = dim
+
+    def residual(self, fv, mat, params):
+        nv = fv.val[self.var]            # (nq, dim)
+        phi = fv.phi[self.var]
+        mis = nv - fv.normal
+        return jnp.einsum("qa,qi->qai", mis, phi)
+
+
+class ShellAngle(Equation):
+    """R_SHELL_ANGLE1(-2) rows (``assemble_shell_angle``,
+    ``src/mm_fill_shell.c:4303``): shell orientation angle(s) projected
+    from the surface normal — 2D: ang0 = atan2(n_y, n_x); 3D adds
+    ang1 = acos(n_z). Solved on the shell block from the geometric
+    normal (the reference's fv->snormal of the friend element)."""
+
+    def __init__(self, dim: int, interp: str = "Q1",
+                 var: str = "shell_angle"):
+        super().__init__(var, dim - 1, interp)
+        self.dim = dim
+
+    def residual(self, fv, mat, params):
+        n = fv.normal
+        a0 = jnp.arctan2(n[:, 1], n[:, 0])
+        if self.ncomp == 1:
+            ang = a0[:, None]
+        else:
+            ang = jnp.stack([a0, jnp.arccos(jnp.clip(n[:, 2], -1.0, 1.0))],
+                            axis=1)
+        phi = fv.phi[self.var]
+        mis = fv.val[self.var] - ang
+        return jnp.einsum("qa,qi->qai", mis, phi)
+
+
+class ShellCurvaturePair(Equation):
+    """R_SHELL_CURVATURE + R_SHELL_CURVATURE2 rows
+    (``assemble_shell_curvature``, ``src/mm_fill_shell.c:16126``): the two
+    tangent-direction normal curvatures of a 3D surface shell projected
+    from a (solved or registered) normal field,
+
+        k_i = t_i . grad_s(n) . t_i      (i = 0, 1)
+
+    with t_i the orthonormalized shell tangents. Pair with
+    :class:`ShellNormal` (the reference requires SHELL_NORMAL1-3 with
+    these equations). ``ncomp=2``: comp 0 = K, comp 1 = K2."""
+
+    def __init__(self, interp: str = "Q1", var: str = "sh_K_pair",
+                 normal_var: str = "shell_normal"):
+        super().__init__(var, 2, interp)
+        self.normal_var = normal_var
+
+    def residual(self, fv, mat, params):
+        t0 = fv.tangents[:, :, 0]
+        t0 = t0 / jnp.linalg.norm(t0, axis=1, keepdims=True)
+        t1r = fv.tangents[:, :, 1]
+        t1r = t1r - jnp.einsum("qk,qk->q", t1r, t0)[:, None] * t0
+        t1 = t1r / jnp.linalg.norm(t1r, axis=1, keepdims=True)
+        M = fv.grad[self.normal_var]     # (nq, comp, k) = d n_c / dx_k
+        k0 = jnp.einsum("qc,qck,qk->q", t0, M, t0)
+        k1 = jnp.einsum("qc,qck,qk->q", t1, M, t1)
+        kg = jnp.stack([k0, k1], axis=1)
+        phi = fv.phi[self.var]
+        mis = fv.val[self.var] - kg
+        return jnp.einsum("qa,qi->qai", mis, phi)

@@ -215,3 +215,70 @@ def tie_fluid_solid(problem, interface_nodeset, dim: int,
         problem.add_point_constraint(
             interface_nodeset, "velocity", c,
             (lambda c=c: lambda q, X0, params: q[c] - vw[c])())
+
+
+def von_mises_strain(fv, var: str = None, nonlinear: bool = False):
+    """The reference's FAUX_PLASTICITY strain measure
+    (``assemble_max_strain``, ``src/mm_fill_terms.c:11078``):
+    vmE = (2/3) sqrt(3 II(E_dev)) = (2/3) sqrt(1.5 dev(E):dev(E)) of the
+    (small or Green) strain of the displacement field ``var``."""
+    from goma_tpu.fem.fields import MESH_VAR
+
+    v = var or (SOLID_VAR if SOLID_VAR in fv.grad else MESH_VAR)
+    g = fv.grad[v]                        # (nq, dim, dim)
+    E = 0.5 * (g + jnp.swapaxes(g, 1, 2))
+    if nonlinear:
+        E = E + 0.5 * jnp.einsum("qka,qkb->qab", g, g)
+    tr = jnp.trace(E, axis1=1, axis2=2)
+    d = g.shape[1]
+    # deviator in the FULL 3x3 sense (2D plane strain: E33 = 0 but the
+    # trace split still uses /3, matching calc_tensor_invariant)
+    dev = E - (tr / 3.0)[:, None, None] * jnp.eye(d, dtype=g.dtype)
+    dd = jnp.einsum("qab,qab->q", dev, dev) + (tr / 3.0) ** 2 * (3 - d)
+    return (2.0 / 3.0) * jnp.sqrt(1.5 * dd + 1e-300)
+
+
+class CurStrain(Equation):
+    """R_CUR_STRAIN rows (``assemble_cur_strain``,
+    ``src/mm_fill_terms.c:11278``): L2 projection of the current von Mises
+    strain, R_i = phi_i (cs - vmE)."""
+
+    def __init__(self, interp: str = "Q1", var: str = "cur_strain",
+                 disp_var: str = None, nonlinear: bool = False):
+        super().__init__(var, 1, interp)
+        self.disp_var = disp_var
+        self.nonlinear = nonlinear
+
+    def residual(self, fv, mat, params):
+        vm = von_mises_strain(fv, self.disp_var, self.nonlinear)
+        phi = fv.phi[self.var]
+        mis = fv.val[self.var][:, 0] - vm
+        return (mis[:, None] * phi)[:, None, :]
+
+
+class MaxStrain(Equation):
+    """R_MAX_STRAIN rows (``assemble_max_strain``,
+    ``src/mm_fill_terms.c:11078``): running maximum of the von Mises
+    strain (history variable of the FAUX_PLASTICITY modulus model),
+
+        R_i = phi_i ( max(vmE, ms_old) - ms )
+
+    ms_old is reconstructed as ms - dt * ms_dot — exact under backward
+    Euler (the transient driver's xdot definition), first-order otherwise
+    (the reference's own selection is likewise evaluated at the old
+    step)."""
+
+    def __init__(self, interp: str = "Q1", var: str = "max_strain",
+                 disp_var: str = None, nonlinear: bool = False):
+        super().__init__(var, 1, interp)
+        self.disp_var = disp_var
+        self.nonlinear = nonlinear
+
+    def residual(self, fv, mat, params):
+        vm = von_mises_strain(fv, self.disp_var, self.nonlinear)
+        ms = fv.val[self.var][:, 0]
+        dt = params.get("dt", 0.0)
+        ms_old = ms - dt * fv.dot[self.var][:, 0] if dt else ms
+        sel = jnp.maximum(vm, ms_old)
+        phi = fv.phi[self.var]
+        return ((sel - ms)[:, None] * phi)[:, None, :]

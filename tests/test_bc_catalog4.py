@@ -406,3 +406,105 @@ def test_tie_fluid_shell_injection():
                                    rtol=1e-10, atol=1e-12)
         np.testing.assert_allclose(R[dT] - R0[dT], scale * t @ rm,
                                    rtol=1e-10, atol=1e-12)
+
+
+def test_shell_normal_and_angle_projection():
+    """R_SHELL_NORMAL / R_SHELL_ANGLE: on the bottom boundary bar shell the
+    solved normal projects to exactly (0, -1) and the angle to -pi/2."""
+    from goma_tpu.physics.shell import (ShellAngle, ShellNormal,
+                                        attach_shell_block)
+    from goma_tpu.solvers import NewtonOptions, NewtonSolver
+
+    mesh = rectangle_mesh(4, 3, elem="QUAD4")
+    bi = attach_shell_block(mesh, "bottom", "shn")
+    prob = Problem(mesh, [[], [ShellNormal(dim=2, interp="Q1"),
+                               ShellAngle(dim=2, interp="Q1")]], [{}, {}])
+    prob.finalize()
+    res = NewtonSolver(prob, NewtonOptions(
+        max_iter=3, tol_residual=1e-12, linear_solver="direct")).solve(
+        np.zeros(prob.dofmap.n_dof), prob.base_params())
+    assert res.converged
+    sn = np.unique(mesh.blocks[bi].conn)
+    nxv = prob.get_nodal_field(res.x, "shell_normal", 0)
+    nyv = prob.get_nodal_field(res.x, "shell_normal", 1)
+    ang = prob.get_nodal_field(res.x, "shell_angle", 0)
+    np.testing.assert_allclose(nxv[sn], 0.0, atol=1e-10)
+    np.testing.assert_allclose(nyv[sn], -1.0, rtol=1e-10)
+    np.testing.assert_allclose(ang[sn], -np.pi / 2, rtol=1e-10)
+
+
+def test_shell_curvature_pair_projection():
+    """R_SHELL_CURVATURE(+2): on a flat 3D surface shell with a registered
+    linear normal field n = (a x, b y, c), the tangent-direction normal
+    curvatures project to exactly (a, b)."""
+    from goma_tpu.mesh.generators import box_mesh
+    from goma_tpu.physics.shell import ShellCurvaturePair, attach_shell_block
+    from goma_tpu.solvers import NewtonOptions, NewtonSolver
+
+    a, b = 1.4, -0.6
+    mesh = box_mesh(3, 3, 2, elem="HEX8")
+    bi = attach_shell_block(mesh, "bottom", "shc3")
+    prob = Problem(mesh, [[], [ShellCurvaturePair(interp="Q1"),
+                               PassiveVar("shell_normal", 3, "Q1")]],
+                   [{}, {}])
+    sn = np.unique(mesh.blocks[bi].conn)
+    mesh.nodesets["shc3_nodes"] = sn.astype(np.int32)
+    prob.add_dirichlet("shc3_nodes", "shell_normal", 0,
+                       lambda c: a * c[:, 0])
+    prob.add_dirichlet("shc3_nodes", "shell_normal", 1,
+                       lambda c: b * c[:, 1])
+    prob.add_dirichlet("shc3_nodes", "shell_normal", 2, 1.0)
+    prob.finalize()
+    res = NewtonSolver(prob, NewtonOptions(
+        max_iter=3, tol_residual=1e-12, linear_solver="direct")).solve(
+        np.zeros(prob.dofmap.n_dof), prob.base_params())
+    assert res.converged
+    k0 = prob.get_nodal_field(res.x, "sh_K_pair", 0)
+    k1 = prob.get_nodal_field(res.x, "sh_K_pair", 1)
+    # tangent ordering on the face is mesh-convention dependent: the two
+    # projected curvatures match {a, b} as an unordered pair at every node
+    got = np.sort(np.stack([k0[sn], k1[sn]], axis=1), axis=1)
+    want = np.broadcast_to(np.sort([a, b]), got.shape)
+    np.testing.assert_allclose(got, want, rtol=1e-9)
+
+
+def test_strain_history_equations():
+    """R_CUR_STRAIN / R_MAX_STRAIN: for d = (c x, 0) the von Mises strain
+    is (2/3) sqrt(1.5 dev:dev) exactly; CurStrain projects it, and
+    MaxStrain's selection keeps max(vmE, ms_old)."""
+    from goma_tpu.physics.solid import (SOLID_VAR, CurStrain, MaxStrain,
+                                        von_mises_strain)
+    from goma_tpu.solvers import NewtonOptions, NewtonSolver
+
+    c = 0.3
+    # linear strain E = diag(c, 0); full 3x3 dev -> dd = 2/3 c^2
+    vm_exact = (2.0 / 3.0) * np.sqrt(1.5 * (2.0 / 3.0) * c * c)
+    mesh = rectangle_mesh(4, 4, elem="QUAD4")
+    prob = Problem(mesh, [CurStrain(interp="Q1"),
+                          PassiveVar(SOLID_VAR, 2, "Q1")], {})
+    mesh.nodesets["all"] = np.arange(mesh.n_nodes, dtype=np.int32)
+    prob.add_dirichlet("all", SOLID_VAR, 0, lambda co: c * co[:, 0])
+    prob.add_dirichlet("all", SOLID_VAR, 1, 0.0)
+    prob.finalize()
+    res = NewtonSolver(prob, NewtonOptions(
+        max_iter=3, tol_residual=1e-13, linear_solver="direct")).solve(
+        np.zeros(prob.dofmap.n_dof), prob.base_params())
+    assert res.converged
+    cs = prob.get_nodal_field(res.x, "cur_strain", 0)
+    np.testing.assert_allclose(cs, vm_exact, rtol=1e-10)
+
+    # MaxStrain selection at a crafted state (steady: ms_old = ms)
+    prob2 = Problem(mesh, [MaxStrain(interp="Q1"),
+                           PassiveVar(SOLID_VAR, 2, "Q1")], {})
+    prob2.finalize()
+    for ms0, want in ((0.5 * vm_exact, vm_exact - 0.5 * vm_exact),
+                      (2.0 * vm_exact, 0.0)):
+        x0 = np.zeros(prob2.dofmap.n_dof)
+        x0 = prob2.set_nodal_field(x0, SOLID_VAR, 0,
+                                   c * mesh.coords[:, 0])
+        x0 = prob2.set_nodal_field(x0, "max_strain", 0, ms0)
+        R = np.asarray(prob2.residual(jnp.asarray(x0),
+                                      prob2.base_params()))
+        dm = prob2.dofmap
+        d = dm.dof_of_node_svar[:, dm.svar("max_strain", 0)]
+        np.testing.assert_allclose(R[d[d >= 0]].sum(), want, atol=1e-12)
