@@ -177,7 +177,8 @@ def bench_assembly_micro(n=64, loops=32):
         "vs_baseline": round(t_ref / (best / ne), 2),
         "note": "vs_baseline = 1-core C++ -O3 element R+J time / TPU "
                 "per-element time of the full batched assembly pass "
-                "(residual + AD element Jacobians + row sums + BC surgery)",
+                "(residual + exact element Jacobians [precomputed linear "
+                "part + MXU-GEMM convection] + row sums + BC surgery)",
     }
     return out
 
@@ -739,13 +740,14 @@ def main():
         plan += [("cavity_128", 500), ("cavity_192", 700)]
 
     hangs = 0
+    grant_slack = 0.0  # extra child time after a kill (TPU grant limbo)
     for name, est in plan:
         if not gate(name, min(est, 180)):
             continue
         env = dict(os.environ)
         env["GOMA_BENCH_CHILD"] = name
         env["GOMA_BENCH_BUDGET_S"] = str(int(est * 2))
-        t_child = min(est, max(remaining() - 30, 60))
+        t_child = min(est + grant_slack, max(remaining() - 30, 60))
         log(f"bench[{name}]: child start (timeout {t_child:.0f}s)")
         try:
             cp = subprocess.run(
@@ -759,17 +761,25 @@ def main():
             if res is None:
                 tail = (cp.stderr or "")[-300:].replace("\n", " | ")
                 res = {"error": f"child rc={cp.returncode}: {tail}"[:300]}
+            grant_slack = 0.0
         except subprocess.TimeoutExpired:
+            # a killed child leaves the TPU grant in limbo for ~5-6 min:
+            # the NEXT child silently blocks on it, so a single hang used
+            # to cascade (r4 in-round run: buoyant starved -> viscoelastic
+            # counted as a second "hang" while only waiting for the grant
+            # -> everything else skipped). Wait the full release window AND
+            # give the following children the slack.
             hangs += 1
             res = {"hung": f"child killed after {t_child:.0f}s "
                            f"(wedged TPU call)"}
-            if hangs == 1 and remaining() > 600:
+            if hangs < 3 and remaining() > 600:
                 log("bench: TPU grant may linger after the kill; "
-                    "waiting 300s before the next config")
-                time.sleep(300)
-            elif hangs >= 2:
+                    "waiting 390s before the next config")
+                time.sleep(390)
+                grant_slack = 120.0
+            elif hangs >= 3:
                 record(name, res)
-                log("bench: second hang - skipping remaining configs")
+                log("bench: third hang - skipping remaining configs")
                 for later, _ in plan[plan.index((name, est)) + 1:]:
                     record(later, {"skipped": "after repeated TPU hangs"})
                 break

@@ -1538,7 +1538,7 @@ class Problem:
                 from goma_tpu.fem import fastns
 
                 FT = {k: T[f"{k}{bi}"] for k in
-                      ("fns:gphi", "fns:gpsi", "fns:w")}
+                      ("fns:gphi", "fns:w", "fns:Kfix", "fns:Mvel")}
                 meta = self._fast_meta[bi]
                 static = self._fast_static[bi]
                 r, J = fastns.ns_q2q1_rj(
@@ -1902,7 +1902,7 @@ class Problem:
             Xref = T[f"x{bi}"]
             nmap = T[f"n{bi}"]
             conn = T[f"c{bi}"]
-            FT = ({k: T[f"{k}{bi}"] for k in ("fns:gphi", "fns:gpsi", "fns:w")}
+            FT = ({k: T[f"{k}{bi}"] for k in ("fns:gphi", "fns:w", "fns:Kfix", "fns:Mvel")}
                   if bi in self._fast_meta else None)
             dR, dv = self._block_contrib(bi, x, hist, params, gather, Xref, nmap,
                                          conn, fast_tables=FT)
@@ -1958,7 +1958,7 @@ class Problem:
             if bi in self._fast_meta:
                 from goma_tpu.fem import fastns
 
-                FT = {k: T[f"{k}{bi}"] for k in ("fns:gphi", "fns:gpsi", "fns:w")}
+                FT = {k: T[f"{k}{bi}"] for k in ("fns:gphi", "fns:w", "fns:Kfix", "fns:Mvel")}
                 r, _ = fastns.ns_q2q1_rj(
                     x[gather], hist[gather], FT, self._fast_meta[bi],
                     self._fast_static[bi], params["ct"], dtype, with_jac=False)

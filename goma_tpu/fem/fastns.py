@@ -5,16 +5,26 @@ velocity/pressure core of configs #2-#5).
 Why this exists: the generic path AD's the per-element residual
 (``jax.jacfwd`` with ~22 tangents, ``fem/assembly.py``). That is exact and
 fully general, but every intermediate carries tiny trailing axes
-((nq, dim, dim) etc.), so on TPU the vector lanes are ~2/128 occupied —
-measured 231 ms for the 4096-element cavity Jacobian, ~27x slower than one
-C++ core. This module computes the same residual and exact Jacobian with
-the ELEMENT axis LAST: every operation is elementwise/broadcast over a
-trailing ``ne`` axis that XLA maps onto the 128-wide lanes, with the small
-q/i/j/a/b axes unrolled or riding the sublanes. The Jacobian entries are the
-hand-derived linearization (matching the reference's hand-coded ``lec->J``
-of ``src/mm_fill_momentum.c:98`` / ``src/mm_fill_continuity.c:113``), and
-are verified against the AD path in tests (the ``mm_numjac`` idea, AD as
-the oracle).
+((nq, dim, dim) etc.), so on TPU the vector lanes are ~2/128 occupied.
+
+Round-4 formulation (replacing the round-3 element-last quadrature loop,
+which measured ~1.5 us/element on TPU — only ~3.4x one C++ core):
+
+1. **The geometry is fixed and rho/mu are constant, so every linear term
+   is state-independent.** The viscous, pressure-gradient, divergence and
+   mass blocks of the element Jacobian are PRECOMPUTED ONCE on the host
+   (``Kfix``, ``Mvel``); the linear part of the residual is the batched
+   matvec ``Kfix . q`` (exact: those terms are linear homogeneous in q).
+   Per Newton iteration only the convection terms are rebuilt.
+2. **The convection terms contract over the 9-point quadrature axis as
+   tall-skinny GEMMs** (``(a*e, q) x (q, i)`` shapes with the huge element
+   axis in M/N), which XLA maps onto the MXU instead of 2/128-occupied
+   vector lanes. No quadrature loop remains.
+
+The Jacobian entries are the hand-derived linearization (matching the
+reference's hand-coded ``lec->J`` of ``src/mm_fill_momentum.c:98`` /
+``src/mm_fill_continuity.c:113``), verified against the AD path in tests
+(the ``mm_numjac`` idea, AD as the oracle).
 
 Scope (recognized by ``match_ns_q2q1``): one 2D block, equations exactly
 [Momentum(dim=2), Continuity], any nodal velocity/pressure interpolation
@@ -31,10 +41,17 @@ import jax.numpy as jnp
 
 
 def build_tables(problem, bi: int):
-    """Host-precomputed geometry tables for a fixed-geometry block, laid out
-    element-last: gphi (nq, nbf_u, dim, ne), gpsi (nq, nbf_p, dim, ne),
-    w (nq, ne), plus the constant basis values N_u (nq, nbf_u),
-    N_p (nq, nbf_p)."""
+    """Host-precomputed tables for a fixed-geometry block.
+
+    Returns (device_tables, static):
+      fns:gphi  (nq, nbf_u, dim, ne)  velocity-basis physical gradients
+      fns:w     (nq, ne)              quadrature weight x detJ
+      fns:Kfix  (nl, nl, ne)          state-independent Jacobian blocks
+                                      (viscous + pressure-grad + div)
+      fns:Mvel  (nbf_u, nbf_u, ne)    rho * velocity mass matrix (per
+                                      component; block-diagonal in a)
+    plus static basis values Nu/Np and slot layout.
+    """
     from goma_tpu.elements import element_type, eval_basis, geom_interp, volume_rule
 
     bd = problem.dofmap.blocks[bi]
@@ -53,12 +70,39 @@ def build_tables(problem, bi: int):
     Nu, dNu = eval_basis(et.family, su.interp, qpts)
     Np_, dNp = eval_basis(et.family, sp.interp, qpts)
     gphi = np.einsum("qnd,eqdk->qnke", dNu, invJ)  # (nq, nbf_u, dim, ne)
-    gpsi = np.einsum("qnd,eqdk->qnke", dNp, invJ)
     w = (qwts[None, :] * detJ).T  # (nq, ne)
+
+    mat = problem.materials[bi]
+    rho, mu = float(mat.get("rho", 1.0)), float(mat.get("mu"))
+    nbu, nbp = Nu.shape[1], Np_.shape[1]
+    usz = 2 * nbu
+    nl = usz + nbp
+    ne = X.shape[0]
+
+    # ---- state-independent Jacobian blocks (also the linear residual) ----
+    # viscous: d r_u[a,i] / d u[b,j] = w * mu * (delta_ab g_i.g_j
+    #                                            + g[i,b] g[j,a])
+    gg = np.einsum("qe,qike,qjke->ije", w, gphi, gphi)          # g_i . g_j
+    cross = np.einsum("qe,qibe,qjae->abije", w, gphi, gphi)
+    Juu = mu * (np.einsum("ab,ije->abije", np.eye(2), gg) + cross)
+    # pressure gradient: d r_u[a,i] / d p[j] = -w g[i,a] P_j
+    Jup = -np.einsum("qe,qiae,qj->aije", w, gphi, Np_)
+    # divergence: d r_p[j] / d u[b,i] = w P_j g[i,b]
+    Jpu = np.einsum("qe,qj,qibe->jbie", w, Np_, gphi)
+
+    Kfix = np.zeros((nl, nl, ne))
+    # velocity comp-major layout: local dof (a, i) -> a*nbu + i
+    Kfix[:usz, :usz] = np.transpose(Juu, (0, 2, 1, 3, 4)).reshape(usz, usz, ne)
+    Kfix[:usz, usz:nl] = Jup.reshape(usz, nbp, ne)
+    Kfix[usz:nl, :usz] = Jpu.reshape(nbp, usz, ne)
+
+    Mvel = rho * np.einsum("qe,qi,qj->ije", w, Nu, Nu)  # (nbu, nbu, ne)
+
     return {
         "fns:gphi": gphi.astype(np.float64),
-        "fns:gpsi": gpsi.astype(np.float64),
         "fns:w": w.astype(np.float64),
+        "fns:Kfix": Kfix.astype(np.float64),
+        "fns:Mvel": Mvel.astype(np.float64),
     }, {"Nu": Nu, "Np": Np_, "su": (su.start, su.size, su.nbf),
         "sp": (sp.start, sp.size, sp.nbf)}
 
@@ -103,120 +147,76 @@ def match_ns_q2q1(problem, bi: int):
 
 def ns_q2q1_rj(q, hist, T, meta, static, ct, dtype, with_jac=True):
     """Residual (ne, nl) and exact Jacobian (ne, nl, nl) of the NS Galerkin
-    block, computed element-last.
+    block: precomputed linear part + MXU-GEMM convection terms.
 
     q, hist: (ne, nl) gathered local dofs (velocity comp-major then pressure,
     the dofmap slot layout). T: device tables from :func:`build_tables`.
     """
     rho = jnp.asarray(meta["rho"], dtype=dtype)
-    mu = jnp.asarray(meta["mu"], dtype=dtype)
     ct = jnp.asarray(ct, dtype=dtype)
     u0, usz, nbu = static["su"]
     p0, psz, nbp = static["sp"]
     ne, nl = q.shape
     qT = q.astype(dtype).T  # (nl, ne)
-    hT = hist.astype(dtype).T
     gphi = T["fns:gphi"].astype(dtype)  # (nq, nbu, 2, ne)
-    gpsi = T["fns:gpsi"].astype(dtype)
-    w = T["fns:w"].astype(dtype)  # (nq, ne)
+    w = T["fns:w"].astype(dtype)        # (nq, ne)
+    Kfix = T["fns:Kfix"].astype(dtype)  # (nl, nl, ne)
+    Mvel = T["fns:Mvel"].astype(dtype)  # (nbu, nbu, ne)
     Nu = jnp.asarray(static["Nu"], dtype=dtype)  # (nq, nbu)
-    Np_ = jnp.asarray(static["Np"], dtype=dtype)  # (nq, nbp)
     nq = Nu.shape[0]
 
     uu = qT[u0:u0 + usz].reshape(2, nbu, ne)
-    pp = qT[p0:p0 + psz].reshape(nbp, ne)
-    hu = hT[u0:u0 + usz].reshape(2, nbu, ne)
 
-    # field evaluation, element-last
-    uval = jnp.einsum("qi,aie->qae", Nu, uu)            # (nq, 2, ne)
-    gu = jnp.einsum("qike,aie->qake", gphi, uu)         # (nq, 2, 2, ne)
-    pval = jnp.einsum("qj,je->qe", Np_, pp)             # (nq, ne)
-    udot = ct * uval + jnp.einsum("qi,aie->qae", Nu, hu)
+    # ---- residual: linear part is one batched matvec over the fixed op
+    R = jnp.einsum("ije,je->ie", Kfix, qT)  # (nl, ne)
 
-    r_u = jnp.zeros((2, nbu, ne), dtype=dtype)
-    r_p = jnp.zeros((nbp, ne), dtype=dtype)
-    if with_jac:
-        Juu = jnp.zeros((2, nbu, 2, nbu, ne), dtype=dtype)
-        Jup = jnp.zeros((2, nbu, nbp, ne), dtype=dtype)
-        Jpu = jnp.zeros((nbp, 2, nbu, ne), dtype=dtype)
+    if meta["transient"]:
+        hT = hist.astype(dtype).T
+        hu = hT[u0:u0 + usz].reshape(2, nbu, ne)
+        r_t = jnp.einsum("ije,aje->aie", Mvel, ct * uu + hu)
+        R = R.at[u0:u0 + usz].add(r_t.reshape(usz, ne))
 
-    eye2 = jnp.eye(2, dtype=dtype)
+    if meta["convection"]:
+        # field evaluation (contractions over nbf with huge ne batch)
+        uval = jnp.einsum("qi,aie->qae", Nu, uu)     # (nq, 2, ne)
+        gu = jnp.einsum("qike,aie->qake", gphi, uu)  # (nq, 2, 2, ne)
+        conv = jnp.einsum("qke,qake->qae", uval, gu)  # u . grad u
+        wconv = w[:, None, :] * conv                 # (nq, 2, ne)
+        # r_conv[a,i,e] = rho sum_q wconv[q,a,e] N[q,i] — GEMM over q
+        r_c = rho * jnp.einsum("qae,qi->aie", wconv, Nu)
+        R = R.at[u0:u0 + usz].add(r_c.reshape(usz, ne))
 
-    # quadrature loop as lax.fori_loop: an unrolled 9-point loop of 5-D
-    # broadcast ops produced a pathologically slow remote compile (~6 min
-    # measured); the rolled loop compiles ~an order of magnitude faster at
-    # the same runtime (the per-iteration work is thousands of lanes wide)
-    def qstep(iq, carry):
-        r_u, r_p, Juu, Jup, Jpu = carry
-        take = lambda a: jax.lax.dynamic_index_in_dim(a, iq, 0, keepdims=False)
-        wq = take(w)                    # (ne,)
-        g = take(gphi)                  # (nbu, 2, ne)
-        Ni = take(Nu)                   # (nbu,)
-        Pj = take(Np_)                  # (nbp,)
-        uq = take(uval)                 # (2, ne)
-        guq = take(gu)                  # (2, 2, ne)
-        pq = take(pval)                 # (ne,)
-
-        inert = jnp.zeros((2, ne), dtype=dtype)
-        if meta["transient"]:
-            inert = inert + take(udot)
-        if meta["convection"]:
-            inert = inert + jnp.einsum("ke,ake->ae", uq, guq)
-        # sigma = mu (gu + gu^T) - p I
-        sig = mu * (guq + jnp.swapaxes(guq, 0, 1)) - pq[None, None, :] * eye2[:, :, None]
-        # r_u[a,i] += w (rho inert_a N_i + sigma[a,k] g[i,k])
-        r_u = r_u + wq * (rho * inert[:, None, :] * Ni[None, :, None]
-                          + jnp.einsum("ake,ike->aie", sig, g))
-        divu = guq[0, 0] + guq[1, 1]
-        r_p = r_p + (wq * divu)[None, :] * Pj[:, None]
-
-        if with_jac:
-            # --- velocity-velocity block
-            # cg[j] = u . grad(phi_j); gg[i,j] = grad(phi_i) . grad(phi_j)
-            if meta["convection"]:
-                cg = jnp.einsum("ke,jke->je", uq, g)    # (nbu, ne)
-                # delta_ab rho N_i cg_j  +  rho gu[a,b] N_i N_j
-                conv_d = rho * Ni[:, None, None] * cg[None, :, :]  # (i,j,ne)
-                NN = Ni[:, None] * Ni[None, :]                     # (i,j)
-                conv_ab = rho * NN[None, None, :, :, None] * \
-                    guq[:, :, None, None, :]
-            gg = jnp.einsum("ike,jke->ije", g, g)       # (i, j, ne)
-            visc_d = mu * gg                            # delta_ab part
-            # mu g[i,b] g[j,a] cross part -> (a, b, i, j, ne)
-            visc_ab = mu * jnp.einsum("ibe,jae->abije", g, g)
-            diag = visc_d
-            if meta["convection"]:
-                diag = diag + conv_d
-            if meta["transient"]:
-                diag = diag + rho * ct * (Ni[:, None] * Ni[None, :])[:, :, None]
-            block = visc_ab + eye2[:, :, None, None, None] * diag[None, None]
-            if meta["convection"]:
-                block = block + conv_ab
-            Juu = Juu + wq * jnp.transpose(block, (0, 2, 1, 3, 4))  # (a,i,b,j,ne)
-            # --- velocity-pressure: -w g[i,a] P_j
-            Jup = Jup - wq * jnp.einsum("iae,j->aije", g, Pj)
-            # --- pressure-velocity: w P_j' g[j,b]
-            Jpu = Jpu + wq * jnp.einsum("j,ibe->jbie", Pj, g)
-        return (r_u, r_p, Juu, Jup, Jpu)
-
-    if not with_jac:
-        Juu = Jup = Jpu = jnp.zeros((0,), dtype=dtype)
-    r_u, r_p, Juu, Jup, Jpu = jax.lax.fori_loop(
-        0, nq, qstep, (r_u, r_p, Juu, Jup, Jpu))
-
-    R = jnp.concatenate([r_u.reshape(usz, ne), r_p], axis=0)  # (nl, ne)
-    # restore the slot layout in case velocity/pressure aren't contiguous
-    # from 0 (they are in practice: slots are [velocity, pressure])
-    if u0 != 0 or p0 != usz:
-        full = jnp.zeros((nl, ne), dtype=dtype)
-        full = full.at[u0:u0 + usz].set(R[:usz])
-        full = full.at[p0:p0 + psz].set(R[usz:])
-        R = full
     r_out = R.T  # (ne, nl)
     if not with_jac:
         return r_out, None
-    J = jnp.zeros((nl, nl, ne), dtype=dtype)
-    J = J.at[u0:u0 + usz, u0:u0 + usz].set(Juu.reshape(usz, usz, ne))
-    J = J.at[u0:u0 + usz, p0:p0 + psz].set(Jup.reshape(usz, nbp, ne))
-    J = J.at[p0:p0 + psz, u0:u0 + usz].set(Jpu.reshape(nbp, usz, ne))
+
+    # ---- Jacobian: fixed part + transient mass + convection GEMMs
+    J = Kfix
+    if meta["transient"]:
+        mt = ct * Mvel
+        z = jnp.zeros_like(mt)
+        top = jnp.concatenate([mt, z], axis=1)     # (nbu, usz, ne)
+        bot = jnp.concatenate([z, mt], axis=1)
+        uu_blk = jnp.concatenate([top, bot], axis=0)  # (usz, usz, ne)
+    else:
+        uu_blk = jnp.zeros((usz, usz, ne), dtype=dtype)
+
+    if meta["convection"]:
+        # cg[q,j,e] = u . grad(phi_j)
+        cg = jnp.einsum("qke,qjke->qje", uval, gphi)
+        wcg = w[:, None, :] * cg                       # (nq, nbu, ne)
+        # diag part: rho N_i cg_j summed over q — GEMM (i | q | j*e)
+        Jcd = rho * jnp.einsum("qi,qje->ije", Nu, wcg)  # (i, j, ne)
+        # outer part: rho gu[a,b] N_i N_j — GEMM (ij | q | ab*e)
+        NN = jnp.einsum("qi,qj->qij", Nu, Nu)           # (nq, i, j)
+        wgu = w[:, None, None, :] * gu                  # (nq, 2, 2, ne)
+        Jab = rho * jnp.einsum("qabe,qij->abije", wgu, NN)
+        z2 = jnp.zeros_like(Jcd)
+        top = jnp.concatenate([Jcd + Jab[0, 0], Jab[0, 1]], axis=1)
+        bot = jnp.concatenate([Jab[1, 0], Jcd + Jab[1, 1]], axis=1)
+        uu_blk = uu_blk + jnp.concatenate([top, bot], axis=0)
+
+    if meta["transient"] or meta["convection"]:
+        J = J.at[u0:u0 + usz, u0:u0 + usz].add(uu_blk)
+
     return r_out, jnp.transpose(J, (2, 0, 1))  # (ne, nl, nl)
