@@ -565,14 +565,19 @@ def bench_viscoelastic(direct_kind="gmres_ndlu"):
 def _transient_sec_per_iter(make, warm_t, timed_t, ref_fields=None):
     """Warm a TransientSolver over [0, warm_t], then time the continuation
     over [warm_t, warm_t+timed_t]; s per Newton iteration of the timed leg."""
+    log("transient: building problem...")
     ts, x0, params = make()
+    log("transient: warm leg (first compiles)...")
     t0 = time.perf_counter()
     r1 = ts.run(x0, params)
     tw = time.perf_counter() - t0
+    log(f"transient: warm leg done in {tw:.0f}s ({len(r1.steps)} steps); "
+        "timed leg...")
     t0 = time.perf_counter()
     ts.topts.t_end = warm_t + timed_t
     r2 = ts.run(r1.x, params, t0=r1.t, xdot0=r1.xdot)
     tt = time.perf_counter() - t0
+    log(f"transient: timed leg done in {tt:.0f}s")
     nit = sum(s.newton_iters for s in r2.steps if s.converged)
     out = {
         "sec_per_iter": round(tt / max(nit, 1), 6),
@@ -727,13 +732,16 @@ def main():
     # recorded, and the parent always finishes with the full JSON line.
     import subprocess
 
+    # ests sized for a COLD compile cache (r4 in-round: viscoelastic and
+    # slot-coater overran 500/820 s children while genuinely progressing —
+    # solver-ladder rungs each recompile; warm-cache runs take ~1/3 of this)
     plan = [
         ("asm_element", 420),
         ("cavity_ns", 600),
-        ("buoyant_mes", 500),
-        ("viscoelastic", 500),
-        ("slot_coater_ale", 700),
-        ("two_phase_ls", 600),
+        ("buoyant_mes", 600),
+        ("viscoelastic", 900),
+        ("slot_coater_ale", 1400),
+        ("two_phase_ls", 1000),
         ("cavity_tol1e10", 500),
     ]
     if os.environ.get("GOMA_BENCH_SCALING", "1") != "0":
@@ -762,7 +770,7 @@ def main():
                 tail = (cp.stderr or "")[-300:].replace("\n", " | ")
                 res = {"error": f"child rc={cp.returncode}: {tail}"[:300]}
             grant_slack = 0.0
-        except subprocess.TimeoutExpired:
+        except subprocess.TimeoutExpired as te:
             # a killed child leaves the TPU grant in limbo for ~5-6 min:
             # the NEXT child silently blocks on it, so a single hang used
             # to cascade (r4 in-round run: buoyant starved -> viscoelastic
@@ -770,8 +778,19 @@ def main():
             # -> everything else skipped). Wait the full release window AND
             # give the following children the slack.
             hangs += 1
-            res = {"hung": f"child killed after {t_child:.0f}s "
-                           f"(wedged TPU call)"}
+            # keep the child's last progress lines: distinguishes a genuinely
+            # wedged TPU call from a config that is simply slower than its
+            # estimate (r4: cold-cache transient ladders overran their ests)
+            tail = ""
+            for stream in (te.stderr, te.stdout):
+                if stream:
+                    if isinstance(stream, bytes):
+                        stream = stream.decode("utf-8", "replace")
+                    tail = stream.strip().splitlines()[-2:]
+                    tail = " | ".join(tail)[-260:]
+                    break
+            res = {"hung": f"child killed after {t_child:.0f}s",
+                   "last_progress": tail}
             if hangs < 3 and remaining() > 600:
                 log("bench: TPU grant may linger after the kill; "
                     "waiting 390s before the next config")
