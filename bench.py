@@ -6,21 +6,26 @@ on the default JAX backend (TPU under the driver) — the reference's
 ``vs_baseline`` = speedup over a 1-core reference-style iteration (C++ -O3
 scalar element assembly + SuperLU direct solve on this host).
 
-Self-protecting (VERDICT r3 item 1 — BENCH_r03 was an rc=124 timeout with
-``parsed: null``):
+Self-protecting (r5 rework of the r4 orchestration that lost the run —
+BENCH_r04 was rc=124 with zero configs recorded while the TPU tunnel was
+down):
 
-- the cumulative summary is flushed to ``BENCH_PARTIAL.json`` after every
-  config, and SIGTERM/SIGALRM handlers print the final cumulative JSON line
-  before exiting — a driver-side ``timeout`` kill still records everything
-  measured so far;
-- a self-imposed budget (``GOMA_BENCH_BUDGET_S``, default 3000 s) gates each
-  config on estimated remaining cost and fires the alarm before any external
-  kill would;
-- the five BASELINE configs run first; extras (tol1e10 deep-convergence,
-  size scaling) run last;
-- ``asm_element`` microbench runs first: batched element residual+AD-Jacobian
-  throughput vs the compiled reference-style scalar kernel on identical work
-  (the BASELINE ">=20x assembly per element" north star, measured directly).
+- budget (``GOMA_BENCH_BUDGET_S``) defaults to 1700 s, UNDER the driver's
+  ~1800 s wall; the SIGALRM backstop fires at budget+60;
+- a cheap TPU *canary* child (device init + tiny matmul) runs before the
+  first config and after any hang; while it fails the parent polls it on a
+  short cycle instead of sleeping blind, and if the TPU never answers each
+  unfinished config records ``{"tpu_unreachable": true}``;
+- configs run in child-process GROUPS with hard wall timeouts (a wedged
+  TPU call can't block signal handlers); each child emits one ``@@RESULT``
+  line per config as it completes, so a timeout kill still harvests every
+  finished config and the in-flight one is recorded as hung BEFORE any
+  wait (grouping matters: every fresh process pays a 45-115 s TPU grant);
+- the headline ``cavity_ns`` runs in the FIRST group, with the
+  ``asm_element`` microbench (the BASELINE ">=20x assembly per element"
+  north star) beside it; the cumulative summary is flushed to
+  ``BENCH_PARTIAL.json`` after every record and SIGTERM/SIGALRM print the
+  final cumulative JSON line.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "configs"}.
 """
@@ -34,7 +39,9 @@ import time
 import numpy as np
 
 T0 = time.perf_counter()
-BUDGET = float(os.environ.get("GOMA_BENCH_BUDGET_S", "3000"))
+# default budget sits UNDER the driver's ~1800 s wall (BENCH_r04 died by
+# external SIGTERM at 1798 s with the soft gates calibrated to 3000)
+BUDGET = float(os.environ.get("GOMA_BENCH_BUDGET_S", "1700"))
 
 SUMMARY = {
     "metric": "",
@@ -82,7 +89,7 @@ def _die(signum, frame):
 
 signal.signal(signal.SIGTERM, _die)
 signal.signal(signal.SIGALRM, _die)
-signal.alarm(max(int(BUDGET) + 120, 60))  # backstop behind the soft gates
+signal.alarm(max(int(BUDGET) + 60, 60))  # backstop behind the soft gates
 
 
 def record(name, value):
@@ -673,35 +680,15 @@ def bench_two_phase(direct_kind="gmres_ndlu"):
     return out
 
 
-def _backend_note():
-    """Probe the accelerator in a SUBPROCESS (a dead axon relay blocks
-    device init indefinitely — unkillable from inside this process); on
-    failure fall back to CPU so the driver still records a valid line."""
-    import subprocess
-
-    try:
-        p = subprocess.run(
-            [sys.executable, "-c",
-             "import jax, jax.numpy as jnp; d = jax.devices(); "
-             "(jnp.ones(4) + 1).block_until_ready(); print(d[0].platform)"],
-            capture_output=True, timeout=420, text=True)
-        if p.returncode == 0:
-            return ""
-        why = (p.stderr or "").strip().splitlines()[-1:] or ["init failed"]
-        why = why[0][:120]
-    except subprocess.TimeoutExpired:
-        why = "device init hang (axon relay down)"
-    log(f"bench: TPU unavailable ({why}); falling back to CPU")
-    os.environ["JAX_PLATFORMS"] = "cpu"
-    return f" [CPU FALLBACK: {why}]"
-
-
 def main():
-    note = _backend_note()
+    # the parent's canary child (below) owns TPU health-checking; the old
+    # per-process 420 s probe paid an extra grant wait in EVERY child
+    note = ""
+    if os.environ.get("GOMA_BENCH_FORCE_CPU"):
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        note = " [CPU FORCED]"
     import jax
 
-    if note:
-        jax.config.update("jax_platforms", "cpu")
     from goma_tpu.utils.compile_cache import enable_compile_cache
 
     cache_dir = enable_compile_cache()
@@ -718,97 +705,170 @@ def main():
         "tol1e10 + size scaling" + note)
 
     if os.environ.get("GOMA_BENCH_CHILD"):
-        # ---------------- child mode: run exactly one config ------------
-        name = os.environ["GOMA_BENCH_CHILD"]
-        res = run_config(name)
-        print("@@RESULT " + json.dumps(res), flush=True)
+        # ------- child mode: run a comma-separated GROUP of configs ------
+        # Emit one @@RESULT line per config as it completes, so a parent
+        # timeout kill still harvests every finished config from the
+        # captured stdout (BENCH_r04 lost the hung cavity record entirely).
+        for name in os.environ["GOMA_BENCH_CHILD"].split(","):
+            log(f"bench[{name}]: child config start")
+            try:
+                res = run_config(name)
+            except Exception as e:  # keep the group going
+                res = {"error": f"{type(e).__name__}: {e}"[:300]}
+            print(f"@@RESULT {name} " + json.dumps(res), flush=True)
         return
 
-    # ---------------- parent mode: one subprocess per config ------------
+    # -------------- parent mode: one subprocess per config GROUP --------
     # A hung TPU call blocks Python signal handlers (the BENCH_r03 rc=124
     # failure mode: the process wedges inside the remote tunnel and even
-    # SIGTERM handlers never run). Each config therefore runs in its own
-    # child process with a hard wall timeout; a wedged child is killed and
-    # recorded, and the parent always finishes with the full JSON line.
+    # SIGTERM handlers never run), so configs run in child processes with
+    # hard wall timeouts. But every fresh process pays a TPU *grant* wait
+    # (measured 45-115 s on this tunnel), so one-child-per-config burns
+    # 400-1000 s of pure grant overhead — configs are therefore GROUPED,
+    # and a wedged call loses only the rest of its own group.
     import subprocess
 
-    # ests sized for a COLD compile cache (r4 in-round: viscoelastic and
-    # slot-coater overran 500/820 s children while genuinely progressing —
-    # solver-ladder rungs each recompile; warm-cache runs take ~1/3 of this)
-    plan = [
-        ("asm_element", 420),
-        ("cavity_ns", 600),
-        ("buoyant_mes", 600),
-        ("viscoelastic", 900),
-        ("slot_coater_ale", 1400),
-        ("two_phase_ls", 1000),
-        ("cavity_tol1e10", 500),
-    ]
-    if os.environ.get("GOMA_BENCH_SCALING", "1") != "0":
-        plan += [("cavity_128", 500), ("cavity_192", 700)]
-
-    hangs = 0
-    grant_slack = 0.0  # extra child time after a kill (TPU grant limbo)
-    for name, est in plan:
-        if not gate(name, min(est, 180)):
-            continue
+    def run_group(names, t_child):
+        """Run a group child; returns {name: result} for every config that
+        completed, plus a 'hung' marker for the one in flight on timeout."""
         env = dict(os.environ)
-        env["GOMA_BENCH_CHILD"] = name
-        env["GOMA_BENCH_BUDGET_S"] = str(int(est * 2))
-        t_child = min(est + grant_slack, max(remaining() - 30, 60))
-        log(f"bench[{name}]: child start (timeout {t_child:.0f}s)")
+        env["GOMA_BENCH_CHILD"] = ",".join(names)
+        env["GOMA_BENCH_BUDGET_S"] = str(int(t_child))
+        out, err, rc, hung = "", "", None, False
+        log(f"bench[{'+'.join(names)}]: child start (timeout {t_child:.0f}s)")
         try:
             cp = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
                 env=env, timeout=t_child, capture_output=True, text=True)
-            res = None
-            for line in (cp.stdout or "").splitlines()[::-1]:
-                if line.startswith("@@RESULT "):
-                    res = json.loads(line[len("@@RESULT "):])
-                    break
-            if res is None:
-                tail = (cp.stderr or "")[-300:].replace("\n", " | ")
-                res = {"error": f"child rc={cp.returncode}: {tail}"[:300]}
-            grant_slack = 0.0
+            out, err, rc = cp.stdout or "", cp.stderr or "", cp.returncode
         except subprocess.TimeoutExpired as te:
-            # a killed child leaves the TPU grant in limbo for ~5-6 min:
-            # the NEXT child silently blocks on it, so a single hang used
-            # to cascade (r4 in-round run: buoyant starved -> viscoelastic
-            # counted as a second "hang" while only waiting for the grant
-            # -> everything else skipped). Wait the full release window AND
-            # give the following children the slack.
-            hangs += 1
-            # keep the child's last progress lines: distinguishes a genuinely
-            # wedged TPU call from a config that is simply slower than its
-            # estimate (r4: cold-cache transient ladders overran their ests)
-            tail = ""
-            for stream in (te.stderr, te.stdout):
-                if stream:
-                    if isinstance(stream, bytes):
-                        stream = stream.decode("utf-8", "replace")
-                    tail = stream.strip().splitlines()[-2:]
-                    tail = " | ".join(tail)[-260:]
+            hung = True
+            out, err = te.stdout or "", te.stderr or ""
+            if isinstance(out, bytes):
+                out = out.decode("utf-8", "replace")
+            if isinstance(err, bytes):
+                err = err.decode("utf-8", "replace")
+        results = {}
+        for line in out.splitlines():
+            if line.startswith("@@RESULT "):
+                try:
+                    name, payload = line[len("@@RESULT "):].split(" ", 1)
+                    results[name] = json.loads(payload)
+                except (ValueError, json.JSONDecodeError):
+                    pass
+        if hung:
+            # the config in flight = first of the group without a result
+            tail = " | ".join(err.strip().splitlines()[-2:])[-260:]
+            for name in names:
+                if name not in results:
+                    results[name] = {
+                        "hung": f"child killed after {t_child:.0f}s",
+                        "last_progress": tail}
                     break
-            res = {"hung": f"child killed after {t_child:.0f}s",
-                   "last_progress": tail}
-            if hangs < 3 and remaining() > 600:
-                log("bench: TPU grant may linger after the kill; "
-                    "waiting 390s before the next config")
-                time.sleep(390)
-                grant_slack = 120.0
-            elif hangs >= 3:
-                record(name, res)
-                log("bench: third hang - skipping remaining configs")
-                for later, _ in plan[plan.index((name, est)) + 1:]:
-                    record(later, {"skipped": "after repeated TPU hangs"})
-                break
-        record(name, res)
-        if name == "cavity_ns" and isinstance(res, dict) \
-                and "sec_per_iter" in res:
-            SUMMARY["value"] = res["sec_per_iter"]
-            SUMMARY["vs_baseline"] = res.get("vs_baseline")
-            emit()
+        elif rc not in (0, None) and not results:
+            tail = err[-300:].replace("\n", " | ")
+            results[names[0]] = {"error": f"child rc={rc}: {tail}"[:300]}
+        return results, hung
 
+    def canary(timeout_s=240.0):
+        """Cheap TPU-health child: device init + one tiny matmul. Returns
+        seconds-to-ready, or None if the TPU is unreachable. Distinguishes
+        'TPU down — poll until it returns' from 'config slow' (the r4
+        failure: both children hung at first TPU touch, 390 s blind sleeps
+        burned the wall)."""
+        t0 = time.perf_counter()
+        try:
+            cp = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax, jax.numpy as jnp; "
+                 "x = jnp.ones((128, 128)); print(float((x @ x)[0, 0]))"],
+                env=dict(os.environ), timeout=timeout_s,
+                capture_output=True, text=True)
+            if cp.returncode == 0:
+                return time.perf_counter() - t0
+        except subprocess.TimeoutExpired:
+            pass
+        return None
+
+    def canary_poll(budget_floor=420.0):
+        """Poll the canary on a short cycle until the TPU answers or the
+        remaining budget drops below ``budget_floor``. Returns "up" if the
+        TPU answered, "down" if a canary attempt actually failed, "budget"
+        if there was never room to try."""
+        tried = False
+        while remaining() > budget_floor:
+            tried = True
+            t = canary(timeout_s=min(240.0, remaining() - budget_floor))
+            if t is not None:
+                log(f"bench: TPU canary ok ({t:.0f}s to first matmul)")
+                return "up"
+            log(f"bench: TPU canary failed; retrying "
+                f"({remaining():.0f}s left)")
+            time.sleep(20)
+        return "down" if tried else "budget"
+
+    # groups ordered headline-first; ests assume the warm compile cache
+    # (the committed .jax_cache) + one grant wait per child
+    plan = [
+        (["cavity_ns", "asm_element"], 700),
+        (["buoyant_mes", "viscoelastic"], 600),
+        (["two_phase_ls", "slot_coater_ale"], 900),
+        (["cavity_tol1e10"], 400),
+    ]
+    if os.environ.get("GOMA_BENCH_SCALING", "1") != "0":
+        plan += [(["cavity_128", "cavity_192"], 800)]
+
+    def mark_rest(marker):
+        """Record ``marker`` for every planned config still unrecorded."""
+        for names, _ in plan:
+            for n in names:
+                if n not in SUMMARY["configs"]:
+                    record(n, dict(marker))
+
+    if canary_poll() != "up":
+        log("bench: TPU unreachable and budget exhausted polling")
+        mark_rest({"tpu_unreachable": True})
+        SUMMARY["configs"]["_elapsed_s"] = round(elapsed(), 1)
+        emit(final=True)
+        return
+
+    hangs = 0
+    for gi, (names, est) in enumerate(plan):
+        todo = [n for n in names if n not in SUMMARY["configs"]]
+        if not todo:
+            continue
+        if not gate("+".join(todo), min(est, 250)):
+            for n in todo:
+                if n not in SUMMARY["configs"]:
+                    record(n, {"skipped": "budget"})
+            continue
+        t_child = min(est, max(remaining() - 30, 60))
+        results, hung = run_group(todo, t_child)
+        # record everything harvested BEFORE any canary/poll wait — a
+        # driver kill during the wait must not lose the hang record
+        for n in todo:
+            if n in results:
+                record(n, results[n])
+        if "cavity_ns" in results and "sec_per_iter" in results["cavity_ns"]:
+            SUMMARY["value"] = results["cavity_ns"]["sec_per_iter"]
+            SUMMARY["vs_baseline"] = results["cavity_ns"].get("vs_baseline")
+            emit()
+        if hung:
+            hangs += 1
+            if hangs >= 3:
+                log("bench: third hang - marking remaining configs")
+                mark_rest({"skipped": "after repeated hangs"})
+                break
+            # poll the canary instead of a blind 390 s sleep: a live TPU
+            # resumes the plan immediately, a dead one is recorded as such
+            state = canary_poll()
+            if state != "up":
+                log(f"bench: stopping after hang (canary: {state})")
+                mark_rest({"tpu_unreachable": True} if state == "down"
+                          else {"skipped": "budget"})
+                break
+
+    mark_rest({"skipped": "budget"})
     SUMMARY["configs"]["_elapsed_s"] = round(elapsed(), 1)
     emit(final=True)
 

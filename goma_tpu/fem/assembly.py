@@ -326,7 +326,13 @@ class Problem:
             tabs, static = fastns.build_tables(self, bi)
             self._fast_static[bi] = static
             for k, a in tabs.items():
-                T[f"{k}{bi}"] = dev(a)
+                T[f"{k}{bi}"] = dev(a.astype(dt))
+                if np.dtype(dt) == np.float64:
+                    # pre-cast f32 copy for the mixed-precision Jacobian
+                    # passes: casting the (nl, nl, ne) Kfix stream inside
+                    # the per-iteration jit dominates the assembly bucket
+                    # (see fastns.select_tables)
+                    T[f"{k}32:{bi}"] = dev(a.astype(np.float32))
         T["tg"] = dev(self._tgather_pos)
         T["nnztg"] = dev(self._nnz_tgather)
         T["dirmask"] = dev(self._dir_mask)
@@ -1531,25 +1537,33 @@ class Problem:
         blockJ = []
         faceJ = []
 
+        rs_parts = []
+
         for bi, (bd, blk) in enumerate(zip(self.dofmap.blocks, self.mesh.blocks)):
             gather = T[f"g{bi}"]
             if bi in self._fast_meta:
                 # fused hand-derived kernel, element-last layout (fastns.py)
                 from goma_tpu.fem import fastns
 
-                FT = {k: T[f"{k}{bi}"] for k in
-                      ("fns:gphi", "fns:w", "fns:Kfix", "fns:Mvel")}
                 meta = self._fast_meta[bi]
                 static = self._fast_static[bi]
-                r, J = fastns.ns_q2q1_rj(
-                    x[gather], hist[gather], FT, meta, static,
-                    params["ct"], dtype, with_jac=not mixed)
                 if mixed:
-                    _, J = fastns.ns_q2q1_rj(
-                        xj[gather], histj[gather], FT, meta, static,
-                        params_j["ct"], jdt)
+                    r, _ = fastns.ns_q2q1_rj(
+                        x[gather], hist[gather],
+                        fastns.select_tables(T, bi, dtype), meta, static,
+                        params["ct"], dtype, with_jac=False)
+                    _, J, rs = fastns.ns_q2q1_rj(
+                        xj[gather], histj[gather],
+                        fastns.select_tables(T, bi, jdt), meta, static,
+                        params_j["ct"], jdt, with_rs=True)
+                else:
+                    r, J, rs = fastns.ns_q2q1_rj(
+                        x[gather], hist[gather],
+                        fastns.select_tables(T, bi, dtype), meta, static,
+                        params["ct"], dtype, with_rs=True)
                 blockJ.append(J)
                 r_parts.append(r)
+                rs_parts.append(rs)
                 continue
             Xref = tc(T[f"x{bi}"])
             conn = T[f"c{bi}"]
@@ -1579,6 +1593,7 @@ class Problem:
                 )
             blockJ.append(J)
             r_parts.append(r)
+            rs_parts.append(None)
 
         for fsi, fs in enumerate(self.face_sets):
             bd = self.dofmap.blocks[fs.block_index]
@@ -1605,7 +1620,8 @@ class Problem:
                 )
             faceJ.append(J)
             r_parts.append(r)
-        return r_parts, blockJ, faceJ
+            rs_parts.append(None)
+        return r_parts, blockJ, faceJ, rs_parts
 
     def _assemble_with_elem(self, x, params):
         """Like _assemble but also returns the per-element (and per-face)
@@ -1619,7 +1635,7 @@ class Problem:
         x = x.astype(dtype)
         hist = params["hist"]
         n = self.dofmap.n_dof
-        r_parts, blockJ, faceJ = self._elem_rj_parts(x, params, T)
+        r_parts, blockJ, faceJ, _ = self._elem_rj_parts(x, params, T)
 
         # combine: R via the dof transpose-gather (measured 3.2 ms vs 8.0 ms
         # for segment_sum on TPU); vals stays a segment_sum — the (nnz, kc)
@@ -1714,16 +1730,29 @@ class Problem:
             )
         x = x.astype(dtype)
         n = self.dofmap.n_dof
-        r_parts, blockJ, faceJ = self._elem_rj_parts(x, params, T, rdt=rdt)
+        r_parts, blockJ, faceJ, rs_el = self._elem_rj_parts(x, params, T,
+                                                            rdt=rdt)
 
         flat_r = jnp.concatenate(
             [p.reshape(-1) for p in r_parts] + [jnp.zeros(1, dtype=dtype)])
-        R = jnp.sum(flat_r[T["tg"]], axis=1)
-        # element-level |row| sums through the SAME transpose-gather
-        s_parts = [jnp.sum(jnp.abs(J), axis=2).reshape(-1).astype(jdt)
-                   for J in blockJ + faceJ]
+        # element-level |row| sums through the SAME transpose-gather; fast
+        # blocks hand back rs fused with the kernel (element-last reduce),
+        # generic blocks pay the (ne, nl, nl) re-read
+        s_parts = [(jnp.sum(jnp.abs(J), axis=2) if s is None else s)
+                   .reshape(-1).astype(jdt)
+                   for J, s in zip(blockJ + faceJ, rs_el)]
         flat_s = jnp.concatenate(s_parts + [jnp.zeros(1, dtype=jdt)])
-        rs = jnp.sum(flat_s[T["tg"]], axis=1)
+        if flat_r.dtype == flat_s.dtype:
+            # ONE row-gather of (r, s) pairs instead of two scalar-gather
+            # passes: the combine is gather-bound on TPU (the tg gather is
+            # ~1.3M scalar loads at 192^2 — pairing halves the passes)
+            both = jnp.stack([flat_r, flat_s], axis=-1)
+            gathered = both[T["tg"]]
+            R = jnp.sum(gathered[..., 0], axis=1)
+            rs = jnp.sum(gathered[..., 1], axis=1)
+        else:
+            R = jnp.sum(flat_r[T["tg"]], axis=1)
+            rs = jnp.sum(flat_s[T["tg"]], axis=1)
 
         # --- row surgery, mirrored on rs (same order as _assemble_with_elem)
         pl_dfs = []
@@ -1958,9 +1987,9 @@ class Problem:
             if bi in self._fast_meta:
                 from goma_tpu.fem import fastns
 
-                FT = {k: T[f"{k}{bi}"] for k in ("fns:gphi", "fns:w", "fns:Kfix", "fns:Mvel")}
                 r, _ = fastns.ns_q2q1_rj(
-                    x[gather], hist[gather], FT, self._fast_meta[bi],
+                    x[gather], hist[gather],
+                    fastns.select_tables(T, bi, dtype), self._fast_meta[bi],
                     self._fast_static[bi], params["ct"], dtype, with_jac=False)
                 R = R + jax.ops.segment_sum(r.reshape(-1), gather.reshape(-1),
                                             num_segments=n)

@@ -107,6 +107,20 @@ def build_tables(problem, bi: int):
         "sp": (sp.start, sp.size, sp.nbf)}
 
 
+def select_tables(T, bi: int, dtype):
+    """Pick the precision-matched device tables for block ``bi``.
+
+    The tables are stored in the problem dtype AND (when that is f64) a
+    pre-cast f32 copy: casting the (nl, nl, ne) ``Kfix`` stream inside the
+    per-iteration jit costs more than the whole element kernel (TPU-measured
+    at 64x64: ~36 ms of the 45 ms assembly bucket was the f64->f32 cast).
+    """
+    keys = ("fns:gphi", "fns:w", "fns:Kfix", "fns:Mvel")
+    if jnp.dtype(dtype) == jnp.float32 and f"{keys[0]}32:{bi}" in T:
+        return {k: T[f"{k}32:{bi}"] for k in keys}
+    return {k: T[f"{k}{bi}"] for k in keys}
+
+
 def match_ns_q2q1(problem, bi: int):
     """Return static meta if block bi is the recognized NS Galerkin block."""
     from goma_tpu.fem.fields import MESH_VAR
@@ -145,12 +159,18 @@ def match_ns_q2q1(problem, bi: int):
     }
 
 
-def ns_q2q1_rj(q, hist, T, meta, static, ct, dtype, with_jac=True):
+def ns_q2q1_rj(q, hist, T, meta, static, ct, dtype, with_jac=True,
+               with_rs=False):
     """Residual (ne, nl) and exact Jacobian (ne, nl, nl) of the NS Galerkin
     block: precomputed linear part + MXU-GEMM convection terms.
 
     q, hist: (ne, nl) gathered local dofs (velocity comp-major then pressure,
     the dofmap slot layout). T: device tables from :func:`build_tables`.
+
+    ``with_rs``: also return the element-level absolute row sums (ne, nl),
+    computed in the element-last frame while J is hot — cheaper than the
+    caller re-reading the transposed (ne, nl, nl) J (see
+    ``Problem._assemble_fast``).
     """
     rho = jnp.asarray(meta["rho"], dtype=dtype)
     ct = jnp.asarray(ct, dtype=dtype)
@@ -188,7 +208,7 @@ def ns_q2q1_rj(q, hist, T, meta, static, ct, dtype, with_jac=True):
 
     r_out = R.T  # (ne, nl)
     if not with_jac:
-        return r_out, None
+        return (r_out, None, None) if with_rs else (r_out, None)
 
     # ---- Jacobian: fixed part + transient mass + convection GEMMs
     J = Kfix
@@ -219,4 +239,8 @@ def ns_q2q1_rj(q, hist, T, meta, static, ct, dtype, with_jac=True):
     if meta["transient"] or meta["convection"]:
         J = J.at[u0:u0 + usz, u0:u0 + usz].add(uu_blk)
 
-    return r_out, jnp.transpose(J, (2, 0, 1))  # (ne, nl, nl)
+    J_ef = jnp.transpose(J, (2, 0, 1))  # (ne, nl, nl)
+    if with_rs:
+        rs = jnp.sum(jnp.abs(J), axis=1).T  # (ne, nl), element-last reduce
+        return r_out, J_ef, rs
+    return r_out, J_ef
