@@ -242,11 +242,14 @@ def _cavity_opts(kind, tol=1e-6, max_iter=20):
     from goma_tpu.solvers import NewtonOptions
 
     if kind == "gmres+ndlu":
+        # prep32: far-from-solution iterations run the whole prep at f32
+        # (the f64 residual is software-emulated on TPU and dominates the
+        # assembly bucket); the endgame re-preps and converges in f64
         return NewtonOptions(max_iter=max_iter, tol_residual=tol,
                              linear_tol=1e-4 if tol >= 1e-8 else 1e-6,
                              precond="ndlu", linear_solver="gmres",
                              gmres_restart=60, linear_maxiter=240,
-                             ndlu_leaf_max=192)
+                             ndlu_leaf_max=192, prep32_tol=3e-6)
     if kind == "tpu_direct":
         return NewtonOptions(max_iter=max_iter, tol_residual=tol,
                              linear_solver="tpu_direct", ndlu_leaf_max=192,

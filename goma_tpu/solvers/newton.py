@@ -355,6 +355,7 @@ class NewtonSolver:
         self._ndlu_sweep = None  # fused refinement step (one dispatch/sweep)
         self._cycle_jit = jax.jit(self._gmres_cycle)
         self._solve_gmres = self._linsolve_gmres  # host restart loop
+        self._eta_jit = jax.jit(self._eta_device)  # pipelined EW forcing
         self._solve_bicgstab = jax.jit(self._linsolve_bicgstab)
         # GCRO-DR recycling state (device (k, n) harmonic-Ritz space)
         self._recycle_U = None
@@ -696,7 +697,33 @@ class NewtonSolver:
             return 45
         return 2 * self.opts.gmres_restart
 
-    def _linsolve_gmres(self, vals, R, scale=None, aux=None, tol=None):
+    def _eta_device(self, l2, prev_l2):
+        """Eisenstat-Walker forcing (choice 2) computed ON DEVICE so the
+        Newton loop can chain prep -> eta -> first Krylov cycle without a
+        host round trip (the pipelined path; each fetch is ~24 ms through
+        the remote tunnel). Exact replica of the host formula in
+        ``solve()``; ``prev_l2 < 0`` is the first-iteration sentinel."""
+        o = self.opts
+        lt = o.linear_tol
+        ratio = l2 / jnp.maximum(prev_l2, 1e-300)
+        eta = jnp.where(prev_l2 < 0,
+                        max(lt, 1e-2),
+                        jnp.minimum(0.1, jnp.maximum(lt, 0.5 * ratio**1.5)))
+        if o.ew_eta_floor > 0:
+            eta = jnp.maximum(eta, o.ew_eta_floor)
+        if o.tol_residual > 0:
+            need = 0.5 * o.tol_residual / jnp.maximum(l2, 1e-300)
+            if o.ew_endgame == "standard":
+                eta = jnp.minimum(0.1, jnp.maximum(
+                    eta, jnp.minimum(need, 0.1)))
+                eta = jnp.maximum(eta, lt)
+            else:
+                eta = jnp.maximum(lt, jnp.minimum(
+                    eta, jnp.maximum(need, lt)))
+        return eta
+
+    def _linsolve_gmres(self, vals, R, scale=None, aux=None, tol=None,
+                        extra_fetch=None):
         opts = self.opts
         if scale is None:
             scale = jnp.ones(self._n, dtype=R.dtype)
@@ -720,10 +747,28 @@ class NewtonSolver:
         z = jnp.zeros_like(b)
         if tol is None:
             tol = opts.linear_tol
-        bnorm = float(jax.device_get(jnp.linalg.norm(b)))
-        target = max(tol * bnorm, 1e-300)
+        # ||b|| (and, in the pipelined Newton path, the prep's residual
+        # norms and the device-computed EW tolerance) are fetched WITH the
+        # first cycle's scalars: the first cycle always runs (rn starts at
+        # ||b|| > target for any nonzero b), so a separate pre-solve fetch
+        # is a pure ~24 ms tunnel round trip
+        bnj = jnp.linalg.norm(b)
+        tol_dev = jnp.asarray(tol, dtype=b.dtype)
+        bnorm = None
+        target = None
+        extra_vals = None
         it = 0
-        rn = bnorm
+        rn = np.inf
+
+        def _first_fetch(rnj, cj):
+            nonlocal bnorm, target, extra_vals
+            pack = (bnj, rnj, cj, tol_dev) + tuple(extra_fetch or ())
+            got = jax.device_get(pack)
+            bnorm = float(got[0])
+            target = max(float(got[3]) * bnorm, 1e-300)
+            extra_vals = got[4:]
+            return float(got[1]), int(got[2])
+
         kdr = opts.recycle_k
         if kdr > 0:
             # GCRO-DR: refresh the recycled space against this iteration's
@@ -737,13 +782,18 @@ class NewtonSolver:
                 C = U
             V = H = Bm = None
             cnt = 0
-            while rn > target and it < opts.linear_maxiter:
+            while (target is None or rn > target) \
+                    and it < opts.linear_maxiter:
                 prev = rn
                 z, rnj, cj, V, H, Bm = self._cycle_dr_jit(
                     vals, scale, aux, ptab, self._ntab, fac, z, b, U, C,
-                    jnp.asarray(tol, dtype=b.dtype))
-                rn = float(jax.device_get(rnj))
-                cnt = max(int(jax.device_get(cj)), 1)
+                    tol_dev)
+                if target is None:
+                    rn, cj_h = _first_fetch(rnj, cj)
+                else:
+                    rn_h, cj_h = jax.device_get((rnj, cj))
+                    rn = float(rn_h)
+                cnt = max(int(cj_h), 1)
                 it += cnt
                 if not np.isfinite(rn):
                     break
@@ -758,7 +808,8 @@ class NewtonSolver:
             stale = self._stale_its()
             base = self._fac_base_its if lagged else None
             it_refac = 0
-            while rn > target and it < opts.linear_maxiter:
+            while (target is None or rn > target) \
+                    and it < opts.linear_maxiter:
                 if (lagged and it >= (base or 0) + stale):
                     # the lagged factor can't carry THIS solve's tolerance:
                     # refactor mid-solve and continue from the current
@@ -773,17 +824,25 @@ class NewtonSolver:
                     it_refac = it
                 prev = rn
                 z, rnj, cj = self._cycle_jit(vals, scale, aux, ptab, self._ntab,
-                                             fac, z, b,
-                                             jnp.asarray(tol, dtype=b.dtype))
-                # ONE host sync for both scalars: each device_get is a full
-                # tunnel round trip (~30 ms measured) on remote-dispatch TPU
-                rn_h, cj_h = jax.device_get((rnj, cj))
-                rn = float(rn_h)
+                                             fac, z, b, tol_dev)
+                # ONE host sync for all scalars: each device_get is a full
+                # tunnel round trip (~24 ms measured) on remote-dispatch TPU
+                if target is None:
+                    rn, cj_h = _first_fetch(rnj, cj)
+                else:
+                    rn_h, cj_h = jax.device_get((rnj, cj))
+                    rn = float(rn_h)
                 it += max(int(cj_h), 1)
                 if not np.isfinite(rn):
                     break
                 if rn >= 0.999 * prev:
                     break  # stagnation (e.g. optimistic in-cycle estimate)
+        if target is None:  # loop never ran (linear_maxiter <= 0)
+            pack = (bnj, tol_dev) + tuple(extra_fetch or ())
+            got = jax.device_get(pack)
+            bnorm = float(got[0])
+            target = max(float(got[1]) * bnorm, 1e-300)
+            extra_vals = got[2:]
         if opts.precond_lag:
             # staleness policy: drop the cached factor once the iteration
             # count degrades past the threshold over its baseline. After a
@@ -794,10 +853,11 @@ class NewtonSolver:
             elif (it >= self._fac_base_its + self._stale_its()
                   or not np.isfinite(rn)):
                 self._fac_cache = None
-        return LinearResult(
+        lr = LinearResult(
             x=scale * z, iters=jnp.asarray(it), resnorm=jnp.asarray(rn),
             converged=jnp.asarray(rn <= target),
         )
+        return (lr, extra_vals) if extra_fetch is not None else lr
 
     def _linsolve_bicgstab(self, vals, R, scale=None, aux=None, tol=None):
         ptab = self._ptab if (aux is not None and self._use_elem_mv) else None
@@ -847,8 +907,130 @@ class NewtonSolver:
             df = d1
         return df
 
+    def _solve_pipelined(self, x0, params) -> NewtonResult:
+        """Fast-prep GMRES Newton loop with the prep's norms fetch OVERLAPPED
+        with the first Krylov cycle: prep, the device-side EW forcing
+        tolerance, and the first cycle are dispatched back-to-back with NO
+        host sync between them; the first cycle's scalar fetch then carries
+        the residual norms along. Each fetch is a ~24 ms round trip through
+        the remote-TPU tunnel, so the un-pipelined loop paid one full RTT
+        per iteration just to *decide* convergence — here that decision
+        rides the solve it would have gated. On the final (converged)
+        iteration the speculative cycle's result is simply discarded.
+
+        Semantics are identical to ``solve()``: same norms sequence, same
+        EW tolerances (``_eta_device`` replicates the host formula), same
+        prep32 endgame re-prep (which falls back to the sequential order
+        for that one iteration)."""
+        opts = self.opts
+        x = jnp.asarray(x0)
+        res_norms, upd_norms, lin_iters = [], [], []
+        converged = False
+        t_asm = t_slv = 0.0
+        it = 0
+        prev_l2_dev = None
+        prep32 = (opts.prep32_tol > 0
+                  and self._jdt != jnp.dtype(
+                      getattr(self.problem, "dtype", jnp.float64)))
+        for it in range(opts.max_iter):
+            self._cur_x = x
+            self._cur_params = params
+            self._cur_ct = params.get("ct", 0.0) if isinstance(params, dict) \
+                else 0.0
+            # quadratic-convergence predictor: expected ||R||_2 ~
+            # K ||R_prev||_2^2 with K ~ 3-6 on these decks (10x is
+            # conservative). It informs two speculative choices:
+            # - SPECULATE (dispatch the solve before reading the norms)
+            #   only when another iteration is clearly coming — a wrong
+            #   "sequential" costs one ~24 ms fetch, a wrong "speculate"
+            #   wastes a whole discarded Krylov cycle;
+            # - PRECISION: when the prep32 endgame is predicted, prep in
+            #   f64 directly instead of paying the f32 pass AND the f64
+            #   re-prep. Convergence/endgame FLAGS still follow the
+            #   actual fetched norms, so a misprediction costs only time.
+            exp_l2 = (np.inf if not res_norms
+                      else 10.0 * res_norms[-1][1] ** 2)
+            boundary = max(opts.prep32_tol, 2.0 * opts.tol_residual)
+            cur32 = prep32 and exp_l2 >= boundary
+            speculate = exp_l2 >= opts.tol_residual and \
+                (not prep32 or exp_l2 >= boundary)
+            t0 = time.perf_counter()
+            if cur32:
+                R, norms, scale, aux = self._fastprep32_jit(x, params)
+            else:
+                R, norms, scale, aux = self._fastprep_jit(x, params)
+            t_asm += time.perf_counter() - t0
+            t0 = time.perf_counter()
+            if opts.forcing == "ew":
+                sent = (jnp.asarray(-1.0, dtype=norms[1].dtype)
+                        if prev_l2_dev is None else prev_l2_dev)
+                eta = self._eta_jit(norms[1], sent)
+            else:
+                eta = opts.linear_tol
+            if speculate:
+                lr, fetched = self._solve_gmres(None, R, scale, aux, tol=eta,
+                                                extra_fetch=norms)
+                l1, l2, li = (float(v) for v in fetched)
+            else:
+                lr = None
+                l1, l2, li = (float(v) for v in jax.device_get(norms))
+                t_asm += time.perf_counter() - t0
+                t0 = time.perf_counter()
+            if (not cur32) and prep32 and (l2 < boundary
+                                           or li < opts.tol_residual):
+                # endgame confirmed and we are already at full precision
+                prep32 = False
+            if cur32 and (l2 < boundary or li < opts.tol_residual):
+                # endgame: re-prep THIS iteration at full precision and run
+                # the rest of the solve sequentially (once per Newton solve)
+                t_slv += time.perf_counter() - t0
+                prep32 = False
+                t0 = time.perf_counter()
+                R, norms, scale, aux = self._fastprep_jit(x, params)
+                l1, l2, li = (float(v) for v in jax.device_get(norms))
+                t_asm += time.perf_counter() - t0
+                t0 = time.perf_counter()
+                res_norms.append((l1, l2, li))
+                if l2 < opts.tol_residual and li < opts.tol_residual:
+                    converged = True
+                    break
+                if opts.forcing == "ew":
+                    sent = (jnp.asarray(-1.0, dtype=norms[1].dtype)
+                            if prev_l2_dev is None else prev_l2_dev)
+                    eta = self._eta_jit(norms[1], sent)
+                lr = self._solve_gmres(None, R, scale, aux, tol=eta)
+            else:
+                res_norms.append((l1, l2, li))
+                if l2 < opts.tol_residual and li < opts.tol_residual:
+                    converged = True
+                    t_slv += time.perf_counter() - t0
+                    break
+                if lr is None:  # predictor said stop but Newton continues
+                    lr = self._solve_gmres(None, R, scale, aux, tol=eta)
+            prev_l2_dev = norms[1]
+            lin_iters.append(lr.iters)
+            t_slv += time.perf_counter() - t0
+            x = x - self._select_damp(li) * lr.x.astype(x.dtype)
+            if opts.full_history:
+                upd_norms.append(jnp.linalg.norm(lr.x))
+        lin_iters = [int(v) for v in jax.device_get(lin_iters)]
+        upd_norms = [float(v) for v in jax.device_get(upd_norms)]
+        return NewtonResult(
+            x=np.asarray(jax.device_get(x)),
+            converged=converged,
+            iters=it,
+            res_norms=res_norms,
+            update_norms=upd_norms,
+            linear_iters=lin_iters,
+            assembly_time=t_asm,
+            solve_time=t_slv,
+        )
+
     def solve(self, x0, params) -> NewtonResult:
         opts = self.opts
+        if (self._fast_prep and opts.linear_solver == "gmres"
+                and opts.tol_update == 0):
+            return self._solve_pipelined(x0, params)
         x = jnp.asarray(x0)
         res_norms, upd_norms, lin_iters = [], [], []
         converged = False
@@ -1026,14 +1208,20 @@ class NewtonSolver:
                 fn = self._solve_gmres if opts.linear_solver == "gmres" else self._solve_bicgstab
                 lr: LinearResult = fn(vals, R, scale, aux, tol=eta)
                 dx = lr.x
-                lin_iters.append(int(jax.device_get(lr.iters)))
+                # deferred fetch: keep the device scalar; one batched
+                # device_get after the loop replaces a ~30 ms tunnel round
+                # trip per iteration
+                lin_iters.append(lr.iters)
             t_slv += time.perf_counter() - t0
             x = x - self._select_damp(float(li)) * dx.astype(x.dtype)
-            if opts.tol_update > 0 or opts.full_history:
-                # the update norm costs a host round trip (~30 ms on the
-                # remote tunnel): fetch it only when something consumes it
+            if opts.tol_update > 0:
+                # control-flow consumer: must fetch now
                 un = float(jax.device_get(jnp.linalg.norm(dx)))
                 upd_norms.append(un)
+            elif opts.full_history:
+                # record-only consumer: defer to the post-loop batch fetch
+                upd_norms.append(jnp.linalg.norm(dx))
+                un = np.inf
             else:
                 un = np.inf
             if opts.tol_update > 0 and un < opts.tol_update:
@@ -1048,6 +1236,9 @@ class NewtonSolver:
                 converged = True
                 it += 1
                 break
+        # drain the deferred per-iteration scalars in ONE transfer
+        lin_iters = [int(v) for v in jax.device_get(lin_iters)]
+        upd_norms = [float(v) for v in jax.device_get(upd_norms)]
         return NewtonResult(
             x=np.asarray(jax.device_get(x)),
             converged=converged,
