@@ -175,6 +175,23 @@ def bench_assembly_micro(n=64, loops=32):
     if t_ref is None:
         t_ref = 14e-3 / 4096
     best = min(t_loop, t_chain)
+
+    # ---- FLOP/byte accounting (analytic, per element, f32 pass) ----
+    # counted from the fastns formulation: linear residual matvec 2*nl^2,
+    # convection residual ~1.4k, convection J blocks ~9k (the qabe,qij
+    # GEMM dominates), row sums nl^2; table reads Kfix nl^2 + gphi
+    # nq*nbu*2 + w nq, J write nl^2, q/r/rs vectors.
+    nl, nq, nbu = 22, 9, 9
+    flops_pe = (2 * nl * nl                      # Kfix . q
+                + 1390 + 9000                    # convection R + J blocks
+                + nl * nl)                       # |row| sums
+    bytes_pe = 4 * (nl * nl + nq * nbu * 2 + nq  # table reads
+                    + nl * nl                    # J write
+                    + 6 * nl)                    # q, hist, r, rs traffic
+    sec = best
+    gflops = flops_pe * ne / sec / 1e9
+    gbs = bytes_pe * ne / sec / 1e9
+    # v5e peak: ~197 TFLOP/s bf16 MXU, ~819 GB/s HBM
     out = {
         "n_elem": ne,
         "tpu_elem_us": round(best / ne * 1e6, 4),
@@ -182,6 +199,17 @@ def bench_assembly_micro(n=64, loops=32):
         "tpu_pass_ms_chained": round(t_chain * 1e3, 3),
         "ref_elem_us_1core": round(t_ref * 1e6, 3),
         "vs_baseline": round(t_ref / (best / ne), 2),
+        "flops_per_elem": flops_pe,
+        "bytes_per_elem": bytes_pe,
+        "achieved_gflops": round(gflops, 2),
+        "achieved_gbs": round(gbs, 2),
+        "mfu_pct_bf16peak": round(gflops / 197e3 * 100, 4),
+        "hbm_pct": round(gbs / 819 * 100, 2),
+        "bound": "latency/gather-bound: scalar-gather floor ~9-12 ns per "
+                 "gathered scalar dominates (element dof gather + "
+                 "transpose-gather combine); neither HBM bandwidth nor "
+                 "MXU/VPU compute is near saturation — see "
+                 "docs/PERFORMANCE.md ceiling analysis",
         "note": "vs_baseline = 1-core C++ -O3 element R+J time / TPU "
                 "per-element time of the full batched assembly pass "
                 "(residual + exact element Jacobians [precomputed linear "

@@ -333,6 +333,10 @@ class Problem:
                     # the per-iteration jit dominates the assembly bucket
                     # (see fastns.select_tables)
                     T[f"{k}32:{bi}"] = dev(a.astype(np.float32))
+            ng = fastns.build_node_gather(self, bi)
+            if ng is not None:
+                T[f"fns:gnode{bi}"] = dev(ng[0])
+                T[f"fns:gp{bi}"] = dev(ng[1])
         T["tg"] = dev(self._tgather_pos)
         T["nnztg"] = dev(self._nnz_tgather)
         T["dirmask"] = dev(self._dir_mask)
@@ -1547,18 +1551,21 @@ class Problem:
 
                 meta = self._fast_meta[bi]
                 static = self._fast_static[bi]
+                gn = T.get(f"fns:gnode{bi}")
+                gat = ((lambda v: fastns.node_gather(v, gn, T[f"fns:gp{bi}"]))
+                       if gn is not None else (lambda v: v[gather]))
                 if mixed:
                     r, _ = fastns.ns_q2q1_rj(
-                        x[gather], hist[gather],
+                        gat(x), gat(hist),
                         fastns.select_tables(T, bi, dtype), meta, static,
                         params["ct"], dtype, with_jac=False)
                     _, J, rs = fastns.ns_q2q1_rj(
-                        xj[gather], histj[gather],
+                        gat(xj), gat(histj),
                         fastns.select_tables(T, bi, jdt), meta, static,
                         params_j["ct"], jdt, with_rs=True)
                 else:
                     r, J, rs = fastns.ns_q2q1_rj(
-                        x[gather], hist[gather],
+                        gat(x), gat(hist),
                         fastns.select_tables(T, bi, dtype), meta, static,
                         params["ct"], dtype, with_rs=True)
                 blockJ.append(J)
@@ -1816,8 +1823,13 @@ class Problem:
         n = self.dofmap.n_dof
         parts = []
         for bi, bd in enumerate(self.dofmap.blocks):
-            gather = T[f"g{bi}"]
-            q = v[gather]  # (ne, nl)
+            gn = T.get(f"fns:gnode{bi}")
+            if gn is not None:
+                from goma_tpu.fem import fastns
+
+                q = fastns.node_gather(v, gn, T[f"fns:gp{bi}"])
+            else:
+                q = v[T[f"g{bi}"]]  # (ne, nl)
             # full-f32 accumulation: the TPU default (bf16 passes) injects
             # ~1e-3 relative error per matvec, which caps Krylov convergence
             parts.append(
@@ -1987,8 +1999,12 @@ class Problem:
             if bi in self._fast_meta:
                 from goma_tpu.fem import fastns
 
+                gn = T.get(f"fns:gnode{bi}")
+                gat = ((lambda v: fastns.node_gather(v, gn,
+                                                     T[f"fns:gp{bi}"]))
+                       if gn is not None else (lambda v: v[gather]))
                 r, _ = fastns.ns_q2q1_rj(
-                    x[gather], hist[gather],
+                    gat(x), gat(hist),
                     fastns.select_tables(T, bi, dtype), self._fast_meta[bi],
                     self._fast_static[bi], params["ct"], dtype, with_jac=False)
                 R = R + jax.ops.segment_sum(r.reshape(-1), gather.reshape(-1),
