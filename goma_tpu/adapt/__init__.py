@@ -131,4 +131,4 @@ def refine_factor_from_indicator(eta: np.ndarray, target_abs: float,
 
 
 from goma_tpu.adapt.local_amr import (mark_ls_band, mark_top_fraction,
-                                      red_green_refine)
+                                      red_green_refine, triangulate_mesh)

@@ -1172,10 +1172,40 @@ def _classify(name: str) -> tuple[str, str, str]:
     return ("todo", "", "")
 
 
+#: "M machinery" rows whose claims have been exercised end-to-end by the
+#: sampled audit (tests/test_bc_machinery_audit.py). Per-round samples:
+#: ``random.Random(round).sample(sorted(M_rows), 20)``; round 5 below.
+AUDITED: dict[str, str] = {name: "tests/test_bc_machinery_audit.py" for name in (
+    "Y_BC", "T_MELT_BC", "DZ_USER_NODE_BC", "PLANEX_BC", "N3_BC",
+    "SH_USER_BC", "S12_3_BC", "S33_4_BC", "U_VES13_2_PARABOLA_BC",
+    "U_VES13_3_PARABOLA_BC", "U_VES23_5_PARABOLA_BC",
+    "U_VES33_7_PARABOLA_BC", "SPLINEZ_BC", "SPLINEZ_RS_BC",
+    "VELO_TANGENT_3D_BC", "CAP_REPULSE_ROLL_BC", "CURRENT_BV2_BC",
+    "EM_HI_FARFIELD_DIRECT_BC", "GRAD_LUBP_NOBC_BC",
+    "HOFFMAN_DIRICHLET_BC")}
+
+
+def audited_rows() -> list[str]:
+    """The round-5 audit sample (reproducible draw over the M rows)."""
+    import random
+
+    par = {name: _classify(name) for name in sorted(REF_BC_DESC)}
+    m_rows = sorted(n for n, (s, _, _) in par.items() if s == "machinery")
+    return sorted(random.Random(5).sample(m_rows, 20))
+
+
 def bc_parity() -> dict[str, tuple[str, str, str]]:
     """Classification for every reference BC constant:
-    {NAME: (status, construct, note)}."""
-    return {name: _classify(name) for name in sorted(REF_BC_DESC)}
+    {NAME: (status, construct, note)} — audited machinery rows carry the
+    audit-test citation in the note."""
+    out = {}
+    for name in sorted(REF_BC_DESC):
+        status, construct, note = _classify(name)
+        if name in AUDITED:
+            tag = f"AUDITED {AUDITED[name]}"
+            note = f"{note}; {tag}" if note else tag
+        out[name] = (status, construct, note)
+    return out
 
 
 def summary() -> dict[str, int]:

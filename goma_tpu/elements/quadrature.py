@@ -87,6 +87,54 @@ def _init_tet_rules():
     wts += [9 / 120] * 4
     _TET_RULES[3] = (np.array(pts), np.array(wts))
 
+    # orbit helpers (barycentric -> (r,s,t) with l1 = 1-r-s-t); weights
+    # below are already scaled to the reference volume 1/6
+    import itertools
+
+    def orbit(*lams):
+        return sorted(set(itertools.permutations(lams)))
+
+    def to_rst(bary):
+        return [[l[1], l[2], l[3]] for l in bary]
+
+    # degree 5: 14-point Keast (all-positive weights) — needed for P2
+    # (TET10) mass/convection terms: the degree-3 5-point rule leaves the
+    # quadratic element mass INDEFINITE (min eig -1.2e-3), which made
+    # every transient TET10 system singular
+    pts, wts = [], []
+    for a, w, npts in ((0.09273525031089123, 0.012248840519393658, 4),
+                       (0.3108859192633005, 0.018781320953002642, 4)):
+        b = 1.0 - 3.0 * a
+        o = orbit(a, a, a, b)
+        assert len(o) == npts
+        pts += to_rst(o)
+        wts += [w] * npts
+    a = 0.04550370412564964
+    b = 0.5 - a
+    o = orbit(a, a, b, b)
+    assert len(o) == 6
+    pts += to_rst(o)
+    wts += [0.007091003462846911] * 6
+    _TET_RULES[5] = (np.array(pts), np.array(wts))
+
+    # degree 6: 24-point Keast (all-positive)
+    pts, wts = [], []
+    for a, w in ((0.21460287125915202, 0.006653791709694660),
+                 (0.04067395853461135, 0.0016795351758867738),
+                 (0.32233789014227551, 0.009226196923942399)):
+        b = 1.0 - 3.0 * a
+        o = orbit(a, a, a, b)
+        assert len(o) == 4
+        pts += to_rst(o)
+        wts += [w] * 4
+    a, b = 0.06366100187501753, 0.6030056647916492
+    c = 1.0 - 2.0 * a - b
+    o = orbit(a, a, b, c)
+    assert len(o) == 12
+    pts += to_rst(o)
+    wts += [0.008035714285714283] * 12
+    _TET_RULES[6] = (np.array(pts), np.array(wts))
+
 
 _init_tet_rules()
 

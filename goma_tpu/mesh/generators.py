@@ -207,6 +207,41 @@ def box_mesh(
         coords = coords[used]
         conn = remap[conn].astype(np.int32)
         blocks = [Block("body", "HEX20", conn)]
+    elif elem in ("TET4", "TET10"):
+        # conforming Kuhn 6-tet decomposition of every grid cell: tets are
+        # the monotone lattice paths 0 -> e_p0 -> e_p0+e_p1 -> (1,1,1), one
+        # per axis permutation; identical in every cell, so shared cube
+        # faces triangulate identically (conforming). TET10 midsides land
+        # exactly on the stride-2 grid nodes.
+        from itertools import permutations
+
+        s = stride
+        tedges = ((0, 1), (1, 2), (2, 0), (0, 3), (1, 3), (2, 3))
+        conn = []
+        for i, j, k in cells:
+            for perm in permutations(range(3)):
+                offs = [np.zeros(3, dtype=int)]
+                acc = np.zeros(3, dtype=int)
+                for p in perm:
+                    acc = acc.copy()
+                    acc[p] = 1
+                    offs.append(acc)
+                # odd permutations give negative volume: swap verts 1,2
+                par = (np.array(perm) != np.arange(3)).sum()
+                if par == 2:  # one transposition away from identity
+                    offs[1], offs[2] = offs[2], offs[1]
+                verts = [nid(i + s * o[0], j + s * o[1], k + s * o[2])
+                         for o in offs]
+                if elem == "TET4":
+                    conn.append(verts)
+                else:
+                    mids = []
+                    for a, b in tedges:
+                        om = offs[a] + offs[b]  # s=2: midpoint = offset sum
+                        mids.append(nid(i + om[0], j + om[1], k + om[2]))
+                    conn.append(verts + mids)
+        conn = np.array(conn, dtype=np.int32)
+        blocks = [Block("body", elem, conn)]
     else:
         raise ValueError(elem)
 
@@ -220,6 +255,35 @@ def box_mesh(
         "bottom": np.where(np.abs(coords[:, 2] - zlim[0]) < eps)[0].astype(np.int32),
         "top": np.where(np.abs(coords[:, 2] - zlim[1]) < eps)[0].astype(np.int32),
     }
+
+    if elem in ("TET4", "TET10"):
+        # boundary triangle faces, classified by coordinate plane
+        # (outward-order face defs from elements/shapes.py _tet_faces)
+        defs = ((0, 2, 1), (0, 1, 3), (1, 2, 3), (0, 3, 2))
+        c4 = blocks[0].conn[:, :4]
+        facemap: dict = {}
+        for e in range(c4.shape[0]):
+            for f, nd in enumerate(defs):
+                key = tuple(sorted(int(c4[e, i]) for i in nd))
+                facemap.setdefault(key, []).append((e, f))
+        planes = (("left", 0, xlim[0]), ("right", 0, xlim[1]),
+                  ("front", 1, ylim[0]), ("back", 1, ylim[1]),
+                  ("bottom", 2, zlim[0]), ("top", 2, zlim[1]))
+        sides = {name: [] for name, _, _ in planes}
+        for key, lst in facemap.items():
+            if len(lst) != 1:
+                continue
+            pts = coords[list(key)]
+            for name, ax, val in planes:
+                if np.all(np.abs(pts[:, ax] - val) < eps):
+                    sides[name].append(lst[0])
+                    break
+        mesh.sidesets = {
+            k: SideSet(np.array([e for e, _ in v], dtype=np.int32),
+                       np.array([f for _, f in v], dtype=np.int32))
+            for k, v in sides.items()
+        }
+        return mesh
 
     def cell_id(ex, ey, ez):
         return (ez * ny + ey) * nx + ex

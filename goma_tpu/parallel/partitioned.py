@@ -47,24 +47,15 @@ class PartitionedResult:
 class PartitionedProblem:
     """Distributed wrapper of a finalized Problem.
 
-    Covers volume blocks, face (weak/integrated) kernels, Dirichlet and
-    rotated BCs, and external nodal fields. Interface/overset/edge decks
-    fall back to the replicated ShardedProblem. Row-sum scaling (not
-    symmetric); block-Jacobi preconditioning.
+    Covers volume blocks, face (weak/integrated) kernels, edge-curve
+    kernels, interface pairs, overset (immersed-curve multiplier) rows,
+    cross-equation row injection (add_row_inject), Dirichlet and rotated
+    BCs, and external nodal fields. Row-sum scaling (not symmetric);
+    block-Jacobi / Vanka / two-level / distributed-NDLU preconditioning.
     """
 
     def __init__(self, problem, device_mesh: Mesh | None = None,
                  axis: str = "dofs", partition_method: str = "auto"):
-        if problem.ovs_sets:
-            raise NotImplementedError(
-                "PartitionedProblem covers volume/face/edge/interface "
-                "kernels, Dirichlet/rotated BCs and external fields; "
-                "overset decks use ShardedProblem (global immersed-curve "
-                "coupling)")
-        if getattr(problem, "_inject", None) is not None:
-            raise NotImplementedError(
-                "row-inject decks (add_row_inject) use ShardedProblem: the "
-                "cross-equation row move would need cross-device row access")
         if device_mesh is None:
             device_mesh = Mesh(np.array(jax.devices()), (axis,))
         self.problem = problem
@@ -134,12 +125,32 @@ class PartitionedProblem:
                 loc_elems[d][s.block_b] = np.unique(np.concatenate(
                     [loc_elems[d][s.block_b], eb[sel]])).astype(np.int64)
 
-        # halo dofs per device
+        # overset (immersed-curve) rows: a row assembles on every device
+        # owning ANY of its gathered dofs (VERDICT r4 item 5: the curve
+        # blocks are small — replicate the coupling rows across the owners
+        # instead of routing the reference's globally-coupled overlap ACs,
+        # src/mm_augc_util.c:2914, through collectives). The row machinery
+        # is element-loop-free (per-row basis tables, _ovs_contribs), so
+        # the only partitioned requirement is that each assembling device
+        # holds the row's full dof gather in owned+halo.
+        ovs_sel = []
+        ovs_need = [[] for _ in range(nd)]
+        for s in problem.ovs_sets:
+            gat_g = s.gather.astype(np.int64)
+            gow = dof_owner[gat_g]
+            sel = [np.flatnonzero(np.any(gow == d, axis=1))
+                   for d in range(nd)]
+            ovs_sel.append(sel)
+            for d in range(nd):
+                if sel[d].size:
+                    ovs_need[d].append(gat_g[sel[d]].ravel())
+
+        # halo dofs per device (element-touched union overset-row gathers)
         halos = []
         for d in range(nd):
-            touched = np.unique(np.concatenate(
-                [dm.blocks[bi].gather[loc_elems[d][bi]].ravel()
-                 for bi in range(len(dm.blocks))]))
+            touched = [dm.blocks[bi].gather[loc_elems[d][bi]].ravel()
+                       for bi in range(len(dm.blocks))] + ovs_need[d]
+            touched = np.unique(np.concatenate(touched))
             halos.append(touched[dof_owner[touched] != d])
 
         self.max_own = max(int(o.shape[0]) for o in owned)
@@ -264,6 +275,46 @@ class PartitionedProblem:
                     lmap[d, k] = np.asarray(flat).reshape(nl, nl)
             eb["nmap"] = lmap
 
+        # ---- row-inject pairs (add_row_inject): both rows of a pair live
+        # at the SAME mesh node (dofmap resolution in finalize) and a
+        # node's dofs share an owner, so the cross-equation row move is
+        # FULLY LOCAL on that owner: its owned rows are complete
+        # pre-injection (owner-computes ghost rule) and both rows' nnz
+        # segments sit in its local CSR. Reference: SH_FLUID_STRESS-style
+        # bulk->shell row moves under domain decomposition
+        # (src/dp_ghost.cpp owner rows, src/mm_fill.c load_lec).
+        inj = getattr(problem, "_inject", None)
+        self._inj = inj is not None
+        if self._inj:
+            fr_g, tr_g = inj["from_rows"], inj["to_rows"]
+            assert np.all(dof_owner[fr_g] == dof_owner[tr_g]), \
+                "row-inject pair split across owners (non-nodal pair?)"
+            sel_r = [np.flatnonzero(dof_owner[tr_g] == d)
+                     for d in range(nd)]
+            mxr_ = max(max(s.shape[0] for s in sel_r), 1)
+            ito = np.full((nd, mxr_), ml, dtype=np.int64)
+            ifr = np.full((nd, mxr_), ml, dtype=np.int64)
+            isg = np.zeros((nd, mxr_))
+            fp_g, tp_g = inj["from_pos"], inj["to_pos"]
+            row_of_tp = rows_g[tp_g]
+            sel_p = [np.flatnonzero(dof_owner[row_of_tp] == d)
+                     for d in range(nd)]
+            mxp_ = max(max(s.shape[0] for s in sel_p), 1)
+            itp = np.full((nd, mxp_), self.max_nnz, dtype=np.int64)
+            ifp = np.full((nd, mxp_), self.max_nnz, dtype=np.int64)
+            ips = np.zeros((nd, mxp_))
+            for d in range(nd):
+                for k, i in enumerate(sel_r[d]):
+                    ito[d, k] = l_of_g[d][int(tr_g[i])]
+                    ifr[d, k] = l_of_g[d][int(fr_g[i])]
+                    isg[d, k] = inj["sign_rows"][i]
+                for k, i in enumerate(sel_p[d]):
+                    itp[d, k] = g2l_nnz[d][int(tp_g[i])]
+                    ifp[d, k] = g2l_nnz[d][int(fp_g[i])]
+                    ips[d, k] = inj["sign_pos"][i]
+            self._inj_tabs = dict(to=ito, frm=ifr, sgnr=isg,
+                                  tpos=itp, fpos=ifp, psign=ips)
+
         # ---- local face-kernel tables (weak/integrated BCs): a face is
         # assembled on every device whose local (owned+ghost) element set
         # contains its parent element; non-owned rows land on sentinel
@@ -384,6 +435,42 @@ class PartitionedProblem:
                         ftb[kk][d, k] = np.asarray(v)[pi]
             self._iblocks.append(dict(isi=isi, gather=gat, Xa=Xa, Xb=Xb,
                                       wmask=wm, nmap=lmap, fta=fta, ftb=ftb))
+
+        # ---- local overset (immersed-curve) row tables: row-based (no
+        # parent element needed), owner-computes on any device owning a
+        # gathered dof; non-owned target rows drop on sentinels
+        self._oblocks = []
+        for si, s in enumerate(problem.ovs_sets):
+            gat_g = s.gather.astype(np.int64)
+            nl = gat_g.shape[1]
+            nmap_g = problem._ovs_nnz[si]  # (nr, nl, nl)
+            sel = ovs_sel[si]
+            mx = max(max(sp_.shape[0] for sp_ in sel), 1)
+            gat = np.full((nd, mx, nl), ml, dtype=np.int64)
+            xq = np.zeros((nd, mx) + s.xq.shape[1:])
+            wq = np.zeros((nd, mx))
+            wm = np.zeros((nd, mx))
+            lmap = np.full((nd, mx, nl, nl), self.max_nnz, dtype=np.int64)
+            Nf = {k: np.zeros((nd, mx) + np.asarray(v).shape[1:])
+                  for k, v in s.Nf.items()}
+            Ns = {k: np.zeros((nd, mx) + np.asarray(v).shape[1:])
+                  for k, v in (s.Ns or {}).items()}
+            for d in range(nd):
+                for k, ri in enumerate(sel[d]):
+                    gat[d, k] = [l_of_g[d].get(int(g), ml)
+                                 for g in gat_g[ri]]
+                    xq[d, k] = s.xq[ri]
+                    wq[d, k] = s.wq[ri]
+                    wm[d, k] = 1.0
+                    lmap[d, k] = np.asarray(
+                        [g2l_nnz[d].get(int(p), self.max_nnz)
+                         for p in nmap_g[ri].ravel()]).reshape(nl, nl)
+                    for kk, v in s.Nf.items():
+                        Nf[kk][d, k] = np.asarray(v)[ri]
+                    for kk, v in (s.Ns or {}).items():
+                        Ns[kk][d, k] = np.asarray(v)[ri]
+            self._oblocks.append(dict(si=si, gather=gat, xq=xq, wq=wq,
+                                      wmask=wm, nmap=lmap, Nf=Nf, Ns=Ns))
 
         # ---- rotated (normal-tangent) rows: a rotated node's dofs share an
         # owner (node-major numbering + node ownership), so row rotation is
@@ -652,9 +739,23 @@ class PartitionedProblem:
                 T[f"ita{isi}:{k}"] = dput(v)
             for k, v in ib["ftb"].items():
                 T[f"itb{isi}:{k}"] = dput(v)
+        for ob in self._oblocks:
+            si = ob["si"]
+            T[f"og{si}"] = dput(ob["gather"])
+            T[f"ox{si}"] = dput(ob["xq"])
+            T[f"oq{si}"] = dput(ob["wq"])
+            T[f"ow{si}"] = dput(ob["wmask"])
+            T[f"on{si}"] = dput(ob["nmap"])
+            for k, v in ob["Nf"].items():
+                T[f"oN{si}:{k}"] = dput(v)
+            for k, v in ob["Ns"].items():
+                T[f"oNs{si}:{k}"] = dput(v)
         if self._rot:
             for k, v in self._rtabs.items():
                 T[f"rot:{k}"] = dput(v)
+        if self._inj:
+            for k, v in self._inj_tabs.items():
+                T[f"inj:{k}"] = dput(v)
         for vb in self._vk_blocks:
             bi = vb["bi"]
             T[f"vkpos{bi}"] = dput(vb["vpos"])
@@ -800,6 +901,32 @@ class PartitionedProblem:
                 J = J * wm[:, None, None]
                 R_loc = R_loc.at[g.reshape(-1)].add(r.reshape(-1))
                 vals = vals.at[nm.reshape(-1)].add(J.reshape(-1))
+            for ob in self._oblocks:
+                si = ob["si"]
+                g = T1[f"og{si}"]
+                xq = T1[f"ox{si}"].astype(dtype)
+                wq = T1[f"oq{si}"].astype(dtype)
+                wm = T1[f"ow{si}"].astype(dtype)
+                nm = T1[f"on{si}"]
+                Nf = {k: T1[f"oN{si}:{k}"].astype(dtype) for k in ob["Nf"]}
+                Ns = {k: T1[f"oNs{si}:{k}"].astype(dtype) for k in ob["Ns"]}
+                row_res = prob._ovs_residual_fn(si)
+                jac_fn = jax.jacfwd(row_res, argnums=0, has_aux=True)
+                J, r = jax.vmap(jac_fn, in_axes=(0, 0, 0, 0, 0, 0, None))(
+                    x_loc[g], h_loc[g], xq, wq, Nf, Ns, params)
+                r = r * wm[:, None]
+                J = J * wm[:, None, None]
+                R_loc = R_loc.at[g.reshape(-1)].add(r.reshape(-1))
+                vals = vals.at[nm.reshape(-1)].add(J.reshape(-1))
+            # cross-equation row injection on the complete local rows,
+            # BEFORE rotation/Dirichlet (single-device _apply_inject order);
+            # padded slots point at the sentinel entries with sign 0
+            if self._inj:
+                sgr = T1["inj:sgnr"].astype(dtype)
+                R_loc = R_loc.at[T1["inj:to"]].add(
+                    sgr * R_loc[T1["inj:frm"]])
+                vals = vals.at[T1["inj:tpos"]].add(
+                    T1["inj:psign"].astype(dtype) * vals[T1["inj:fpos"]])
             # rotated (normal-tangent) rows BEFORE Dirichlet, matching the
             # single-device order (_apply_rotation then _apply_dirichlet)
             if self._rot:

@@ -629,3 +629,190 @@ def test_stacked_ndlu_exact_local_solves():
         res = A @ zh[d, :n_d] - rh[d, :n_d]
         denom = np.linalg.norm(rh[d, :n_d]) + 1e-30
         assert np.linalg.norm(res) / denom < 5e-5, (d, np.linalg.norm(res))
+
+
+def test_partitioned_row_inject_parity():
+    """Cross-equation row injection (add_row_inject) under the partitioned
+    path: both rows of an inject pair live at the same node, so the row
+    move is local to the node's owner (VERDICT r4 item 5). Per-dof
+    residual and per-entry CSR parity against the single-device assembly
+    on a coupled two-field deck with injection along one side."""
+    from goma_tpu.fem.sparsity import row_sum_scale
+    from goma_tpu.parallel.partitioned import PartitionedProblem
+    from goma_tpu.physics import Species
+
+    mesh = rectangle_mesh(6, 6, elem="QUAD9")
+    prob = Problem(mesh, [Energy(interp="Q2", transient=False,
+                                 convection=False),
+                          Species(n_species=1, interp="Q2",
+                                  transient=False)],
+                   {"k": 1.0, "heat_source": 3.0, "diffusivity": 0.5,
+                    "Cp": 1.0, "rho": 1.0})
+    for ns in ("left", "bottom"):
+        prob.add_dirichlet(ns, "temperature", 0, 0.0)
+        prob.add_dirichlet(ns, "species", 0, 1.0)
+    # inject the temperature rows into the species rows along the right
+    # edge (the put_lub_flux_in_film / put_liquid_stress_in_solid shape)
+    prob.add_row_inject("right", "temperature", "species", sign=0.7)
+    prob.finalize()
+    pp = PartitionedProblem(prob)
+    rng = np.random.RandomState(3)
+    xg = rng.rand(prob.dofmap.n_dof)
+    params = prob.base_params()
+    prep = pp._prep_fn()
+    x = pp.scatter_global(xg)
+    hist = pp.scatter_global(np.zeros_like(xg))
+    p2 = dict(params)
+    p2["hist"] = jnp.zeros(0, dtype=prob.dtype)
+    R, vals, scale, l1, l2, li = prep(x, hist, p2, pp._tables())
+
+    Rg, valsg = prob._assemble(jnp.asarray(xg, dtype=prob.dtype), params)
+    _, Rs, _ = row_sum_scale(valsg, Rg, jnp.asarray(prob.pattern.rows),
+                             prob.dofmap.n_dof)
+    Rd = np.zeros(prob.dofmap.n_dof)
+    Ra = np.asarray(jax.device_get(R))
+    for d in range(pp.n_dev):
+        o = pp._owned[d]
+        Rd[o] = Ra[d, :o.shape[0]]
+    np.testing.assert_allclose(Rd, np.asarray(Rs), atol=1e-12)
+    # scaled CSR values parity, entry by entry (scatter local to global)
+    from goma_tpu.fem.sparsity import sym_sum_scale  # noqa: F401 (import ok)
+    rows = prob.pattern.rows
+    rsg = np.zeros(prob.dofmap.n_dof)
+    np.add.at(rsg, rows, np.abs(np.asarray(valsg)))
+    valsg_scaled = np.asarray(valsg) / np.maximum(rsg, 1e-300)[rows]
+    va = np.asarray(jax.device_get(vals))
+    vg = np.zeros(prob.pattern.nnz)
+    for d in range(pp.n_dev):
+        sel = np.where(pp._dof_owner[rows] == d)[0]
+        vg[sel] = va[d, :sel.shape[0]]
+    np.testing.assert_allclose(vg, valsg_scaled, atol=1e-12)
+
+
+def test_partitioned_row_inject_solve_converges():
+    """A lubrication->film junction deck (the real add_row_inject user)
+    converges under the 8-device partitioned Newton with the same
+    iteration count as single-device."""
+    from goma_tpu.parallel.partitioned import (PartitionedNewtonSolver,
+                                               PartitionedProblem)
+    from goma_tpu.physics import Species
+
+    mesh = rectangle_mesh(8, 8, elem="QUAD9")
+    prob = Problem(mesh, [Energy(interp="Q2", transient=False,
+                                 convection=False),
+                          Species(n_species=1, interp="Q2",
+                                  transient=False)],
+                   {"k": lambda fv, mat, p: 1.0
+                    + 0.5 * fv.val["temperature"][:, 0] ** 2,
+                    "heat_source": 4.0, "diffusivity": 1.0,
+                    "Cp": 1.0, "rho": 1.0})
+    for ns in ("left", "right", "top", "bottom"):
+        prob.add_dirichlet(ns, "temperature", 0, 0.0)
+    for ns in ("left", "top", "bottom"):
+        prob.add_dirichlet(ns, "species", 0, 0.0)
+    prob.add_row_inject("right", "temperature", "species", sign=1.0)
+    prob.finalize()
+    x0 = np.zeros(prob.dofmap.n_dof)
+    params = prob.base_params()
+    single = NewtonSolver(prob, NewtonOptions(
+        max_iter=15, tol_residual=1e-9, precond="block_jacobi",
+        linear_tol=1e-10, gmres_restart=80, linear_maxiter=3000,
+        precond_lag=False, forcing="fixed"))
+    r1 = single.solve(x0, params)
+    assert r1.converged
+    pp = PartitionedProblem(prob)
+    r2 = PartitionedNewtonSolver(pp, max_iter=15, tol_residual=1e-9,
+                                 linear_tol=1e-10, restart=80,
+                                 linear_maxiter=3000).solve(x0, params)
+    assert r2.converged
+    assert r2.iters == r1.iters
+    np.testing.assert_allclose(r2.x, r1.x, atol=1e-7)
+
+
+def _ovs_couette(ny=8, y_c=0.3, U_s=0.4, U_top=1.0, mu=0.7, nseg=5):
+    from goma_tpu.mesh import polyline_block
+    from goma_tpu.physics import Continuity, Momentum, OversetLM, OversetNoSlip
+
+    mesh = rectangle_mesh(4, ny, elem="QUAD9", xlim=(0, 0.8), ylim=(0, 1))
+    mesh.nodesets["pin"] = np.array([0], dtype=np.int32)
+    line = np.stack([np.linspace(0, 0.8, nseg + 1),
+                     np.full(nseg + 1, y_c)], axis=1)
+    bi = polyline_block(mesh, line, name="wall")
+    prob = Problem(mesh,
+                   [[Momentum(dim=2, interp="Q2", transient=False,
+                              convection=False), Continuity(interp="Q1")],
+                    [OversetLM(dim=2)]],
+                   [{"rho": 1.0, "mu": mu}, {}])
+    prob.add_dirichlet("top", "velocity", 0, U_top)
+    prob.add_dirichlet("bottom", "velocity", 0, 0.0)
+    for ns in ("top", "bottom", "left", "right"):
+        prob.add_dirichlet(ns, "velocity", 1, 0.0)
+    prob.add_dirichlet("pin", "pressure", 0, 0.0)
+    prob.add_overset(bi, 0, OversetNoSlip(
+        dim=2, u_target=lambda x, params: jnp.asarray([U_s, 0.0])))
+    prob.finalize()
+    return prob
+
+
+def test_partitioned_overset_assembly_parity():
+    """Overset (immersed-curve multiplier) decks under the partitioned
+    path (VERDICT r4 item 5): coupling rows replicate onto every owner of
+    a gathered dof; per-dof residual and per-entry scaled CSR parity vs
+    the single-device assembly."""
+    from goma_tpu.parallel.partitioned import PartitionedProblem
+
+    prob = _ovs_couette()
+    pp = PartitionedProblem(prob)
+    rng = np.random.RandomState(7)
+    xg = rng.rand(prob.dofmap.n_dof)
+    params = prob.base_params()
+    prep = pp._prep_fn()
+    x = pp.scatter_global(xg)
+    hist = pp.scatter_global(np.zeros_like(xg))
+    p2 = dict(params)
+    p2["hist"] = jnp.zeros(0, dtype=prob.dtype)
+    R, vals, scale, l1, l2, li = prep(x, hist, p2, pp._tables())
+
+    from goma_tpu.fem.sparsity import row_sum_scale
+
+    Rg, valsg = prob._assemble(jnp.asarray(xg, dtype=prob.dtype), params)
+    _, Rs, _ = row_sum_scale(valsg, Rg, jnp.asarray(prob.pattern.rows),
+                             prob.dofmap.n_dof)
+    Rd = np.zeros(prob.dofmap.n_dof)
+    Ra = np.asarray(jax.device_get(R))
+    for d in range(pp.n_dev):
+        o = pp._owned[d]
+        Rd[o] = Ra[d, :o.shape[0]]
+    np.testing.assert_allclose(Rd, np.asarray(Rs), atol=1e-12)
+    rows = prob.pattern.rows
+    rsg = np.zeros(prob.dofmap.n_dof)
+    np.add.at(rsg, rows, np.abs(np.asarray(valsg)))
+    valsg_scaled = np.asarray(valsg) / np.maximum(rsg, 1e-300)[rows]
+    va = np.asarray(jax.device_get(vals))
+    vg = np.zeros(prob.pattern.nnz)
+    for d in range(pp.n_dev):
+        sel = np.where(pp._dof_owner[rows] == d)[0]
+        vg[sel] = va[d, :sel.shape[0]]
+    np.testing.assert_allclose(vg, valsg_scaled, atol=1e-12)
+
+
+def test_partitioned_overset_solve_converges():
+    """The immersed-line Couette deck converges under the 8-device
+    partitioned Newton to the single-device solution."""
+    from goma_tpu.parallel.partitioned import (PartitionedNewtonSolver,
+                                               PartitionedProblem)
+
+    prob = _ovs_couette()
+    x0 = np.zeros(prob.dofmap.n_dof)
+    params = prob.base_params()
+    r1 = NewtonSolver(prob, NewtonOptions(
+        max_iter=8, tol_residual=1e-10,
+        linear_solver="direct")).solve(x0, params)
+    assert r1.converged
+    pp = PartitionedProblem(prob)
+    r2 = PartitionedNewtonSolver(pp, max_iter=10, tol_residual=1e-8,
+                                 linear_tol=1e-11, restart=120,
+                                 linear_maxiter=6000,
+                                 smoother="vanka").solve(x0, params)
+    assert r2.converged, r2.res_norms
+    np.testing.assert_allclose(r2.x, r1.x, atol=2e-6)
