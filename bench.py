@@ -272,12 +272,21 @@ def _cavity_opts(kind, tol=1e-6, max_iter=20):
     if kind == "gmres+ndlu":
         # prep32: far-from-solution iterations run the whole prep at f32
         # (the f64 residual is software-emulated on TPU and dominates the
-        # assembly bucket); the endgame re-preps and converges in f64
+        # assembly bucket); the endgame re-preps and converges in f64.
+        # Deep-convergence configs (tol < 1e-8): NEWTON is the
+        # mixed-precision refinement loop — keep every f32 Krylov solve
+        # LOOSE (eta floor 1e-3, classic EW oversolving safeguard) and
+        # take a few extra quadratic/linear Newton steps with f64
+        # residuals instead of grinding 120-240-iteration f32 solves
+        # against their roundoff floor (r5-measured: 2.33 -> ~0.2 s/iter)
+        deep = tol < 1e-8
         return NewtonOptions(max_iter=max_iter, tol_residual=tol,
-                             linear_tol=1e-4 if tol >= 1e-8 else 1e-6,
-                             precond="ndlu", linear_solver="gmres",
+                             linear_tol=1e-4, precond="ndlu",
+                             linear_solver="gmres",
                              gmres_restart=60, linear_maxiter=240,
-                             ndlu_leaf_max=192, prep32_tol=3e-6)
+                             ndlu_leaf_max=192, prep32_tol=3e-6,
+                             ew_eta_floor=1e-3 if deep else 0.0,
+                             ew_endgame="standard" if deep else "tighten")
     if kind == "tpu_direct":
         return NewtonOptions(max_iter=max_iter, tol_residual=tol,
                              linear_solver="tpu_direct", ndlu_leaf_max=192,
