@@ -387,6 +387,7 @@ def bench_cavity_scaling(sizes=(128, 192)):
     out = {}
     for n in sizes:
         if not gate(f"cavity_{n}", 120 + n):
+            out[f"cavity_{n}"] = {"skipped": "budget"}
             continue
         try:
             prob = _cavity_problem(n)
@@ -592,10 +593,14 @@ def bench_viscoelastic(direct_kind="gmres_ndlu"):
     prob.jacobian_dtype = jnp.float32
     x0 = jnp.zeros(prob.dofmap.n_dof, dtype=prob.dtype)
     if direct_kind == "gmres_ndlu":
-        opts = NewtonOptions(max_iter=25, tol_residual=1e-8, linear_tol=1e-5,
+        # loose-eta inexact Newton (see _cavity_opts deep note): the 1e-8
+        # nonlinear target is reached through extra cheap Newton steps
+        # instead of 180-iteration f32 Krylov grinds (r5: 3.5 -> ~1 s/iter)
+        opts = NewtonOptions(max_iter=25, tol_residual=1e-8, linear_tol=1e-4,
                              precond="ndlu", linear_solver="gmres",
                              gmres_restart=60, linear_maxiter=240,
-                             ndlu_leaf_max=192)
+                             ndlu_leaf_max=192, ew_eta_floor=1e-3,
+                             ew_endgame="standard")
     elif direct_kind == "tpu_direct":
         opts = NewtonOptions(max_iter=25, tol_residual=1e-8,
                              linear_solver="tpu_direct", ndlu_leaf_max=192)
