@@ -536,7 +536,8 @@ def bench_buoyant(direct_kind="gmres_ndlu"):
         opts = NewtonOptions(max_iter=15, tol_residual=1e-6, linear_tol=1e-4,
                              precond="ndlu", linear_solver="gmres",
                              gmres_restart=60, linear_maxiter=240,
-                             ndlu_leaf_max=256)
+                             ndlu_leaf_max=256, ew_eta_floor=1e-3,
+                             ew_endgame="standard")
     elif direct_kind == "tpu_direct":
         opts = NewtonOptions(max_iter=15, tol_residual=1e-6,
                              linear_solver="tpu_direct", ndlu_leaf_max=256)
